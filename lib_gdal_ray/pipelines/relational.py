@@ -1,0 +1,211 @@
+"""Relational surface: grouped aggregation (partial+final), broadcast
+hash join, distinct, top-k.
+
+Semantics follow OGR SQL (`ogr/ogr_swq.h:357-385` summary state —
+COUNT/SUM/MIN/MAX/AVG/STDDEV_POP/STDDEV_SAMP with float64 accumulators;
+OGR keeps a Kahan-compensated sum, we keep float64 partials whose
+per-batch tree reduction has equal-or-better error) and the OGR SQL
+LEFT JOIN lookup-join cost model (`ogr_gensql.cpp:1325,1459` — the
+secondary table is small/indexed, so a broadcast join matches it).
+
+Scale notes: `grouped_agg` pre-aggregates **inside each map_batches
+task** (pyarrow group_by partials), so the all-to-all `groupby` only
+shuffles one row per (block × key) — the combiner pattern SURVEY.md §4
+requires at 100 TB. The broadcast join ships the small side once via
+``ray.put`` and joins per batch with pyarrow's hash join (zero shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+AggSpec = Tuple[str, Optional[str], str]  # (op, column|None, alias)
+
+_PARTIAL_OPS = {"sum", "count", "min", "max", "mean", "std_pop", "std_samp"}
+
+
+def grouped_agg(ds: ray.data.Dataset, keys: Union[str, Sequence[str]],
+                specs: Sequence[AggSpec],
+                round_to: Optional[int] = None) -> ray.data.Dataset:
+    """Grouped aggregation with per-batch partials then one small shuffle.
+
+    specs: (op, column, alias) with op in
+    sum|count|min|max|mean|std_pop|std_samp. count ignores the column.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for op, _, _ in specs:
+        if op not in _PARTIAL_OPS:
+            raise ValueError(f"unsupported agg op {op}")
+
+    need_count = any(op in ("count", "mean", "std_pop", "std_samp") for op, _, _ in specs)
+    sum_cols = sorted({c for op, c, _ in specs if op in ("sum", "mean", "std_pop", "std_samp")})
+    ss_cols = sorted({c for op, c, _ in specs if op in ("std_pop", "std_samp")})
+    min_cols = sorted({c for op, c, _ in specs if op == "min"})
+    max_cols = sorted({c for op, c, _ in specs if op == "max"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, aggs = {}, []
+        for c in sum_cols:
+            cols[f"__v_{c}"] = batch[c]
+            aggs.append((f"__v_{c}", "sum"))
+        for c in ss_cols:
+            v = pc.cast(batch[c], pa.float64())
+            cols[f"__q_{c}"] = pc.multiply(v, v)
+            aggs.append((f"__q_{c}", "sum"))
+        for c in min_cols:
+            cols[f"__n_{c}"] = batch[c]
+            aggs.append((f"__n_{c}", "min"))
+        for c in max_cols:
+            cols[f"__x_{c}"] = batch[c]
+            aggs.append((f"__x_{c}", "max"))
+        if need_count:
+            cols["__c"] = pa.array(np.ones(len(batch), dtype=np.int64))
+            aggs.append(("__c", "sum"))
+        t = pa.table({**{k: batch[k] for k in keys}, **cols})
+        out = t.group_by(keys).aggregate(aggs)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    final_aggs = []
+    for c in sum_cols:
+        final_aggs.append(Sum(f"__v_{c}_sum", alias_name=f"__v_{c}"))
+    for c in ss_cols:
+        final_aggs.append(Sum(f"__q_{c}_sum", alias_name=f"__q_{c}"))
+    for c in min_cols:
+        final_aggs.append(Min(f"__n_{c}_min", alias_name=f"__n_{c}"))
+    for c in max_cols:
+        final_aggs.append(Max(f"__x_{c}_max", alias_name=f"__x_{c}"))
+    if need_count:
+        final_aggs.append(Sum("__c_sum", alias_name="__c"))
+
+    merged = partials.groupby(keys).aggregate(*final_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {k: batch[k] for k in keys}
+        n = batch["__c"].to_numpy(zero_copy_only=False).astype(np.float64) if need_count else None
+        for op, c, alias in specs:
+            if op == "sum":
+                val = batch[f"__v_{c}"]
+            elif op == "count":
+                val = batch["__c"]
+            elif op == "min":
+                val = batch[f"__n_{c}"]
+            elif op == "max":
+                val = batch[f"__x_{c}"]
+            else:
+                s = batch[f"__v_{c}"].to_numpy(zero_copy_only=False).astype(np.float64)
+                if op == "mean":
+                    val = pa.array(s / n)
+                else:
+                    q = batch[f"__q_{c}"].to_numpy(zero_copy_only=False).astype(np.float64)
+                    var = np.maximum(q / n - (s / n) ** 2, 0.0)
+                    if op == "std_samp":
+                        var = var * (n / np.maximum(n - 1.0, 1.0))
+                    val = pa.array(np.sqrt(var))
+            if round_to is not None and pa.types.is_floating(val.type):
+                val = pc.round(val, ndigits=round_to)
+            out[alias] = val
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def global_agg(ds: ray.data.Dataset, specs: Sequence[AggSpec],
+               round_to: Optional[int] = None) -> ray.data.Dataset:
+    """Ungrouped aggregates (OGR SQL has no GROUP BY — this is its
+    PrepareSummary, `ogr_gensql.cpp:852-1163`). Adds a constant key then
+    drops it."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array(np.zeros(len(batch), dtype=np.int8)))
+
+    out = grouped_agg(ds.map_batches(add_key, batch_format="pyarrow"), "__g", specs, round_to)
+    return out.drop_columns(["__g"])
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: deserialize the broadcast right side once per
+    actor (`__init__`), hash-join each batch against it (`__call__`)."""
+
+    def __init__(self, wrapped_ref, left_on, right_on, how, drop_right):
+        table = ray.get(wrapped_ref["ref"])
+        self.right = table
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+        self.drop_right = drop_right
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.join(
+            self.right,
+            keys=self.left_on,
+            right_keys=self.right_on,
+            join_type=self.how,
+        )
+        if self.drop_right:
+            out = out.drop_columns([c for c in self.drop_right if c in out.column_names])
+        return out
+
+
+def broadcast_hash_join(ds: ray.data.Dataset, right: pa.Table,
+                        left_on: Union[str, List[str]],
+                        right_on: Union[str, List[str], None] = None,
+                        how: str = "inner",
+                        concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                        drop_right: Optional[List[str]] = None) -> ray.data.Dataset:
+    """Join a Dataset against a small in-memory table (dimension side).
+
+    `right` is ray.put once; each actor pulls it once. No shuffle.
+    """
+    left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_on = left_on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    ref = ray.put(right)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, left_on, right_on, how, drop_right or []),
+        concurrency=concurrency,
+    )
+
+
+def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.Dataset:
+    """SELECT DISTINCT — per-batch dedup partial, then hash-partition
+    groupby (reference: ordered std::set distinct,
+    `ogr_gensql.cpp:1972-1995`; ours is the scalable hash flavor)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        return pa.table({c: batch[c] for c in cols}).group_by(cols).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+def topk(ds: ray.data.Dataset, key: Union[str, List[str]], k: int,
+         descending: bool = True) -> ray.data.Dataset:
+    """ORDER BY … LIMIT k (`ogr_gensql.cpp:2193-2436` materializes the
+    whole sort index; ours per-block prunes to k before the range sort)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        order = [(c, "descending" if descending else "ascending") for c in keys]
+        idx = pc.sort_indices(batch, sort_keys=order)
+        return batch.take(idx[:k])
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.sort(keys, descending=descending).limit(k)

@@ -1,0 +1,278 @@
+"""Two-phase distributed spatial join (point-in-polygon).
+
+Reference semantics: OGR layer-algebra Intersection / spatial filter
+(`ogr/ogrsf_frmts/generic/ogrlayer.cpp:5204-5448` and `:3700-3960`):
+stage 1 envelope/cell pretest, stage 2 exact refinement. Here:
+
+* **broadcast variant** — polygon side is small (dimension-table case,
+  matching OGR's lookup-join cost model): decode + cell-index the
+  polygons once per actor (`__init__`), then for each point batch look
+  up candidate polygons by grid cell and refine with vectorized
+  ray-casting PIP (`geom.pip`, parity with `ogrlinearring.cpp:443`).
+  Zero shuffle — the 100 TB scale path when the polygon side fits in
+  worker memory (ray.put once, read per actor).
+
+* **shuffle variant** — both sides large: points get 1 cell each,
+  polygons are replicated to covering cells
+  (`stages.cell_assign.explode_covering_cells`), both sides co-partition
+  via a single `groupby(cell_id)` shuffle, and a per-group kernel builds
+  the polygon index and probes the points. Hot cells are salted
+  (`salt` sub-keys; polygon rows replicated to every salt — SURVEY.md
+  §7.3). Points land in exactly one cell, so no pair dedup is needed
+  (PBSM dedup only matters for area×area joins).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..geom import cells, pip, wkb
+
+
+# ---------------------------------------------------------------------------
+# Polygon-side index (shared by both variants)
+# ---------------------------------------------------------------------------
+
+
+class PolygonCellIndex:
+    """cell_id -> candidate polygon indices, plus decoded rings/bboxes.
+
+    The per-actor analog of GDAL's prepared-geometry spatial filter
+    (`ogrlayer.cpp:3739-3742`): built once, probed per batch.
+    """
+
+    def __init__(self, poly_table: pa.Table, wkb_col: str, res: float):
+        self.res = res
+        wkbs = poly_table[wkb_col].to_numpy(zero_copy_only=False)
+        self.rings: List[list] = []
+        for b in wkbs:
+            kind, payload = wkb.parse_wkb(b)
+            if kind == "polygon":
+                self.rings.append([payload])
+            elif kind == "multipolygon":
+                self.rings.append(payload)
+            else:
+                raise ValueError(f"polygon side must be (multi)polygon, got {kind}")
+        self.bbox = wkb.wkb_bbox(wkbs)
+        offsets, cc = cells.covering_grid(
+            self.bbox[:, 0], self.bbox[:, 1], self.bbox[:, 2], self.bbox[:, 3], res
+        )
+        order = np.argsort(cc, kind="stable")
+        cc_sorted = cc[order]
+        poly_idx = np.repeat(np.arange(len(wkbs), dtype=np.int64), np.diff(offsets))[order]
+        uniq, starts = np.unique(cc_sorted, return_index=True)
+        self._cells = uniq
+        self._starts = np.append(starts, len(cc_sorted))
+        self._poly_idx = poly_idx
+
+    def candidates(self, cell: int) -> np.ndarray:
+        i = np.searchsorted(self._cells, cell)
+        if i >= len(self._cells) or self._cells[i] != cell:
+            return np.empty(0, dtype=np.int64)
+        return self._poly_idx[self._starts[i]:self._starts[i + 1]]
+
+    def refine(self, px: np.ndarray, py: np.ndarray, poly_i: int) -> np.ndarray:
+        xmin, ymin, xmax, ymax = self.bbox[poly_i]
+        mask = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        if mask.any():
+            sub = np.flatnonzero(mask)
+            inside = pip.points_in_multipolygon(px[sub], py[sub], self.rings[poly_i])
+            out = np.zeros(len(px), dtype=bool)
+            out[sub] = inside
+            return out
+        return np.zeros(len(px), dtype=bool)
+
+
+def _join_points_to_index(index: PolygonCellIndex, batch: pa.Table,
+                          lon_col: str, lat_col: str,
+                          poly_table: pa.Table, poly_cols: Sequence[str],
+                          how: str) -> pa.Table:
+    px = batch[lon_col].to_numpy(zero_copy_only=False)
+    py = batch[lat_col].to_numpy(zero_copy_only=False)
+    cell = cells.grid_cell(px, py, index.res)
+    order = np.argsort(cell, kind="stable")
+    out_pt_idx: List[np.ndarray] = []
+    out_poly_idx: List[np.ndarray] = []
+    uniq, starts = np.unique(cell[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for u in range(len(uniq)):
+        rows = order[bounds[u]:bounds[u + 1]]
+        cand = index.candidates(int(uniq[u]))
+        for poly_i in cand:
+            hit = index.refine(px[rows], py[rows], int(poly_i))
+            if hit.any():
+                sel = rows[hit]
+                out_pt_idx.append(sel)
+                out_poly_idx.append(np.full(len(sel), poly_i, dtype=np.int64))
+    if out_pt_idx:
+        pt_idx = np.concatenate(out_pt_idx)
+        pl_idx = np.concatenate(out_poly_idx)
+    else:
+        pt_idx = np.empty(0, dtype=np.int64)
+        pl_idx = np.empty(0, dtype=np.int64)
+
+    if how == "left":
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pt_idx] = True  # rows with >=1 match
+        unmatched = np.flatnonzero(~matched)
+        left = batch.take(pa.array(np.concatenate([pt_idx, unmatched])))
+        right_parts = []
+        for c in poly_cols:
+            col = poly_table[c].take(pa.array(pl_idx))
+            nulls = pa.nulls(len(unmatched), type=col.type)
+            right_parts.append(pa.concat_arrays([col.combine_chunks(), nulls]))
+        out = left
+        for c, arr in zip(poly_cols, right_parts):
+            out = out.append_column(c, arr)
+        return out
+
+    out = batch.take(pa.array(pt_idx))
+    for c in poly_cols:
+        out = out.append_column(c, poly_table[c].take(pa.array(pl_idx)))
+    return out
+
+
+class _BroadcastPIPJoiner:
+    def __init__(self, wrapped_ref, wkb_col, res, lon_col, lat_col, poly_cols, how):
+        self.poly_table = ray.get(wrapped_ref["ref"])
+        self.index = PolygonCellIndex(self.poly_table, wkb_col, res)
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.poly_cols = poly_cols
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _join_points_to_index(
+            self.index, batch, self.lon_col, self.lat_col,
+            self.poly_table, self.poly_cols, self.how,
+        )
+
+
+def broadcast_pip_join(points: ray.data.Dataset, polygons: pa.Table,
+                       poly_wkb_col: str, poly_cols: Sequence[str],
+                       res: float = 5.0,
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       how: str = "inner",
+                       concurrency: Union[int, Tuple[int, int]] = (1, 16),
+                       ) -> ray.data.Dataset:
+    """Inner/left PIP join of a point Dataset against a broadcast
+    polygon table. Emits one row per (point, containing polygon)."""
+    ref = ray.put(polygons)
+    return points.map_batches(
+        _BroadcastPIPJoiner,
+        batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, poly_wkb_col, res, lon_col, lat_col,
+                             list(poly_cols), how),
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle variant (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
+                     poly_wkb_col: str, poly_cols: Sequence[str],
+                     point_cols: Sequence[str],
+                     res: float = 5.0,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     num_salts: int = 1,
+                     hot_cells: Optional[dict] = None) -> ray.data.Dataset:
+    """Co-partition both sides on grid cell via one groupby shuffle.
+
+    hot_cells: optional {cell_id: n_salts} from a pre-count
+    (`precount_cells`) — points in a hot cell are split across salts,
+    polygon rows replicated to every salt of each covered cell.
+    """
+    from ..stages.cell_assign import explode_covering_cells, with_grid_cell
+
+    hot = hot_cells or {}
+
+    def salt_points(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+        salt = np.zeros(len(cell), dtype=np.uint64)
+        if hot:
+            for c, k in hot.items():
+                m = cell == np.uint64(c)
+                if m.any():
+                    idx = np.flatnonzero(m)
+                    salt[idx] = (np.arange(len(idx)) % k).astype(np.uint64)
+        key = (cell << np.uint64(6)) | salt  # 6 salt bits
+        return batch.append_column("__jk", pa.array(key))
+
+    def salt_polys(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+        reps = np.asarray([hot.get(int(c), 1) for c in cell], dtype=np.int64)
+        idx = np.repeat(np.arange(len(cell), dtype=np.int64), reps)
+        salts = np.concatenate([np.arange(r, dtype=np.uint64) for r in reps]) if len(reps) else np.empty(0, np.uint64)
+        out = batch.take(pa.array(idx))
+        key = (cell[idx] << np.uint64(6)) | salts
+        return out.append_column("__jk", pa.array(key))
+
+    pts = with_grid_cell(points, res, lon_col=lon_col, lat_col=lat_col)
+    pts = pts.map_batches(salt_points, batch_format="pyarrow")
+    pts = pts.select_columns(list(dict.fromkeys(list(point_cols) + [lon_col, lat_col, "__jk"])))
+
+    pls = explode_covering_cells(polygons, res, wkb_col=poly_wkb_col)
+    pls = pls.map_batches(salt_polys, batch_format="pyarrow")
+    pls = pls.select_columns(list(dict.fromkeys(list(poly_cols) + [poly_wkb_col, "__jk"])))
+
+    # Tag and union — one shuffle co-partitions both sides.
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+        return fn
+
+    both = pts.map_batches(tag(0), batch_format="pyarrow").union(
+        pls.map_batches(tag(1), batch_format="pyarrow"))
+
+    out_cols = list(point_cols) + list(poly_cols)
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        pdf = df[df["__side"] == 0]
+        gdf = df[df["__side"] == 1]
+        if len(pdf) == 0 or len(gdf) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype if c in df else object) for c in out_cols})
+        tbl = pa.Table.from_pandas(gdf[[poly_wkb_col] + list(poly_cols)], preserve_index=False)
+        index = PolygonCellIndex(tbl, poly_wkb_col, res=360.0)  # single-cell local index
+        px = pdf[lon_col].to_numpy(dtype=np.float64)
+        py = pdf[lat_col].to_numpy(dtype=np.float64)
+        parts = []
+        for poly_i in range(len(tbl)):
+            hit = index.refine(px, py, poly_i)
+            if hit.any():
+                left = pdf.iloc[np.flatnonzero(hit)][list(point_cols)].reset_index(drop=True)
+                for c in poly_cols:
+                    left[c] = gdf.iloc[poly_i][c]
+                parts.append(left)
+        if not parts:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return pd.concat(parts, ignore_index=True)[out_cols]
+
+    return both.groupby("__jk").map_groups(join_group, batch_format="pandas")
+
+
+def precount_cells(points: ray.data.Dataset, res: float,
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   hot_threshold: int = 1_000_000, max_salts: int = 64) -> dict:
+    """Cheap pre-count pass → {cell_id: n_salts} for cells above the
+    threshold (SURVEY.md §4 skew row). Output is small (#cells)."""
+    from ..stages.cell_assign import with_grid_cell
+
+    counts = (
+        with_grid_cell(points, res, lon_col=lon_col, lat_col=lat_col)
+        .groupby("cell_id")
+        .count()
+        .to_pandas()
+    )
+    hot = counts[counts["count()"] > hot_threshold]
+    return {
+        int(c): int(min(max_salts, max(2, n // hot_threshold + 1)))
+        for c, n in zip(hot["cell_id"], hot["count()"])
+    }

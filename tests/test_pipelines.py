@@ -1,0 +1,279 @@
+"""Pipeline tests: Ray Data operators vs brute-force numpy / DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.functions import derive
+from lib_gdal_ray.geom import cells, pip, wkb
+from lib_gdal_ray.pipelines import knn as knn_mod
+from lib_gdal_ray.pipelines import rasterize as rast
+from lib_gdal_ray.pipelines import relational as rel
+from lib_gdal_ray.pipelines import spatial_join as sj
+from lib_gdal_ray.pipelines import tiles as tiles_mod
+from lib_gdal_ray.sources import tables
+from lib_gdal_ray.stages.cell_assign import with_grid_cell
+
+
+def make_points(n=2000, seed=1):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "pid": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rng.uniform(-179, 179, n)),
+        "lat": pa.array(rng.uniform(-84, 84, n)),
+    })
+
+
+def make_zones():
+    nk = np.arange(25, dtype=np.int64)
+    xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+    wkbs = [wkb.box_to_wkb(float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+    return pa.table({
+        "zone_id": pa.array(nk),
+        "geometry": pa.array(wkbs, type=pa.binary()),
+    }), (xmin, ymin, xmax, ymax)
+
+
+def brute_pip_pairs(pts: pa.Table, zones_tbl: pa.Table):
+    px = pts["lon"].to_numpy()
+    py = pts["lat"].to_numpy()
+    pid = pts["pid"].to_numpy()
+    pairs = set()
+    for i in range(len(zones_tbl)):
+        polys = wkb.wkb_rings(zones_tbl["geometry"][i].as_py())
+        inside = pip.points_in_multipolygon(px, py, polys)
+        for p in pid[inside]:
+            pairs.add((int(p), int(zones_tbl["zone_id"][i].as_py())))
+    return pairs
+
+
+class TestSpatialJoin:
+    def test_broadcast_vs_brute(self):
+        pts = make_points()
+        zones, _ = make_zones()
+        ds = ray.data.from_arrow(pts)
+        out = sj.broadcast_pip_join(
+            ds, zones, "geometry", ["zone_id"], res=5.0, concurrency=2
+        ).to_pandas()
+        got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
+        want = brute_pip_pairs(pts, zones)
+        assert got == want and len(want) > 100
+
+    def test_broadcast_left_join(self):
+        pts = make_points(500, seed=3)
+        zones, _ = make_zones()
+        ds = ray.data.from_arrow(pts)
+        out = sj.broadcast_pip_join(
+            ds, zones, "geometry", ["zone_id"], res=5.0, how="left", concurrency=2
+        ).to_pandas()
+        # every point appears at least once
+        assert set(out["pid"]) == set(range(500))
+        matched = out[out["zone_id"].notna()]
+        want = brute_pip_pairs(pts, zones)
+        got = set(zip(matched["pid"].astype(int), matched["zone_id"].astype(int)))
+        assert got == want
+
+    def test_shuffle_vs_brute(self):
+        pts = make_points(800, seed=5)
+        zones, _ = make_zones()
+        ds = ray.data.from_arrow(pts)
+        zds = ray.data.from_arrow(zones)
+        out = sj.shuffle_pip_join(
+            ds, zds, "geometry", ["zone_id"], ["pid"], res=5.0,
+        ).to_pandas()
+        got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
+        want = brute_pip_pairs(pts, zones)
+        assert got == want
+
+    def test_shuffle_with_salting(self):
+        pts = make_points(800, seed=6)
+        zones, _ = make_zones()
+        ds = ray.data.from_arrow(pts)
+        zds = ray.data.from_arrow(zones)
+        # force-salt a few cells to prove replication correctness
+        cell = cells.grid_cell(pts["lon"].to_numpy(), pts["lat"].to_numpy(), 5.0)
+        hot = {int(c): 4 for c in np.unique(cell)[:10]}
+        out = sj.shuffle_pip_join(
+            ds, zds, "geometry", ["zone_id"], ["pid"], res=5.0, hot_cells=hot,
+        ).to_pandas()
+        got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
+        assert got == brute_pip_pairs(pts, zones)
+
+    def test_polygon_zones_nonrect(self):
+        pts = make_points(1000, seed=7)
+        wkbs = [wkb.polygon_to_wkb(derive.zone_polygon_rings(int(nk))) for nk in range(25)]
+        zones = pa.table({"zone_id": pa.array(np.arange(25, dtype=np.int64)),
+                          "geometry": pa.array(wkbs, type=pa.binary())})
+        ds = ray.data.from_arrow(pts)
+        out = sj.broadcast_pip_join(ds, zones, "geometry", ["zone_id"], res=5.0).to_pandas()
+        got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
+        want = brute_pip_pairs(pts, zones)
+        assert got == want
+
+
+class TestKnn:
+    def test_vs_brute(self):
+        pts = make_points(300, seed=11)
+        rng = np.random.default_rng(12)
+        ns = 40
+        sites = pa.table({
+            "site_id": pa.array(np.arange(ns, dtype=np.int64)),
+            "slon": pa.array(rng.uniform(-179, 179, ns)),
+            "slat": pa.array(rng.uniform(-84, 84, ns)),
+        })
+        ds = ray.data.from_arrow(pts)
+        k = 3
+        out = knn_mod.knn_join(ds, sites, k, "site_id", "slon", "slat",
+                               res=10.0, concurrency=2).to_pandas()
+        # brute force
+        px, py = pts["lon"].to_numpy(), pts["lat"].to_numpy()
+        sx, sy = sites["slon"].to_numpy(), sites["slat"].to_numpy()
+        for i in range(len(pts)):
+            d2 = (sx - px[i]) ** 2 + (sy - py[i]) ** 2
+            order = np.lexsort((np.arange(ns), d2))[:k]
+            sub = out[out["pid"] == i].sort_values("rank")
+            assert list(sub["neighbor_id"]) == list(order)
+            np.testing.assert_allclose(sub["dist2"].to_numpy(), d2[order])
+
+
+class TestRasterize:
+    def test_counts_vs_pandas(self):
+        pts = make_points(5000, seed=21)
+        ds = ray.data.from_arrow(pts)
+        z = 4
+        tiles = rast.rasterize_points(ds, z, merge_alg="count").to_pandas()
+        # oracle: pandas pixel counts
+        tx, ty, px, py = cells.tile_pixel(pts["lon"].to_numpy(), pts["lat"].to_numpy(), z)
+        df = pd.DataFrame({"tx": tx, "ty": ty, "px": px, "py": py})
+        want_total = df.groupby(["tx", "ty"]).size()
+        got_total = tiles.set_index(["tile_x", "tile_y"])["total"]
+        assert len(tiles) == len(want_total)
+        for (x, y), n in want_total.items():
+            assert got_total.loc[(x, y)] == n
+        # verify one dense tile pixel-by-pixel
+        x0, y0 = want_total.idxmax()
+        arr = rast.decode_tile(tiles.set_index(["tile_x", "tile_y"]).loc[(x0, y0), "data"])
+        sub = df[(df.tx == x0) & (df.ty == y0)]
+        want_arr = np.zeros((256, 256))
+        np.add.at(want_arr, (sub.py.to_numpy(), sub.px.to_numpy()), 1.0)
+        np.testing.assert_array_equal(arr, want_arr)
+
+    def test_checksum_reference_semantics(self):
+        # independent slow-path implementation of gdalchecksum.cpp
+        rng = np.random.default_rng(33)
+        arr = rng.integers(-5, 300, (16, 16)).astype(np.int32)
+        primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+        want = 0
+        for yy in range(16):
+            ip = (yy * 16) % 11
+            for xx in range(16):
+                v = int(arr[yy, xx])
+                want += int(np.fmod(v, primes[ip]))
+                ip = (ip + 1) % 11
+            want &= 0xFFFF
+        assert rast.gdal_checksum(arr) == want
+
+    def test_checksum_float_conversion(self):
+        arr = np.asarray([[0.4, 0.6], [-1.5, 2.5]])
+        # +0.5 then floor: 0.9->0, 1.1->1, -1.0->-1, 3.0->3
+        primes7_11_13_17 = [7, 11, 13, 17]
+        vals = [0, 1, -1, 3]
+        want = sum(int(np.fmod(v, p)) for v, p in zip(vals, primes7_11_13_17)) & 0xFFFF
+        assert rast.gdal_checksum(arr) == want
+
+    def test_merge_max(self):
+        pts = pa.table({
+            "lon": pa.array([10.0, 10.0]), "lat": pa.array([10.0, 10.0]),
+            "v": pa.array([3.0, 9.0]),
+        })
+        tiles = rast.rasterize_points(ray.data.from_arrow(pts), 2,
+                                      value_col="v", merge_alg="max").to_pandas()
+        assert tiles["total"].iloc[0] == 9.0
+
+
+class TestOverview:
+    def test_pyramid_sums(self):
+        pts = make_points(3000, seed=41)
+        ds = ray.data.from_arrow(pts)
+        base = rast.rasterize_points(ds, 4, merge_alg="count")
+        levels = tiles_mod.overview_pyramid(base, 4, 2, how="sum")
+        t2 = levels[2].to_pandas()
+        # total burn is conserved through sum-reduction
+        assert t2["total"].sum() == 3000
+        # direct rasterize at z=2 must equal the overview chain result
+        direct = rast.rasterize_points(ds, 2, merge_alg="count").to_pandas()
+        a = t2.set_index(["tile_x", "tile_y"])["total"].sort_index()
+        b = direct.set_index(["tile_x", "tile_y"])["total"].sort_index()
+        pd.testing.assert_series_equal(a, b, check_names=False)
+        # pixel-exactness: downsampled pixel sums match direct rasterize
+        for _, row in t2.iterrows():
+            arr = rast.decode_tile(row["data"])
+            d = direct[(direct.tile_x == row["tile_x"]) & (direct.tile_y == row["tile_y"])]
+            darr = rast.decode_tile(d["data"].iloc[0])
+            # z4->z2 is a 4x downsample; compare via block sums of direct z2? identical grids
+            np.testing.assert_array_equal(arr.sum(), darr.sum())
+
+
+class TestRelational:
+    def test_grouped_agg_vs_duckdb(self, sf_med):
+        ds = tables.read_table(sf_med, "lineitem",
+                               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                        "l_extendedprice"])
+        out = rel.grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+            ("sum", "l_quantity", "sum_qty"),
+            ("count", None, "n"),
+            ("mean", "l_extendedprice", "avg_price"),
+            ("min", "l_quantity", "min_qty"),
+            ("max", "l_quantity", "max_qty"),
+            ("std_samp", "l_extendedprice", "sd_price"),
+        ], round_to=4).to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) sum_qty,
+                   count(*) n,
+                   round(avg(l_extendedprice), 4) avg_price,
+                   min(l_quantity) min_qty,
+                   max(l_quantity) max_qty,
+                   round(stddev_samp(l_extendedprice), 4) sd_price
+            FROM read_parquet('{sf_med}/lineitem.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """).df()
+        pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-3)
+
+    def test_broadcast_join_vs_duckdb(self, sf_med):
+        orders = tables.read_table(sf_med, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = tables.read_table_arrow(sf_med, "customer", columns=["c_custkey", "c_mktsegment"])
+        out = rel.broadcast_hash_join(orders, cust, "o_custkey", "c_custkey").to_pandas()
+        want = duckdb.sql(f"""
+            SELECT count(*) n FROM read_parquet('{sf_med}/orders.parquet') o
+            JOIN read_parquet('{sf_med}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        """).df()
+        assert len(out) == want["n"].iloc[0]
+        assert "c_mktsegment" in out.columns
+
+    def test_distinct_and_topk(self, sf_med):
+        cust = tables.read_table(sf_med, "customer", columns=["c_mktsegment"])
+        d = rel.distinct(cust, "c_mktsegment").to_pandas()
+        want = duckdb.sql(f"SELECT DISTINCT c_mktsegment FROM read_parquet('{sf_med}/customer.parquet')").df()
+        assert set(d["c_mktsegment"]) == set(want["c_mktsegment"])
+        orders = tables.read_table(sf_med, "orders", columns=["o_orderkey", "o_totalprice"])
+        top = rel.topk(orders, "o_totalprice", 10).to_pandas()
+        wtop = duckdb.sql(f"""SELECT o_orderkey, o_totalprice FROM read_parquet('{sf_med}/orders.parquet')
+                              ORDER BY o_totalprice DESC LIMIT 10""").df()
+        np.testing.assert_array_equal(np.sort(top["o_orderkey"].to_numpy()),
+                                      np.sort(wtop["o_orderkey"].to_numpy()))
+
+    def test_global_agg(self, sf_med):
+        li = tables.read_table(sf_med, "lineitem", columns=["l_quantity"])
+        out = rel.global_agg(li, [("sum", "l_quantity", "s"), ("count", None, "n"),
+                                  ("std_pop", "l_quantity", "sd")], round_to=4).to_pandas()
+        want = duckdb.sql(f"""SELECT round(sum(l_quantity),4) s, count(*) n,
+                              round(stddev_pop(l_quantity),4) sd
+                              FROM read_parquet('{sf_med}/lineitem.parquet')""").df()
+        assert out["n"].iloc[0] == want["n"].iloc[0]
+        assert abs(out["s"].iloc[0] - want["s"].iloc[0]) < 1e-2
+        assert abs(out["sd"].iloc[0] - want["sd"].iloc[0]) < 1e-2
