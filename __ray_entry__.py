@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). See lib_gdal_ray/pipelines/catalog.py for the
+implementations and the float-parity policy that makes the hashes match
+bit-for-bit.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session); bench.py and tests own their own sessions.
 """
 
 from __future__ import annotations
@@ -20,25 +18,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize the
+    interleaved text+media document table (doc_id, spans, WKB point
+    geometry — BASELINE.json input_hint), spatial-join it against the
+    derived zone polygons (two-phase cell join, ray-casting PIP), and
+    return the joined Dataset (spans carried through untouched)."""
+    import pyarrow.parquet as pq
+
+    from lib_gdal_ray.pipelines.catalog import zone_table
+    from lib_gdal_ray.pipelines.spatial_join import broadcast_pip_join
+    from lib_gdal_ray.sources.synth import interleaved_docs
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 4
+    docs = interleaved_docs(n_docs)
+    zones = zone_table(sf_dir)
+    joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0)
+    return joined
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lib_gdal_ray.pipelines.catalog import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lib_gdal_ray.pipelines.catalog import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,690 @@
+"""Query catalog: every operator exposed as `fn(sf_dir) -> Dataset`,
+paired (where expressible) with an ANSI/DuckDB oracle SQL string.
+
+Float-parity policy (so the driver's value-hash matches bit-for-bit):
+
+* Sums of doubles go through **integer cents**: both sides compute
+  `CAST(floor(x*100 + 0.5) AS BIGINT)` per row and sum exactly
+  (associative integer adds — no float summation-order drift).
+* Averages divide those exact integers in float64 — identical operands,
+  identical IEEE ops ⇒ identical doubles.
+* Mercator meters are rounded to 2 decimals on both sides (libm tan/log
+  differ by ≤ 1 ulp between numpy and DuckDB; measured in BASELINE.md).
+* Tile indices floor-match bit-for-bit (verified over 200k points).
+
+Geometry queries derive coordinates from integer keys
+(`functions.derive`) with exact integer arithmetic mirrored in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions import derive
+from ..geom import wkb as wkb_mod
+from ..sources import tables
+from ..stages import geom_ops
+from ..stages.cell_assign import with_grid_cell
+from ..stages.reproject import reproject
+from . import ann as ann_mod
+from . import dedup as dd
+from . import knn as knn_mod
+from . import rasterize as rast
+from . import relational as rel
+from . import text as text_mod
+from . import tiles as tiles_mod
+from . import zonal as zonal_mod
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+CENTS = "CAST(floor({x}*100 + 0.5) AS BIGINT)"
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    return np.floor(arr.astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def add_cents(ds, src: str, dst: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            dst, pa.array(_cents(batch[src].to_numpy(zero_copy_only=False))))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def events_points(sf_dir: str, cols=("event_id",)):
+    ds = tables.read_table(sf_dir, "events", columns=list(cols))
+
+    def geo(batch: pa.Table) -> pa.Table:
+        lon, lat = derive.event_lonlat(batch["event_id"].to_numpy(zero_copy_only=False))
+        return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+    return ds.map_batches(geo, batch_format="pyarrow")
+
+
+def zone_table(sf_dir: str) -> pa.Table:
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+    geoms = [wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+             for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+    return pa.table({
+        "zone_id": pa.array(nk),
+        "geometry": pa.array(geoms, type=pa.binary()),
+    })
+
+
+def zone_polygon_table(sf_dir: str) -> pa.Table:
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    geoms = [wkb_mod.polygon_to_wkb(derive.zone_polygon_rings(int(k))) for k in nk]
+    return pa.table({"zone_id": pa.array(nk), "geometry": pa.array(geoms, type=pa.binary())})
+
+
+def sites_table(sf_dir: str) -> pa.Table:
+    sup = tables.read_table_arrow(sf_dir, "supplier", columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    lon, lat = derive.site_lonlat(sk)
+    return pa.table({"site_id": pa.array(sk), "slon": pa.array(lon), "slat": pa.array(lat)})
+
+
+_ZONES_SQL = f"""(SELECT n_nationkey AS zone_id,
+    CAST({derive.SQL_ZONE_XMIN} AS DOUBLE) AS xmin,
+    CAST({derive.SQL_ZONE_XMAX} AS DOUBLE) AS xmax,
+    CAST({derive.SQL_ZONE_YMIN} AS DOUBLE) AS ymin,
+    CAST({derive.SQL_ZONE_YMAX} AS DOUBLE) AS ymax
+  FROM nation)"""
+
+_POINTS_SQL = f"""(SELECT event_id, value, event_type,
+    {derive.SQL_EVENT_LON} AS lon, {derive.SQL_EVENT_LAT} AS lat FROM events)"""
+
+_SITES_SQL = f"""(SELECT s_suppkey AS site_id,
+    {derive.SQL_SITE_LON} AS slon, {derive.SQL_SITE_LAT} AS slat FROM supplier)"""
+
+
+def _tile_sql(z: int, lon: str = "lon", lat: str = "lat"):
+    n = 1 << z
+    tx = f"CAST(floor(({lon}+180.0)/360.0*{n}) AS BIGINT)"
+    ty = (f"CAST(floor((1 - ln(tan(radians({lat})) + 1/cos(radians({lat})))/pi())/2*{n}) "
+          "AS BIGINT)")
+    return tx, ty
+
+
+# ---------------------------------------------------------------------------
+# relational queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir):
+    ds = tables.read_table(sf_dir, "lineitem",
+                           columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                    "l_extendedprice"])
+    ds = add_cents(ds, "l_quantity", "qty_c")
+    ds = add_cents(ds, "l_extendedprice", "price_c")
+    agg = rel.grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum", "qty_c", "sum_qty_c"),
+        ("sum", "price_c", "sum_price_c"),
+        ("count", None, "n"),
+    ])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["sum_price_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("avg_price", pa.array((s / n) / 100.0))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+       CAST(sum({CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_price_c,
+       count(*) AS n,
+       (CAST(CAST(sum({CENTS.format(x='l_extendedprice')}) AS BIGINT) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE)) / 100.0 AS avg_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir):
+    ds = tables.read_table(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                    "l_returnflag"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(batch["l_quantity"], 45.0),
+                    pc.equal(batch["l_returnflag"], "R"))
+        return batch.filter(m).select(["l_orderkey", "l_linenumber", "l_quantity"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+"""
+
+
+def q_join_orders_customer(sf_dir):
+    orders = tables.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = add_cents(orders, "o_totalprice", "price_c")
+    cust = tables.read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = rel.broadcast_hash_join(orders, cust, "o_custkey", "c_custkey")
+    return rel.grouped_agg(joined, "c_mktsegment", [
+        ("count", None, "n_orders"),
+        ("sum", "price_c", "sum_price_c"),
+    ])
+
+
+SQL_JOIN_OC = f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_price_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join3_region_customer(sf_dir):
+    cust = tables.read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    cust = add_cents(cust, "c_acctbal", "bal_c")
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = tables.read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = nat.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    joined = rel.broadcast_hash_join(cust, dim, "c_nationkey", "n_nationkey")
+    return rel.grouped_agg(joined, "r_name", [
+        ("count", None, "n_cust"),
+        ("sum", "bal_c", "sum_bal_c"),
+    ])
+
+
+SQL_JOIN3 = f"""
+SELECT r_name, count(*) AS n_cust,
+       CAST(sum({CENTS.format(x='c_acctbal')}) AS BIGINT) AS sum_bal_c
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_topk_orders(sf_dir):
+    orders = tables.read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return rel.topk(orders, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir):
+    return rel.distinct(
+        tables.read_table(sf_dir, "customer", columns=["c_mktsegment"]), "c_mktsegment")
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_scalar_funcs(sf_dir):
+    ds = tables.read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.match_like(batch["p_name"], "%a%")
+        batch = batch.filter(m)
+        bt = pc.binary_join_element_wise(batch["p_brand"], batch["p_type"], "-")
+        n5 = pc.utf8_slice_codeunits(batch["p_name"], 0, 5)
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "brand_type": bt,
+            "name5": n5,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_SCALAR = """
+SELECT p_partkey, p_brand || '-' || p_type AS brand_type,
+       substr(p_name, 1, 5) AS name5
+FROM part WHERE p_name LIKE '%a%'
+"""
+
+
+def q_global_agg(sf_dir):
+    li = tables.read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    li = add_cents(li, "l_quantity", "qty_c")
+    return rel.global_agg(li, [
+        ("count", None, "n"),
+        ("sum", "qty_c", "sum_qty_c"),
+        ("min", "l_quantity", "min_qty"),
+        ("max", "l_quantity", "max_qty"),
+    ])
+
+
+SQL_GLOBAL = f"""
+SELECT count(*) AS n, CAST(sum({CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
+def q_events_by_type(sf_dir):
+    ev = tables.read_table(sf_dir, "events", columns=["event_type", "value"])
+    ev = add_cents(ev, "value", "value_c")
+    return rel.grouped_agg(ev, "event_type", [
+        ("count", None, "n"),
+        ("sum", "value_c", "sum_value_c"),
+    ])
+
+
+SQL_EVENTS_TYPE = f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum({CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type
+"""
+
+
+def q_count_distinct_users(sf_dir):
+    ev = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    d = rel.distinct(ev, ["event_type", "user_id"])
+    return rel.grouped_agg(d, "event_type", [("count", None, "n_users")])
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
+def q_union_names(sf_dir):
+    r = tables.read_table(sf_dir, "region", columns=["r_name"]).rename_columns(["name"])
+    n = tables.read_table(sf_dir, "nation", columns=["n_name"]).rename_columns(["name"])
+    return r.union(n)
+
+
+SQL_UNION = """
+SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+"""
+
+
+def q_orders_by_year(sf_dir):
+    ds = tables.read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    ds = add_cents(ds, "o_totalprice", "price_c")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column("yr", pc.cast(pc.year(batch["o_orderdate"]), pa.int64()))
+
+    return rel.grouped_agg(ds.map_batches(f, batch_format="pyarrow"), "yr", [
+        ("count", None, "n"),
+        ("sum", "price_c", "sum_price_c"),
+    ])
+
+
+SQL_ORDERS_YEAR = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+       CAST(sum({CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_price_c
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_cell_assign(sf_dir):
+    pts = events_points(sf_dir)
+    from ..stages.cell_assign import with_tile_key
+
+    ds = with_tile_key(pts, 8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..geom import cells
+
+        z, tx, ty = cells.unpack_tile(batch["tile_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_cell_assign():
+    tx, ty = _tile_sql(8)
+    return f"SELECT event_id, {tx} AS tile_x, {ty} AS tile_y FROM {_POINTS_SQL} p"
+
+
+def q_bbox_join(sf_dir):
+    from .spatial_join import broadcast_pip_join
+
+    pts = events_points(sf_dir)
+    zones = zone_table(sf_dir)
+    out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"], res=5.0,
+                             predicate="envelope")
+    return out.select_columns(["event_id", "zone_id"])
+
+
+SQL_BBOX_JOIN = f"""
+SELECT event_id, zone_id FROM {_POINTS_SQL} p JOIN {_ZONES_SQL} z
+ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
+"""
+
+
+def q_pip_join_polygons(sf_dir):
+    """Ray-casting PIP against non-rectangular 12-gons — not
+    SQL-expressible; driver records rows-only, pytest pins vs brute force."""
+    from .spatial_join import broadcast_pip_join
+
+    pts = events_points(sf_dir)
+    zones = zone_polygon_table(sf_dir)
+    out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"], res=5.0)
+    return out.select_columns(["event_id", "zone_id"])
+
+
+def q_shuffle_join(sf_dir):
+    """Same result as q_bbox_join via the shuffle (groupby-cell) path."""
+    from .spatial_join import shuffle_pip_join
+
+    pts = events_points(sf_dir)
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    out = shuffle_pip_join(pts, zones, "geometry", ["zone_id"], ["event_id"],
+                           res=5.0, predicate="envelope")
+    return out
+
+
+def q_knn(sf_dir):
+    pts = events_points(sf_dir)
+    sites = sites_table(sf_dir)
+    out = knn_mod.knn_join(pts, sites, 3, "site_id", "slon", "slat", res=10.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "neighbor_id": batch["neighbor_id"],
+            "rank": pc.cast(batch["rank"], pa.int64()),
+            "dist2": batch["dist2"],
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_KNN = f"""
+WITH d AS (
+  SELECT event_id, site_id, (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) AS d2
+  FROM {_POINTS_SQL} p, {_SITES_SQL} s
+), r AS (
+  SELECT event_id, site_id, d2,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, site_id) AS rn
+  FROM d
+)
+SELECT event_id, site_id AS neighbor_id, CAST(rn AS BIGINT) AS "rank", d2 AS dist2
+FROM r WHERE rn <= 3
+"""
+
+
+def q_reproject(sf_dir):
+    pts = events_points(sf_dir)
+    out = reproject(pts, 4326, 3857, x_col="lon", y_col="lat",
+                    out_x="merc_x", out_y="merc_y", round_to=2)
+    return out.select_columns(["event_id", "merc_x", "merc_y"])
+
+
+SQL_REPROJECT = f"""
+SELECT event_id,
+       round(6378137.0 * radians(lon), 2) AS merc_x,
+       round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y
+FROM {_POINTS_SQL} p
+"""
+
+
+def q_rasterize_tiles(sf_dir):
+    pts = events_points(sf_dir)
+    t = rast.rasterize_points(pts, 8, merge_alg="count")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_points": pc.cast(pc.round(batch["total"]), pa.int64()),
+        })
+
+    return t.map_batches(f, batch_format="pyarrow")
+
+
+def sql_rasterize():
+    tx, ty = _tile_sql(8)
+    return f"""
+    SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
+    FROM {_POINTS_SQL} p GROUP BY 1, 2
+    """
+
+
+def q_tile_overview(sf_dir):
+    pts = events_points(sf_dir)
+    base = rast.rasterize_points(pts, 8, merge_alg="count")
+    levels = tiles_mod.overview_pyramid(base, 8, 6, how="sum")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_points": pc.cast(pc.round(batch["total"]), pa.int64()),
+        })
+
+    return levels[6].map_batches(f, batch_format="pyarrow")
+
+
+def sql_tile_overview():
+    tx, ty = _tile_sql(6)
+    return f"""
+    SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
+    FROM {_POINTS_SQL} p GROUP BY 1, 2
+    """
+
+
+def q_zonal_stats(sf_dir):
+    pts = events_points(sf_dir, cols=("event_id", "value"))
+    pts = add_cents(pts, "value", "value_c")
+    zones = zone_table(sf_dir)
+    from .spatial_join import broadcast_pip_join
+
+    joined = broadcast_pip_join(pts, zones, "geometry", ["zone_id"], res=5.0,
+                                predicate="envelope")
+    agg = rel.grouped_agg(joined, "zone_id", [
+        ("count", None, "n"),
+        ("sum", "value_c", "sum_value_c"),
+        ("min", "value", "min_val"),
+        ("max", "value", "max_val"),
+    ])
+    return agg
+
+
+SQL_ZONAL = f"""
+SELECT zone_id, count(*) AS n,
+       CAST(sum({CENTS.format(x='value')}) AS BIGINT) AS sum_value_c,
+       min(value) AS min_val, max(value) AS max_val
+FROM {_POINTS_SQL} p JOIN {_ZONES_SQL} z
+ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
+GROUP BY zone_id
+"""
+
+
+def q_zone_geometry(sf_dir):
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    ds = geom_ops.centroid_area(zones, "geometry")
+    ds = geom_ops.envelope_buffer(ds, 2.0, "geometry")
+    return ds.select_columns(["zone_id", "centroid_x", "centroid_y", "area",
+                              "buf_xmin", "buf_ymin", "buf_xmax", "buf_ymax"])
+
+
+SQL_ZONE_GEOM = f"""
+SELECT zone_id,
+       (xmin + xmax)/2 AS centroid_x, (ymin + ymax)/2 AS centroid_y,
+       (xmax - xmin) * (ymax - ymin) AS area,
+       xmin - 2.0 AS buf_xmin, ymin - 2.0 AS buf_ymin,
+       xmax + 2.0 AS buf_xmax, ymax + 2.0 AS buf_ymax
+FROM {_ZONES_SQL} z
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_documents(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dd.exact_dedup(docs, "text", "doc_id")
+    return out.drop_columns(["text"])
+
+
+SQL_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.token_stats(docs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_calc": pc.cast(batch["n_chars_calc"], pa.int64()),
+            "n_tokens": batch["n_tokens"],
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TOKEN = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_ann_topk(sf_dir):
+    emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = pc.less(emb["vec_id"], 5)
+    q = emb.filter(mask)
+    qids = q["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in q["embedding"].to_pylist()])
+    ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_mod.brute_topk(ds, qids, qmat, 10)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch["query_id"],
+            "vec_id": batch["vec_id"],
+            "rank": pc.cast(batch["rank"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])) AS sim
+      FROM embeddings e, q),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id, vec_id, CAST(rn AS BIGINT) AS "rank" FROM r WHERE rn <= 10
+"""
+
+
+def q_minhash_near_dup(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16,
+                                threshold=0.5)
+
+
+def q_simhash(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dd.simhash64(docs, "text")
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(h.view(np.int64)),  # bit-reinterpret for int64 schema
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_quality(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = text_mod.quality_score(docs)
+    out = text_mod.lang_id(out)
+    return out.select_columns(["doc_id", "lang", "lang_pred", "quality_score"])
+
+
+def q_fingerprint(sf_dir):
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.fingerprint(docs, "text")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pc.cast(batch["fingerprint"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def q_embedding_near_dup(sf_dir):
+    ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
+    dim = len(emb["embedding"][0])
+    # 0.35 ≈ the p99.9 of pairwise cosine in the synthetic embeddings —
+    # high-threshold near-dup finds nothing in this data by construction.
+    return ann_mod.embedding_near_dup_pairs(ds, dim, threshold=0.35, nbits=4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # relational
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "filter_project": (q_filter_project, SQL_FILTER),
+    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_OC),
+    "join3_region_customer": (q_join3_region_customer, SQL_JOIN3),
+    "topk_orders": (q_topk_orders, SQL_TOPK),
+    "distinct_segments": (q_distinct_segments, SQL_DISTINCT),
+    "scalar_funcs": (q_scalar_funcs, SQL_SCALAR),
+    "global_agg": (q_global_agg, SQL_GLOBAL),
+    "events_by_type": (q_events_by_type, SQL_EVENTS_TYPE),
+    "count_distinct_users": (q_count_distinct_users, SQL_COUNT_DISTINCT),
+    "union_names": (q_union_names, SQL_UNION),
+    "orders_by_year": (q_orders_by_year, SQL_ORDERS_YEAR),
+    # geospatial
+    "cell_assign": (q_cell_assign, sql_cell_assign()),
+    "bbox_join": (q_bbox_join, SQL_BBOX_JOIN),
+    "pip_join_polygons": (q_pip_join_polygons, None),
+    "shuffle_join": (q_shuffle_join, SQL_BBOX_JOIN),
+    "knn": (q_knn, SQL_KNN),
+    "reproject": (q_reproject, SQL_REPROJECT),
+    "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
+    "tile_overview": (q_tile_overview, sql_tile_overview()),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL),
+    "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),
+    # documents / embeddings
+    "dedup_documents": (q_dedup_documents, SQL_DEDUP),
+    "token_stats": (q_token_stats, SQL_TOKEN),
+    "ann_topk": (q_ann_topk, SQL_ANN),
+    "minhash_near_dup": (q_minhash_near_dup, None),
+    "simhash": (q_simhash, None),
+    "lang_quality": (q_lang_quality, None),
+    "fingerprint": (q_fingerprint, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
+}

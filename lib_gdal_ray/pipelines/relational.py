@@ -197,15 +197,18 @@ def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.
 
 
 def topk(ds: ray.data.Dataset, key: Union[str, List[str]], k: int,
-         descending: bool = True) -> ray.data.Dataset:
+         descending: Union[bool, List[bool]] = True) -> ray.data.Dataset:
     """ORDER BY … LIMIT k (`ogr_gensql.cpp:2193-2436` materializes the
-    whole sort index; ours per-block prunes to k before the range sort)."""
+    whole sort index; ours per-block prunes to k before the range sort).
+
+    key/descending may be lists for multi-key ordering (tie-breaks)."""
     keys = [key] if isinstance(key, str) else list(key)
+    desc = [descending] * len(keys) if isinstance(descending, bool) else list(descending)
 
     def local_prune(batch: pa.Table) -> pa.Table:
-        order = [(c, "descending" if descending else "ascending") for c in keys]
+        order = [(c, "descending" if d else "ascending") for c, d in zip(keys, desc)]
         idx = pc.sort_indices(batch, sort_keys=order)
         return batch.take(idx[:k])
 
     pruned = ds.map_batches(local_prune, batch_format="pyarrow")
-    return pruned.sort(keys, descending=descending).limit(k)
+    return pruned.sort(keys, descending=desc).limit(k)

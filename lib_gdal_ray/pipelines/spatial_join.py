@@ -77,22 +77,26 @@ class PolygonCellIndex:
             return np.empty(0, dtype=np.int64)
         return self._poly_idx[self._starts[i]:self._starts[i + 1]]
 
-    def refine(self, px: np.ndarray, py: np.ndarray, poly_i: int) -> np.ndarray:
+    def refine(self, px: np.ndarray, py: np.ndarray, poly_i: int,
+               predicate: str = "pip") -> np.ndarray:
+        """predicate: 'pip' = exact ray-casting containment;
+        'envelope' = inclusive bbox test only (the driver-level contract
+        of OGR's SetSpatialFilter, ogrlayer.cpp:3286-3292)."""
         xmin, ymin, xmax, ymax = self.bbox[poly_i]
         mask = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
-        if mask.any():
-            sub = np.flatnonzero(mask)
-            inside = pip.points_in_multipolygon(px[sub], py[sub], self.rings[poly_i])
-            out = np.zeros(len(px), dtype=bool)
-            out[sub] = inside
-            return out
-        return np.zeros(len(px), dtype=bool)
+        if predicate == "envelope" or not mask.any():
+            return mask
+        sub = np.flatnonzero(mask)
+        inside = pip.points_in_multipolygon(px[sub], py[sub], self.rings[poly_i])
+        out = np.zeros(len(px), dtype=bool)
+        out[sub] = inside
+        return out
 
 
 def _join_points_to_index(index: PolygonCellIndex, batch: pa.Table,
                           lon_col: str, lat_col: str,
                           poly_table: pa.Table, poly_cols: Sequence[str],
-                          how: str) -> pa.Table:
+                          how: str, predicate: str = "pip") -> pa.Table:
     px = batch[lon_col].to_numpy(zero_copy_only=False)
     py = batch[lat_col].to_numpy(zero_copy_only=False)
     cell = cells.grid_cell(px, py, index.res)
@@ -105,7 +109,7 @@ def _join_points_to_index(index: PolygonCellIndex, batch: pa.Table,
         rows = order[bounds[u]:bounds[u + 1]]
         cand = index.candidates(int(uniq[u]))
         for poly_i in cand:
-            hit = index.refine(px[rows], py[rows], int(poly_i))
+            hit = index.refine(px[rows], py[rows], int(poly_i), predicate)
             if hit.any():
                 sel = rows[hit]
                 out_pt_idx.append(sel)
@@ -139,17 +143,19 @@ def _join_points_to_index(index: PolygonCellIndex, batch: pa.Table,
 
 
 class _BroadcastPIPJoiner:
-    def __init__(self, wrapped_ref, wkb_col, res, lon_col, lat_col, poly_cols, how):
+    def __init__(self, wrapped_ref, wkb_col, res, lon_col, lat_col, poly_cols, how,
+                 predicate="pip"):
         self.poly_table = ray.get(wrapped_ref["ref"])
         self.index = PolygonCellIndex(self.poly_table, wkb_col, res)
         self.lon_col, self.lat_col = lon_col, lat_col
         self.poly_cols = poly_cols
         self.how = how
+        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _join_points_to_index(
             self.index, batch, self.lon_col, self.lat_col,
-            self.poly_table, self.poly_cols, self.how,
+            self.poly_table, self.poly_cols, self.how, self.predicate,
         )
 
 
@@ -159,7 +165,7 @@ def broadcast_pip_join(points: ray.data.Dataset, polygons: pa.Table,
                        lon_col: str = "lon", lat_col: str = "lat",
                        how: str = "inner",
                        concurrency: Union[int, Tuple[int, int]] = (1, 16),
-                       ) -> ray.data.Dataset:
+                       predicate: str = "pip") -> ray.data.Dataset:
     """Inner/left PIP join of a point Dataset against a broadcast
     polygon table. Emits one row per (point, containing polygon)."""
     ref = ray.put(polygons)
@@ -167,7 +173,7 @@ def broadcast_pip_join(points: ray.data.Dataset, polygons: pa.Table,
         _BroadcastPIPJoiner,
         batch_format="pyarrow",
         fn_constructor_args=({"ref": ref}, poly_wkb_col, res, lon_col, lat_col,
-                             list(poly_cols), how),
+                             list(poly_cols), how, predicate),
         concurrency=concurrency,
     )
 
@@ -183,7 +189,8 @@ def shuffle_pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
                      res: float = 5.0,
                      lon_col: str = "lon", lat_col: str = "lat",
                      num_salts: int = 1,
-                     hot_cells: Optional[dict] = None) -> ray.data.Dataset:
+                     hot_cells: Optional[dict] = None,
+                     predicate: str = "pip") -> ray.data.Dataset:
     """Co-partition both sides on grid cell via one groupby shuffle.
 
     hot_cells: optional {cell_id: n_salts} from a pre-count
@@ -245,7 +252,7 @@ def shuffle_pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
         py = pdf[lat_col].to_numpy(dtype=np.float64)
         parts = []
         for poly_i in range(len(tbl)):
-            hit = index.refine(px, py, poly_i)
+            hit = index.refine(px, py, poly_i, predicate)
             if hit.any():
                 left = pdf.iloc[np.flatnonzero(hit)][list(point_cols)].reset_index(drop=True)
                 for c in poly_cols:

@@ -1,0 +1,97 @@
+"""Geometry unary operators over WKB columns — stateless map_batches.
+
+Re-derivations of the OGR geometry methods the catalog needs
+(`ogr/ogrgeometry.cpp` Centroid `:4374`-ish / get_Area, and the
+envelope math of `OGREnvelope`):
+
+* `centroid_area` — area-weighted polygon centroid + shoelace area
+  (standard surveyor's formula; equals GDAL/GEOS for valid simple
+  polygons). For multipolygons: area-weighted combination.
+* `envelope` — bbox columns from WKB.
+* `envelope_buffer` — grow the envelope by d (the cheap buffer the
+  spatial-filter funnel uses; full GEOS-style round-join buffer is out
+  of scope without GEOS and documented as such).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..geom import wkb
+
+
+def _ring_area_centroid(ring: np.ndarray):
+    """Signed shoelace area and area-weighted centroid of one ring."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return 0.0, ring[:, 0].mean(), ring[:, 1].mean()
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return a, cx, cy
+
+
+def wkb_centroid_area(buf: bytes):
+    """-> (centroid_x, centroid_y, area). Holes subtract (their signed
+    area is opposite if wound oppositely; we use |outer| - |holes| by
+    odd-even convention: every ring's |area| beyond the first subtracts)."""
+    kind, payload = wkb.parse_wkb(buf)
+    if kind == "point":
+        return float(payload[0, 0]), float(payload[0, 1]), 0.0
+    if kind == "linestring":
+        return float(payload[:, 0].mean()), float(payload[:, 1].mean()), 0.0
+    polys = [payload] if kind == "polygon" else payload
+    total_a, sx, sy = 0.0, 0.0, 0.0
+    for rings in polys:
+        for ri, ring in enumerate(rings):
+            a, cx, cy = _ring_area_centroid(ring)
+            a = abs(a) if ri == 0 else -abs(a)
+            total_a += a
+            sx += cx * a
+            sy += cy * a
+    if total_a == 0.0:
+        return 0.0, 0.0, 0.0
+    return sx / total_a, sy / total_a, total_a
+
+
+def centroid_area(ds: ray.data.Dataset, wkb_col: str = "geometry") -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        bufs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        cx = np.empty(len(bufs))
+        cy = np.empty(len(bufs))
+        ar = np.empty(len(bufs))
+        for i, b in enumerate(bufs):
+            cx[i], cy[i], ar[i] = wkb_centroid_area(b)
+        batch = batch.append_column("centroid_x", pa.array(cx))
+        batch = batch.append_column("centroid_y", pa.array(cy))
+        batch = batch.append_column("area", pa.array(ar))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def envelope(ds: ray.data.Dataset, wkb_col: str = "geometry",
+             prefix: str = "") -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        bbox = wkb.wkb_bbox(batch[wkb_col].to_numpy(zero_copy_only=False))
+        for i, name in enumerate(("xmin", "ymin", "xmax", "ymax")):
+            batch = batch.append_column(prefix + name, pa.array(bbox[:, i]))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def envelope_buffer(ds: ray.data.Dataset, dist: float,
+                    wkb_col: str = "geometry", prefix: str = "buf_") -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        bbox = wkb.wkb_bbox(batch[wkb_col].to_numpy(zero_copy_only=False))
+        grown = bbox + np.asarray([-dist, -dist, dist, dist])
+        for i, name in enumerate(("xmin", "ymin", "xmax", "ymax")):
+            batch = batch.append_column(prefix + name, pa.array(grown[:, i]))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
