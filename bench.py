@@ -1,0 +1,135 @@
+"""Benchmark harness — headline spatial-join + tiling pipeline.
+
+Usage:
+    python bench.py                 # full bench over $GRAFT_SF_DIR (default sf0.1)
+    python bench.py --scaling       # same job at num_cpus=8 and num_cpus=32 in
+                                    # fresh processes; prints throughput + efficiency
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+The headline pipeline is the north-star job (BASELINE.json): synthesize
+the interleaved text+media doc table (spans + WKB geometry), two-phase
+PIP spatial join against zone polygons, rasterize to z8 tiles and
+reduce the overview chain to z5 — measured end-to-end in docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def headline_pipeline(sf_dir: str, n_docs: int):
+    """North-star job: interleaved docs → PIP join → rasterize + overviews.
+
+    Returns (docs_processed, joined_rows, n_tiles).
+    """
+    from lib_gdal_ray.pipelines import rasterize as rast
+    from lib_gdal_ray.pipelines import tiles as tiles_mod
+    from lib_gdal_ray.pipelines.catalog import zone_polygon_table
+    from lib_gdal_ray.pipelines.spatial_join import broadcast_pip_join
+    from lib_gdal_ray.sources.synth import interleaved_docs
+
+    docs = interleaved_docs(n_docs, override_num_blocks=max(32, n_docs // 50_000))
+    zones = zone_polygon_table(sf_dir)
+    joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0)
+    base = rast.rasterize_pixels(joined, 8, value_col="value", merge_alg="add")
+    levels = tiles_mod.overview_pyramid(base, 8, 5, how="sum")
+    stats = tiles_mod.tile_stats(rast.tile_summary(levels[5])).to_pandas()
+    n_tiles = int(stats["n_tiles"].iloc[0])
+    return n_docs, n_tiles
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from lib_gdal_ray.pipelines.catalog import QUERIES
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_docs_map = {"0.001": 20_000, "0.01": 100_000, "0.1": 1_000_000}
+    n_docs = n_docs_map.get(sf, 1_000_000)
+
+    t0 = time.perf_counter()
+    n, n_tiles = headline_pipeline(sf_dir, n_docs)
+    headline_sec = time.perf_counter() - t0
+
+    timings = {}
+    bench_queries = ["pricing_summary", "bbox_join", "knn", "reproject",
+                     "rasterize_tiles", "tile_overview", "zonal_stats",
+                     "dedup_documents", "token_stats", "ann_topk", "minhash_near_dup"]
+    for name in bench_queries:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()  # execute; small results only
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "spatial_join_tiling_headline",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "docs_per_sec": round(n / headline_sec, 1),
+        "n_docs": n,
+        "n_tiles_z5": n_tiles,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import json, time, sys; sys.path.insert(0, '.');"
+            "import bench; bench._init_ray({c});"
+            "t0=time.perf_counter();"
+            "n,_=bench.headline_pipeline('{sf}', 1_000_000);"
+            "dt=time.perf_counter()-t0;"
+            "print(json.dumps({{'cpus': {c}, 'sec': dt, 'docs_per_sec': n/dt}}))"
+        ).format(c=cpus, sf=sf_dir)
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "throughput_cpus8": round(t8, 1),
+        "throughput_cpus32": round(t32, 1),
+        "speedup": round(t32 / t8, 3),
+        "efficiency": round((t32 / t8) / 4.0, 3),
+        "unit": "docs/sec",
+        "sf_dir": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -443,7 +443,7 @@ FROM {_POINTS_SQL} p
 
 def q_rasterize_tiles(sf_dir):
     pts = events_points(sf_dir)
-    t = rast.rasterize_points(pts, 8, merge_alg="count")
+    t = rast.tile_summary(rast.rasterize_pixels(pts, 8, merge_alg="count"))
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -465,8 +465,9 @@ def sql_rasterize():
 
 def q_tile_overview(sf_dir):
     pts = events_points(sf_dir)
-    base = rast.rasterize_points(pts, 8, merge_alg="count")
+    base = rast.rasterize_pixels(pts, 8, merge_alg="count")
     levels = tiles_mod.overview_pyramid(base, 8, 6, how="sum")
+    t = rast.tile_summary(levels[6])
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -475,7 +476,7 @@ def q_tile_overview(sf_dir):
             "n_points": pc.cast(pc.round(batch["total"]), pa.int64()),
         })
 
-    return levels[6].map_batches(f, batch_format="pyarrow")
+    return t.map_batches(f, batch_format="pyarrow")
 
 
 def sql_tile_overview():

@@ -1,24 +1,31 @@
-"""Rasterize (vector→raster) as a two-phase tile pipeline.
+"""Rasterize (vector→raster) as a two-phase sparse tile pipeline.
 
 Reference: `alg/gdalrasterize.cpp` (`gv_rasterize_one_shape` `:569`,
 options `:774-817` — MERGE_ALG=REPLACE/ADD, burn value fixed or from a
 field) and the tile job layout of `apps/gdalalg_raster_tile.cpp`.
 
-Phase 1 (`map_batches`, stateless): assign each point to
-(tile, px, py) at zoom z and **pre-aggregate within the batch** to
-sparse pixel partials (tile_id, px, py, burn) — the combiner that keeps
-the shuffle narrow. Phase 2 (`groupby(tile_id).map_groups`): burn the
-partials into a dense tile_size² array, emit one Arrow row per tile
-with the raw pixel payload (`data`: little-endian bytes), nonzero
-count, sum, and the GDAL-checksum of the tile
-(`gdal_checksum`, bit-exact re-derivation of
-`alg/gdalchecksum.cpp:48` — the conformance currency of the autotest
-suite, SURVEY.md §5).
+Scale design (SURVEY.md §4): tiles stay **sparse** end-to-end —
 
-MERGE_ALG semantics: "add" sums burn values per pixel (associative →
-safe to pre-aggregate); "count" burns 1 per point; "max"/"min" keep the
-extreme (also associative). GDAL's order-sensitive REPLACE is
-deliberately not offered distributed — use "max" with a priority field.
+* Phase 1 (`map_batches`, stateless): assign each point to
+  (tile_id, pixel) at zoom z and pre-aggregate within the batch
+  (pyarrow group_by partials) — the combiner that keeps the shuffle
+  narrow (≤ one row per distinct touched pixel per block).
+* Phase 2: one hash `groupby(tile_id, pxy).aggregate(...)` finalizes
+  pixel values — fully vectorized, no per-group Python.
+* Tile summaries (count/total/GDAL-checksum) are a second vectorized
+  `groupby(tile_id)` aggregation: GDAL's checksum is a *sum over
+  pixels* of `(int)v % primes[(y*W+x) % 11]` (bit-exact re-derivation
+  of `alg/gdalchecksum.cpp:48-260`), and zero pixels contribute 0 —
+  so the checksum of the dense tile is computable from sparse pixels.
+
+Dense payloads (`densify`, `rasterize_points_dense`) exist for golden
+pixel tests and for sinks that need raw rasters; never materialized in
+the 100 TB hot path.
+
+MERGE_ALG semantics: "add"/"count" sum (associative → safe to
+pre-aggregate); "max"/"min" keep the extreme. GDAL's order-sensitive
+REPLACE is deliberately not offered distributed — use "max" with a
+priority field.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..geom import cells
@@ -45,38 +53,46 @@ def gdal_checksum(arr: np.ndarray) -> int:
     ±2147483647 (NaN/inf → INT_MIN).
     """
     h, w = arr.shape
-    if np.issubdtype(arr.dtype, np.floating):
-        v = arr.astype(np.float64) + 0.5
-        nonfinite = ~np.isfinite(v)
-        v = np.floor(np.clip(v, -2147483647.0, 2147483647.0))
-        iv = v.astype(np.int64)
-        iv[nonfinite] = np.iinfo(np.int32).min
-    else:
-        iv = arr.astype(np.int64)
+    iv = _to_int32_gdal(arr)
     idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
     primes = _PRIMES[idx % 11]
     contrib = np.fmod(iv, primes)  # truncated modulo, C semantics
     return int(contrib.sum() & 0xFFFF)
 
 
-_MERGE_NUMPY = {
-    "add": np.add,
-    "count": np.add,
-    "max": np.maximum,
-    "min": np.minimum,
-}
+def _to_int32_gdal(arr: np.ndarray) -> np.ndarray:
+    """GDALCopyWords float→Int32 conversion (round half up, clamp)."""
+    if np.issubdtype(arr.dtype, np.floating):
+        v = arr.astype(np.float64) + 0.5
+        nonfinite = ~np.isfinite(v)
+        v = np.floor(np.clip(v, -2147483647.0, 2147483647.0))
+        iv = v.astype(np.int64)
+        iv[nonfinite] = np.iinfo(np.int32).min
+        return iv
+    return arr.astype(np.int64)
 
 
-def rasterize_points(points: ray.data.Dataset, z: int,
+def checksum_contrib(pxy: np.ndarray, burn: np.ndarray, tile_size: int) -> np.ndarray:
+    """Per-pixel checksum contribution (zero pixels contribute 0)."""
+    iv = _to_int32_gdal(burn)
+    primes = _PRIMES[pxy.astype(np.int64) % 11]
+    return np.fmod(iv, primes)
+
+
+_PA_AGG = {"add": "sum", "count": "sum", "max": "max", "min": "min"}
+
+
+def rasterize_pixels(points: ray.data.Dataset, z: int,
                      lon_col: str = "lon", lat_col: str = "lat",
                      value_col: Optional[str] = None,
                      merge_alg: str = "add",
                      tile_size: int = 256) -> ray.data.Dataset:
-    """Points → dense tiles at zoom z. Returns Dataset of tile rows:
-    (tile_id, z, tile_x, tile_y, data, nonzero, total, checksum)."""
-    if merge_alg not in _MERGE_NUMPY:
-        raise ValueError(f"merge_alg must be one of {sorted(_MERGE_NUMPY)}")
-    pa_agg = {"add": "sum", "count": "sum", "max": "max", "min": "min"}[merge_alg]
+    """Points → finalized sparse pixel rows (tile_id, pxy, burn) at zoom z.
+
+    pxy = py*tile_size + px (int32). One narrow hash shuffle."""
+    if merge_alg not in _PA_AGG:
+        raise ValueError(f"merge_alg must be one of {sorted(_PA_AGG)}")
+    pa_agg = _PA_AGG[merge_alg]
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[lon_col].to_numpy(zero_copy_only=False)
@@ -89,29 +105,83 @@ def rasterize_points(points: ray.data.Dataset, z: int,
             burn = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         t = pa.table({
             "tile_id": pa.array(tile),
-            "px": pa.array(px.astype(np.int32)),
-            "py": pa.array(py.astype(np.int32)),
+            "pxy": pa.array((py * tile_size + px).astype(np.int32)),
             "burn": pa.array(burn),
         })
-        out = t.group_by(["tile_id", "px", "py"]).aggregate([("burn", pa_agg)])
-        return out.rename_columns(["tile_id", "px", "py", "burn"])
+        out = t.group_by(["tile_id", "pxy"]).aggregate([("burn", pa_agg)])
+        return out.rename_columns(["tile_id", "pxy", "burn"])
 
     partials = points.map_batches(partial, batch_format="pyarrow")
 
-    def burn_tile(df: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = {"add": Sum, "count": Sum, "max": Max, "min": Min}[merge_alg]
+    out = partials.groupby(["tile_id", "pxy"]).aggregate(agg("burn", alias_name="burn"))
+    return out
+
+
+def tile_summary(pixels: ray.data.Dataset, tile_size: int = 256) -> ray.data.Dataset:
+    """Finalized pixel rows → per-tile summary rows
+    (tile_id, z, tile_x, tile_y, nonzero, total, checksum) — all
+    vectorized aggregations, checksum bit-exact vs the dense
+    GDALChecksumImage (zero pixels contribute 0 to the sum)."""
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        pxy = batch["pxy"].to_numpy(zero_copy_only=False)
+        burn = batch["burn"].to_numpy(zero_copy_only=False)
+        cs = checksum_contrib(pxy, burn, tile_size)
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "burn": batch["burn"],
+            "cs": pa.array(cs),
+            "nz": pa.array((burn != 0).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (pixels.map_batches(contrib, batch_format="pyarrow")
+           .groupby("tile_id")
+           .aggregate(Sum("burn", alias_name="total"),
+                      Sum("cs", alias_name="cs_raw"),
+                      Sum("nz", alias_name="nonzero")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tile_id = batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z, tx, ty = cells.unpack_tile(tile_id)
+        cs = batch["cs_raw"].to_numpy(zero_copy_only=False).astype(np.int64) & 0xFFFF
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "z": pa.array(z),
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "nonzero": batch["nonzero"],
+            "total": batch["total"],
+            "checksum": pa.array(cs),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def densify(pixel_df: pd.DataFrame, tile_size: int = 256) -> np.ndarray:
+    """Pixel rows of ONE tile → dense array (tests / sinks)."""
+    arr = np.zeros((tile_size, tile_size), dtype=np.float64)
+    pxy = pixel_df["pxy"].to_numpy()
+    arr[pxy // tile_size, pxy % tile_size] = pixel_df["burn"].to_numpy()
+    return arr
+
+
+def rasterize_points_dense(points: ray.data.Dataset, z: int,
+                           lon_col: str = "lon", lat_col: str = "lat",
+                           value_col: Optional[str] = None,
+                           merge_alg: str = "add",
+                           tile_size: int = 256) -> ray.data.Dataset:
+    """Dense tile rows (tile_id, z, tile_x, tile_y, data bytes, nonzero,
+    total, checksum) — for sinks/goldens; sparse path above for scale."""
+    pixels = rasterize_pixels(points, z, lon_col, lat_col, value_col, merge_alg, tile_size)
+
+    def to_dense(df: pd.DataFrame) -> pd.DataFrame:
         tile_id = np.uint64(df["tile_id"].iloc[0])
-        arr = np.zeros((tile_size, tile_size), dtype=np.float64)
-        px = df["px"].to_numpy()
-        py = df["py"].to_numpy()
-        b = df["burn"].to_numpy(dtype=np.float64)
-        if merge_alg in ("add", "count"):
-            np.add.at(arr, (py, px), b)
-        elif merge_alg == "max":
-            np.maximum.at(arr, (py, px), b)
-        else:
-            arr.fill(np.inf)
-            np.minimum.at(arr, (py, px), b)
-            arr[np.isinf(arr)] = 0.0
+        arr = densify(df, tile_size)
         zz, tx, ty = cells.unpack_tile(np.asarray([tile_id]))
         return pd.DataFrame({
             "tile_id": [tile_id],
@@ -124,7 +194,7 @@ def rasterize_points(points: ray.data.Dataset, z: int,
             "checksum": [gdal_checksum(arr)],
         })
 
-    return partials.groupby("tile_id").map_groups(burn_tile, batch_format="pandas")
+    return pixels.groupby("tile_id").map_groups(to_dense, batch_format="pandas")
 
 
 def decode_tile(data: bytes, tile_size: int = 256) -> np.ndarray:

@@ -1,99 +1,80 @@
-"""Tile-pyramid overview chain (z → z-1) and tile statistics.
+"""Tile-pyramid overview chain (z → z-1) and tile statistics — sparse.
 
 Reference: `gdal raster tile` builds overview zoom levels from the 4
 children at z+1 (`apps/gdalalg_raster_tile.cpp:5679-5695`) — a
-level-synchronous reduction; and band statistics
-(`gcore/gdalrasterband.cpp:5392` ComputeStatisticsInternal) /
-histograms (`GetHistogram`) as per-block partials merged globally.
+level-synchronous reduction; band statistics
+(`gcore/gdalrasterband.cpp:5392` ComputeStatisticsInternal) as
+per-block partials merged globally.
 
-Here: each child tile is downsampled 2× inside `map_batches` (tagged
-with its parent key + quadrant), then one `groupby(parent)` assembles
-the 4 quadrants into the parent tile. Reductions: "sum" (counts —
-exact, SQL-oracle-able), "mean" (average resampling,
-`gcore/overview.cpp` average path), "nearest" (top-left pixel).
+Sparse formulation: a level step maps every finalized pixel row at z to
+its parent pixel at z-1 (`map_batches`, with an in-batch pyarrow
+combiner) and re-aggregates with one hash `groupby` — no dense arrays,
+no per-group Python. Reductions: "sum" (counts — exact) and "max";
+"mean" of the 2×2 block = sum/4 for count rasters (emitted by
+`how="mean4"`, dividing after the sum — exact for the sparse case where
+absent pixels are zero, matching GDAL average-resampling over the full
+block).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
 from ..geom import cells
-from .rasterize import decode_tile, gdal_checksum
 
 
-def _downsample(arr: np.ndarray, how: str) -> np.ndarray:
-    h, w = arr.shape
-    q = arr.reshape(h // 2, 2, w // 2, 2)
-    if how == "sum":
-        return q.sum(axis=(1, 3))
-    if how == "mean":
-        return q.mean(axis=(1, 3))
-    if how == "nearest":
-        return arr[::2, ::2]
-    raise ValueError(f"unknown reduction {how}")
+def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
+                    tile_size: int = 256) -> ray.data.Dataset:
+    """One overview step on sparse pixel rows: zoom z → z-1."""
+    if how not in ("sum", "max", "mean4"):
+        raise ValueError(f"unknown reduction {how}")
+    pa_agg = {"sum": "sum", "mean4": "sum", "max": "max"}[how]
 
-
-def overview_level(tiles: ray.data.Dataset, how: str = "sum",
-                   tile_size: int = 256) -> ray.data.Dataset:
-    """One overview step: tiles at zoom z → tiles at z-1."""
-
-    def shrink(batch: pa.Table) -> pa.Table:
-        tile_id = batch["tile_id"].to_numpy(zero_copy_only=False)
-        data = batch["data"].to_numpy(zero_copy_only=False)
+    def to_parent(batch: pa.Table) -> pa.Table:
+        tile_id = batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pxy = batch["pxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
         z, tx, ty = cells.unpack_tile(tile_id)
-        parent = cells.pack_tile(z - 1, tx >> 1, ty >> 1)
-        quad = ((ty & 1) << 1 | (tx & 1)).astype(np.int8)  # 0=NW,1=NE,2=SW,3=SE
-        small = [ _downsample(decode_tile(d, tile_size), how).astype("<f8").tobytes() for d in data ]
-        return pa.table({
-            "parent_id": pa.array(parent),
-            "quad": pa.array(quad),
-            "data": pa.array(small, type=pa.binary()),
-        })
+        px, py = pxy % tile_size, pxy // tile_size
+        # global pixel coords at z-1
+        gpx = (tx * tile_size + px) >> 1
+        gpy = (ty * tile_size + py) >> 1
+        parent = cells.pack_tile(z - 1, gpx // tile_size, gpy // tile_size)
+        ppxy = ((gpy % tile_size) * tile_size + (gpx % tile_size)).astype(np.int32)
+        t = pa.table({"tile_id": pa.array(parent), "pxy": pa.array(ppxy),
+                      "burn": pa.array(burn)})
+        out = t.group_by(["tile_id", "pxy"]).aggregate([("burn", pa_agg)])
+        return out.rename_columns(["tile_id", "pxy", "burn"])
 
-    halves = tiles.map_batches(shrink, batch_format="pyarrow")
-    half = tile_size // 2
+    partials = pixels.map_batches(to_parent, batch_format="pyarrow")
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        parent = np.uint64(df["parent_id"].iloc[0])
-        arr = np.zeros((tile_size, tile_size), dtype=np.float64)
-        for _, row in df.iterrows():
-            q = int(row["quad"])
-            sub = np.frombuffer(row["data"], dtype="<f8").reshape(half, half)
-            oy, ox = (q >> 1) * half, (q & 1) * half
-            arr[oy:oy + half, ox:ox + half] = sub
-        z, tx, ty = cells.unpack_tile(np.asarray([parent]))
-        return pd.DataFrame({
-            "tile_id": [parent],
-            "z": [int(z[0])],
-            "tile_x": [int(tx[0])],
-            "tile_y": [int(ty[0])],
-            "data": [arr.astype("<f8").tobytes()],
-            "nonzero": [int((arr != 0).sum())],
-            "total": [float(arr.sum())],
-            "checksum": [gdal_checksum(arr)],
-        })
+    from ray.data.aggregate import Max, Sum
 
-    return halves.groupby("parent_id").map_groups(assemble, batch_format="pandas")
+    agg = Sum if how in ("sum", "mean4") else Max
+    out = partials.groupby(["tile_id", "pxy"]).aggregate(agg("burn", alias_name="burn"))
+    if how == "mean4":
+        def div4(batch: pa.Table) -> pa.Table:
+            b = batch["burn"].to_numpy(zero_copy_only=False) / 4.0
+            return batch.drop_columns(["burn"]).append_column("burn", pa.array(b))
+        out = out.map_batches(div4, batch_format="pyarrow")
+    return out
 
 
-def overview_pyramid(tiles: ray.data.Dataset, z_base: int, z_min: int,
+def overview_pyramid(pixels: ray.data.Dataset, z_base: int, z_min: int,
                      how: str = "sum", tile_size: int = 256):
-    """Full chain z_base → z_min; returns {z: Dataset}. Each level feeds
-    the next (lazy; materialized per level by the consumer)."""
-    levels = {z_base: tiles}
-    cur = tiles
+    """Full chain z_base → z_min over sparse pixel rows; {z: Dataset}."""
+    levels = {z_base: pixels}
+    cur = pixels
     for z in range(z_base - 1, z_min - 1, -1):
-        cur = overview_level(cur, how=how, tile_size=tile_size)
+        cur = overview_pixels(cur, how=how, tile_size=tile_size)
         levels[z] = cur
     return levels
 
 
 def tile_stats(tiles: ray.data.Dataset) -> ray.data.Dataset:
-    """Per-pyramid summary from tile rows (count/total/nonzero) — the
-    per-tile partials → global merge of GDAL's raster statistics."""
+    """Pyramid-level summary from tile-summary rows."""
     from .relational import global_agg
 
     return global_agg(tiles, [
