@@ -69,24 +69,35 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 
+_P31 = np.uint64(2147483647)  # Mersenne prime 2^31-1: products of two
+_B = np.uint64(257)           # sub-31-bit values fit in uint64
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-shingle (character) 64-bit hashes of one document."""
-    t = text if len(text) >= k else text + " " * (k - len(text))
-    shingles = {t[i:i + k] for i in range(len(t) - k + 1)}
-    return _stable_hash64(np.asarray(list(shingles), dtype=object))
+    """Distinct k-shingle (character) hashes — vectorized rolling
+    polynomial hash over utf-8 bytes (no per-shingle Python)."""
+    raw = text.encode("utf-8", "ignore")
+    if len(raw) < k:
+        raw = raw + b" " * (k - len(raw))
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = (h * _B + b[j:j + n]) % _P31
+    return np.unique(h)
 
 
 def _minhash_matrix(num_perm: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    a = rng.integers(1, int(_P31), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_P31), num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    h = _shingle_hashes(text, k) & _M61
-    # (num_perm, n_shingles) permutation under mod-Mersenne61
-    vals = (a[:, None] * h[None, :] + b[:, None]) % _M61
+    h = _shingle_hashes(text, k)
+    # (num_perm, n_shingles) permutation under mod-(2^31-1)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _P31
     return vals.min(axis=1)
 
 

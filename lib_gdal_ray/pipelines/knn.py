@@ -31,9 +31,11 @@ class SiteIndex:
     def __init__(self, site_table: pa.Table, id_col: str, lon_col: str, lat_col: str,
                  res: float):
         self.res = res
-        self.ids = site_table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        self.x = site_table[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        self.y = site_table[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = site_table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = site_table[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = site_table[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        by_id = np.argsort(ids, kind="stable")  # id order ⇒ stable-sort tie-break = id tie-break
+        self.ids, self.x, self.y = ids[by_id], x[by_id], y[by_id]
         cell = cells.grid_cell(self.x, self.y, res)
         order = np.argsort(cell, kind="stable")
         self._order = order
@@ -49,38 +51,53 @@ class SiteIndex:
             return np.empty(0, dtype=np.int64)
         return self._order[self._starts[i]:self._starts[i + 1]]
 
-    def knn(self, px: float, py: float, k: int, max_rings: int = 512):
-        """-> (site_row_indices sorted by (dist², id), dists²)."""
+    def knn_cell(self, px: np.ndarray, py: np.ndarray, cell: int, k: int,
+                 max_rings: int = 512):
+        """kNN for a group of points sharing one grid cell.
+
+        Expands cell rings until every point's k-th distance is within
+        the guaranteed-searched radius: after finishing ring r, every
+        unseen site is > r*res degrees away (Chebyshev lower bound) —
+        the quadtree ring-expansion invariant of alg/gdalgrid.cpp.
+
+        -> (idx (m,k) site row indices ordered by (dist², id), d2 (m,k)).
+        """
+        k = min(k, self.n)
         gathered: list = []
+        n_cand = 0
         r = 0
-        cell = int(cells.grid_cell(np.asarray([px]), np.asarray([py]), self.res)[0])
-        best: Tuple[np.ndarray, np.ndarray] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        d2 = None
+        cand = None
         while r <= max_rings:
-            ring = cells.ring_cells(cell, r, self.res)
-            for c in ring:
+            for c in cells.ring_cells(cell, r, self.res):
                 s = self.sites_in_cell(int(c))
                 if len(s):
                     gathered.append(s)
-            if gathered:
-                cand = np.concatenate(gathered)
-                d2 = (self.x[cand] - px) ** 2 + (self.y[cand] - py) ** 2
-                order = np.lexsort((self.ids[cand], d2))
-                cand, d2 = cand[order], d2[order]
-                top = cand[:k]
-                topd = d2[:k]
-                # stop when the k-th distance is within the guaranteed-searched
-                # radius: every unseen site is at least r*res degrees away
-                # (Chebyshev lower bound from ring distance).
-                if len(top) == k and topd[-1] <= (r * self.res) ** 2:
-                    return top, topd
-                best = (top, topd)
-            if len(gathered) and len(best[0]) == k and r > 0:
-                # keep expanding until bound satisfied
-                pass
+                    n_cand += len(s)
+            if n_cand >= k:
+                cand = np.sort(np.concatenate(gathered))  # id-ascending
+                d2 = (px[:, None] - self.x[cand][None, :]) ** 2 + \
+                     (py[:, None] - self.y[cand][None, :]) ** 2
+                kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
+                if kth.max() <= (r * self.res) ** 2 or n_cand == self.n:
+                    break
             r += 1
-            if r > max_rings:
-                break
-        return best
+        if cand is None:  # fewer sites than k in the whole index
+            cand = np.sort(np.concatenate(gathered)) if gathered else np.empty(0, np.int64)
+            d2 = (px[:, None] - self.x[cand][None, :]) ** 2 + \
+                 (py[:, None] - self.y[cand][None, :]) ** 2
+            k = len(cand)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k]  # stable ⇒ id tie-break
+        rows = np.arange(len(px))[:, None]
+        return cand[order], d2[rows, order]
+
+    def knn_brute(self, px: np.ndarray, py: np.ndarray, k: int):
+        """Fully vectorized exact path for small site tables."""
+        k = min(k, self.n)
+        d2 = (px[:, None] - self.x[None, :]) ** 2 + (py[:, None] - self.y[None, :]) ** 2
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        rows = np.arange(len(px))[:, None]
+        return order, d2[rows, order]
 
 
 class _KnnJoiner:
@@ -94,26 +111,26 @@ class _KnnJoiner:
         px = batch[self.pt_lon].to_numpy(zero_copy_only=False)
         py = batch[self.pt_lat].to_numpy(zero_copy_only=False)
         n = len(batch)
-        k = self.k
-        all_idx = np.empty(n * k, dtype=np.int64)
-        all_d2 = np.empty(n * k, dtype=np.float64)
-        all_rank = np.empty(n * k, dtype=np.int32)
-        all_row = np.empty(n * k, dtype=np.int64)
-        pos = 0
-        for i in range(n):
-            idx, d2 = self.index.knn(px[i], py[i], k)
-            m = len(idx)
-            all_idx[pos:pos + m] = idx
-            all_d2[pos:pos + m] = d2
-            all_rank[pos:pos + m] = np.arange(1, m + 1)
-            all_row[pos:pos + m] = i
-            pos += m
-        all_idx, all_d2 = all_idx[:pos], all_d2[:pos]
-        all_rank, all_row = all_rank[:pos], all_row[:pos]
+        k = min(self.k, self.index.n)
+        if self.index.n <= 4096:
+            idx, d2 = self.index.knn_brute(px, py, k)
+        else:
+            # group batch points by cell; one vectorized ring search per cell
+            cell = cells.grid_cell(px, py, self.index.res)
+            order = np.argsort(cell, kind="stable")
+            idx = np.empty((n, k), dtype=np.int64)
+            d2 = np.empty((n, k), dtype=np.float64)
+            uniq, starts = np.unique(cell[order], return_index=True)
+            bounds = np.append(starts, n)
+            for u in range(len(uniq)):
+                rows = order[bounds[u]:bounds[u + 1]]
+                ci, cd = self.index.knn_cell(px[rows], py[rows], int(uniq[u]), k)
+                idx[rows], d2[rows] = ci, cd
+        all_row = np.repeat(np.arange(n, dtype=np.int64), k)
         out = batch.take(pa.array(all_row))
-        out = out.append_column("neighbor_id", pa.array(self.index.ids[all_idx]))
-        out = out.append_column("rank", pa.array(all_rank))
-        out = out.append_column("dist2", pa.array(all_d2))
+        out = out.append_column("neighbor_id", pa.array(self.index.ids[idx.ravel()]))
+        out = out.append_column("rank", pa.array(np.tile(np.arange(1, k + 1, dtype=np.int32), n)))
+        out = out.append_column("dist2", pa.array(d2.ravel()))
         return out
 
 
