@@ -47,13 +47,14 @@ def headline_pipeline(sf_dir: str, n_docs: int):
     from lib_gdal_ray.pipelines.spatial_join import broadcast_pip_join
     from lib_gdal_ray.sources.synth import interleaved_docs
 
-    docs = interleaved_docs(n_docs, override_num_blocks=max(32, n_docs // 50_000))
+    docs = interleaved_docs(n_docs, override_num_blocks=max(64, n_docs // 50_000))
     zones = zone_polygon_table(sf_dir)
-    joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0)
+    joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0,
+                                concurrency=(1, 32))
     base = rast.rasterize_pixels(joined, 8, value_col="value", merge_alg="add")
     levels = tiles_mod.overview_pyramid(base, 8, 5, how="sum")
-    stats = tiles_mod.tile_stats(rast.tile_summary(levels[5])).to_pandas()
-    n_tiles = int(stats["n_tiles"].iloc[0])
+    tiles_z5 = rast.tile_summary(levels[5]).to_pandas()  # small per-tile table
+    n_tiles = len(tiles_z5)
     return n_docs, n_tiles
 
 
@@ -102,7 +103,7 @@ def run_scaling(sf_dir: str) -> dict:
             "import json, time, sys; sys.path.insert(0, '.');"
             "import bench; bench._init_ray({c});"
             "t0=time.perf_counter();"
-            "n,_=bench.headline_pipeline('{sf}', 1_000_000);"
+            "n,_=bench.headline_pipeline('{sf}', 4_000_000);"
             "dt=time.perf_counter()-t0;"
             "print(json.dumps({{'cpus': {c}, 'sec': dt, 'docs_per_sec': n/dt}}))"
         ).format(c=cpus, sf=sf_dir)

@@ -1,0 +1,315 @@
+"""OGR-SQL WHERE-expression parser → pyarrow.compute evaluator.
+
+Semantics of the reference's attribute filter
+(`OGRLayer::SetAttributeFilter`, `ogr/ogrsf_frmts/generic/ogrlayer.cpp:751`;
+operator registry `ogr/swq_op_registrar.cpp:28-61`; evaluator
+`ogr/swq_op_general.cpp`): the supported surface is
+
+    OR AND NOT  =  <>  !=  >=  <=  <  >  LIKE  ILIKE  IN  BETWEEN
+    IS NULL / IS NOT NULL  + - * / %  string and numeric literals,
+    parentheses, column references.
+
+Built from the published OGR SQL dialect documentation — a fresh
+recursive-descent implementation, not a port of swq_parser.y. The
+compiled form is a function pyarrow.Table -> BooleanArray, applied
+inside `map_batches` (vectorized, zero-copy).
+
+LIKE semantics: OGR's LIKE is case-insensitive by default (GDAL >= 3.1,
+swq_op_general.cpp SWQGeneralEvaluator LIKE notes); `%` any, `_` one.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d*|\.\d+|\d+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<op><>|!=|>=|<=|=|<|>|\+|-|\*|/|%|\(|\)|,)
+      | (?P<name>"[^"]+"|[A-Za-z_][A-Za-z_0-9]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "ESCAPE"}
+
+
+class Token:
+    def __init__(self, kind: str, value: Any):
+        self.kind = kind  # num | str | op | name | kw | end
+        self.value = value
+
+    def __repr__(self):
+        return f"Token({self.kind},{self.value!r})"
+
+
+def _tokenize(text: str) -> List[Token]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            s = m.group("num")
+            out.append(Token("num", float(s) if "." in s else int(s)))
+        elif m.group("str") is not None:
+            out.append(Token("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op") is not None:
+            out.append(Token("op", m.group("op")))
+        else:
+            name = m.group("name")
+            if name.startswith('"'):
+                out.append(Token("name", name[1:-1]))
+            elif name.upper() in _KEYWORDS:
+                out.append(Token("kw", name.upper()))
+            else:
+                out.append(Token("name", name))
+    out.append(Token("end", None))
+    return out
+
+
+def _like_to_regex(pattern: str, escape: Optional[str] = None) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if escape and c == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+class _Parser:
+    """expr := or_expr
+    or_expr := and_expr (OR and_expr)*
+    and_expr := not_expr (AND not_expr)*
+    not_expr := NOT not_expr | predicate
+    predicate := sum (comparison | IS [NOT] NULL | [NOT] IN (...) |
+                 [NOT] LIKE str | [NOT] BETWEEN sum AND sum)?
+    sum := term ((+|-) term)*
+    term := factor ((*|/|%) factor)*
+    factor := num | str | name | ( expr ) | - factor
+    """
+
+    def __init__(self, tokens: List[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, value: Any = None) -> Token:
+        t = self.next()
+        if t.kind != kind or (value is not None and t.value != value):
+            raise ValueError(f"expected {kind} {value}, got {t}")
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek().kind != "end":
+            raise ValueError(f"trailing tokens at {self.peek()}")
+        return node
+
+    def or_expr(self):
+        node = self.and_expr()
+        while self.peek().kind == "kw" and self.peek().value == "OR":
+            self.next()
+            node = ("or", node, self.and_expr())
+        return node
+
+    def and_expr(self):
+        node = self.not_expr()
+        while self.peek().kind == "kw" and self.peek().value == "AND":
+            self.next()
+            node = ("and", node, self.not_expr())
+        return node
+
+    def not_expr(self):
+        if self.peek().kind == "kw" and self.peek().value == "NOT":
+            self.next()
+            return ("not", self.not_expr())
+        return self.predicate()
+
+    def predicate(self):
+        left = self.sum()
+        t = self.peek()
+        negate = False
+        if t.kind == "kw" and t.value == "NOT":
+            self.next()
+            t = self.peek()
+            negate = True
+        if t.kind == "op" and t.value in ("=", "<>", "!=", ">=", "<=", "<", ">"):
+            self.next()
+            node = ("cmp", t.value, left, self.sum())
+        elif t.kind == "kw" and t.value == "IS":
+            self.next()
+            isnot = False
+            if self.peek().kind == "kw" and self.peek().value == "NOT":
+                self.next()
+                isnot = True
+            self.expect("kw", "NULL")
+            node = ("isnull", left)
+            if isnot:
+                node = ("not", node)
+        elif t.kind == "kw" and t.value == "IN":
+            self.next()
+            self.expect("op", "(")
+            vals = [self.literal()]
+            while self.peek().kind == "op" and self.peek().value == ",":
+                self.next()
+                vals.append(self.literal())
+            self.expect("op", ")")
+            node = ("in", left, vals)
+        elif t.kind == "kw" and t.value in ("LIKE", "ILIKE"):
+            op = t.value
+            self.next()
+            pat = self.expect("str").value
+            esc = None
+            if self.peek().kind == "kw" and self.peek().value == "ESCAPE":
+                self.next()
+                esc = self.expect("str").value
+            node = ("like", op, left, pat, esc)
+        elif t.kind == "kw" and t.value == "BETWEEN":
+            self.next()
+            lo = self.sum()
+            self.expect("kw", "AND")
+            hi = self.sum()
+            node = ("between", left, lo, hi)
+        else:
+            if negate:
+                raise ValueError("dangling NOT")
+            return left
+        return ("not", node) if negate else node
+
+    def literal(self):
+        t = self.next()
+        if t.kind in ("num", "str"):
+            return ("lit", t.value)
+        raise ValueError(f"expected literal, got {t}")
+
+    def sum(self):
+        node = self.term()
+        while self.peek().kind == "op" and self.peek().value in ("+", "-"):
+            op = self.next().value
+            node = ("arith", op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while self.peek().kind == "op" and self.peek().value in ("*", "/", "%"):
+            op = self.next().value
+            node = ("arith", op, node, self.factor())
+        return node
+
+    def factor(self):
+        t = self.next()
+        if t.kind == "num" or t.kind == "str":
+            return ("lit", t.value)
+        if t.kind == "name":
+            return ("col", t.value)
+        if t.kind == "op" and t.value == "(":
+            node = self.or_expr()
+            self.expect("op", ")")
+            return node
+        if t.kind == "op" and t.value == "-":
+            return ("neg", self.factor())
+        raise ValueError(f"unexpected token {t}")
+
+
+def parse(expr: str):
+    return _Parser(_tokenize(expr)).parse()
+
+
+_CMP = {
+    "=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+    ">": pc.greater, ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+          "/": pc.divide, "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b))}
+
+
+def _eval(node, table: pa.Table):
+    op = node[0]
+    if op == "lit":
+        return pa.scalar(node[1])
+    if op == "col":
+        if node[1] not in table.column_names:
+            raise KeyError(f"unknown column {node[1]}")
+        return table[node[1]]
+    if op == "neg":
+        return pc.negate(_eval(node[1], table))
+    if op == "arith":
+        return _ARITH[node[1]](_eval(node[2], table), _eval(node[3], table))
+    if op == "cmp":
+        return _CMP[node[1]](_eval(node[2], table), _eval(node[3], table))
+    if op == "and":
+        return pc.and_kleene(_eval(node[1], table), _eval(node[2], table))
+    if op == "or":
+        return pc.or_kleene(_eval(node[1], table), _eval(node[2], table))
+    if op == "not":
+        return pc.invert(_eval(node[1], table))
+    if op == "isnull":
+        return pc.is_null(_eval(node[1], table))
+    if op == "in":
+        vals = [v[1] for v in node[2]]
+        v = _eval(node[1], table)
+        r = pc.is_in(v, value_set=pa.array(vals))
+        # SQL three-valued logic: NULL IN (...) is NULL, not FALSE
+        return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), r)
+    if op == "between":
+        v = _eval(node[1], table)
+        return pc.and_kleene(pc.greater_equal(v, _eval(node[2], table)),
+                             pc.less_equal(v, _eval(node[3], table)))
+    if op == "like":
+        _kind, like_op, left, pat, esc = node
+        rx = _like_to_regex(pat, esc)
+        v = _eval(left, table)
+        # OGR LIKE is case-insensitive by default (like ILIKE)
+        return pc.match_substring_regex(v, rx, ignore_case=True)
+    raise ValueError(f"unknown node {node}")
+
+
+def compile_filter(expr: str):
+    """-> fn(pa.Table) -> pa.BooleanArray (null ⇒ row dropped)."""
+    tree = parse(expr)
+
+    def fn(table: pa.Table):
+        mask = _eval(tree, table)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return mask
+
+    return fn
+
+
+def attribute_filter(ds, expr: str):
+    """ds.filter with an OGR SQL WHERE expression (SetAttributeFilter)."""
+    fn = compile_filter(expr)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        mask = fn(batch)
+        mask = pc.fill_null(mask, False)
+        return batch.filter(mask)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -532,6 +532,80 @@ FROM {_ZONES_SQL} z
 """
 
 
+def q_where_filter(sf_dir):
+    """OGR SQL attribute filter (SetAttributeFilter parser, functions/swq.py)."""
+    from ..functions.swq import attribute_filter
+
+    ds = tables.read_table(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                    "l_returnflag", "l_linestatus"])
+    out = attribute_filter(
+        ds, "l_quantity BETWEEN 20 AND 30 AND l_returnflag <> 'N' "
+            "AND l_linenumber IN (1, 2, 3)")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+SQL_WHERE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity BETWEEN 20 AND 30 AND l_returnflag <> 'N'
+  AND l_linenumber IN (1, 2, 3)
+"""
+
+
+def q_clip_semi(sf_dir):
+    """Layer-algebra Clip for points: keep each point inside any zone once."""
+    from .spatial_join import broadcast_pip_join
+
+    pts = events_points(sf_dir)
+    zones = zone_table(sf_dir)
+    out = broadcast_pip_join(pts, zones, "geometry", [], res=5.0,
+                             how="semi", predicate="envelope")
+    return out.select_columns(["event_id"])
+
+
+SQL_CLIP = f"""
+SELECT event_id FROM {_POINTS_SQL} p
+WHERE EXISTS (SELECT 1 FROM {_ZONES_SQL} z
+  WHERE p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax)
+"""
+
+
+def q_erase_anti(sf_dir):
+    """Layer-algebra Erase for points: points outside every zone."""
+    from .spatial_join import broadcast_pip_join
+
+    pts = events_points(sf_dir)
+    zones = zone_table(sf_dir)
+    out = broadcast_pip_join(pts, zones, "geometry", [], res=5.0,
+                             how="anti", predicate="envelope")
+    return out.select_columns(["event_id"])
+
+
+SQL_ERASE = f"""
+SELECT event_id FROM {_POINTS_SQL} p
+WHERE NOT EXISTS (SELECT 1 FROM {_ZONES_SQL} z
+  WHERE p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax)
+"""
+
+
+def q_identity_left(sf_dir):
+    """Layer-algebra Identity for points: left join keeps non-matching
+    input rows with null method fields (ogrlayer.cpp:6589)."""
+    from .spatial_join import broadcast_pip_join
+
+    pts = events_points(sf_dir)
+    zones = zone_table(sf_dir)
+    out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"], res=5.0,
+                             how="left", predicate="envelope")
+    return out.select_columns(["event_id", "zone_id"])
+
+
+SQL_IDENTITY = f"""
+SELECT event_id, zone_id FROM {_POINTS_SQL} p LEFT JOIN {_ZONES_SQL} z
+ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
@@ -679,6 +753,10 @@ QUERIES = {
     "tile_overview": (q_tile_overview, sql_tile_overview()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),
+    "where_filter": (q_where_filter, SQL_WHERE),
+    "clip_semi": (q_clip_semi, SQL_CLIP),
+    "erase_anti": (q_erase_anti, SQL_ERASE),
+    "identity_left": (q_identity_left, SQL_IDENTITY),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),

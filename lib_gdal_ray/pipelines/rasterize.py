@@ -82,42 +82,64 @@ def checksum_contrib(pxy: np.ndarray, burn: np.ndarray, tile_size: int) -> np.nd
 _PA_AGG = {"add": "sum", "count": "sum", "max": "max", "min": "min"}
 
 
+def pack_pixel(z: int, gpx: np.ndarray, gpy: np.ndarray) -> np.ndarray:
+    """Global pixel key: (z << 58) | (gpx << 29) | gpy — a single uint64
+    shuffle key (valid for z + log2(tile_size) <= 29, i.e. z <= 21 at
+    256px tiles; one-key groupbys measurably beat two-key)."""
+    return ((np.full(len(gpx), z, dtype=np.uint64) << np.uint64(58))
+            | (gpx.astype(np.uint64) << np.uint64(29))
+            | gpy.astype(np.uint64))
+
+
+def unpack_pixel(pix: np.ndarray):
+    pix = pix.astype(np.uint64)
+    z = (pix >> np.uint64(58)).astype(np.int64)
+    gpx = ((pix >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.int64)
+    gpy = (pix & np.uint64((1 << 29) - 1)).astype(np.int64)
+    return z, gpx, gpy
+
+
+def pixel_tile_cols(pix: np.ndarray, tile_size: int = 256):
+    """pix_id → (tile_id, pxy) columns."""
+    z, gpx, gpy = unpack_pixel(pix)
+    tile = cells.pack_tile(z, gpx // tile_size, gpy // tile_size)
+    pxy = ((gpy % tile_size) * tile_size + (gpx % tile_size)).astype(np.int32)
+    return tile, pxy
+
+
 def rasterize_pixels(points: ray.data.Dataset, z: int,
                      lon_col: str = "lon", lat_col: str = "lat",
                      value_col: Optional[str] = None,
                      merge_alg: str = "add",
                      tile_size: int = 256) -> ray.data.Dataset:
-    """Points → finalized sparse pixel rows (tile_id, pxy, burn) at zoom z.
+    """Points → finalized sparse pixel rows (pix_id, burn) at zoom z.
 
-    pxy = py*tile_size + px (int32). One narrow hash shuffle."""
+    One narrow single-key hash shuffle after in-batch combining."""
     if merge_alg not in _PA_AGG:
         raise ValueError(f"merge_alg must be one of {sorted(_PA_AGG)}")
+    if z > 29 - int(np.log2(tile_size)):
+        raise ValueError(f"zoom {z} exceeds single-key pixel packing range")
     pa_agg = _PA_AGG[merge_alg]
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[lon_col].to_numpy(zero_copy_only=False)
         y = batch[lat_col].to_numpy(zero_copy_only=False)
         tx, ty, px, py = cells.tile_pixel(x, y, z, tile_size)
-        tile = cells.pack_tile(np.full(len(tx), z, dtype=np.int64), tx, ty)
+        pix = pack_pixel(z, tx * tile_size + px, ty * tile_size + py)
         if merge_alg == "count" or value_col is None:
             burn = np.ones(len(tx), dtype=np.float64)
         else:
             burn = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        t = pa.table({
-            "tile_id": pa.array(tile),
-            "pxy": pa.array((py * tile_size + px).astype(np.int32)),
-            "burn": pa.array(burn),
-        })
-        out = t.group_by(["tile_id", "pxy"]).aggregate([("burn", pa_agg)])
-        return out.rename_columns(["tile_id", "pxy", "burn"])
+        t = pa.table({"pix_id": pa.array(pix), "burn": pa.array(burn)})
+        out = t.group_by(["pix_id"]).aggregate([("burn", pa_agg)])
+        return out.rename_columns(["pix_id", "burn"])
 
     partials = points.map_batches(partial, batch_format="pyarrow")
 
     from ray.data.aggregate import Max, Min, Sum
 
     agg = {"add": Sum, "count": Sum, "max": Max, "min": Min}[merge_alg]
-    out = partials.groupby(["tile_id", "pxy"]).aggregate(agg("burn", alias_name="burn"))
-    return out
+    return partials.groupby("pix_id").aggregate(agg("burn", alias_name="burn"))
 
 
 def tile_summary(pixels: ray.data.Dataset, tile_size: int = 256) -> ray.data.Dataset:
@@ -127,11 +149,12 @@ def tile_summary(pixels: ray.data.Dataset, tile_size: int = 256) -> ray.data.Dat
     GDALChecksumImage (zero pixels contribute 0 to the sum)."""
 
     def contrib(batch: pa.Table) -> pa.Table:
-        pxy = batch["pxy"].to_numpy(zero_copy_only=False)
+        tile, pxy = pixel_tile_cols(batch["pix_id"].to_numpy(zero_copy_only=False),
+                                    tile_size)
         burn = batch["burn"].to_numpy(zero_copy_only=False)
         cs = checksum_contrib(pxy, burn, tile_size)
         return pa.table({
-            "tile_id": batch["tile_id"],
+            "tile_id": pa.array(tile),
             "burn": batch["burn"],
             "cs": pa.array(cs),
             "nz": pa.array((burn != 0).astype(np.int64)),
@@ -170,6 +193,18 @@ def densify(pixel_df: pd.DataFrame, tile_size: int = 256) -> np.ndarray:
     return arr
 
 
+def with_tile_cols(pixels: ray.data.Dataset, tile_size: int = 256) -> ray.data.Dataset:
+    """Attach (tile_id, pxy) columns to (pix_id, burn) pixel rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tile, pxy = pixel_tile_cols(batch["pix_id"].to_numpy(zero_copy_only=False),
+                                    tile_size)
+        return (batch.append_column("tile_id", pa.array(tile))
+                     .append_column("pxy", pa.array(pxy)))
+
+    return pixels.map_batches(fn, batch_format="pyarrow")
+
+
 def rasterize_points_dense(points: ray.data.Dataset, z: int,
                            lon_col: str = "lon", lat_col: str = "lat",
                            value_col: Optional[str] = None,
@@ -177,7 +212,9 @@ def rasterize_points_dense(points: ray.data.Dataset, z: int,
                            tile_size: int = 256) -> ray.data.Dataset:
     """Dense tile rows (tile_id, z, tile_x, tile_y, data bytes, nonzero,
     total, checksum) — for sinks/goldens; sparse path above for scale."""
-    pixels = rasterize_pixels(points, z, lon_col, lat_col, value_col, merge_alg, tile_size)
+    pixels = with_tile_cols(
+        rasterize_pixels(points, z, lon_col, lat_col, value_col, merge_alg, tile_size),
+        tile_size)
 
     def to_dense(df: pd.DataFrame) -> pd.DataFrame:
         tile_id = np.uint64(df["tile_id"].iloc[0])

@@ -121,6 +121,14 @@ def _join_points_to_index(index: PolygonCellIndex, batch: pa.Table,
         pt_idx = np.empty(0, dtype=np.int64)
         pl_idx = np.empty(0, dtype=np.int64)
 
+    if how in ("semi", "anti"):
+        # layer-algebra Clip / Erase for point inputs
+        # (ogrlayer.cpp:7356 Clip = keep matching once; :7665 Erase = anti)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pt_idx] = True
+        keep = matched if how == "semi" else ~matched
+        return batch.filter(pa.array(keep))
+
     if how == "left":
         matched = np.zeros(len(batch), dtype=bool)
         matched[pt_idx] = True  # rows with >=1 match

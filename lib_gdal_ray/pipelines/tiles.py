@@ -32,28 +32,23 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
         raise ValueError(f"unknown reduction {how}")
     pa_agg = {"sum": "sum", "mean4": "sum", "max": "max"}[how]
 
+    from .rasterize import pack_pixel, unpack_pixel
+
     def to_parent(batch: pa.Table) -> pa.Table:
-        tile_id = batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pxy = batch["pxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
         burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
-        z, tx, ty = cells.unpack_tile(tile_id)
-        px, py = pxy % tile_size, pxy // tile_size
-        # global pixel coords at z-1
-        gpx = (tx * tile_size + px) >> 1
-        gpy = (ty * tile_size + py) >> 1
-        parent = cells.pack_tile(z - 1, gpx // tile_size, gpy // tile_size)
-        ppxy = ((gpy % tile_size) * tile_size + (gpx % tile_size)).astype(np.int32)
-        t = pa.table({"tile_id": pa.array(parent), "pxy": pa.array(ppxy),
-                      "burn": pa.array(burn)})
-        out = t.group_by(["tile_id", "pxy"]).aggregate([("burn", pa_agg)])
-        return out.rename_columns(["tile_id", "pxy", "burn"])
+        z, gpx, gpy = unpack_pixel(pix)
+        parent = pack_pixel(int(z[0]) - 1 if len(z) else 0, gpx >> 1, gpy >> 1)
+        t = pa.table({"pix_id": pa.array(parent), "burn": pa.array(burn)})
+        out = t.group_by(["pix_id"]).aggregate([("burn", pa_agg)])
+        return out.rename_columns(["pix_id", "burn"])
 
     partials = pixels.map_batches(to_parent, batch_format="pyarrow")
 
     from ray.data.aggregate import Max, Sum
 
     agg = Sum if how in ("sum", "mean4") else Max
-    out = partials.groupby(["tile_id", "pxy"]).aggregate(agg("burn", alias_name="burn"))
+    out = partials.groupby("pix_id").aggregate(agg("burn", alias_name="burn"))
     if how == "mean4":
         def div4(batch: pa.Table) -> pa.Table:
             b = batch["burn"].to_numpy(zero_copy_only=False) / 4.0

@@ -48,7 +48,8 @@ def test_query_matches_oracle(name, sf_med):
     for col in g.columns:
         gv, wv = g[col].to_numpy(), w[col].to_numpy()
         if np.issubdtype(np.asarray(gv).dtype, np.floating) or np.issubdtype(np.asarray(wv).dtype, np.floating):
-            assert np.array_equal(gv.astype(np.float64), wv.astype(np.float64)), (
+            assert np.array_equal(gv.astype(np.float64), wv.astype(np.float64),
+                                  equal_nan=True), (
                 f"{name}.{col}: float values differ "
                 f"(maxdiff {np.nanmax(np.abs(gv.astype(float) - wv.astype(float)))})")
         else:

@@ -227,13 +227,9 @@ class TestOverview:
         p3 = levels[3].to_pandas()
 
         def global_pixels(df):
-            from lib_gdal_ray.geom import cells as c
+            from lib_gdal_ray.pipelines.rasterize import unpack_pixel
 
-            tid = df["tile_id"].to_numpy().astype(np.uint64)
-            z, tx, ty = c.unpack_tile(tid)
-            pxy = df["pxy"].to_numpy().astype(np.int64)
-            gx = tx * 256 + pxy % 256
-            gy = ty * 256 + pxy // 256
+            z, gx, gy = unpack_pixel(df["pix_id"].to_numpy().astype(np.uint64))
             return pd.DataFrame({"gx": gx, "gy": gy, "burn": df["burn"].to_numpy()})
 
         g4 = global_pixels(p4)

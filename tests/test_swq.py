@@ -1,0 +1,91 @@
+"""Attribute-filter (OGR SQL WHERE) parser tests vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.functions.swq import attribute_filter, compile_filter
+from lib_gdal_ray.sources import tables
+
+
+def _table():
+    return pa.table({
+        "a": pa.array([1, 2, 3, 4, None], type=pa.int64()),
+        "b": pa.array([1.5, 2.5, 3.5, 4.5, 5.5]),
+        "s": pa.array(["Foo", "bar", "FOOBAR", None, "baz"]),
+    })
+
+
+def _mask(expr):
+    import pyarrow.compute as pc
+
+    m = compile_filter(expr)(_table())
+    return pc.fill_null(m, False).to_pylist()
+
+
+class TestExpr:
+    def test_comparisons(self):
+        assert _mask("a > 2") == [False, False, True, True, False]
+        assert _mask("a <> 2") == [True, False, True, True, False]
+        assert _mask("b <= 2.5") == [True, True, False, False, False]
+
+    def test_logic_and_parens(self):
+        assert _mask("a > 1 AND a < 4") == [False, True, True, False, False]
+        assert _mask("(a = 1 OR a = 4) AND b > 1") == [True, False, False, True, False]
+        assert _mask("NOT a = 1") == [False, True, True, True, False]
+
+    def test_null_in_between(self):
+        assert _mask("a IS NULL") == [False, False, False, False, True]
+        assert _mask("a IS NOT NULL") == [True, True, True, True, False]
+        assert _mask("a IN (1, 3)") == [True, False, True, False, False]
+        assert _mask("a NOT IN (1, 3)") == [False, True, False, True, False]
+        assert _mask("a BETWEEN 2 AND 3") == [False, True, True, False, False]
+
+    def test_like(self):
+        # OGR LIKE is case-insensitive by default
+        assert _mask("s LIKE 'foo%'") == [True, False, True, False, False]
+        assert _mask("s LIKE '_ar'") == [False, True, False, False, False]
+        assert _mask("s NOT LIKE 'foo%'") == [False, True, False, False, True]
+
+    def test_arithmetic(self):
+        assert _mask("a + 1 > 3") == [False, False, True, True, False]
+        assert _mask("a * 2 = 4") == [False, True, False, False, False]
+        assert _mask("b - 0.5 = 2.0") == [False, True, False, False, False]
+        assert _mask("a % 2 = 0") == [False, True, False, True, False]
+
+    def test_string_escape(self):
+        t = pa.table({"s": pa.array(["100%", "100x"])})
+        import pyarrow.compute as pc
+
+        m = compile_filter("s LIKE '100!%' ESCAPE '!'")(t)
+        assert pc.fill_null(m, False).to_pylist() == [True, False]
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            compile_filter("a >")
+        with pytest.raises(ValueError):
+            compile_filter("a = 1 extra")
+        with pytest.raises(KeyError):
+            compile_filter("nosuch = 1")(_table())
+
+
+class TestVsDuckdb:
+    @pytest.mark.parametrize("expr", [
+        "l_quantity > 45 AND l_returnflag = 'R'",
+        "l_quantity BETWEEN 10 AND 20",
+        "l_linenumber IN (1, 2) OR l_quantity < 2",
+        "l_returnflag <> 'N' AND NOT l_linestatus = 'F'",
+        "l_quantity * 2 >= 99.0",
+    ])
+    def test_filter_count(self, sf_med, expr):
+        ds = tables.read_table(sf_med, "lineitem",
+                               columns=["l_quantity", "l_returnflag", "l_linestatus",
+                                        "l_linenumber"])
+        got = attribute_filter(ds, expr).count()
+        want = duckdb.sql(
+            f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') WHERE {expr}"
+        ).df()["n"].iloc[0]
+        assert got == want
