@@ -103,7 +103,7 @@ def run_scaling(sf_dir: str) -> dict:
             "import json, time, sys; sys.path.insert(0, '.');"
             "import bench; bench._init_ray({c});"
             "t0=time.perf_counter();"
-            "n,_=bench.headline_pipeline('{sf}', 4_000_000);"
+            "n,_=bench.headline_pipeline('{sf}', 8_000_000);"
             "dt=time.perf_counter()-t0;"
             "print(json.dumps({{'cpus': {c}, 'sec': dt, 'docs_per_sec': n/dt}}))"
         ).format(c=cpus, sf=sf_dir)

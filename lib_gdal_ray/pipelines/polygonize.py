@@ -1,0 +1,220 @@
+"""Polygonize (raster→vector): connected components over equal-valued
+pixels, distributed as per-tile labeling + cross-tile label merge.
+
+Reference semantics: `alg/polygonize.cpp:80-239` — connected components
+of equal pixel values, 4-connected (8-connected optional, `:86`;
+v0 implements 4-connected and rejects 8), background/nodata pixels
+(absent sparse pixels) excluded. GDAL emits ring polygons; v0 emits one
+row per region with (region_id, value, n_pixels, global-pixel bbox) —
+the component structure, which is the distributed-hard part; ring
+tracing is a per-region local post-pass.
+
+Distributed shape (SURVEY.md §2.8 "the one operator needing a 2-round
+shuffle"):
+1. `groupby(tile_id).map_groups(label_tile)` — union-find CC inside
+   each tile; a pixel's label is its component-root pixel's global
+   coordinates packed to uint64 (globally unique without coordination).
+2. Border adjacency: boundary pixels are emitted under a shared
+   edge key (`groupby(edge)`) where the two touching tiles meet; equal
+   values at adjacent positions yield (label_a, label_b) merge pairs.
+3. The label graph (≪ pixel count; one node per *border-touching*
+   component) is union-found on the driver and the relabel map is
+   broadcast; final region stats via one vectorized `groupby`.
+   Documented scale assumption: the border-component graph fits the
+   driver (standard 2-round CC; an iterative label-propagation round
+   can replace it if it ever doesn't).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .rasterize import unpack_pixel, with_tile_cols
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller root wins
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray):
+    """4-connected CC over sparse pixels; -> label per pixel =
+    (root gpx << 32 | root gpy), root = lexicographically smallest pixel."""
+    n = len(gpx)
+    key = (gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != i:
+            parent[i], i = root, parent[i]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if skey[ra] < skey[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    # neighbors: east (gpx+1, gpy) and south (gpx, gpy+1)
+    sg_x = gpx[order]
+    sg_y = gpy[order]
+    sval = val[order]
+    for dx, dy in ((1, 0), (0, 1)):
+        nkey = ((sg_x + dx).astype(np.uint64) << np.uint64(32)) | (sg_y + dy).astype(np.uint64)
+        pos = np.searchsorted(skey, nkey)
+        ok = (pos < n)
+        pos_c = np.clip(pos, 0, n - 1)
+        ok &= skey[pos_c] == nkey
+        ok &= sval[pos_c] == sval
+        for i in np.flatnonzero(ok):
+            union(i, pos[i])
+
+    roots = np.asarray([find(i) for i in range(n)], dtype=np.int64)
+    labels = skey[roots]
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = labels
+    return out
+
+
+def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
+               tile_size: int = 256) -> ray.data.Dataset:
+    """Sparse pixel rows (pix_id, burn) → region rows
+    (region_id, value, n_pixels, gpx_min, gpy_min, gpx_max, gpy_max)."""
+    if connectivity != 4:
+        raise NotImplementedError("v0 implements 4-connected only "
+                                  "(GDAL default; 8CONNECTED pending)")
+
+    tiled = with_tile_cols(pixels, tile_size)
+
+    def label_tile(df: pd.DataFrame) -> pd.DataFrame:
+        pix = df["pix_id"].to_numpy().astype(np.uint64)
+        z, gpx, gpy = unpack_pixel(pix)
+        val = df["burn"].to_numpy()
+        labels = _label_pixels(gpx, gpy, val)
+        return pd.DataFrame({
+            "gpx": gpx, "gpy": gpy, "value": val,
+            "label": labels.astype(np.int64).view(np.uint64),
+        })
+
+    labeled = tiled.groupby("tile_id").map_groups(label_tile, batch_format="pandas")
+
+    # Border adjacency pairs: boundary pixels meet under a shared edge key.
+    def border_rows(batch: pa.Table) -> pa.Table:
+        gpx = batch["gpx"].to_numpy(zero_copy_only=False)
+        gpy = batch["gpy"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        ts = tile_size
+        rows = []
+        # vertical edges: pixel on east border (side 0) or west border (side 1)
+        east = (gpx % ts) == ts - 1
+        west = (gpx % ts) == 0
+        north = (gpy % ts) == 0
+        south = (gpy % ts) == ts - 1
+        def emit(mask, edge_axis, edge_coord, pos, side):
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                return
+            rows.append(pa.table({
+                "edge": pa.array(
+                    (np.full(len(idx), edge_axis, dtype=np.uint64) << np.uint64(62))
+                    | (edge_coord[idx].astype(np.uint64) << np.uint64(31))
+                    | (pos[idx] // ts).astype(np.uint64)),
+                "pos": pa.array(pos[idx]),
+                "side": pa.array(np.full(len(idx), side, dtype=np.int8)),
+                "value": pa.array(val[idx]),
+                "label": pa.array(lab[idx]),
+            }))
+        # vertical edge id: x boundary line at gpx+1 (east) / gpx (west), tile row
+        emit(east, 0, (gpx + 1) // ts, gpy, 0)
+        emit(west, 0, gpx // ts, gpy, 1)
+        # horizontal edge id: y boundary at gpy+1 (south) / gpy (north), tile col
+        emit(south, 1, (gpy + 1) // ts, gpx, 0)
+        emit(north, 1, gpy // ts, gpx, 1)
+        if not rows:
+            return pa.table({"edge": pa.array([], pa.uint64()),
+                             "pos": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "value": pa.array([], pa.float64()),
+                             "label": pa.array([], pa.uint64())})
+        return pa.concat_tables(rows)
+
+    borders = labeled.map_batches(border_rows, batch_format="pyarrow")
+
+    def edge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"la": pd.Series(dtype=np.uint64),
+                                 "lb": pd.Series(dtype=np.uint64)})
+        m = a.merge(b, on="pos", suffixes=("_a", "_b"))
+        m = m[m["value_a"] == m["value_b"]]
+        return pd.DataFrame({"la": m["label_a"].to_numpy(dtype=np.uint64),
+                             "lb": m["label_b"].to_numpy(dtype=np.uint64)})
+
+    pairs = borders.groupby("edge").map_groups(edge_pairs, batch_format="pandas")
+    pairs_df = pairs.to_pandas()  # label graph: border-touching components only
+
+    uf = UnionFind()
+    if len(pairs_df) and "la" in pairs_df.columns:
+        for la, lb in zip(pairs_df["la"].astype(np.uint64), pairs_df["lb"].astype(np.uint64)):
+            uf.union(int(la), int(lb))
+    relabel = {x: uf.find(x) for x in uf.parent}
+    relabel_ref = ray.put(relabel)
+
+    class Relabel:
+        def __init__(self, wrapped):
+            self.map = ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if self.map:
+                out = np.asarray([self.map.get(int(x), int(x)) for x in lab],
+                                 dtype=np.uint64)
+            else:
+                out = lab
+            return batch.drop_columns(["label"]).append_column("region_id", pa.array(out))
+
+    relabeled = labeled.map_batches(Relabel, batch_format="pyarrow",
+                                    fn_constructor_args=({"ref": relabel_ref},),
+                                    concurrency=(1, 8))
+
+    from ray.data.aggregate import Count, Max, Min
+
+    return (relabeled.groupby("region_id").aggregate(
+        Min("value", alias_name="value"),
+        Count(alias_name="n_pixels"),
+        Min("gpx", alias_name="gpx_min"),
+        Min("gpy", alias_name="gpy_min"),
+        Max("gpx", alias_name="gpx_max"),
+        Max("gpy", alias_name="gpy_max"),
+    ))

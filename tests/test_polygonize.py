@@ -1,0 +1,93 @@
+"""Polygonize: distributed CC vs brute-force BFS oracle."""
+
+from collections import deque
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.pipelines.polygonize import polygonize
+from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+
+def brute_regions(gpx, gpy, val):
+    """Pure-python BFS 4-connected CC; -> sorted list of
+    (value, n_pixels, xmin, ymin, xmax, ymax)."""
+    cells = {(int(x), int(y)): v for x, y, v in zip(gpx, gpy, val)}
+    seen = set()
+    out = []
+    for start in cells:
+        if start in seen:
+            continue
+        v = cells[start]
+        q = deque([start])
+        seen.add(start)
+        comp = []
+        while q:
+            x, y = q.popleft()
+            comp.append((x, y))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (x + dx, y + dy)
+                if nb not in seen and cells.get(nb) == v:
+                    seen.add(nb)
+                    q.append(nb)
+        xs = [c[0] for c in comp]
+        ys = [c[1] for c in comp]
+        out.append((float(v), len(comp), min(xs), min(ys), max(xs), max(ys)))
+    return sorted(out)
+
+
+def make_pixels(seed, n=600, extent=60, z=2, tile_size=16, n_vals=2):
+    rng = np.random.default_rng(seed)
+    pts = set()
+    while len(pts) < n:
+        pts.add((int(rng.integers(0, extent)), int(rng.integers(0, extent))))
+    gpx = np.asarray([p[0] for p in pts], dtype=np.int64)
+    gpy = np.asarray([p[1] for p in pts], dtype=np.int64)
+    val = rng.integers(1, n_vals + 1, len(pts)).astype(np.float64)
+    pix = pack_pixel(z, gpx, gpy)
+    t = pa.table({"pix_id": pa.array(pix), "burn": pa.array(val)})
+    return t, gpx, gpy, val
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+def test_vs_bfs(seed):
+    t, gpx, gpy, val = make_pixels(seed)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = polygonize(ds, tile_size=16).to_pandas()
+    got = sorted(
+        (float(r["value"]), int(r["n_pixels"]), int(r["gpx_min"]), int(r["gpy_min"]),
+         int(r["gpx_max"]), int(r["gpy_max"]))
+        for _, r in out.iterrows()
+    )
+    assert got == brute_regions(gpx, gpy, val)
+
+
+def test_single_region_spanning_tiles():
+    # a horizontal line crossing 3 tiles must be ONE region
+    gpx = np.arange(0, 48, dtype=np.int64)
+    gpy = np.full(48, 10, dtype=np.int64)
+    val = np.ones(48)
+    t = pa.table({"pix_id": pa.array(pack_pixel(2, gpx, gpy)), "burn": pa.array(val)})
+    out = polygonize(ray.data.from_arrow(t).repartition(3), tile_size=16).to_pandas()
+    assert len(out) == 1
+    assert out["n_pixels"].iloc[0] == 48
+    assert out["gpx_max"].iloc[0] == 47
+
+
+def test_values_split_regions():
+    # same shape, alternating values -> every pixel its own region
+    gpx = np.arange(0, 20, dtype=np.int64)
+    gpy = np.zeros(20, dtype=np.int64)
+    val = (np.arange(20) % 2).astype(np.float64) + 1
+    t = pa.table({"pix_id": pa.array(pack_pixel(2, gpx, gpy)), "burn": pa.array(val)})
+    out = polygonize(ray.data.from_arrow(t), tile_size=16).to_pandas()
+    assert len(out) == 20
+
+
+def test_8connected_rejected():
+    t, *_ = make_pixels(3, n=10)
+    with pytest.raises(NotImplementedError):
+        polygonize(ray.data.from_arrow(t), connectivity=8)
