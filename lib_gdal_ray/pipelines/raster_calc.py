@@ -1,0 +1,251 @@
+"""Raster algebra over sparse pixel datasets.
+
+Reference surface: VRT pixel functions (`frmts/vrt/pixelfunctions.cpp`
+sum/diff/mul/div/min/max/scale/…), `gdal raster calc`
+(`apps/gdalalg_raster_calc.cpp`) and `reclassify`
+(`gdalalg_raster_reclassify.cpp`); DEM 3×3 kernels
+(`apps/gdaldem_lib.cpp:804-1174` — Horn slope/aspect/hillshade, TRI,
+TPI, roughness); band statistics/histogram
+(`gcore/gdalrasterband.cpp:5392`, `GetHistogram`).
+
+Sparse formulations:
+* binary calc — co-align two pixel datasets with ONE `groupby(pix_id)`
+  by summing side-tagged value columns (absent pixel = 0), then a
+  vectorized finalize computes any binary op.
+* focal 3×3 — each pixel scatters its value into the 9 neighbor
+  stencils as hot-one-encoded columns (`flat_map` ×9), one
+  `groupby(pix_id)` re-gathers the full stencil per pixel, the kernel
+  is then pure vectorized math. This IS the halo exchange, expressed as
+  an aggregation instead of tile-border bookkeeping.
+* histogram — per-batch np.bincount partials → tiny `groupby(bin)`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .rasterize import unpack_pixel, pack_pixel
+
+_BINOPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: np.divide(a, b, out=np.zeros_like(a), where=b != 0),
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+
+def pixel_calc(a: ray.data.Dataset, b: ray.data.Dataset, op: str,
+               keep_empty: bool = False) -> ray.data.Dataset:
+    """Per-pixel binary op between two sparse pixel datasets (absent=0).
+
+    One shuffle: union of side-tagged rows → groupby(pix_id) summing
+    (va, vb) → vectorized op. Result drops all-zero pixels unless
+    keep_empty."""
+    if op not in _BINOPS:
+        raise ValueError(f"op must be one of {sorted(_BINOPS)}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            zero = np.zeros_like(burn)
+            return pa.table({
+                "pix_id": batch["pix_id"],
+                "va": pa.array(burn if side == 0 else zero),
+                "vb": pa.array(zero if side == 0 else burn),
+            })
+        return fn
+
+    both = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    from ray.data.aggregate import Sum
+
+    merged = both.groupby("pix_id").aggregate(Sum("va", alias_name="va"),
+                                              Sum("vb", alias_name="vb"))
+
+    fn = _BINOPS[op]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        va = batch["va"].to_numpy(zero_copy_only=False)
+        vb = batch["vb"].to_numpy(zero_copy_only=False)
+        out = fn(va, vb)
+        t = pa.table({"pix_id": batch["pix_id"], "burn": pa.array(out)})
+        if not keep_empty:
+            t = t.filter(pa.array(out != 0))
+        return t
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def pixel_scale(pixels: ray.data.Dataset, scale: float = 1.0,
+                offset: float = 0.0) -> ray.data.Dataset:
+    """unscale/scale (gdalalg_raster_unscale/scale): v*scale + offset."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch["burn"].to_numpy(zero_copy_only=False) * scale + offset
+        return pa.table({"pix_id": batch["pix_id"], "burn": pa.array(v)})
+
+    return pixels.map_batches(fn, batch_format="pyarrow")
+
+
+def reclassify(pixels: ray.data.Dataset, bounds: Sequence[float],
+               values: Sequence[float]) -> ray.data.Dataset:
+    """Map value ranges to classes: value in [bounds[i], bounds[i+1]) →
+    values[i] (gdalalg_raster_reclassify semantics for range tables)."""
+    bounds_a = np.asarray(bounds, dtype=np.float64)
+    values_a = np.asarray(values, dtype=np.float64)
+    if len(values_a) != len(bounds_a) - 1:
+        raise ValueError("need len(values) == len(bounds) - 1")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch["burn"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(bounds_a, v, side="right") - 1,
+                      0, len(values_a) - 1)
+        return pa.table({"pix_id": batch["pix_id"], "burn": pa.array(values_a[idx])})
+
+    return pixels.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Focal 3×3 kernels (DEM family)
+# ---------------------------------------------------------------------------
+
+_SLOTS = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]  # row-major stencil
+
+
+def _gather_stencil(pixels: ray.data.Dataset) -> ray.data.Dataset:
+    """-> rows (pix_id, s0..s8, n_present) where s_i is the 3×3 stencil
+    value (absent=0) and n_present counts present neighbors."""
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z, gpx, gpy = unpack_pixel(pix)
+        n = len(pix)
+        zval = int(z[0]) if n else 0
+        lim = np.int64(1) << np.int64(29)
+        tgt_all, keep_all = [], []
+        for dx, dy in _SLOTS:
+            tx, ty = gpx + dx, gpy + dy
+            keep_all.append((tx >= 0) & (ty >= 0) & (tx < lim) & (ty < lim))
+            tgt_all.append(pack_pixel(zval, np.clip(tx, 0, lim - 1),
+                                      np.clip(ty, 0, lim - 1)))
+        tgt = np.concatenate(tgt_all) if n else np.empty(0, np.uint64)
+        keep = np.concatenate(keep_all) if n else np.empty(0, bool)
+        cols = {}
+        for si in range(9):
+            c = np.zeros(n * 9, dtype=np.float64)
+            # a pixel scattered at offset (dx,dy) sits at slot (-dx,-dy)
+            # of the TARGET pixel's stencil: slot index 8 - si
+            c[si * n:(si + 1) * n] = burn
+            cols[f"s{8 - si}"] = pa.array(c)
+        present = np.zeros(n * 9, dtype=np.float64)
+        for si in range(9):
+            present[si * n:(si + 1) * n] = 1.0
+        t = pa.table({"pix_id": pa.array(tgt), **cols, "np_": pa.array(present)})
+        return t.filter(pa.array(keep))
+
+    scattered = pixels.map_batches(scatter, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(f"s{i}", alias_name=f"s{i}") for i in range(9)]
+    aggs.append(Sum("np_", alias_name="n_present"))
+    return scattered.groupby("pix_id").aggregate(*aggs)
+
+
+def focal(pixels: ray.data.Dataset, kernel: str,
+          cellsize: float = 1.0, z_factor: float = 1.0,
+          altitude: float = 45.0, azimuth: float = 315.0,
+          full_only: bool = True) -> ray.data.Dataset:
+    """3×3 focal kernel over sparse pixels.
+
+    kernel: slope | aspect | hillshade | tri | tpi | roughness | mean.
+    Formulas per gdaldem (Horn 1981 gradients, `apps/gdaldem_lib.cpp`):
+      dz/dx = ((s2+2*s5+s8) - (s0+2*s3+s6)) / (8*cellsize)
+      dz/dy = ((s6+2*s7+s8) - (s0+2*s1+s2)) / (8*cellsize)
+    full_only: emit only pixels whose whole 3×3 stencil is present
+    (sparse-edge semantics; GDAL's edge replication is a dense-edge
+    concept)."""
+    st = _gather_stencil(pixels)
+
+    def compute(batch: pa.Table) -> pa.Table:
+        s = [batch[f"s{i}"].to_numpy(zero_copy_only=False) for i in range(9)]
+        npres = batch["n_present"].to_numpy(zero_copy_only=False)
+        dzdx = ((s[2] + 2 * s[5] + s[8]) - (s[0] + 2 * s[3] + s[6])) / (8.0 * cellsize)
+        dzdy = ((s[6] + 2 * s[7] + s[8]) - (s[0] + 2 * s[1] + s[2])) / (8.0 * cellsize)
+        if kernel == "slope":
+            out = np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
+        elif kernel == "aspect":
+            out = np.degrees(np.arctan2(dzdy, -dzdx))
+            out = np.where(out < 0, 90.0 - out, np.where(out > 90.0, 360.0 - out + 90.0, 90.0 - out))
+        elif kernel == "hillshade":
+            zen = np.radians(90.0 - altitude)
+            az = np.radians(azimuth)
+            slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+            aspect_r = np.arctan2(dzdy, -dzdx)
+            shade = (np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r) * np.cos(az - np.pi / 2.0 - aspect_r))
+            out = np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+        elif kernel == "tri":
+            c = s[4]
+            out = sum(np.abs(s[i] - c) for i in range(9) if i != 4) / 8.0
+        elif kernel == "tpi":
+            out = s[4] - (sum(s[i] for i in range(9) if i != 4) / 8.0)
+        elif kernel == "roughness":
+            out = np.max(np.stack(s), axis=0) - np.min(np.stack(s), axis=0)
+        elif kernel == "mean":
+            out = np.mean(np.stack(s), axis=0)
+        else:
+            raise ValueError(f"unknown kernel {kernel}")
+        t = pa.table({"pix_id": batch["pix_id"], "burn": pa.array(out)})
+        if full_only:
+            t = t.filter(pa.array(npres >= 9.0))
+        return t
+
+    return st.map_batches(compute, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Histogram / band stats
+# ---------------------------------------------------------------------------
+
+
+def pixel_histogram(pixels: ray.data.Dataset, vmin: float, vmax: float,
+                    n_bins: int) -> ray.data.Dataset:
+    """Fixed-bucket histogram of pixel values (GDALGetHistogram
+    semantics: bucket = floor((v - vmin) / width), clamped ends
+    included). Per-batch np.bincount partials → tiny groupby."""
+    width = (vmax - vmin) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["burn"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - vmin) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                         "n": pa.array(counts)})
+
+    from ray.data.aggregate import Sum
+
+    return (pixels.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+def pixel_stats(pixels: ray.data.Dataset, round_to: Optional[int] = None) -> ray.data.Dataset:
+    """min/max/mean/std of the sparse pixel values (per-block partials →
+    merge; ComputeStatisticsInternal semantics over nonzero pixels)."""
+    from .relational import global_agg
+
+    return global_agg(pixels, [
+        ("count", None, "n"),
+        ("min", "burn", "min_v"),
+        ("max", "burn", "max_v"),
+        ("mean", "burn", "mean_v"),
+        ("std_pop", "burn", "std_v"),
+    ], round_to=round_to)

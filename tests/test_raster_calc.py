@@ -1,0 +1,133 @@
+"""Raster algebra + focal kernels + histogram vs dense numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.pipelines import raster_calc as rc
+from lib_gdal_ray.pipelines.rasterize import pack_pixel, unpack_pixel
+
+
+def pixels_from_grid(grid: np.ndarray, z=2):
+    """Dense grid -> sparse pixel Dataset (nonzero only)."""
+    gy, gx = np.nonzero(grid)
+    pix = pack_pixel(z, gx.astype(np.int64), gy.astype(np.int64))
+    return ray.data.from_arrow(pa.table({
+        "pix_id": pa.array(pix), "burn": pa.array(grid[gy, gx].astype(np.float64))}))
+
+
+def grid_from_pixels(ds, shape, z=2):
+    df = ds.to_pandas()
+    arr = np.zeros(shape, dtype=np.float64)
+    zz, gx, gy = unpack_pixel(df["pix_id"].to_numpy().astype(np.uint64))
+    arr[gy, gx] = df["burn"].to_numpy()
+    return arr
+
+
+class TestPixelCalc:
+    def _grids(self, seed=0):
+        rng = np.random.default_rng(seed)
+        a = np.where(rng.random((40, 40)) < 0.5, rng.integers(1, 9, (40, 40)), 0).astype(float)
+        b = np.where(rng.random((40, 40)) < 0.5, rng.integers(1, 9, (40, 40)), 0).astype(float)
+        return a, b
+
+    @pytest.mark.parametrize("op,npop", [
+        ("add", np.add), ("sub", np.subtract), ("mul", np.multiply),
+        ("min", np.minimum), ("max", np.maximum),
+    ])
+    def test_ops_vs_dense(self, op, npop):
+        a, b = self._grids()
+        got = grid_from_pixels(rc.pixel_calc(pixels_from_grid(a), pixels_from_grid(b), op),
+                               (40, 40))
+        np.testing.assert_array_equal(got, npop(a, b))
+
+    def test_div_zero_safe(self):
+        a, b = self._grids(3)
+        got = grid_from_pixels(rc.pixel_calc(pixels_from_grid(a), pixels_from_grid(b), "div"),
+                               (40, 40))
+        want = np.divide(a, b, out=np.zeros_like(a), where=b != 0)
+        np.testing.assert_allclose(got, want)
+
+    def test_scale_reclassify(self):
+        a, _ = self._grids(5)
+        scaled = grid_from_pixels(rc.pixel_scale(pixels_from_grid(a), 2.0, 0.0), (40, 40))
+        np.testing.assert_array_equal(scaled, a * 2.0)
+        rec = grid_from_pixels(
+            rc.reclassify(pixels_from_grid(a), [0, 3, 6, 100], [10, 20, 30]), (40, 40))
+        mask = a > 0
+        want = np.zeros_like(a)
+        want[mask & (a < 3)] = 10
+        want[mask & (a >= 3) & (a < 6)] = 20
+        want[mask & (a >= 6)] = 30
+        np.testing.assert_array_equal(rec, want)
+
+
+class TestFocal:
+    def _dem(self, seed=1, n=32):
+        rng = np.random.default_rng(seed)
+        # smooth-ish positive surface, fully dense so stencils are complete
+        x, y = np.meshgrid(np.arange(n), np.arange(n))
+        dem = 100 + 5 * np.sin(x / 5) + 7 * np.cos(y / 7) + rng.random((n, n))
+        return dem
+
+    def dense_oracle(self, dem, kernel, cellsize=1.0):
+        n = dem.shape[0]
+        out = np.full((n, n), np.nan)
+        for yy in range(1, n - 1):
+            for xx in range(1, n - 1):
+                w = dem[yy - 1:yy + 2, xx - 1:xx + 2]
+                s = w.ravel()  # s0..s8 row-major, row -1 first
+                dzdx = ((s[2] + 2 * s[5] + s[8]) - (s[0] + 2 * s[3] + s[6])) / (8 * cellsize)
+                dzdy = ((s[6] + 2 * s[7] + s[8]) - (s[0] + 2 * s[1] + s[2])) / (8 * cellsize)
+                if kernel == "slope":
+                    out[yy, xx] = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+                elif kernel == "tri":
+                    out[yy, xx] = np.abs(w - dem[yy, xx]).sum() / 8.0
+                elif kernel == "tpi":
+                    out[yy, xx] = dem[yy, xx] - (w.sum() - dem[yy, xx]) / 8.0
+                elif kernel == "roughness":
+                    out[yy, xx] = w.max() - w.min()
+                elif kernel == "mean":
+                    out[yy, xx] = w.mean()
+        return out
+
+    @pytest.mark.parametrize("kernel", ["slope", "tri", "tpi", "roughness", "mean"])
+    def test_kernels_vs_dense(self, kernel):
+        dem = self._dem()
+        got = rc.focal(pixels_from_grid(dem), kernel).to_pandas()
+        zz, gx, gy = unpack_pixel(got["pix_id"].to_numpy().astype(np.uint64))
+        want = self.dense_oracle(dem, kernel)
+        # interior pixels only (full stencil)
+        interior = (gx >= 1) & (gx <= 30) & (gy >= 1) & (gy <= 30)
+        assert interior.sum() == 30 * 30
+        for xx, yy, v in zip(gx[interior], gy[interior], got["burn"].to_numpy()[interior]):
+            np.testing.assert_allclose(v, want[yy, xx], rtol=1e-12, atol=1e-9)
+
+    def test_hillshade_range(self):
+        dem = self._dem(4)
+        got = rc.focal(pixels_from_grid(dem), "hillshade").to_pandas()
+        v = got["burn"].to_numpy()
+        assert v.min() >= 1.0 and v.max() <= 255.0
+        assert np.all(v == np.round(v))
+
+
+class TestHistogramStats:
+    def test_histogram_vs_numpy(self):
+        rng = np.random.default_rng(9)
+        grid = np.where(rng.random((50, 50)) < 0.7, rng.uniform(0, 10, (50, 50)), 0)
+        ds = pixels_from_grid(grid)
+        hist = rc.pixel_histogram(ds, 0.0, 10.0, 5).to_pandas().set_index("bin")["n"]
+        vals = grid[grid != 0]
+        want = np.bincount(np.clip((vals / 2.0).astype(int), 0, 4), minlength=5)
+        for b in range(5):
+            assert hist.get(b, 0) == want[b]
+
+    def test_stats(self):
+        grid = np.zeros((10, 10))
+        grid[0, 0], grid[1, 1], grid[2, 2] = 2.0, 4.0, 6.0
+        st = rc.pixel_stats(pixels_from_grid(grid)).to_pandas()
+        assert st["n"].iloc[0] == 3
+        assert st["min_v"].iloc[0] == 2.0 and st["max_v"].iloc[0] == 6.0
+        np.testing.assert_allclose(st["mean_v"].iloc[0], 4.0)
