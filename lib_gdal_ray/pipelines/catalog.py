@@ -114,6 +114,12 @@ def _tile_sql(z: int, lon: str = "lon", lat: str = "lat"):
     return tx, ty
 
 
+def _pixel_sql(z: int, tile_size: int = 256, lon: str = "lon", lat: str = "lat"):
+    """Global-pixel floor formulas (bit-identical to cells.tile_pixel;
+    verified vs DuckDB over 200k derived points)."""
+    return _tile_sql(z + 8, lon, lat) if tile_size == 256 else None
+
+
 # ---------------------------------------------------------------------------
 # relational queries
 # ---------------------------------------------------------------------------
@@ -606,6 +612,96 @@ ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
 """
 
 
+def q_raster_calc_ratio(sf_dir):
+    """Band math: mean value per pixel = (sum-of-cents raster) /
+    (count raster) via pixel_calc 'div' — both sides exact integers."""
+    from . import raster_calc as rc
+
+    pts = events_points(sf_dir, cols=("event_id", "value"))
+    pts = add_cents(pts, "value", "value_c")
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count")
+    sums = rast.rasterize_pixels(pts, 7, value_col="value_c", merge_alg="add")
+    ratio = rc.pixel_calc(sums, counts, "div")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "gpx": pa.array(gpx), "gpy": pa.array(gpy),
+            "mean_value_c": batch["burn"],
+        })
+
+    return ratio.map_batches(f, batch_format="pyarrow")
+
+
+def sql_raster_calc_ratio():
+    gx, gy = _pixel_sql(7)
+    return f"""
+    SELECT {gx} AS gpx, {gy} AS gpy,
+           CAST(sum({CENTS.format(x='value')}) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_value_c
+    FROM {_POINTS_SQL} p GROUP BY 1, 2
+    """
+
+
+def q_pixel_histogram(sf_dir):
+    """Histogram of per-pixel point counts at z7 (GDALGetHistogram)."""
+    from . import raster_calc as rc
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count")
+    hist = rc.pixel_histogram(counts, 0.0, 8.0, 8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": batch["bin"], "n": batch["n"]}).filter(pa.array(n > 0))
+
+    return hist.map_batches(f, batch_format="pyarrow")
+
+
+def sql_pixel_histogram():
+    gx, gy = _pixel_sql(7)
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                FROM {_POINTS_SQL} p GROUP BY 1, 2)
+    SELECT CAST(least(floor(c/1.0), 7) AS BIGINT) AS bin, count(*) AS n
+    FROM px GROUP BY 1
+    """
+
+
+def q_polygonize_regions(sf_dir):
+    """Connected components of the z6 count raster (rows-only: the BFS
+    oracle lives in tests/test_polygonize.py)."""
+    from .polygonize import polygonize
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
+    return polygonize(counts)
+
+
+def q_hillshade(sf_dir):
+    """DEM hillshade over a deterministic 128×128 analytic surface
+    (rows-only; the kernel's dense oracle is tests/test_raster_calc.py —
+    scattered event points don't form contiguous stencils)."""
+    from . import raster_calc as rc
+
+    def dem_batch(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = idx % 128, idx // 128
+        val = 100.0 + 10.0 * np.sin(gx / 7.0) + 8.0 * np.cos(gy / 9.0)
+        return pa.table({"pix_id": pa.array(rast.pack_pixel(6, gx, gy)),
+                         "burn": pa.array(val)})
+
+    dem = ray.data.range(128 * 128).map_batches(dem_batch, batch_format="pyarrow")
+    out = rc.focal(dem, "hillshade")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "shade": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
@@ -757,6 +853,10 @@ QUERIES = {
     "clip_semi": (q_clip_semi, SQL_CLIP),
     "erase_anti": (q_erase_anti, SQL_ERASE),
     "identity_left": (q_identity_left, SQL_IDENTITY),
+    "raster_calc_ratio": (q_raster_calc_ratio, sql_raster_calc_ratio()),
+    "pixel_histogram": (q_pixel_histogram, sql_pixel_histogram()),
+    "polygonize_regions": (q_polygonize_regions, None),
+    "hillshade": (q_hillshade, None),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),
