@@ -811,6 +811,20 @@ def q_fingerprint(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def q_media_features(sf_dir):
+    """Multimodal: explode media spans of the interleaved-doc table,
+    fetch + decode (stubbed codecs, real actor-pool plumbing)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import interleaved_docs
+    from ..stages.media import media_features
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = interleaved_docs(n)
+    out = media_features(docs)
+    return out.select_columns(["doc_id", "span_idx", "kind", "media_ref"])
+
+
 def q_embedding_near_dup(sf_dir):
     ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
@@ -866,4 +880,5 @@ QUERIES = {
     "lang_quality": (q_lang_quality, None),
     "fingerprint": (q_fingerprint, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
+    "media_features": (q_media_features, None),
 }

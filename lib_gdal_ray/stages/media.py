@@ -1,0 +1,127 @@
+"""Multimodal span processing: media fetch / decode / featurize stages.
+
+Media travels as opaque refs (and binary payloads) inside the
+interleaved `spans` column (BASELINE.json input_hint). The decode step
+is STUBBED — this container has no image/audio codecs (PIL/ffmpeg) —
+but the Ray-side plumbing is real and tested: span explode is a
+vectorized Arrow list flatten, fetch/decode are actor-pool
+`map_batches` stages with per-actor init, small batch sizes for large
+binary payloads, and typed output schemas (`fixed-size feature
+list<float32>`).
+
+`real=True` raises NotImplementedError at the exact seam where a codec
+(PIL.Image.open / soundfile / av) would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+FEATURE_DIM = 16
+
+
+def explode_media_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per media span: (doc_id, span_idx, kind, media_ref).
+
+    Vectorized Arrow list flatten — no Python per row."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        n_spans = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_spans)
+        span_idx = np.concatenate([np.arange(k, dtype=np.int32) for k in n_spans]) \
+            if len(n_spans) else np.empty(0, np.int32)
+        t = pa.table({
+            "doc_id": batch["doc_id"].take(pa.array(doc_idx)),
+            "span_idx": pa.array(span_idx),
+            "kind": flat.field("kind"),
+            "media_ref": flat.field("media_ref"),
+        })
+        mask = pc_not_empty(t["media_ref"])
+        return t.filter(mask)
+
+    import pyarrow.compute as pc
+
+    def pc_not_empty(col):
+        return pc.and_(pc.is_valid(col), pc.not_equal(col, ""))
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+class MediaFetchStage:
+    """Actor stage: resolve media_ref → payload bytes.
+
+    Production: a pyarrow.fs.S3FileSystem opened once in __init__
+    (GDAL analog: /vsis3 VSI handles, port/cpl_vsil_s3.cpp). Sandbox:
+    a deterministic payload generator keyed by the ref hash."""
+
+    def __init__(self, payload_size: int = 1024, real: bool = False):
+        self.payload_size = payload_size
+        self.real = real
+        # real=True would open the filesystem handle here, once per actor
+
+    def _fake_payload(self, ref: str) -> bytes:
+        seed = hashlib.blake2b(ref.encode(), digest_size=8).digest()
+        rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64)[0])
+        return rng.integers(0, 256, self.payload_size, dtype=np.uint8).tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("no object store in sandbox; plug "
+                                      "pyarrow.fs here")
+        refs = batch["media_ref"].to_numpy(zero_copy_only=False)
+        payloads = [self._fake_payload(r) for r in refs]
+        return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+class MediaDecodeStage:
+    """Actor stage: payload bytes → FEATURE_DIM float32 feature vector.
+
+    Production: PIL/soundfile/av decode + model featurize loaded ONCE in
+    __init__. Sandbox featurize: 16-bin byte histogram, L1-normalized —
+    deterministic, type-correct, same shape contract as a real encoder."""
+
+    def __init__(self, real: bool = False):
+        self.real = real
+        self.bins = np.linspace(0, 256, FEATURE_DIM + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("image/audio codecs not present in "
+                                      "sandbox; plug PIL/av decode here")
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            b = np.frombuffer(p, dtype=np.uint8)
+            h = np.histogram(b, bins=self.bins)[0].astype(np.float32)
+            feats[i] = h / max(1.0, h.sum())
+        out = batch.drop_columns(["payload"])  # big binary stays out of downstream
+        return out.append_column(
+            "feature", pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel()), FEATURE_DIM))
+
+
+def media_features(docs: ray.data.Dataset,
+                   fetch_concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                   decode_concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """docs (with spans) → per-media-span feature rows.
+
+    batch_size is small because payload bytes dominate block memory
+    (SURVEY.md 'large binary payloads need small batches')."""
+    spans = explode_media_spans(docs)
+    fetched = spans.map_batches(MediaFetchStage, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=fetch_concurrency)
+    return fetched.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=decode_concurrency)

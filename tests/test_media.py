@@ -1,0 +1,45 @@
+"""Media span plumbing: explode, fetch stub, decode stub, schemas."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.sources.synth import interleaved_docs, span_signature
+from lib_gdal_ray.stages.media import (FEATURE_DIM, MediaDecodeStage,
+                                       MediaFetchStage, explode_media_spans,
+                                       media_features)
+
+
+def test_explode_only_media_spans():
+    docs = interleaved_docs(200)
+    rows = explode_media_spans(docs).to_pandas()
+    assert set(rows.columns) == {"doc_id", "span_idx", "kind", "media_ref"}
+    assert (rows["media_ref"] != "").all()
+    assert set(rows["kind"]) <= {"image", "audio", "video"}
+    # count matches span signatures
+    sigs = span_signature(docs.to_pandas()["spans"])
+    want = sum(1 for sig in sigs for s in sig if s[2] != "")
+    assert len(rows) == want
+
+
+def test_features_deterministic_and_typed():
+    docs = interleaved_docs(100)
+    out1 = media_features(docs, batch_size=64).to_pandas()
+    out2 = media_features(interleaved_docs(100), batch_size=64).to_pandas()
+    assert len(out1) > 0
+    f1 = np.stack([np.asarray(f) for f in out1.sort_values(["doc_id", "span_idx"])["feature"]])
+    f2 = np.stack([np.asarray(f) for f in out2.sort_values(["doc_id", "span_idx"])["feature"]])
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape[1] == FEATURE_DIM
+    assert f1.dtype == np.float32
+    np.testing.assert_allclose(f1.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_real_mode_raises():
+    t = pa.table({"media_ref": pa.array(["s3://x/y.bin"])})
+    with pytest.raises(NotImplementedError):
+        MediaFetchStage(real=True)(t)
+    t2 = pa.table({"payload": pa.array([b"abc"], type=pa.binary())})
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(real=True)(t2)
