@@ -811,6 +811,45 @@ def q_fingerprint(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def q_grid_idw(sf_dir):
+    """gdal_grid invdist: IDW-interpolate supplier acctbal onto a 64×64
+    z3 pixel window (mode='all' — every site, exact; rounded to 3 dp on
+    both sides, see BASELINE.md parity notes)."""
+    from .gridding import grid_idw, pixel_window
+
+    sup = tables.read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    slon, slat = derive.site_lonlat(sk)
+    sv = sup["s_acctbal"].to_numpy().astype(np.float64)
+    px = pixel_window(3, 992, 992, 64, 64)
+    out = grid_idw(px, slon, slat, sv, 3, mode="all")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "gpx": batch["gpx"], "gpy": batch["gpy"],
+            "idw": pc.round(batch["burn"], ndigits=3),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GRID_IDW = f"""
+WITH px AS (SELECT (992 + (i % 64)) AS gpx, (992 + i // 64) AS gpy
+            FROM range(0, 4096) t(i)),
+pc2 AS (SELECT gpx, gpy,
+        (gpx + 0.5) / 2048 * 360.0 - 180.0 AS lon,
+        degrees(2*atan(exp(pi()*(1.0 - 2.0*(gpy + 0.5)/2048))) - pi()/2) AS lat
+        FROM px),
+s AS (SELECT {derive.SQL_SITE_LON} AS slon, {derive.SQL_SITE_LAT} AS slat,
+             s_acctbal AS v FROM supplier)
+SELECT gpx, gpy,
+       round(sum(v / ((lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) + 1e-12))
+             / sum(1.0 / ((lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) + 1e-12)), 3)
+         AS idw
+FROM pc2, s GROUP BY gpx, gpy
+"""
+
+
 def q_media_features(sf_dir):
     """Multimodal: explode media spans of the interleaved-doc table,
     fetch + decode (stubbed codecs, real actor-pool plumbing)."""
@@ -871,6 +910,7 @@ QUERIES = {
     "pixel_histogram": (q_pixel_histogram, sql_pixel_histogram()),
     "polygonize_regions": (q_polygonize_regions, None),
     "hillshade": (q_hillshade, None),
+    "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),

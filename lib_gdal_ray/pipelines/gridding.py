@@ -1,0 +1,125 @@
+"""Grid interpolation (points → raster): inverse-distance weighting.
+
+Reference: `alg/gdalgrid.cpp` — invdist (`:109`), invdistnn
+(per-kNN variant, `:629`), nearest (`:879`), with CPLQuadTree neighbor
+search (`:2688-2728`). Here:
+
+* output pixels are generated as a streamed Dataset of global-pixel
+  rows (no driver-side loops);
+* the site table is broadcast once (`ray.put`); each batch computes
+  IDW fully vectorized — `mode="all"` is one matmul-style broadcast
+  against every site (exact; the SQL-oracle-able flavor),
+  `mode="knn"` restricts to the k nearest via the shared SiteIndex
+  (cell-ring expansion — the scale path for large site tables);
+* the epsilon in `w = 1/(d² + eps)` sidesteps the exact-hit
+  singularity identically on both engine and oracle sides.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .knn import SiteIndex
+from .rasterize import pack_pixel
+
+EPS = 1e-12
+
+
+def pixel_centers_lonlat(gpx: np.ndarray, gpy: np.ndarray, z: int,
+                         tile_size: int = 256):
+    """Global pixel center → lon/lat (WebMercator inverse). The exact
+    expression is mirrored in the SQL oracle — keep in sync."""
+    m = (1 << z) * tile_size
+    lon = (gpx + 0.5) / m * 360.0 - 180.0
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.pi * (1.0 - 2.0 * (gpy + 0.5) / m))) - np.pi / 2.0)
+    return lon, lat
+
+
+def pixel_window(z: int, gx0: int, gy0: int, nx: int, ny: int,
+                 tile_size: int = 256,
+                 override_num_blocks: Optional[int] = None) -> ray.data.Dataset:
+    """Streamed Dataset of output pixel rows for a window (no driver loop)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gpx = gx0 + idx % nx
+        gpy = gy0 + idx // nx
+        return pa.table({
+            "pix_id": pa.array(pack_pixel(z, gpx, gpy)),
+            "gpx": pa.array(gpx),
+            "gpy": pa.array(gpy),
+        })
+
+    return ray.data.range(nx * ny, override_num_blocks=override_num_blocks).map_batches(
+        gen, batch_format="pyarrow")
+
+
+class _IdwStage:
+    def __init__(self, wrapped, z, tile_size, power, mode, k, res):
+        data = ray.get(wrapped["ref"])
+        self.sx = data["x"]
+        self.sy = data["y"]
+        self.sv = data["v"]
+        self.z, self.tile_size = z, tile_size
+        self.power, self.mode, self.k = power, mode, k
+        if mode == "knn":
+            tbl = pa.table({"id": pa.array(np.arange(len(self.sx), dtype=np.int64)),
+                            "x": pa.array(self.sx), "y": pa.array(self.sy)})
+            self.index = SiteIndex(tbl, "id", "x", "y", res)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gpx = batch["gpx"].to_numpy(zero_copy_only=False)
+        gpy = batch["gpy"].to_numpy(zero_copy_only=False)
+        lon, lat = pixel_centers_lonlat(gpx, gpy, self.z, self.tile_size)
+        if self.mode == "all":
+            dx = lon[:, None] - self.sx[None, :]
+            dy = lat[:, None] - self.sy[None, :]
+            d2 = dx * dx + dy * dy
+            if self.power == 2:
+                w = 1.0 / (d2 + EPS)
+            else:
+                w = 1.0 / (np.power(d2, self.power / 2.0) + EPS)
+            val = (w * self.sv[None, :]).sum(axis=1) / w.sum(axis=1)
+        else:
+            idx, d2 = self.index.knn_brute(lon, lat, self.k) if self.index.n <= 4096 \
+                else self._knn_cells(lon, lat)
+            w = 1.0 / (d2 + EPS)
+            val = (w * self.sv[idx]).sum(axis=1) / w.sum(axis=1)
+        return batch.append_column("burn", pa.array(val))
+
+    def _knn_cells(self, lon, lat):
+        from ..geom import cells as cellsm
+
+        cell = cellsm.grid_cell(lon, lat, self.index.res)
+        order = np.argsort(cell, kind="stable")
+        n = len(lon)
+        k = min(self.k, self.index.n)
+        idx = np.empty((n, k), dtype=np.int64)
+        d2 = np.empty((n, k), dtype=np.float64)
+        uniq, starts = np.unique(cell[order], return_index=True)
+        bounds = np.append(starts, n)
+        for u in range(len(uniq)):
+            rows = order[bounds[u]:bounds[u + 1]]
+            ci, cd = self.index.knn_cell(lon[rows], lat[rows], int(uniq[u]), k)
+            idx[rows], d2[rows] = ci, cd
+        return idx, d2
+
+
+def grid_idw(pixels: ray.data.Dataset, site_x: np.ndarray, site_y: np.ndarray,
+             site_v: np.ndarray, z: int, power: float = 2.0,
+             mode: str = "all", k: int = 12, res: float = 10.0,
+             tile_size: int = 256,
+             concurrency: Union[int, Tuple[int, int]] = (1, 8)) -> ray.data.Dataset:
+    """IDW-interpolate site values onto the given output pixel rows."""
+    ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
+                   "y": np.asarray(site_y, dtype=np.float64),
+                   "v": np.asarray(site_v, dtype=np.float64)})
+    return pixels.map_batches(
+        _IdwStage, batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, z, tile_size, power, mode, k, res),
+        concurrency=concurrency)
