@@ -196,6 +196,31 @@ def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.
     )
 
 
+def select(ds: ray.data.Dataset, columns: Optional[List[str]] = None,
+           where: Optional[str] = None,
+           order_by: Optional[List[Tuple[str, bool]]] = None,
+           limit: Optional[int] = None) -> ray.data.Dataset:
+    """ExecuteSQL-lite: WHERE (OGR SQL expression, functions/swq.py) →
+    projection → ORDER BY [(col, descending)] → LIMIT. The pull-based
+    OGRGenSQLResultsLayer plan (`ogr/ogrsf_frmts/generic/ogr_gensql.cpp`)
+    re-expressed as a Dataset chain."""
+    if where:
+        from ..functions.swq import attribute_filter
+
+        ds = attribute_filter(ds, where)
+    if columns:
+        ds = ds.select_columns(columns)
+    if order_by:
+        keys = [c for c, _ in order_by]
+        desc = [d for _, d in order_by]
+        if limit is not None:
+            return topk(ds, keys, limit, descending=desc)
+        ds = ds.sort(keys, descending=desc)
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds
+
+
 def topk(ds: ray.data.Dataset, key: Union[str, List[str]], k: int,
          descending: Union[bool, List[bool]] = True) -> ray.data.Dataset:
     """ORDER BY … LIMIT k (`ogr_gensql.cpp:2193-2436` materializes the

@@ -1,0 +1,72 @@
+"""Mosaic overlay, warp resample, select() helper."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from lib_gdal_ray.pipelines.mosaic import mosaic, warp_nearest
+from lib_gdal_ray.pipelines.rasterize import pack_pixel, unpack_pixel
+from lib_gdal_ray.pipelines.relational import select
+from lib_gdal_ray.sources import tables
+
+
+def px_ds(coords_vals, z=3):
+    gx = np.asarray([c[0] for c in coords_vals], dtype=np.int64)
+    gy = np.asarray([c[1] for c in coords_vals], dtype=np.int64)
+    v = np.asarray([c[2] for c in coords_vals], dtype=np.float64)
+    return ray.data.from_arrow(pa.table({
+        "pix_id": pa.array(pack_pixel(z, gx, gy)), "burn": pa.array(v)}))
+
+
+def to_dict(ds):
+    df = ds.to_pandas()
+    z, gx, gy = unpack_pixel(df["pix_id"].to_numpy().astype(np.uint64))
+    return {(int(x), int(y)): v for x, y, v in zip(gx, gy, df["burn"])}
+
+
+class TestMosaic:
+    def test_last_wins(self):
+        a = px_ds([(0, 0, 1.0), (1, 0, 1.0), (2, 0, 1.0)])
+        b = px_ds([(1, 0, 2.0), (3, 0, 2.0)])
+        c = px_ds([(2, 0, 3.0)])
+        got = to_dict(mosaic([a, b, c]))
+        assert got == {(0, 0): 1.0, (1, 0): 2.0, (2, 0): 3.0, (3, 0): 2.0}
+
+    def test_single(self):
+        a = px_ds([(5, 5, 9.0)])
+        assert to_dict(mosaic([a])) == {(5, 5): 9.0}
+
+
+class TestWarp:
+    def test_downzoom_mean(self):
+        # 4 pixels in one 2x2 block at z3 -> one pixel at z2, mean
+        a = px_ds([(4, 4, 1.0), (5, 4, 2.0), (4, 5, 3.0), (5, 5, 4.0), (8, 8, 10.0)])
+        got = to_dict(warp_nearest(a, 2, merge="mean"))
+        assert got == {(2, 2): 2.5, (4, 4): 10.0}
+
+    def test_downzoom_sum_max(self):
+        a = px_ds([(4, 4, 1.0), (5, 5, 4.0)])
+        assert to_dict(warp_nearest(a, 2, merge="sum")) == {(2, 2): 5.0}
+        assert to_dict(warp_nearest(a, 2, merge="max")) == {(2, 2): 4.0}
+
+    def test_upzoom_center(self):
+        a = px_ds([(2, 2, 7.0)], z=2)
+        got = to_dict(warp_nearest(a, 3, merge="mean"))
+        assert got == {(5, 5): 7.0}  # center replication: (2*2+1, 2*2+1)
+
+
+class TestSelect:
+    def test_full_chain_vs_duckdb(self, sf_med):
+        ds = tables.read_table(sf_med, "orders",
+                               columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+        out = select(ds, columns=["o_orderkey", "o_totalprice"],
+                     where="o_totalprice > 100000 AND o_orderstatus = 'O'",
+                     order_by=[("o_totalprice", True), ("o_orderkey", False)],
+                     limit=20).to_pandas()
+        want = duckdb.sql(f"""
+            SELECT o_orderkey, o_totalprice FROM read_parquet('{sf_med}/orders.parquet')
+            WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""").df()
+        np.testing.assert_array_equal(out["o_orderkey"].to_numpy(),
+                                      want["o_orderkey"].to_numpy())
