@@ -177,6 +177,42 @@ def broadcast_hash_join(ds: ray.data.Dataset, right: pa.Table,
     )
 
 
+def union_all(datasets: Sequence[ray.data.Dataset],
+              merge_schema: bool = True) -> ray.data.Dataset:
+    """Multi-layer concat with schema merge — OGRUnionLayer semantics
+    (`ogr/ogrsf_frmts/generic/ogrunionlayer.cpp`): the result schema is
+    the field-order union; rows lacking a field carry null."""
+    if not datasets:
+        raise ValueError("union_all needs at least one dataset")
+    if not merge_schema:
+        out = datasets[0]
+        for d in datasets[1:]:
+            out = out.union(d)
+        return out
+    fields: List[Tuple[str, pa.DataType]] = []
+    seen = {}
+    for d in datasets:
+        sch = d.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if name not in seen:
+                seen[name] = typ
+                fields.append((name, typ))
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in fields:
+            if name in batch.column_names:
+                cols[name] = batch[name]
+            else:
+                cols[name] = pa.nulls(len(batch), type=typ)
+        return pa.table(cols)
+
+    out = datasets[0].map_batches(conform, batch_format="pyarrow")
+    for d in datasets[1:]:
+        out = out.union(d.map_batches(conform, batch_format="pyarrow"))
+    return out
+
+
 def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.Dataset:
     """SELECT DISTINCT — per-batch dedup partial, then hash-partition
     groupby (reference: ordered std::set distinct,

@@ -1,0 +1,147 @@
+"""Config-driven pipeline spec — the `.gdalg` analog.
+
+Reference: GDAL's unified CLI serializes any pipeline to a JSON
+`.gdalg` file (`apps/gdalalg_abstract_pipeline.h:357,461`) replayable
+via `gdal pipeline`. Here: a JSON-able list of steps, each
+`{"op": <name>, ...args}`, compiled to a chained Dataset. The step
+registry is the user-extension surface (SURVEY.md §2.10): register a
+custom op with `register_op`.
+
+Example:
+    spec = {"steps": [
+        {"op": "read_parquet", "path": ".../events.parquet",
+         "columns": ["event_id", "value"]},
+        {"op": "derive_points", "key": "event_id"},
+        {"op": "filter", "where": "value > 5"},
+        {"op": "reproject", "src": 4326, "dst": 3857},
+        {"op": "cell_assign", "res": 5.0},
+        {"op": "select_columns", "columns": ["event_id", "x", "y", "cell_id"]},
+        {"op": "write_parquet", "path": "/tmp/out"},
+    ]}
+    run_pipeline(spec)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, Optional
+
+import ray.data
+
+_OPS: Dict[str, Callable] = {}
+
+
+def register_op(name: str):
+    def deco(fn):
+        _OPS[name] = fn
+        return fn
+    return deco
+
+
+@register_op("read_parquet")
+def _read_parquet(ds, *, path, columns=None):
+    return ray.data.read_parquet(path, columns=columns)
+
+
+@register_op("filter")
+def _filter(ds, *, where):
+    from ..functions.swq import attribute_filter
+
+    return attribute_filter(ds, where)
+
+
+@register_op("select_columns")
+def _select(ds, *, columns):
+    return ds.select_columns(columns)
+
+
+@register_op("rename_columns")
+def _rename(ds, *, names):
+    return ds.rename_columns(names)
+
+
+@register_op("reproject")
+def _reproject(ds, *, src, dst, x_col="lon", y_col="lat", out_x="x", out_y="y",
+               round_to=None):
+    from ..stages.reproject import reproject
+
+    return reproject(ds, src, dst, x_col=x_col, y_col=y_col,
+                     out_x=out_x, out_y=out_y, round_to=round_to)
+
+
+@register_op("cell_assign")
+def _cell_assign(ds, *, res, lon_col="lon", lat_col="lat", out="cell_id"):
+    from ..stages.cell_assign import with_grid_cell
+
+    return with_grid_cell(ds, res, lon_col=lon_col, lat_col=lat_col, out=out)
+
+
+@register_op("derive_points")
+def _derive_points(ds, *, key):
+    import pyarrow as pa
+
+    from ..functions import derive
+
+    def fn(batch):
+        lon, lat = derive.event_lonlat(batch[key].to_numpy(zero_copy_only=False))
+        return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register_op("limit")
+def _limit(ds, *, n):
+    return ds.limit(n)
+
+
+@register_op("sample")
+def _sample(ds, *, fraction, seed=42):
+    return ds.random_sample(fraction, seed=seed)
+
+
+@register_op("sort")
+def _sort(ds, *, keys, descending=False):
+    return ds.sort(keys, descending=descending)
+
+
+@register_op("rasterize")
+def _rasterize(ds, *, z, value_col=None, merge_alg="add",
+               lon_col="lon", lat_col="lat"):
+    from .rasterize import rasterize_pixels
+
+    return rasterize_pixels(ds, z, lon_col=lon_col, lat_col=lat_col,
+                            value_col=value_col, merge_alg=merge_alg)
+
+
+@register_op("tile_summary")
+def _tile_summary(ds):
+    from .rasterize import tile_summary
+
+    return tile_summary(ds)
+
+
+@register_op("write_parquet")
+def _write_parquet(ds, *, path, partition_cols=None):
+    from ..sources.sinks import write_partitioned
+
+    write_partitioned(ds, path, partition_cols)
+    return ds
+
+
+def run_pipeline(spec: Any) -> Optional[ray.data.Dataset]:
+    """Run a spec (dict, JSON string, or path to a .json file)."""
+    if isinstance(spec, str):
+        if spec.lstrip().startswith("{"):
+            spec = json.loads(spec)
+        else:
+            with open(spec) as f:
+                spec = json.load(f)
+    ds = None
+    for i, step in enumerate(spec["steps"]):
+        step = dict(step)
+        op = step.pop("op")
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r} at step {i}; "
+                             f"known: {sorted(_OPS)}")
+        ds = _OPS[op](ds, **step)
+    return ds

@@ -1,0 +1,85 @@
+"""Pipeline spec (.gdalg analog), schema-merge union, partitioned sink."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.pipelines.relational import union_all
+from lib_gdal_ray.pipelines.spec import register_op, run_pipeline
+from lib_gdal_ray.sources.sinks import HIVE_NULL, write_partitioned
+
+
+def test_pipeline_spec_end_to_end(sf_med, tmp_path):
+    out_dir = str(tmp_path / "out")
+    spec = {"steps": [
+        {"op": "read_parquet", "path": f"{sf_med}/events.parquet",
+         "columns": ["event_id", "value"]},
+        {"op": "derive_points", "key": "event_id"},
+        {"op": "filter", "where": "value > 5"},
+        {"op": "reproject", "src": 4326, "dst": 3857},
+        {"op": "cell_assign", "res": 5.0},
+        {"op": "select_columns", "columns": ["event_id", "x", "y", "cell_id"]},
+        {"op": "write_parquet", "path": out_dir},
+    ]}
+    run_pipeline(spec)
+    back = ray.data.read_parquet(out_dir)
+    assert back.count() > 0
+    assert set(back.schema().names) == {"event_id", "x", "y", "cell_id"}
+
+
+def test_spec_from_json_file(sf_med, tmp_path):
+    import json
+
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps({"steps": [
+        {"op": "read_parquet", "path": f"{sf_med}/region.parquet"},
+        {"op": "limit", "n": 3},
+    ]}))
+    out = run_pipeline(str(p))
+    assert out.count() == 3
+
+
+def test_spec_unknown_op():
+    with pytest.raises(ValueError, match="unknown op"):
+        run_pipeline({"steps": [{"op": "nope"}]})
+
+
+def test_custom_op_registration(sf_med):
+    @register_op("double_value")
+    def _double(ds, *, col):
+        import pyarrow.compute as pc
+
+        return ds.map_batches(
+            lambda b: b.set_column(b.column_names.index(col), col,
+                                   pc.multiply(b[col], 2.0)),
+            batch_format="pyarrow")
+
+    out = run_pipeline({"steps": [
+        {"op": "read_parquet", "path": f"{sf_med}/region.parquet"},
+        {"op": "double_value", "col": "r_regionkey"},
+    ]})
+    assert out.count() == 5
+
+
+def test_union_all_schema_merge():
+    a = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], type=pa.int64()),
+                                      "y": pa.array(["a", "b"])}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array([3], type=pa.int64()),
+                                      "z": pa.array([9.5])}))
+    out = union_all([a, b]).to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(out.columns) == ["x", "y", "z"]
+    assert out["y"].iloc[2] is None or (isinstance(out["y"].iloc[2], float) and np.isnan(out["y"].iloc[2]))
+    assert out["z"].iloc[2] == 9.5
+
+
+def test_partitioned_sink_hive_nulls(tmp_path):
+    out = str(tmp_path / "hive")
+    t = pa.table({"k": pa.array(["a", None, "b"]), "v": pa.array([1, 2, 3])})
+    write_partitioned(ray.data.from_arrow(t), out, ["k"])
+    dirs = set(os.listdir(out))
+    assert f"k={HIVE_NULL}" in dirs and "k=a" in dirs and "k=b" in dirs
+    back = ray.data.read_parquet(out).to_pandas()
+    assert back["v"].sum() == 6
