@@ -811,6 +811,22 @@ def q_fingerprint(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def q_contour(sf_dir):
+    """Contour iso-lines over the analytic z6 DEM (rows-only; analytic
+    circle/ramp oracles in tests/test_contour.py)."""
+    from .contour import contour_lines
+
+    def dem_batch(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = idx % 96, idx // 96
+        val = 100.0 - np.hypot(gx - 47.5, gy - 47.5)
+        return pa.table({"pix_id": pa.array(rast.pack_pixel(6, gx, gy)),
+                         "burn": pa.array(val)})
+
+    dem = ray.data.range(96 * 96).map_batches(dem_batch, batch_format="pyarrow")
+    return contour_lines(dem, [70.0, 80.0, 90.0])
+
+
 def q_grid_idw(sf_dir):
     """gdal_grid invdist: IDW-interpolate supplier acctbal onto a 64×64
     z3 pixel window (mode='all' — every site, exact; rounded to 3 dp on
@@ -911,6 +927,7 @@ QUERIES = {
     "polygonize_regions": (q_polygonize_regions, None),
     "hillshade": (q_hillshade, None),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
+    "contour": (q_contour, None),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),
