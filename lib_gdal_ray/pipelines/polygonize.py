@@ -105,10 +105,10 @@ def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray):
     return out
 
 
-def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
-               tile_size: int = 256) -> ray.data.Dataset:
-    """Sparse pixel rows (pix_id, burn) → region rows
-    (region_id, value, n_pixels, gpx_min, gpy_min, gpx_max, gpy_max)."""
+def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
+                               tile_size: int = 256) -> ray.data.Dataset:
+    """Sparse pixel rows → labeled pixel rows
+    (gpx, gpy, value, region_id); shared by polygonize and sieve."""
     if connectivity != 4:
         raise NotImplementedError("v0 implements 4-connected only "
                                   "(GDAL default; 8CONNECTED pending)")
@@ -121,7 +121,7 @@ def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
         val = df["burn"].to_numpy()
         labels = _label_pixels(gpx, gpy, val)
         return pd.DataFrame({
-            "gpx": gpx, "gpy": gpy, "value": val,
+            "z": z, "gpx": gpx, "gpy": gpy, "value": val,
             "label": labels.astype(np.int64).view(np.uint64),
         })
 
@@ -204,9 +204,16 @@ def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
                 out = lab
             return batch.drop_columns(["label"]).append_column("region_id", pa.array(out))
 
-    relabeled = labeled.map_batches(Relabel, batch_format="pyarrow",
-                                    fn_constructor_args=({"ref": relabel_ref},),
-                                    concurrency=(1, 8))
+    return labeled.map_batches(Relabel, batch_format="pyarrow",
+                               fn_constructor_args=({"ref": relabel_ref},),
+                               concurrency=(1, 8))
+
+
+def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
+               tile_size: int = 256) -> ray.data.Dataset:
+    """Sparse pixel rows (pix_id, burn) → region rows
+    (region_id, value, n_pixels, gpx_min, gpy_min, gpx_max, gpy_max)."""
+    relabeled = label_connected_components(pixels, connectivity, tile_size)
 
     from ray.data.aggregate import Count, Max, Min
 

@@ -1,0 +1,146 @@
+"""Sieve filter: remove connected regions smaller than a threshold by
+merging them into their largest neighboring region.
+
+Reference: `alg/gdalsievefilter.cpp:129-187` — "polygons" (connected
+components of equal value) below the size threshold are merged into
+their largest neighbor, iterating until no small polygon remains.
+
+Distributed shape: reuse `label_connected_components` (per-tile CC +
+cross-tile union-find), then build the *region graph* (sizes + region
+adjacency via one edge-keyed groupby) and run GDAL's merge loop on that
+contracted graph driver-side (regions ≪ pixels; same scale caveat as
+polygonize). The final region→region mapping is broadcast and applied
+in one `map_batches`, rewriting pixel values to the absorbing region's
+value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .polygonize import label_connected_components
+from .rasterize import pack_pixel
+
+
+def _adjacency_pairs(labeled: ray.data.Dataset) -> pd.DataFrame:
+    """Region adjacency (ra, rb, ra≠rb) from 4-neighbor pixel pairs."""
+
+    def probes(batch: pa.Table) -> pa.Table:
+        gpx = batch["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gpy = batch["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reg = batch["region_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tables = []
+        # horizontal edge between (x,y) and (x+1,y): key = ((x+1) << 32 | y) << 1
+        # vertical edge between (x,y) and (x,y+1): key = ((x) << 32 | y+1) << 1 | 1
+        hk_e = (((gpx + 1).astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)
+        hk_w = ((gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)
+        vk_s = (((gpx.astype(np.uint64) << np.uint64(32)) | (gpy + 1).astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
+        vk_n = (((gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
+        for key, side in ((hk_e, 0), (hk_w, 1), (vk_s, 0), (vk_n, 1)):
+            tables.append(pa.table({"ek": pa.array(key),
+                                    "side": pa.array(np.full(len(reg), side, dtype=np.int8)),
+                                    "region": pa.array(reg)}))
+        return pa.concat_tables(tables)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"ra": pd.Series(dtype=np.uint64),
+                                 "rb": pd.Series(dtype=np.uint64)})
+        m = a.merge(b, on="ek", suffixes=("_a", "_b"))
+        m = m[m["region_a"] != m["region_b"]]
+        return pd.DataFrame({"ra": m["region_a"].to_numpy(dtype=np.uint64),
+                             "rb": m["region_b"].to_numpy(dtype=np.uint64)})
+
+    out = (labeled.map_batches(probes, batch_format="pyarrow")
+           .groupby("ek").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0 or "ra" not in out.columns:
+        return pd.DataFrame({"ra": pd.Series(dtype=np.uint64),
+                             "rb": pd.Series(dtype=np.uint64)})
+    return out.drop_duplicates()
+
+
+def sieve(pixels: ray.data.Dataset, threshold: int,
+          connectivity: int = 4, tile_size: int = 256) -> ray.data.Dataset:
+    """-> sieved sparse pixel rows (pix_id, burn): small regions take
+    the value of the largest neighboring region (GDAL merge loop)."""
+    labeled = label_connected_components(pixels, connectivity, tile_size)
+    labeled = labeled.materialize()  # reused 3× below
+
+    from ray.data.aggregate import Count, Min
+
+    regions = (labeled.groupby("region_id")
+               .aggregate(Count(alias_name="n"), Min("value", alias_name="value"))
+               .to_pandas())
+    sizes = dict(zip(regions["region_id"].astype(np.uint64).map(int),
+                     regions["n"].map(int)))
+    values = dict(zip(regions["region_id"].astype(np.uint64).map(int),
+                      regions["value"].map(float)))
+
+    adj_df = _adjacency_pairs(labeled)
+    adj: dict = {r: set() for r in sizes}
+    for ra, rb in zip(adj_df["ra"].map(int), adj_df["rb"].map(int)):
+        adj.setdefault(ra, set()).add(rb)
+        adj.setdefault(rb, set()).add(ra)
+
+    # GDAL merge loop on the contracted region graph
+    mapping = {r: r for r in sizes}
+
+    def resolve(r):
+        while mapping[r] != r:
+            r = mapping[r]
+        return r
+
+    changed = True
+    while changed:
+        changed = False
+        small = sorted((r for r in sizes if mapping[r] == r and sizes[r] < threshold
+                        and adj.get(r)),
+                       key=lambda r: (sizes[r], r))
+        for r in small:
+            neighbors = {resolve(n) for n in adj[r]} - {r}
+            if not neighbors:
+                continue
+            target = max(neighbors, key=lambda n: (sizes[n], -n))
+            mapping[r] = target
+            sizes[target] += sizes[r]
+            adj[target] = (adj.get(target, set()) | adj[r]) - {target, r}
+            for n in adj[r]:
+                s = adj.get(n)
+                if s is not None:
+                    s.discard(r)
+                    if n != target:
+                        s.add(target)
+            changed = True
+
+    final = {r: values[resolve(r)] for r in sizes if resolve(r) != r}
+    ref = ray.put(final)
+
+    class Rewrite:
+        def __init__(self, wrapped):
+            self.map = ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gpx = batch["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gpy = batch["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            zz = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            reg = batch["region_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            val = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if self.map:
+                newv = np.asarray([self.map.get(int(r), v)
+                                   for r, v in zip(reg, val)])
+            else:
+                newv = val
+            pix = pack_pixel(int(zz[0]) if len(zz) else 0, gpx, gpy)
+            return pa.table({"pix_id": pa.array(pix), "burn": pa.array(newv)})
+
+    rewritten = labeled.map_batches(Rewrite, batch_format="pyarrow",
+                                    fn_constructor_args=({"ref": ref},),
+                                    concurrency=(1, 8))
+    return rewritten
