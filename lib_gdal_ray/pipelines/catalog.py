@@ -827,6 +827,54 @@ def q_contour(sf_dir):
     return contour_lines(dem, [70.0, 80.0, 90.0])
 
 
+def q_sieve(sf_dir):
+    """Sieve the z6 count raster (threshold 2); rows-only — region
+    semantics pinned in tests/test_sieve.py."""
+    from .sieve import sieve
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
+    out = sieve(counts, threshold=2)
+    return rast.with_tile_cols(out).select_columns(["tile_id", "pxy", "burn"])
+
+
+def q_mosaic_warp(sf_dir):
+    """Mosaic two event-type rasters (last wins) then warp-resample to
+    z5 (mean); rows-only — oracles in tests/test_mosaic.py."""
+    from ..functions.swq import attribute_filter
+    from .mosaic import mosaic, warp_nearest
+
+    pts = events_points(sf_dir, cols=("event_id", "event_type", "value"))
+    clicks = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'click'"), 7, value_col="value")
+    views = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'view'"), 7, value_col="value")
+    over = mosaic([clicks, views])
+    out = warp_nearest(over, 5, merge="mean")
+    return rast.with_tile_cols(out).select_columns(["tile_id", "pxy", "burn"])
+
+
+def q_proximity(sf_dir):
+    """Distance from each click pixel to the nearest error pixel at z6
+    (rows-only; brute oracle in tests/test_proximity.py)."""
+    from ..functions.swq import attribute_filter
+    from .proximity import proximity
+
+    pts = events_points(sf_dir, cols=("event_id", "event_type"))
+    clicks = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count")
+    errors = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count")
+    out = proximity(clicks, errors, maxdist=128.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "dist": pc.round(batch["dist"], ndigits=6)})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
 def q_grid_idw(sf_dir):
     """gdal_grid invdist: IDW-interpolate supplier acctbal onto a 64×64
     z3 pixel window (mode='all' — every site, exact; rounded to 3 dp on
@@ -928,6 +976,9 @@ QUERIES = {
     "hillshade": (q_hillshade, None),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "contour": (q_contour, None),
+    "sieve_filter": (q_sieve, None),
+    "mosaic_warp": (q_mosaic_warp, None),
+    "proximity_dist": (q_proximity, None),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),
