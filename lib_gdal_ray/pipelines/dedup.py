@@ -102,7 +102,12 @@ def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.nda
 
 
 class _MinHashStage:
-    """Actor stage: permutation matrix built once per actor."""
+    """Actor stage: permutation matrix built once per actor. Emits one
+    row per (doc, band): (id, packed band-bucket key, bb_mod group,
+    signature). The signature rides along so verification happens inside
+    the bucket-merge group — no second pass over the corpus. (Cost:
+    num_perm×8 bytes × bands per doc in the shuffle; drop to a
+    candidate-recompute pass if that ever dominates.)"""
 
     def __init__(self, text_col, id_col, num_perm, shingle_k, bands):
         self.a, self.b = _minhash_matrix(num_perm)
@@ -114,36 +119,41 @@ class _MinHashStage:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(texts)
-        out_ids = np.repeat(ids, self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         buckets = np.empty(n * self.bands, dtype=np.uint64)
-        sig_rows = []
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         for i in range(n):
             sig = minhash_signature(texts[i], self.num_perm, self.k, self.a, self.b)
-            sig_rows.append(sig.astype(np.uint64))
+            sigs[i] = sig
             for bb in range(self.bands):
                 chunk = sig[bb * self.rows_per_band:(bb + 1) * self.rows_per_band]
                 digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                buckets[i * self.bands + bb] = np.frombuffer(digest, dtype=np.uint64)[0]
-        sigs = np.stack(sig_rows)
+                buckets[i * self.bands + bb] = (
+                    (np.uint64(bb) << np.uint64(58))
+                    | (np.frombuffer(digest, dtype=np.uint64)[0] >> np.uint64(6)))
+        rep = np.repeat(np.arange(n), self.bands)
         return pa.table({
-            self.id_col: pa.array(out_ids),
-            "band": pa.array(out_band),
-            "bucket": pa.array(buckets),
-            "sig": pa.array(np.repeat(sigs, self.bands, axis=0).tolist(),
-                            type=pa.list_(pa.uint64())),
+            self.id_col: pa.array(ids[rep]),
+            "bb": pa.array(buckets),
+            "bb_mod": pa.array((buckets & np.uint64(255)).astype(np.int32)),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs[rep].ravel()), self.num_perm),
         })
 
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                       num_perm: int = 64, shingle_k: int = 5, bands: int = 16,
                       threshold: float = 0.5,
+                      max_bucket: int = 64,
                       concurrency=(1, 8)) -> ray.data.Dataset:
-    """Near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
+    """Near-dup pairs (id_a < id_b, est_jaccard >= threshold).
 
-    est_jaccard = fraction of matching minhash components (unbiased
-    Jaccard estimator). Pairs found in several bands dedup via a final
-    distinct on (id_a, id_b).
+    One pipeline, two shuffles: (1) banded rows (with signatures) hash
+    to 256 `bb_mod` groups; inside each group a vectorized self-merge
+    on the full bucket key generates candidate pairs AND verifies them
+    with the est-Jaccard (fraction of matching minhash components) from
+    the in-group signatures; (2) a tiny groupby dedups pairs found in
+    multiple bands. Buckets larger than `max_bucket` are truncated
+    (mass near-identical dupes; documented drop).
     """
     banded = ds.map_batches(
         _MinHashStage, batch_format="pyarrow",
@@ -151,31 +161,36 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         concurrency=concurrency,
     )
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
         if len(df) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
-        ids = df[id_col].to_numpy()
+            return empty
+        df = df.drop_duplicates(subset=[id_col, "bb"])
+        df = df.groupby("bb", sort=False).head(max_bucket)
+        df = df.reset_index(drop=True)
+        df["__row"] = np.arange(len(df))
+        m = df[[id_col, "bb", "__row"]].merge(
+            df[[id_col, "bb", "__row"]], on="bb", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return empty
+        m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
         sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            same = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(same >= threshold)
-            for j in hit:
-                if ids[i] != ids[i + 1 + j]:
-                    out_a.append(ids[i]); out_b.append(ids[i + 1 + j]); out_j.append(same[j])
-        return pd.DataFrame({"id_a": np.asarray(out_a, dtype=np.int64),
-                             "id_b": np.asarray(out_b, dtype=np.int64),
-                             "est_jaccard": np.asarray(out_j, dtype=np.float64)})
+        est = (sigs[m["__row_a"].to_numpy()] == sigs[m["__row_b"].to_numpy()]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64)[keep],
+            "est_jaccard": est[keep],
+        })
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas")
-    # dedup pairs found in multiple bands
+    pairs = banded.groupby("bb_mod").map_groups(merge_verify, batch_format="pandas")
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
 
 def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
