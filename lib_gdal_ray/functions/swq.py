@@ -36,7 +36,20 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL", "ESCAPE"}
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL",
+             "ESCAPE", "CAST", "AS"}
+
+# OGR SQL CAST target types (ogr/swq_parser.y type list; SWQCastEvaluator
+# swq_op_registrar.cpp:61) → arrow types
+_CAST_TYPES = {
+    "INTEGER": pa.int32(),
+    "BIGINT": pa.int64(),
+    "SMALLINT": pa.int16(),
+    "FLOAT": pa.float64(),
+    "NUMERIC": pa.float64(),
+    "CHARACTER": pa.string(),
+    "STRING": pa.string(),
+}
 
 
 class Token:
@@ -226,6 +239,23 @@ class _Parser:
         t = self.next()
         if t.kind == "num" or t.kind == "str":
             return ("lit", t.value)
+        if t.kind == "kw" and t.value == "CAST":
+            self.expect("op", "(")
+            inner = self.sum()
+            self.expect("kw", "AS")
+            ty = self.expect("name").value.upper()
+            if ty not in _CAST_TYPES:
+                raise ValueError(f"unsupported CAST type {ty}")
+            # optional (width[, precision])
+            if self.peek().kind == "op" and self.peek().value == "(":
+                self.next()
+                self.expect("num")
+                if self.peek().kind == "op" and self.peek().value == ",":
+                    self.next()
+                    self.expect("num")
+                self.expect("op", ")")
+            self.expect("op", ")")
+            return ("cast", ty, inner)
         if t.kind == "name":
             return ("col", t.value)
         if t.kind == "op" and t.value == "(":
@@ -259,6 +289,16 @@ def _eval(node, table: pa.Table):
         return table[node[1]]
     if op == "neg":
         return pc.negate(_eval(node[1], table))
+    if op == "cast":
+        v = _eval(node[2], table)
+        target = _CAST_TYPES[node[1]]
+        if isinstance(v, pa.Scalar):
+            return v.cast(target)
+        # numeric→int truncates in OGR (C cast semantics)
+        if pa.types.is_integer(target) and pa.types.is_floating(
+                v.type if not isinstance(v, pa.ChunkedArray) else v.type):
+            v = pc.trunc(v)
+        return pc.cast(v, target, safe=False)
     if op == "arith":
         return _ARITH[node[1]](_eval(node[2], table), _eval(node[3], table))
     if op == "cmp":

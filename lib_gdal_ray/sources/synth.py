@@ -34,31 +34,48 @@ _WORDS = [
 def make_span_lists(doc_idx: np.ndarray):
     """Deterministic spans per doc index: 1-6 spans, interleaved kinds.
 
+    Fully vectorized (numpy index math + arrow string kernels).
     Returns a pyarrow ListArray of struct<kind,text,media_ref,offset>.
     """
+    import pyarrow.compute as pc
+
     n_spans = (doc_idx % 6 + 1).astype(np.int64)
-    kinds, texts, refs, offsets = [], [], [], []
     list_offsets = np.zeros(len(doc_idx) + 1, dtype=np.int32)
     np.cumsum(n_spans, out=list_offsets[1:])
-    for i, d in enumerate(doc_idx):
-        off = 0
-        for s in range(int(n_spans[i])):
-            kind = _KINDS[(d + s) % len(_KINDS)]
-            kinds.append(kind)
-            if kind == "text":
-                w1 = _WORDS[(d * 7 + s * 3) % len(_WORDS)]
-                w2 = _WORDS[(d * 13 + s * 5) % len(_WORDS)]
-                t = f"{w1} {w2} {d % 100}"
-                texts.append(t)
-                refs.append("")
-            else:
-                texts.append("")
-                refs.append(f"s3://media/{kind}/{d % 1000:03d}/{d}_{s}.bin")
-            offsets.append(off)
-            off += len(texts[-1]) or 1
+    total = int(list_offsets[-1])
+    d = np.repeat(doc_idx, n_spans)
+    s = np.concatenate([np.arange(k) for k in n_spans]) if total else np.empty(0, np.int64)
+
+    kinds_arr = np.asarray(_KINDS)
+    words_arr = np.asarray(_WORDS)
+    kind = kinds_arr[(d + s) % len(_KINDS)]
+    is_text = kind == "text"
+
+    w1 = pa.array(words_arr[(d * 7 + s * 3) % len(_WORDS)])
+    w2 = pa.array(words_arr[(d * 13 + s * 5) % len(_WORDS)])
+    dmod = pc.cast(pa.array(d % 100), pa.string())
+    text_all = pc.binary_join_element_wise(w1, w2, dmod, " ")
+    text = pc.if_else(pa.array(is_text), text_all, "")
+
+    pad = pc.utf8_lpad(pc.cast(pa.array(d % 1000), pa.string()), 3, "0")
+    dstr = pc.cast(pa.array(d), pa.string())
+    sstr = pc.cast(pa.array(s), pa.string())
+    ref_all = pc.binary_join_element_wise(
+        "s3://media/", pa.array(kind), "/", pad, "/", dstr, "_", sstr, ".bin", "")
+    refs = pc.if_else(pa.array(is_text), "", ref_all)
+
+    # offset = within-doc cumsum of previous span lengths (media -> 1)
+    lengths = np.where(is_text,
+                       pc.utf8_length(text).to_numpy(zero_copy_only=False), 1)
+    cum = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if total else np.empty(0, np.int64)
+    doc_starts = list_offsets[:-1]
+    base = np.repeat(cum[doc_starts], n_spans) if total else np.empty(0, np.int64)
+    offsets = (cum - base).astype(np.int32)
+
     struct = pa.StructArray.from_arrays(
-        [pa.array(kinds), pa.array(texts), pa.array(refs),
-         pa.array(np.asarray(offsets, dtype=np.int32))],
+        [pa.array(kind), text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+         refs.combine_chunks() if isinstance(refs, pa.ChunkedArray) else refs,
+         pa.array(offsets)],
         names=["kind", "text", "media_ref", "offset"],
     )
     return pa.ListArray.from_arrays(pa.array(list_offsets), struct)

@@ -89,3 +89,31 @@ class TestVsDuckdb:
             f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') WHERE {expr}"
         ).df()["n"].iloc[0]
         assert got == want
+
+
+class TestCast:
+    def test_cast_int(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = pa.table({"b": pa.array([1.9, -1.9, 2.0])})
+        m = compile_filter("CAST(b AS INTEGER) = 1")(t)
+        assert pc.fill_null(m, False).to_pylist() == [True, False, False]
+        m2 = compile_filter("CAST(b AS INTEGER) = -1")(t)
+        assert pc.fill_null(m2, False).to_pylist() == [False, True, False]
+
+    def test_cast_string_and_width(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = pa.table({"a": pa.array([1, 22], type=pa.int64())})
+        m = compile_filter("CAST(a AS CHARACTER(10)) = '22'")(t)
+        assert pc.fill_null(m, False).to_pylist() == [False, True]
+
+    def test_cast_vs_duckdb(self, sf_med):
+        ds = tables.read_table(sf_med, "lineitem", columns=["l_quantity"])
+        got = attribute_filter(ds, "CAST(l_quantity AS INTEGER) % 2 = 0").count()
+        want = duckdb.sql(
+            f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') "
+            "WHERE CAST(trunc(l_quantity) AS INTEGER) % 2 = 0").df()["n"].iloc[0]
+        assert got == want
