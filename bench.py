@@ -51,9 +51,13 @@ def headline_pipeline(sf_dir: str, n_docs: int):
     zones = zone_polygon_table(sf_dir)
     joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0,
                                 concurrency=(1, 32))
-    base = rast.rasterize_pixels(joined, 8, value_col="value", merge_alg="add")
-    levels = tiles_mod.overview_pyramid(base, 8, 5, how="sum")
-    tiles_z5 = rast.tile_summary(levels[5]).to_pandas()  # small per-tile table
+    # post-combiner shuffles are small (<=1 row per touched pixel per
+    # block): bound slices = blocks x partitions (see rasterize_pixels)
+    base = rast.rasterize_pixels(joined, 8, value_col="value", merge_alg="add",
+                                 shuffle_partitions=16)
+    levels = tiles_mod.overview_pyramid(base, 8, 5, how="sum",
+                                        shuffle_partitions=16)
+    tiles_z5 = rast.tile_summary(levels[5], shuffle_partitions=8).to_pandas()
     n_tiles = len(tiles_z5)
     return n_docs, n_tiles
 

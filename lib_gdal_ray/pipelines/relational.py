@@ -33,11 +33,15 @@ _PARTIAL_OPS = {"sum", "count", "min", "max", "mean", "std_pop", "std_samp"}
 
 def grouped_agg(ds: ray.data.Dataset, keys: Union[str, Sequence[str]],
                 specs: Sequence[AggSpec],
-                round_to: Optional[int] = None) -> ray.data.Dataset:
+                round_to: Optional[int] = None,
+                shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
     """Grouped aggregation with per-batch partials then one small shuffle.
 
     specs: (op, column, alias) with op in
     sum|count|min|max|mean|std_pop|std_samp. count ignores the column.
+    shuffle_partitions: post-combiner shuffles are small — Ray's sort
+    shuffle costs O(blocks × partitions) slices, so coalesce + bound
+    the reduce fan-out when the key cardinality is modest.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     for op, _, _ in specs:
@@ -86,7 +90,29 @@ def grouped_agg(ds: ray.data.Dataset, keys: Union[str, Sequence[str]],
     if need_count:
         final_aggs.append(Sum("__c_sum", alias_name="__c"))
 
-    merged = partials.groupby(keys).aggregate(*final_aggs)
+    if shuffle_partitions:
+        # local tree combine: post-combiner partials are small — one
+        # in-memory group_by beats the sort shuffle's O(blocks×parts)
+        pa_aggs, out_names = [], list(keys)
+        for c in sum_cols:
+            pa_aggs.append((f"__v_{c}_sum", "sum")); out_names.append(f"__v_{c}")
+        for c in ss_cols:
+            pa_aggs.append((f"__q_{c}_sum", "sum")); out_names.append(f"__q_{c}")
+        for c in min_cols:
+            pa_aggs.append((f"__n_{c}_min", "min")); out_names.append(f"__n_{c}")
+        for c in max_cols:
+            pa_aggs.append((f"__x_{c}_max", "max")); out_names.append(f"__x_{c}")
+        if need_count:
+            pa_aggs.append(("__c_sum", "sum")); out_names.append("__c")
+
+        def combine(batch: pa.Table) -> pa.Table:
+            out = batch.group_by(keys).aggregate(pa_aggs)
+            return out.rename_columns(out_names)
+
+        merged = partials.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                                     batch_size=None)
+    else:
+        merged = partials.groupby(keys).aggregate(*final_aggs)
 
     def finalize(batch: pa.Table) -> pa.Table:
         out = {k: batch[k] for k in keys}

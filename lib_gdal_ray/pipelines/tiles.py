@@ -26,8 +26,10 @@ from ..geom import cells
 
 
 def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
-                    tile_size: int = 256) -> ray.data.Dataset:
-    """One overview step on sparse pixel rows: zoom z → z-1."""
+                    tile_size: int = 256,
+                    shuffle_partitions=None) -> ray.data.Dataset:
+    """One overview step on sparse pixel rows: zoom z → z-1.
+    shuffle_partitions: see rasterize_pixels — small-shuffle knob."""
     if how not in ("sum", "max", "mean4"):
         raise ValueError(f"unknown reduction {how}")
     pa_agg = {"sum": "sum", "mean4": "sum", "max": "max"}[how]
@@ -45,10 +47,9 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
 
     partials = pixels.map_batches(to_parent, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max, Sum
+    from .rasterize import combine_pixel_partials
 
-    agg = Sum if how in ("sum", "mean4") else Max
-    out = partials.groupby("pix_id").aggregate(agg("burn", alias_name="burn"))
+    out = combine_pixel_partials(partials, pa_agg, shuffle_partitions)
     if how == "mean4":
         def div4(batch: pa.Table) -> pa.Table:
             b = batch["burn"].to_numpy(zero_copy_only=False) / 4.0
@@ -58,12 +59,14 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
 
 
 def overview_pyramid(pixels: ray.data.Dataset, z_base: int, z_min: int,
-                     how: str = "sum", tile_size: int = 256):
+                     how: str = "sum", tile_size: int = 256,
+                     shuffle_partitions=None):
     """Full chain z_base → z_min over sparse pixel rows; {z: Dataset}."""
     levels = {z_base: pixels}
     cur = pixels
     for z in range(z_base - 1, z_min - 1, -1):
-        cur = overview_pixels(cur, how=how, tile_size=tile_size)
+        cur = overview_pixels(cur, how=how, tile_size=tile_size,
+                              shuffle_partitions=shuffle_partitions)
         levels[z] = cur
     return levels
 
