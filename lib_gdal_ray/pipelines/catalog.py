@@ -449,7 +449,7 @@ FROM {_POINTS_SQL} p
 
 def q_rasterize_tiles(sf_dir):
     pts = events_points(sf_dir)
-    t = rast.tile_summary(rast.rasterize_pixels(pts, 8, merge_alg="count"))
+    t = rast.tile_summary(rast.rasterize_pixels(pts, 8, merge_alg="count", shuffle_partitions=8), shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -471,9 +471,9 @@ def sql_rasterize():
 
 def q_tile_overview(sf_dir):
     pts = events_points(sf_dir)
-    base = rast.rasterize_pixels(pts, 8, merge_alg="count")
-    levels = tiles_mod.overview_pyramid(base, 8, 6, how="sum")
-    t = rast.tile_summary(levels[6])
+    base = rast.rasterize_pixels(pts, 8, merge_alg="count", shuffle_partitions=8)
+    levels = tiles_mod.overview_pyramid(base, 8, 6, how="sum", shuffle_partitions=8)
+    t = rast.tile_summary(levels[6], shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -619,8 +619,8 @@ def q_raster_calc_ratio(sf_dir):
 
     pts = events_points(sf_dir, cols=("event_id", "value"))
     pts = add_cents(pts, "value", "value_c")
-    counts = rast.rasterize_pixels(pts, 7, merge_alg="count")
-    sums = rast.rasterize_pixels(pts, 7, value_col="value_c", merge_alg="add")
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
+    sums = rast.rasterize_pixels(pts, 7, value_col="value_c", merge_alg="add", shuffle_partitions=8)
     ratio = rc.pixel_calc(sums, counts, "div")
 
     def f(batch: pa.Table) -> pa.Table:
@@ -648,7 +648,7 @@ def q_pixel_histogram(sf_dir):
     from . import raster_calc as rc
 
     pts = events_points(sf_dir)
-    counts = rast.rasterize_pixels(pts, 7, merge_alg="count")
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
     hist = rc.pixel_histogram(counts, 0.0, 8.0, 8)
 
     def f(batch: pa.Table) -> pa.Table:
