@@ -59,9 +59,11 @@ class UnionFind:
             self.parent[hi] = lo
 
 
-def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray):
-    """4-connected CC over sparse pixels; -> label per pixel =
-    (root gpx << 32 | root gpy), root = lexicographically smallest pixel."""
+def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray,
+                  connectivity: int = 4):
+    """4- or 8-connected CC over sparse pixels; -> label per pixel =
+    (root gpx << 32 | root gpy), root = lexicographically smallest pixel.
+    (8-connected adds the two forward diagonals, `alg/polygonize.cpp:86`.)"""
     n = len(gpx)
     key = (gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)
     order = np.argsort(key, kind="stable")
@@ -84,11 +86,13 @@ def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray):
             else:
                 parent[ra] = rb
 
-    # neighbors: east (gpx+1, gpy) and south (gpx, gpy+1)
+    # neighbors: east (gpx+1, gpy), south (gpx, gpy+1); 8-conn adds the
+    # forward diagonals (SE, NE)
     sg_x = gpx[order]
     sg_y = gpy[order]
     sval = val[order]
-    for dx, dy in ((1, 0), (0, 1)):
+    offsets = ((1, 0), (0, 1)) if connectivity == 4 else ((1, 0), (0, 1), (1, 1), (1, -1))
+    for dx, dy in offsets:
         nkey = ((sg_x + dx).astype(np.uint64) << np.uint64(32)) | (sg_y + dy).astype(np.uint64)
         pos = np.searchsorted(skey, nkey)
         ok = (pos < n)
@@ -108,10 +112,14 @@ def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray):
 def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
                                tile_size: int = 256) -> ray.data.Dataset:
     """Sparse pixel rows → labeled pixel rows
-    (gpx, gpy, value, region_id); shared by polygonize and sieve."""
-    if connectivity != 4:
-        raise NotImplementedError("v0 implements 4-connected only "
-                                  "(GDAL default; 8CONNECTED pending)")
+    (gpx, gpy, value, region_id); shared by polygonize and sieve.
+
+    connectivity: 4 (GDAL default) or 8 (8CONNECTED option,
+    `alg/polygonize.cpp:86`). For 8, border rows at the end of an edge
+    group are duplicated into the adjacent group so diagonal pairs
+    across tile rows/corners are seen by exactly one group."""
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
 
     tiled = with_tile_cols(pixels, tile_size)
 
@@ -119,7 +127,7 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
         pix = df["pix_id"].to_numpy().astype(np.uint64)
         z, gpx, gpy = unpack_pixel(pix)
         val = df["burn"].to_numpy()
-        labels = _label_pixels(gpx, gpy, val)
+        labels = _label_pixels(gpx, gpy, val, connectivity)
         return pd.DataFrame({
             "z": z, "gpx": gpx, "gpy": gpy, "value": val,
             "label": labels.astype(np.int64).view(np.uint64),
@@ -144,16 +152,27 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
             idx = np.flatnonzero(mask)
             if not len(idx):
                 return
-            rows.append(pa.table({
-                "edge": pa.array(
-                    (np.full(len(idx), edge_axis, dtype=np.uint64) << np.uint64(62))
-                    | (edge_coord[idx].astype(np.uint64) << np.uint64(31))
-                    | (pos[idx] // ts).astype(np.uint64)),
-                "pos": pa.array(pos[idx]),
-                "side": pa.array(np.full(len(idx), side, dtype=np.int8)),
-                "value": pa.array(val[idx]),
-                "label": pa.array(lab[idx]),
-            }))
+            grps = [(idx, (pos[idx] // ts).astype(np.int64))]
+            if connectivity == 8:
+                # duplicate group-boundary rows into the adjacent group so
+                # diagonal pairs across tile rows/corners co-locate
+                lo = idx[(pos[idx] % ts == 0) & (pos[idx] // ts > 0)]
+                hi = idx[pos[idx] % ts == ts - 1]
+                if len(lo):
+                    grps.append((lo, (pos[lo] // ts - 1).astype(np.int64)))
+                if len(hi):
+                    grps.append((hi, (pos[hi] // ts + 1).astype(np.int64)))
+            for sub, grp in grps:
+                rows.append(pa.table({
+                    "edge": pa.array(
+                        (np.full(len(sub), edge_axis, dtype=np.uint64) << np.uint64(62))
+                        | (edge_coord[sub].astype(np.uint64) << np.uint64(31))
+                        | grp.astype(np.uint64)),
+                    "pos": pa.array(pos[sub]),
+                    "side": pa.array(np.full(len(sub), side, dtype=np.int8)),
+                    "value": pa.array(val[sub]),
+                    "label": pa.array(lab[sub]),
+                }))
         # vertical edge id: x boundary line at gpx+1 (east) / gpx (west), tile row
         emit(east, 0, (gpx + 1) // ts, gpy, 0)
         emit(west, 0, gpx // ts, gpy, 1)
@@ -171,15 +190,26 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
     borders = labeled.map_batches(border_rows, batch_format="pyarrow")
 
     def edge_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
+        a = df[df["side"] == 0].drop_duplicates(subset=["pos", "label"])
+        b = df[df["side"] == 1].drop_duplicates(subset=["pos", "label"])
         if len(a) == 0 or len(b) == 0:
             return pd.DataFrame({"la": pd.Series(dtype=np.uint64),
                                  "lb": pd.Series(dtype=np.uint64)})
-        m = a.merge(b, on="pos", suffixes=("_a", "_b"))
-        m = m[m["value_a"] == m["value_b"]]
-        return pd.DataFrame({"la": m["label_a"].to_numpy(dtype=np.uint64),
-                             "lb": m["label_b"].to_numpy(dtype=np.uint64)})
+        shifts = (0,) if connectivity == 4 else (0, 1, -1)
+        outs = []
+        for s in shifts:
+            bb = b.copy()
+            bb["pos"] = bb["pos"] + s
+            m = a.merge(bb, on="pos", suffixes=("_a", "_b"))
+            m = m[m["value_a"] == m["value_b"]]
+            if len(m):
+                outs.append(pd.DataFrame({
+                    "la": m["label_a"].to_numpy(dtype=np.uint64),
+                    "lb": m["label_b"].to_numpy(dtype=np.uint64)}))
+        if not outs:
+            return pd.DataFrame({"la": pd.Series(dtype=np.uint64),
+                                 "lb": pd.Series(dtype=np.uint64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     pairs = borders.groupby("edge").map_groups(edge_pairs, batch_format="pandas")
     pairs_df = pairs.to_pandas()  # label graph: border-touching components only

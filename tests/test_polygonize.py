@@ -12,9 +12,12 @@ from lib_gdal_ray.pipelines.polygonize import polygonize
 from lib_gdal_ray.pipelines.rasterize import pack_pixel
 
 
-def brute_regions(gpx, gpy, val):
-    """Pure-python BFS 4-connected CC; -> sorted list of
+def brute_regions(gpx, gpy, val, connectivity=4):
+    """Pure-python BFS CC; -> sorted list of
     (value, n_pixels, xmin, ymin, xmax, ymax)."""
+    nbrs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    if connectivity == 8:
+        nbrs += ((1, 1), (1, -1), (-1, 1), (-1, -1))
     cells = {(int(x), int(y)): v for x, y, v in zip(gpx, gpy, val)}
     seen = set()
     out = []
@@ -28,7 +31,7 @@ def brute_regions(gpx, gpy, val):
         while q:
             x, y = q.popleft()
             comp.append((x, y))
-            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            for dx, dy in nbrs:
                 nb = (x + dx, y + dy)
                 if nb not in seen and cells.get(nb) == v:
                     seen.add(nb)
@@ -87,7 +90,35 @@ def test_values_split_regions():
     assert len(out) == 20
 
 
-def test_8connected_rejected():
+@pytest.mark.parametrize("seed", [2, 9])
+def test_8connected_vs_bfs(seed):
+    t, gpx, gpy, val = make_pixels(seed, n=700)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = polygonize(ds, connectivity=8, tile_size=16).to_pandas()
+    got = sorted(
+        (float(r["value"]), int(r["n_pixels"]), int(r["gpx_min"]), int(r["gpy_min"]),
+         int(r["gpx_max"]), int(r["gpy_max"]))
+        for _, r in out.iterrows()
+    )
+    assert got == brute_regions(gpx, gpy, val, connectivity=8)
+
+
+def test_8connected_diagonal_across_tiles():
+    # a diagonal staircase crossing tile corners is ONE region under
+    # 8-connectivity, n distinct regions under 4
+    gpx = np.arange(0, 40, dtype=np.int64)
+    gpy = np.arange(0, 40, dtype=np.int64)
+    val = np.ones(40)
+    t = pa.table({"pix_id": pa.array(pack_pixel(2, gpx, gpy)), "burn": pa.array(val)})
+    out8 = polygonize(ray.data.from_arrow(t).repartition(3), connectivity=8,
+                      tile_size=16).to_pandas()
+    assert len(out8) == 1 and out8["n_pixels"].iloc[0] == 40
+    out4 = polygonize(ray.data.from_arrow(t).repartition(3), connectivity=4,
+                      tile_size=16).to_pandas()
+    assert len(out4) == 40
+
+
+def test_bad_connectivity():
     t, *_ = make_pixels(3, n=10)
-    with pytest.raises(NotImplementedError):
-        polygonize(ray.data.from_arrow(t), connectivity=8)
+    with pytest.raises(ValueError):
+        polygonize(ray.data.from_arrow(t), connectivity=6)
