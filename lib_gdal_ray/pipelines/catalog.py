@@ -875,6 +875,27 @@ def q_proximity(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def q_viewshed(sf_dir):
+    """Viewshed counts for supplier-derived observers over the analytic
+    DEM window (rows-only; LoS oracles in tests/test_viewshed.py)."""
+    from .viewshed import viewshed_counts
+
+    y, x = np.mgrid[0:48, 0:48]
+    dem = 10.0 * np.sin(x / 6.0) + 8.0 * np.cos(y / 5.0)
+    sup = tables.read_table(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def to_obs(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "obs_id": pa.array(k),
+            "ox": pa.array((k * 7) % 48),
+            "oy": pa.array((k * 11) % 48),
+        })
+
+    obs = sup.map_batches(to_obs, batch_format="pyarrow")
+    return viewshed_counts(obs, dem)
+
+
 def q_grid_idw(sf_dir):
     """gdal_grid invdist: IDW-interpolate supplier acctbal onto a 64×64
     z3 pixel window (mode='all' — every site, exact; rounded to 3 dp on
@@ -977,6 +998,7 @@ QUERIES = {
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "contour": (q_contour, None),
     "sieve_filter": (q_sieve, None),
+    "viewshed": (q_viewshed, None),
     "mosaic_warp": (q_mosaic_warp, None),
     "proximity_dist": (q_proximity, None),
     # documents / embeddings

@@ -198,13 +198,19 @@ def shuffle_pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
                      lon_col: str = "lon", lat_col: str = "lat",
                      num_salts: int = 1,
                      hot_cells: Optional[dict] = None,
+                     auto_salt: bool = False,
+                     hot_threshold: int = 1_000_000,
                      predicate: str = "pip") -> ray.data.Dataset:
     """Co-partition both sides on grid cell via one groupby shuffle.
 
     hot_cells: optional {cell_id: n_salts} from a pre-count
     (`precount_cells`) — points in a hot cell are split across salts,
     polygon rows replicated to every salt of each covered cell.
+    auto_salt=True runs the pre-count itself (one extra cheap pass;
+    SURVEY §4 skew row) with `hot_threshold` rows per cell.
     """
+    if auto_salt and hot_cells is None:
+        hot_cells = precount_cells(points, res, lon_col, lat_col, hot_threshold)
     from ..stages.cell_assign import explode_covering_cells, with_grid_cell
 
     hot = hot_cells or {}
