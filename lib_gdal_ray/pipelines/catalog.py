@@ -135,7 +135,7 @@ def q_pricing_summary(sf_dir):
         ("sum", "qty_c", "sum_qty_c"),
         ("sum", "price_c", "sum_price_c"),
         ("count", None, "n"),
-    ])
+    ], shuffle_partitions=8)
 
     def finalize(batch: pa.Table) -> pa.Table:
         s = batch["sum_price_c"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -183,7 +183,7 @@ def q_join_orders_customer(sf_dir):
     return rel.grouped_agg(joined, "c_mktsegment", [
         ("count", None, "n_orders"),
         ("sum", "price_c", "sum_price_c"),
-    ])
+    ], shuffle_partitions=8)
 
 
 SQL_JOIN_OC = f"""
@@ -204,7 +204,7 @@ def q_join3_region_customer(sf_dir):
     return rel.grouped_agg(joined, "r_name", [
         ("count", None, "n_cust"),
         ("sum", "bal_c", "sum_bal_c"),
-    ])
+    ], shuffle_partitions=8)
 
 
 SQL_JOIN3 = f"""
@@ -283,7 +283,7 @@ def q_events_by_type(sf_dir):
     return rel.grouped_agg(ev, "event_type", [
         ("count", None, "n"),
         ("sum", "value_c", "sum_value_c"),
-    ])
+    ], shuffle_partitions=8)
 
 
 SQL_EVENTS_TYPE = f"""
@@ -296,7 +296,7 @@ FROM events GROUP BY event_type
 def q_count_distinct_users(sf_dir):
     ev = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
     d = rel.distinct(ev, ["event_type", "user_id"])
-    return rel.grouped_agg(d, "event_type", [("count", None, "n_users")])
+    return rel.grouped_agg(d, "event_type", [("count", None, "n_users")], shuffle_partitions=8)
 
 
 SQL_COUNT_DISTINCT = """
@@ -325,7 +325,7 @@ def q_orders_by_year(sf_dir):
     return rel.grouped_agg(ds.map_batches(f, batch_format="pyarrow"), "yr", [
         ("count", None, "n"),
         ("sum", "price_c", "sum_price_c"),
-    ])
+    ], shuffle_partitions=8)
 
 
 SQL_ORDERS_YEAR = f"""
@@ -506,7 +506,7 @@ def q_zonal_stats(sf_dir):
         ("sum", "value_c", "sum_value_c"),
         ("min", "value", "min_val"),
         ("max", "value", "max_val"),
-    ])
+    ], shuffle_partitions=8)
     return agg
 
 
