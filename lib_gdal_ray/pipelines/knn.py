@@ -134,6 +134,156 @@ class _KnnJoiner:
         return out
 
 
+def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
+                     site_id_col: str, site_lon_col: str, site_lat_col: str,
+                     res: float = 5.0, max_ring: int = 4,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     point_id_col: str = "pid") -> ray.data.Dataset:
+    """Both-sides-large kNN: co-partition by grid cell with ring-`r`
+    site replication, refine per cell, and guarantee exactness by a
+    bound check (SURVEY §7.3 "kNN ring round 2").
+
+    Round r ∈ {1, 2, …}: sites are replicated to all cells within
+    Chebyshev ring distance r (`flat_map` explode), points keyed by
+    their own cell; one `groupby(cell)` co-partitions; per cell a
+    vectorized brute kNN runs over the gathered sites. A point's result
+    is PROVEN exact when its k-th distance ≤ (r·res)² — the minimum
+    possible distance to any site outside the searched rings.
+    Unsatisfied points re-run with doubled r (bounded by max_ring; the
+    final round accepts best-effort and reports `exact=False`).
+
+    Returns (point cols…, neighbor_id, rank, dist2, exact).
+    """
+    import pandas as pd
+
+    from ..geom import cells as cellsm
+
+    remaining = points
+    results = []
+    r = 1
+    while True:
+        final_round = (r * 2 > max_ring)
+
+        def site_explode(batch: pa.Table, rr=r) -> pa.Table:
+            sx = batch[site_lon_col].to_numpy(zero_copy_only=False)
+            sy = batch[site_lat_col].to_numpy(zero_copy_only=False)
+            sid = batch[site_id_col].to_numpy(zero_copy_only=False)
+            home = cellsm.grid_cell(sx, sy, res)
+            out_cell, out_idx = [], []
+            for i, c in enumerate(home):
+                covered = [cellsm.ring_cells(int(c), rad, res) for rad in range(rr + 1)]
+                cc = np.concatenate(covered)
+                out_cell.append(cc)
+                out_idx.append(np.full(len(cc), i, dtype=np.int64))
+            if not out_cell:
+                return pa.table({"cell": pa.array([], pa.uint64()),
+                                 "sid": pa.array([], pa.int64()),
+                                 "sx": pa.array([], pa.float64()),
+                                 "sy": pa.array([], pa.float64()),
+                                 "side": pa.array([], pa.int8())})
+            cc = np.concatenate(out_cell)
+            ii = np.concatenate(out_idx)
+            return pa.table({
+                "cell": pa.array(cc),
+                "sid": pa.array(sid[ii].astype(np.int64)),
+                "sx": pa.array(sx[ii]), "sy": pa.array(sy[ii]),
+                "side": pa.array(np.ones(len(cc), dtype=np.int8)),
+            })
+
+        def point_key(batch: pa.Table) -> pa.Table:
+            px = batch[lon_col].to_numpy(zero_copy_only=False)
+            py = batch[lat_col].to_numpy(zero_copy_only=False)
+            pid = batch[point_id_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cell": pa.array(cellsm.grid_cell(px, py, res)),
+                "sid": pa.array(pid.astype(np.int64)),  # reuse col as point id
+                "sx": pa.array(px), "sy": pa.array(py),
+                "side": pa.array(np.zeros(len(px), dtype=np.int8)),
+            })
+
+        both = remaining.map_batches(point_key, batch_format="pyarrow").union(
+            sites.map_batches(site_explode, batch_format="pyarrow"))
+
+        bound2 = (r * res) ** 2
+
+        def cell_knn(df: pd.DataFrame, fr=final_round) -> pd.DataFrame:
+            pts = df[df["side"] == 0]
+            sts = df[df["side"] == 1].drop_duplicates(subset=["sid"])
+            empty = pd.DataFrame({
+                "pid": pd.Series(dtype=np.int64),
+                "neighbor_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int32),
+                "dist2": pd.Series(dtype=np.float64),
+                "exact": pd.Series(dtype=bool),
+            })
+            if len(pts) == 0:
+                return empty
+            if len(sts) == 0:
+                if not fr:
+                    out = pts[["sid"]].rename(columns={"sid": "pid"}).copy()
+                    out["neighbor_id"] = -1
+                    out["rank"] = np.int32(0)
+                    out["dist2"] = np.inf
+                    out["exact"] = False
+                    return out
+                return empty
+            sx = sts["sx"].to_numpy()
+            sy = sts["sy"].to_numpy()
+            sid = sts["sid"].to_numpy(dtype=np.int64)
+            order = np.argsort(sid, kind="stable")
+            sx, sy, sid = sx[order], sy[order], sid[order]
+            px = pts["sx"].to_numpy()
+            py = pts["sy"].to_numpy()
+            kk = min(k, len(sid))
+            d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(len(px))[:, None]
+            topd = d2[rows, top]
+            kth = topd[:, -1]
+            exact = (kth <= bound2) & (kk == k)
+            return pd.DataFrame({
+                "pid": np.repeat(pts["sid"].to_numpy(dtype=np.int64), kk),
+                "neighbor_id": sid[top].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(px)),
+                "dist2": topd.ravel(),
+                "exact": np.repeat(exact | fr, kk),
+            })
+
+        round_out = both.groupby("cell").map_groups(cell_knn, batch_format="pandas")
+        round_out = round_out.materialize()
+        ok = round_out.map_batches(
+            lambda t: t.filter(pa.compute.and_(t["exact"],
+                                               pa.compute.not_equal(t["rank"], 0))),
+            batch_format="pyarrow")
+        results.append(ok)
+        bad = round_out.map_batches(
+            lambda t: t.filter(pa.compute.invert(t["exact"])), batch_format="pyarrow")
+        bad_ids = set()
+        for b in bad.iter_batches(batch_format="pyarrow"):
+            bad_ids.update(b["pid"].to_pylist())
+        if not bad_ids or final_round:
+            break
+        bad_ref = ray.put(np.sort(np.asarray(list(bad_ids), dtype=np.int64)))
+
+        class KeepBad:
+            def __init__(self, wrapped):
+                self.ids = ray.get(wrapped["ref"])
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                pid = batch[point_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                return batch.filter(pa.array(np.isin(pid, self.ids)))
+
+        remaining = points.map_batches(KeepBad, batch_format="pyarrow",
+                                       fn_constructor_args=({"ref": bad_ref},),
+                                       concurrency=(1, 4))
+        r *= 2
+
+    out = results[0]
+    for extra in results[1:]:
+        out = out.union(extra)
+    return out
+
+
 def knn_join(points: ray.data.Dataset, sites: pa.Table, k: int,
              site_id_col: str, site_lon_col: str, site_lat_col: str,
              res: float = 5.0,

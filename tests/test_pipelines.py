@@ -299,3 +299,31 @@ class TestRelational:
         assert out["n"].iloc[0] == want["n"].iloc[0]
         assert abs(out["s"].iloc[0] - want["s"].iloc[0]) < 1e-2
         assert abs(out["sd"].iloc[0] - want["sd"].iloc[0]) < 1e-2
+
+
+class TestShuffleKnn:
+    def test_vs_brute(self):
+        pts = make_points(400, seed=31)
+        pts = pts.append_column("pid2", pts["pid"])  # unused extra col ok
+        rng = np.random.default_rng(32)
+        ns = 300
+        sites_tbl = pa.table({
+            "site_id": pa.array(np.arange(ns, dtype=np.int64)),
+            "slon": pa.array(rng.uniform(-179, 179, ns)),
+            "slat": pa.array(rng.uniform(-84, 84, ns)),
+        })
+        from lib_gdal_ray.pipelines.knn import shuffle_knn_join
+
+        out = shuffle_knn_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(sites_tbl), 3,
+            "site_id", "slon", "slat", res=20.0, max_ring=16,
+            point_id_col="pid").to_pandas()
+        px, py = pts["lon"].to_numpy(), pts["lat"].to_numpy()
+        sx, sy = sites_tbl["slon"].to_numpy(), sites_tbl["slat"].to_numpy()
+        assert set(out["pid"]) == set(range(400))
+        for i in range(0, 400, 7):
+            d2 = (sx - px[i]) ** 2 + (sy - py[i]) ** 2
+            want = np.lexsort((np.arange(ns), d2))[:3]
+            sub = out[out["pid"] == i].sort_values("rank")
+            assert list(sub["neighbor_id"]) == list(want), f"pid {i}"
+            assert sub["exact"].all()
