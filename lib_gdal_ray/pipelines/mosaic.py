@@ -69,6 +69,153 @@ def mosaic(datasets: Sequence[ray.data.Dataset]) -> ray.data.Dataset:
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def warp_bilinear(pixels: ray.data.Dataset, dst_z: int,
+                  tile_size: int = 256) -> ray.data.Dataset:
+    """Up-zoom re-grid with bilinear resampling (gdalwarp GRA_Bilinear):
+    every destination pixel center samples the source grid bilinearly.
+
+    Implementation: destination pixel probes explode to their 4 source
+    corners with weights; ONE `groupby(src pix)` matches probes to
+    source values; a second tiny `groupby(dst pix)` sums weight×value
+    (the same co-partition pattern as interpolate_at_points, fully
+    vectorized). Destination extent = children of the source pixels.
+    Weights renormalize at sparse edges (missing corners drop out)."""
+    import pandas as pd
+
+    dz_probe = dst_z
+
+    def probes(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        z, gpx, gpy = unpack_pixel(pix)
+        if len(z) == 0:
+            return pa.table({"spix": pa.array([], pa.uint64()),
+                             "dpix": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.float64()),
+                             "pv": pa.array([], pa.float64()),
+                             "side": pa.array([], pa.int8())})
+        dz = dst_z - int(z[0])
+        if dz <= 0:
+            raise ValueError("warp_bilinear is the up-zoom path; use "
+                             "warp_nearest for down-zoom")
+        scale = 1 << dz
+        # destination pixels under each source pixel (scale² children)
+        offs = np.arange(scale)
+        ox, oy = np.meshgrid(offs, offs, indexing="ij")
+        ox, oy = ox.ravel(), oy.ravel()
+        n = len(gpx)
+        m = len(ox)
+        dgx = (gpx[:, None] * scale + ox[None, :]).ravel()
+        dgy = (gpy[:, None] * scale + oy[None, :]).ravel()
+        # source-grid fractional coords of each dst center
+        fx = (dgx + 0.5) / scale - 0.5
+        fy = (dgy + 0.5) / scale - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        parts = []
+        dpix = pack_pixel(dst_z, dgx, dgy)
+        for dx, dy, w in ((0, 0, (1 - tx) * (1 - ty)), (1, 0, tx * (1 - ty)),
+                          (0, 1, (1 - tx) * ty), (1, 1, tx * ty)):
+            sxc = x0 + dx
+            syc = y0 + dy
+            ok = (sxc >= 0) & (syc >= 0) & (w > 0)
+            parts.append(pa.table({
+                "spix": pa.array(pack_pixel(int(z[0]), np.maximum(sxc, 0),
+                                            np.maximum(syc, 0))),
+                "dpix": pa.array(dpix),
+                "w": pa.array(w),
+                "pv": pa.array(np.zeros(len(w))),
+                "side": pa.array(np.ones(len(w), dtype=np.int8)),
+            }).filter(pa.array(ok)))
+        return pa.concat_tables(parts)
+
+    def src_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "spix": batch["pix_id"],
+            "dpix": pa.array(np.zeros(n, dtype=np.uint64)),
+            "w": pa.array(np.zeros(n)),
+            "pv": pa.array(batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    both = pixels.map_batches(probes, batch_format="pyarrow").union(
+        pixels.map_batches(src_rows, batch_format="pyarrow"))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[df["side"] == 0]
+        prb = df[df["side"] == 1]
+        if len(vals) == 0 or len(prb) == 0:
+            return pd.DataFrame({"dpix": pd.Series(dtype=np.uint64),
+                                 "wv": pd.Series(dtype=np.float64),
+                                 "w": pd.Series(dtype=np.float64)})
+        v = float(vals["pv"].iloc[0])
+        w = prb["w"].to_numpy()
+        return pd.DataFrame({"dpix": prb["dpix"].to_numpy(dtype=np.uint64),
+                             "wv": w * v, "w": w})
+
+    matched = both.groupby("spix").map_groups(match, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    agg = matched.groupby("dpix").aggregate(Sum("wv", alias_name="wv"),
+                                            Sum("w", alias_name="w"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        wv = batch["wv"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"pix_id": batch["dpix"],
+                         "burn": pa.array(wv / np.maximum(w, 1e-300))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def pansharpen(pan: ray.data.Dataset, bands: List[ray.data.Dataset]
+               ) -> ray.data.Dataset:
+    """Brovey weighted fusion (`alg/gdalpansharpen.cpp`): each band is
+    scaled by pan / (mean of bands) per pixel. Bands and pan must share
+    the pixel grid. One shuffle: hot-one side columns co-partition all
+    inputs; output rows (pix_id, band, burn)."""
+    n = len(bands)
+
+    def tag(i: int):  # i == n → pan
+        def fn(batch: pa.Table) -> pa.Table:
+            burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols = {"pix_id": batch["pix_id"]}
+            for j in range(n + 1):
+                zero = np.zeros_like(burn)
+                cols[f"v{j}"] = pa.array(burn if j == i else zero)
+            return pa.table(cols)
+        return fn
+
+    tagged = bands[0].map_batches(tag(0), batch_format="pyarrow")
+    for i in range(1, n):
+        tagged = tagged.union(bands[i].map_batches(tag(i), batch_format="pyarrow"))
+    tagged = tagged.union(pan.map_batches(tag(n), batch_format="pyarrow"))
+
+    from ray.data.aggregate import Sum
+
+    merged = tagged.groupby("pix_id").aggregate(
+        *[Sum(f"v{j}", alias_name=f"v{j}") for j in range(n + 1)])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        vs = [batch[f"v{j}"].to_numpy(zero_copy_only=False) for j in range(n)]
+        p = batch[f"v{n}"].to_numpy(zero_copy_only=False)
+        mean = sum(vs) / n
+        ratio = np.divide(p, mean, out=np.zeros_like(p), where=mean != 0)
+        parts = []
+        for j in range(n):
+            parts.append(pa.table({
+                "pix_id": batch["pix_id"],
+                "band": pa.array(np.full(len(p), j, dtype=np.int32)),
+                "burn": pa.array(vs[j] * ratio),
+            }))
+        return pa.concat_tables(parts)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def warp_nearest(pixels: ray.data.Dataset, dst_z: int,
                  tile_size: int = 256, merge: str = "mean") -> ray.data.Dataset:
     """Re-grid sparse pixels to another zoom (nearest / center-sampled).

@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from lib_gdal_ray.pipelines.mosaic import mosaic, warp_nearest
@@ -70,3 +71,43 @@ class TestSelect:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""").df()
         np.testing.assert_array_equal(out["o_orderkey"].to_numpy(),
                                       want["o_orderkey"].to_numpy())
+
+
+class TestWarpBilinear:
+    def test_linear_surface_exact(self):
+        # bilinear up-zoom of an affine surface reproduces the surface at
+        # the destination pixel centers exactly (interior pixels)
+        coords = [(x, y, 3.0 * x + 2.0 * y) for x in range(10, 20) for y in range(10, 20)]
+        src = px_ds(coords, z=2)
+        from lib_gdal_ray.pipelines.mosaic import warp_bilinear
+
+        out = to_dict(warp_bilinear(src, 3))
+        for (dgx, dgy), v in out.items():
+            fx = (dgx + 0.5) / 2 - 0.5
+            fy = (dgy + 0.5) / 2 - 0.5
+            if 10 <= fx <= 18.9 and 10 <= fy <= 18.9:  # full 4-corner support
+                np.testing.assert_allclose(v, 3.0 * fx + 2.0 * fy, rtol=1e-12)
+
+    def test_downzoom_rejected(self):
+        from lib_gdal_ray.pipelines.mosaic import warp_bilinear
+
+        src = px_ds([(4, 4, 1.0)], z=3)
+        with pytest.raises(Exception):
+            warp_bilinear(src, 2).to_pandas()
+
+
+class TestPansharpen:
+    def test_brovey(self):
+        from lib_gdal_ray.pipelines.mosaic import pansharpen
+
+        b0 = px_ds([(0, 0, 2.0), (1, 0, 4.0)])
+        b1 = px_ds([(0, 0, 6.0), (1, 0, 4.0)])
+        pan = px_ds([(0, 0, 8.0), (1, 0, 2.0)])
+        out = pansharpen(pan, [b0, b1]).to_pandas()
+        from lib_gdal_ray.pipelines.rasterize import unpack_pixel
+
+        z, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        got = {(int(x), int(b)): v for x, b, v in zip(gx, out["band"], out["burn"])}
+        # pixel (0,0): mean=4, ratio=2 -> b0=4, b1=12; pixel (1,0): mean=4, ratio=0.5
+        assert got[(0, 0)] == 4.0 and got[(0, 1)] == 12.0
+        assert got[(1, 0)] == 2.0 and got[(1, 1)] == 2.0
