@@ -137,6 +137,19 @@ def covering_grid(xmin, ymin, xmax, ymax, res: float):
     return offsets, cells
 
 
+def zorder_key(ix: np.ndarray, iy: np.ndarray, bits: int = 24) -> np.ndarray:
+    """Morton/Z-order interleave of two grid indices — the spatial sort
+    key used before partitioned writes (FlatGeobuf packed-Hilbert/Z
+    ordering analog, `ogr/ogrsf_frmts/flatgeobuf/packedrtree.h:78`)."""
+    x = np.asarray(ix, dtype=np.uint64)
+    y = np.asarray(iy, dtype=np.uint64)
+    out = np.zeros(len(x), dtype=np.uint64)
+    for b in range(bits):
+        bit = np.uint64(1) << np.uint64(b)
+        out |= ((x & bit) << np.uint64(b)) | ((y & bit) << np.uint64(b + 1))
+    return out
+
+
 def ring_cells(cell: int, k: int, res: float) -> np.ndarray:
     """Cells at Chebyshev distance exactly k from `cell` (k=0 -> itself).
 

@@ -212,6 +212,64 @@ def focal(pixels: ray.data.Dataset, kernel: str,
     return st.map_batches(compute, batch_format="pyarrow")
 
 
+def focal_nxn(pixels: ray.data.Dataset, radius: int = 1, op: str = "mean",
+              full_only: bool = False) -> ray.data.Dataset:
+    """Generic (2r+1)×(2r+1) neighbor aggregation
+    (`apps/gdalalg_raster_neighbors.cpp`): op in mean|sum|min|max.
+
+    Symmetric aggregations need only ONE value column: each pixel
+    scatters its value to every neighbor position; one `groupby(pix)`
+    reduces. full_only keeps pixels with a complete window."""
+    if op not in ("mean", "sum", "min", "max"):
+        raise ValueError("op must be mean|sum|min|max")
+    side = 2 * radius + 1
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z, gpx, gpy = unpack_pixel(pix)
+        n = len(pix)
+        zval = int(z[0]) if n else 0
+        lim = np.int64(1) << np.int64(29)
+        tgt, keep, vals = [], [], []
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                tx, ty = gpx + dx, gpy + dy
+                keep.append((tx >= 0) & (ty >= 0) & (tx < lim) & (ty < lim))
+                tgt.append(pack_pixel(zval, np.clip(tx, 0, lim - 1),
+                                      np.clip(ty, 0, lim - 1)))
+                vals.append(burn)
+        t = pa.table({
+            "pix_id": pa.array(np.concatenate(tgt) if n else np.empty(0, np.uint64)),
+            "v": pa.array(np.concatenate(vals) if n else np.empty(0, np.float64)),
+            "c": pa.array(np.ones(n * side * side)),
+        })
+        return t.filter(pa.array(np.concatenate(keep) if n else np.empty(0, bool)))
+
+    scattered = pixels.map_batches(scatter, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    if op in ("mean", "sum"):
+        agg = scattered.groupby("pix_id").aggregate(Sum("v", alias_name="v"),
+                                                    Sum("c", alias_name="c"))
+    else:
+        a = Min if op == "min" else Max
+        agg = scattered.groupby("pix_id").aggregate(a("v", alias_name="v"),
+                                                    Sum("c", alias_name="c"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        out = v / c if op == "mean" else v
+        t = pa.table({"pix_id": batch["pix_id"], "burn": pa.array(out)})
+        if full_only:
+            t = t.filter(pa.array(c >= side * side))
+        return t
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Histogram / band stats
 # ---------------------------------------------------------------------------

@@ -131,3 +131,30 @@ class TestHistogramStats:
         assert st["n"].iloc[0] == 3
         assert st["min_v"].iloc[0] == 2.0 and st["max_v"].iloc[0] == 6.0
         np.testing.assert_allclose(st["mean_v"].iloc[0], 4.0)
+
+
+class TestFocalNxN:
+    @pytest.mark.parametrize("op,radius", [("mean", 1), ("sum", 2), ("min", 1), ("max", 2)])
+    def test_vs_dense(self, op, radius):
+        rng = np.random.default_rng(7)
+        grid = rng.uniform(1, 9, (20, 20))
+        out = rc.focal_nxn(pixels_from_grid(grid), radius=radius, op=op,
+                           full_only=True).to_pandas()
+        zz, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        side = 2 * radius + 1
+        fn = {"mean": np.mean, "sum": np.sum, "min": np.min, "max": np.max}[op]
+        for x, y, v in zip(gx, gy, out["burn"]):
+            assert radius <= x < 20 - radius and radius <= y < 20 - radius
+            w = grid[y - radius:y + radius + 1, x - radius:x + radius + 1]
+            np.testing.assert_allclose(v, fn(w), rtol=1e-12)
+
+
+class TestZorder:
+    def test_interleave_locality(self):
+        from lib_gdal_ray.geom.cells import zorder_key
+
+        k = zorder_key(np.asarray([0, 1, 0, 1]), np.asarray([0, 0, 1, 1]))
+        assert list(k) == [0, 1, 2, 3]
+        # monotone blocks: keys of a 2x2 block are contiguous
+        k2 = zorder_key(np.asarray([2, 3, 2, 3]), np.asarray([2, 2, 3, 3]))
+        assert sorted(k2) == list(range(12, 16))
