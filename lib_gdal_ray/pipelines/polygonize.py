@@ -239,6 +239,29 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
                                concurrency=(1, 8))
 
 
+def polygonize_wkb(pixels: ray.data.Dataset, connectivity: int = 4,
+                   tile_size: int = 256) -> ray.data.Dataset:
+    """Full polygonize: region rows with traced WKB polygon geometry
+    (outer ring + holes, pixel coordinates — `geom/rings.py`, the
+    edge-cancel equivalent of GDAL's two-arm follower,
+    `alg/polygonize_polygonizer.cpp`)."""
+    from ..geom.rings import region_to_wkb
+
+    relabeled = label_connected_components(pixels, connectivity, tile_size)
+
+    def to_poly(df: pd.DataFrame) -> pd.DataFrame:
+        gpx = df["gpx"].to_numpy(dtype=np.int64)
+        gpy = df["gpy"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "region_id": [np.uint64(df["region_id"].iloc[0])],
+            "value": [float(df["value"].iloc[0])],
+            "n_pixels": [len(df)],
+            "geometry": [region_to_wkb(gpx, gpy)],
+        })
+
+    return relabeled.groupby("region_id").map_groups(to_poly, batch_format="pandas")
+
+
 def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
                tile_size: int = 256) -> ray.data.Dataset:
     """Sparse pixel rows (pix_id, burn) → region rows
