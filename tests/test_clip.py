@@ -1,0 +1,70 @@
+"""Polygon clipping vs area oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from lib_gdal_ray.geom import wkb
+from lib_gdal_ray.geom.clip import clip_ring_to_box, clip_to_box, clip_wkb_to_box
+from lib_gdal_ray.stages.geom_ops import wkb_centroid_area
+
+
+def square(x0, y0, x1, y1):
+    return np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def area_of(buf):
+    return wkb_centroid_area(buf)[2]
+
+
+def test_box_box_intersection():
+    buf = wkb.polygon_to_wkb([square(0, 0, 10, 10)])
+    out = clip_wkb_to_box(buf, 5, 5, 20, 20)
+    assert abs(area_of(out) - 25.0) < 1e-12
+
+
+def test_fully_inside_unchanged():
+    buf = wkb.polygon_to_wkb([square(2, 2, 4, 4)])
+    out = clip_wkb_to_box(buf, 0, 0, 10, 10)
+    kind, rings = wkb.parse_wkb(out)
+    assert abs(area_of(out) - 4.0) < 1e-12
+
+
+def test_fully_outside_dropped():
+    buf = wkb.polygon_to_wkb([square(20, 20, 30, 30)])
+    assert clip_wkb_to_box(buf, 0, 0, 10, 10) is None
+
+
+def test_triangle_clip_area():
+    tri = np.asarray([[0, 0], [10, 0], [0, 10], [0, 0]], float)
+    buf = wkb.polygon_to_wkb([tri])
+    out = clip_wkb_to_box(buf, 0, 0, 5, 100)
+    # clipped region: trapezoid x in [0,5] under y = 10 - x → area 37.5
+    assert abs(area_of(out) - 37.5) < 1e-9
+
+
+def test_hole_clipped():
+    outer = square(0, 0, 10, 10)
+    hole = square(4, 4, 6, 6)
+    buf = wkb.polygon_to_wkb([outer, hole])
+    out = clip_wkb_to_box(buf, 0, 0, 5, 5)
+    # outer clipped to 25; hole contributes its overlap 1 → 24
+    assert abs(area_of(out) - 24.0) < 1e-9
+
+
+def test_point_semantics():
+    p_in = wkb.points_to_wkb(np.asarray([1.0]), np.asarray([1.0]))[0]
+    p_out = wkb.points_to_wkb(np.asarray([99.0]), np.asarray([1.0]))[0]
+    assert clip_wkb_to_box(p_in, 0, 0, 10, 10) == p_in
+    assert clip_wkb_to_box(p_out, 0, 0, 10, 10) is None
+
+
+def test_stage_drops_and_rewrites():
+    bufs = [wkb.polygon_to_wkb([square(0, 0, 4, 4)]),
+            wkb.polygon_to_wkb([square(100, 100, 104, 104)])]
+    ds = ray.data.from_arrow(pa.table({
+        "gid": pa.array([1, 2], type=pa.int64()),
+        "geometry": pa.array(bufs, type=pa.binary())}))
+    out = clip_to_box(ds, 2, 2, 10, 10).to_pandas()
+    assert list(out["gid"]) == [1]
+    assert abs(area_of(out["geometry"].iloc[0]) - 4.0) < 1e-12
