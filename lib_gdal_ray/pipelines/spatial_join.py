@@ -186,6 +186,76 @@ def broadcast_pip_join(points: ray.data.Dataset, polygons: pa.Table,
     )
 
 
+class _BoxIntersectionJoiner:
+    """Layer-algebra Intersection with geometry output for a box method
+    layer (`ogrlayer.cpp:5204-5448`): candidate boxes by cell index,
+    output geometry = input polygon clipped to the box (exact for the
+    convex clipper — geom/clip.py), KEEP_LOWER_DIMENSION_GEOMETRIES
+    False semantics (degenerate clips drop)."""
+
+    def __init__(self, wrapped_ref, res, poly_cols):
+        from ..geom.clip import clip_wkb_to_box
+
+        self._clip = clip_wkb_to_box
+        self.table = ray.get(wrapped_ref["ref"])
+        self.bbox = wkb.wkb_bbox(self.table["geometry"].to_numpy(zero_copy_only=False))
+        self.index = PolygonCellIndex(self.table, "geometry", res)
+        self.poly_cols = poly_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.geom_ops import wkb_centroid_area
+
+        bufs = batch["geometry"].to_numpy(zero_copy_only=False)
+        in_bbox = wkb.wkb_bbox(bufs)
+        out_rows, out_zone, out_geom, out_area = [], [], [], []
+        for i, b in enumerate(bufs):
+            xmin, ymin, xmax, ymax = in_bbox[i]
+            from ..geom import cells as cellsm
+
+            offs, cand_cells = cellsm.covering_grid(
+                np.asarray([xmin]), np.asarray([ymin]),
+                np.asarray([xmax]), np.asarray([ymax]), self.index.res)
+            cands = set()
+            for c in cand_cells:
+                cands.update(self.index.candidates(int(c)).tolist())
+            for zi in sorted(cands):
+                zxmin, zymin, zxmax, zymax = self.bbox[zi]
+                if xmax < zxmin or xmin > zxmax or ymax < zymin or ymin > zymax:
+                    continue
+                clipped = self._clip(b, zxmin, zymin, zxmax, zymax)
+                if clipped is None:
+                    continue
+                _cx, _cy, area = wkb_centroid_area(clipped)
+                if area <= 0:
+                    continue
+                out_rows.append(i)
+                out_zone.append(zi)
+                out_geom.append(clipped)
+                out_area.append(area)
+        out = batch.take(pa.array(np.asarray(out_rows, dtype=np.int64)))
+        out = out.drop_columns(["geometry"])
+        out = out.append_column("geometry", pa.array(out_geom, type=pa.binary()))
+        out = out.append_column("intersection_area", pa.array(out_area))
+        for c in self.poly_cols:
+            out = out.append_column(
+                c, self.table[c].take(pa.array(np.asarray(out_zone, dtype=np.int64))))
+        return out
+
+
+def broadcast_box_intersection(polys: ray.data.Dataset, boxes: pa.Table,
+                               box_cols: Sequence[str], res: float = 5.0,
+                               concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                               ) -> ray.data.Dataset:
+    """Polygon-input × box-method-layer Intersection: one row per
+    overlapping (polygon, box) with the clipped geometry and its area.
+    `boxes` must carry box polygons in a `geometry` WKB column."""
+    ref = ray.put(boxes)
+    return polys.map_batches(
+        _BoxIntersectionJoiner, batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, res, list(box_cols)),
+        concurrency=concurrency)
+
+
 # ---------------------------------------------------------------------------
 # Shuffle variant (both sides large)
 # ---------------------------------------------------------------------------

@@ -68,3 +68,43 @@ def test_stage_drops_and_rewrites():
     out = clip_to_box(ds, 2, 2, 10, 10).to_pandas()
     assert list(out["gid"]) == [1]
     assert abs(area_of(out["geometry"].iloc[0]) - 4.0) < 1e-12
+
+
+class TestBoxIntersectionJoin:
+    def test_polygon_box_overlay(self):
+        from lib_gdal_ray.functions import derive
+        from lib_gdal_ray.pipelines.spatial_join import broadcast_box_intersection
+
+        # input polygons: squares straddling zone boxes
+        nk = np.arange(25, dtype=np.int64)
+        xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+        boxes = pa.table({
+            "zone_id": pa.array(nk),
+            "geometry": pa.array([wkb.box_to_wkb(float(a), float(b), float(c), float(d))
+                                  for a, b, c, d in zip(xmin, ymin, xmax, ymax)],
+                                 type=pa.binary()),
+        })
+        rng = np.random.default_rng(17)
+        polys = []
+        for i in range(60):
+            cx, cy = rng.uniform(-160, 160), rng.uniform(-70, 70)
+            s = rng.uniform(2, 12)
+            polys.append(wkb.polygon_to_wkb([square(cx - s, cy - s, cx + s, cy + s)]))
+        ds = ray.data.from_arrow(pa.table({
+            "gid": pa.array(np.arange(60, dtype=np.int64)),
+            "geometry": pa.array(polys, type=pa.binary())}))
+        out = broadcast_box_intersection(ds, boxes, ["zone_id"], res=10.0).to_pandas()
+        # oracle: rectangle-rectangle intersection areas
+        in_bb = wkb.wkb_bbox(np.asarray(polys, dtype=object))
+        want = {}
+        for i in range(60):
+            for z in range(25):
+                w = min(in_bb[i, 2], xmax[z]) - max(in_bb[i, 0], xmin[z])
+                h = min(in_bb[i, 3], ymax[z]) - max(in_bb[i, 1], ymin[z])
+                if w > 0 and h > 0:
+                    want[(i, z)] = w * h
+        got = {(int(r["gid"]), int(r["zone_id"])): r["intersection_area"]
+               for _, r in out.iterrows()}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
