@@ -64,6 +64,21 @@ SQL_ZONE_YMIN = "(((n_nationkey * 73 + 11) % 160) - 80) - (4 + n_nationkey % 7)"
 SQL_ZONE_YMAX = "(((n_nationkey * 73 + 11) % 160) - 80) + (4 + n_nationkey % 7)"
 
 
+def part_boxes(partkey: np.ndarray):
+    """Input-side boxes for the overlay join (from part keys; exact ints)."""
+    k = np.asarray(partkey, dtype=np.int64)
+    cx = ((k * 37) % 340) - 170
+    cy = ((k * 53) % 160) - 80
+    h = 2 + (k % 9)
+    return cx - h, cy - h, cx + h, cy + h
+
+
+SQL_PART_XMIN = "(((p_partkey * 37) % 340) - 170) - (2 + p_partkey % 9)"
+SQL_PART_XMAX = "(((p_partkey * 37) % 340) - 170) + (2 + p_partkey % 9)"
+SQL_PART_YMIN = "(((p_partkey * 53) % 160) - 80) - (2 + p_partkey % 9)"
+SQL_PART_YMAX = "(((p_partkey * 53) % 160) - 80) + (2 + p_partkey % 9)"
+
+
 def zone_polygon_rings(nationkey: int):
     """A non-rectangular deterministic polygon per zone (for PIP
     ray-casting tests; not SQL-expressible): a 12-gon inscribed in the

@@ -875,6 +875,62 @@ def q_proximity(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def q_intersection_overlay(sf_dir):
+    """Layer-algebra Intersection with geometry output: part-derived
+    boxes × zone boxes, clipped geometry + exact intersection areas."""
+    from .spatial_join import broadcast_box_intersection
+
+    parts = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def geo(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        xmin, ymin, xmax, ymax = derive.part_boxes(k)
+        geoms = [wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                 for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+        return batch.append_column("geometry", pa.array(geoms, type=pa.binary()))
+
+    polys = parts.map_batches(geo, batch_format="pyarrow")
+    out = broadcast_box_intersection(polys, zone_table(sf_dir), ["zone_id"], res=10.0)
+    return out.select_columns(["p_partkey", "zone_id", "intersection_area"])
+
+
+SQL_INTERSECTION = f"""
+WITH pb AS (SELECT p_partkey,
+    CAST({derive.SQL_PART_XMIN} AS DOUBLE) AS xmin,
+    CAST({derive.SQL_PART_XMAX} AS DOUBLE) AS xmax,
+    CAST({derive.SQL_PART_YMIN} AS DOUBLE) AS ymin,
+    CAST({derive.SQL_PART_YMAX} AS DOUBLE) AS ymax FROM part)
+SELECT p_partkey, zone_id,
+       (least(pb.xmax, z.xmax) - greatest(pb.xmin, z.xmin))
+       * (least(pb.ymax, z.ymax) - greatest(pb.ymin, z.ymin)) AS intersection_area
+FROM pb, {_ZONES_SQL} z
+WHERE least(pb.xmax, z.xmax) > greatest(pb.xmin, z.xmin)
+  AND least(pb.ymax, z.ymax) > greatest(pb.ymin, z.ymin)
+"""
+
+
+def q_clip_geometry(sf_dir):
+    """ogr2ogr -clipsrc: zone boxes clipped to a fixed window; exact
+    clipped areas (rows with empty clip drop)."""
+    from ..geom.clip import clip_to_box
+    from ..stages.geom_ops import centroid_area
+
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    clipped = clip_to_box(zones, -60.0, -40.0, 80.0, 60.0)
+    out = centroid_area(clipped, "geometry")
+    return out.select_columns(["zone_id", "area"])
+
+
+SQL_CLIP_GEOM = f"""
+SELECT zone_id,
+       (least(z.xmax, 80.0) - greatest(z.xmin, -60.0))
+       * (least(z.ymax, 60.0) - greatest(z.ymin, -40.0)) AS area
+FROM {_ZONES_SQL} z
+WHERE least(z.xmax, 80.0) > greatest(z.xmin, -60.0)
+  AND least(z.ymax, 60.0) > greatest(z.ymin, -40.0)
+"""
+
+
 def q_viewshed(sf_dir):
     """Viewshed counts for supplier-derived observers over the analytic
     DEM window (rows-only; LoS oracles in tests/test_viewshed.py)."""
@@ -999,6 +1055,8 @@ QUERIES = {
     "contour": (q_contour, None),
     "sieve_filter": (q_sieve, None),
     "viewshed": (q_viewshed, None),
+    "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
+    "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
     "mosaic_warp": (q_mosaic_warp, None),
     "proximity_dist": (q_proximity, None),
     # documents / embeddings
