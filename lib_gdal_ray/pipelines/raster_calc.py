@@ -275,6 +275,71 @@ def focal_nxn(pixels: ray.data.Dataset, radius: int = 1, op: str = "mean",
 # ---------------------------------------------------------------------------
 
 
+def nearblack_collar(pixels: ray.data.Dataset, window,
+                     tolerance: float = 0.0,
+                     tile_size: int = 256) -> ray.data.Dataset:
+    """Nearblack / clean-collar: near-black pixels CONNECTED TO the
+    window edge (the scan collar), per `apps/nearblack_lib.cpp` /
+    `gdalalg_raster_clean_collar.cpp` (flood from edges).
+
+    window = (gx0, gy0, gx1, gy1) half-open pixel bounds of the image.
+    Returns the collar pixel rows (pix_id, burn) — callers subtract
+    them (set nodata/alpha). Distributed shape: threshold filter →
+    connected components (label_connected_components) → keep regions
+    whose bbox touches the window border (a region touches the edge
+    iff its bbox does, for edge-flood purposes)."""
+    gx0, gy0, gx1, gy1 = window
+
+    def near_black(batch: pa.Table) -> pa.Table:
+        burn = batch["burn"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.abs(burn) <= tolerance))
+
+    dark = pixels.map_batches(near_black, batch_format="pyarrow")
+
+    from .polygonize import label_connected_components
+
+    labeled = label_connected_components(dark, 4, tile_size).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    regions = (labeled.groupby("region_id")
+               .aggregate(Min("gpx", alias_name="x0"), Min("gpy", alias_name="y0"),
+                          Max("gpx", alias_name="x1"), Max("gpy", alias_name="y1"))
+               .to_pandas())
+    if len(regions) == 0 or "x0" not in regions.columns:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"pix_id": pa.array([], pa.uint64()),
+                                        "burn": pa.array([], pa.float64())}))
+    touching = regions[(regions["x0"] <= gx0) | (regions["y0"] <= gy0)
+                       | (regions["x1"] >= gx1 - 1) | (regions["y1"] >= gy1 - 1)]
+    keep = set(touching["region_id"].astype(np.uint64).map(int))
+    import ray as _ray
+
+    ref = _ray.put(np.sort(np.asarray(list(keep), dtype=np.uint64)) if keep
+                   else np.empty(0, dtype=np.uint64))
+
+    class KeepCollar:
+        def __init__(self, wrapped):
+            self.ids = _ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            reg = batch["region_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            m = np.isin(reg, self.ids)
+            sub = batch.filter(pa.array(m))
+            gpx = sub["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gpy = sub["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            zz = sub["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "pix_id": pa.array(pack_pixel(int(zz[0]) if len(zz) else 0, gpx, gpy)),
+                "burn": sub["value"],
+            })
+
+    return labeled.map_batches(KeepCollar, batch_format="pyarrow",
+                               fn_constructor_args=({"ref": ref},),
+                               concurrency=(1, 4))
+
+
 def pixel_histogram(pixels: ray.data.Dataset, vmin: float, vmax: float,
                     n_bins: int) -> ray.data.Dataset:
     """Fixed-bucket histogram of pixel values (GDALGetHistogram

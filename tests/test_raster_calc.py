@@ -158,3 +158,30 @@ class TestZorder:
         # monotone blocks: keys of a 2x2 block are contiguous
         k2 = zorder_key(np.asarray([2, 3, 2, 3]), np.asarray([2, 2, 3, 3]))
         assert sorted(k2) == list(range(12, 16))
+
+
+class TestNearblack:
+    def test_collar_vs_interior_black(self):
+        # image 20x20: black frame 2px wide (collar), black 3x3 blob in the
+        # middle (NOT collar), gray elsewhere
+        grid = np.full((20, 20), 5.0)
+        grid[:2, :] = 0.0
+        grid[-2:, :] = 0.0
+        grid[:, :2] = 0.0
+        grid[:, -2:] = 0.0
+        grid[9:12, 9:12] = 0.0
+        # encode zeros explicitly (sparse rep drops zeros -> use value 0 kept
+        # via pixels_from_grid on grid+1 trick): shift values by +1
+        ds = pixels_from_grid(grid + 1.0)
+        out = rc.nearblack_collar(ds, (0, 0, 20, 20), tolerance=1.0).to_pandas()
+        zz, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        got = {(int(x), int(y)) for x, y in zip(gx, gy)}
+        want = {(x, y) for x in range(20) for y in range(20)
+                if x < 2 or x >= 18 or y < 2 or y >= 18}
+        assert got == want  # frame yes, interior blob no
+
+    def test_no_collar(self):
+        grid = np.full((10, 10), 7.0)
+        out = rc.nearblack_collar(pixels_from_grid(grid), (0, 0, 10, 10),
+                                  tolerance=0.5).to_pandas()
+        assert len(out) == 0
