@@ -77,7 +77,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings = {}
     bench_queries = ["pricing_summary", "bbox_join", "knn", "reproject",
                      "rasterize_tiles", "tile_overview", "zonal_stats",
-                     "dedup_documents", "token_stats", "ann_topk", "minhash_near_dup"]
+                     "dedup_documents", "token_stats", "ann_topk", "minhash_near_dup",
+                     "grid_idw", "intersection_overlay", "raster_calc_ratio",
+                     "where_filter", "media_features"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

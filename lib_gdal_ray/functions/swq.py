@@ -284,6 +284,13 @@ def _eval(node, table: pa.Table):
     if op == "lit":
         return pa.scalar(node[1])
     if op == "col":
+        if node[1] == "OGR_GEOM_AREA" and "geometry" in table.column_names:
+            # OGR special field (ogr/ogrfeaturequery.cpp:37-38): area of
+            # the feature geometry
+            from ..stages.geom_ops import wkb_centroid_area
+
+            bufs = table["geometry"].to_numpy(zero_copy_only=False)
+            return pa.array([wkb_centroid_area(b)[2] for b in bufs])
         if node[1] not in table.column_names:
             raise KeyError(f"unknown column {node[1]}")
         return table[node[1]]

@@ -117,3 +117,17 @@ class TestCast:
             f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') "
             "WHERE CAST(trunc(l_quantity) AS INTEGER) % 2 = 0").df()["n"].iloc[0]
         assert got == want
+
+
+class TestSpecialFields:
+    def test_ogr_geom_area(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from lib_gdal_ray.geom import wkb as wkb_mod
+
+        bufs = [wkb_mod.box_to_wkb(0, 0, 2, 2), wkb_mod.box_to_wkb(0, 0, 10, 10)]
+        t = pa.table({"gid": pa.array([1, 2], type=pa.int64()),
+                      "geometry": pa.array(bufs, type=pa.binary())})
+        m = compile_filter("OGR_GEOM_AREA > 50")(t)
+        assert pc.fill_null(m, False).to_pylist() == [False, True]
