@@ -1,0 +1,195 @@
+"""Multidimensional (N-D) chunked arrays as Datasets of chunk rows.
+
+Reference: the GDAL multidim model (`gcore/gdal_multidim.h:304,850` —
+GDALGroup / GDALDimension / GDALMDArray with chunked storage and
+slicing views, used by netCDF/HDF5/Zarr). SURVEY §1.3 maps it to "a
+Dataset of chunk rows keyed by N-D chunk index (same pattern as raster
+tiles, generalized key)" — this module is that mapping:
+
+* a chunk row = (chunk_id:uint64, i0..i{k-1}:int32, data:binary) where
+  data is the C-order float64 payload of one chunk (edge chunks are
+  full-size with trailing NaN padding trimmed by shape math);
+* `slice_view` = GDALMDArray::GetView — prune whole chunks against the
+  hyper-slab, then trim within surviving chunks (stateless map_batches);
+* `reduce_dim` = per-chunk partial reduction along one axis + one
+  `groupby` over the projected chunk key (the same partial+final shape
+  as the raster statistics).
+
+Up to 4 dimensions, 16 bits of chunk index each.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MAX_DIMS = 4
+
+
+def pack_chunks(idx: np.ndarray) -> np.ndarray:
+    """(N, k) chunk indices → uint64 keys (16 bits per dim)."""
+    out = np.zeros(len(idx), dtype=np.uint64)
+    for d in range(idx.shape[1]):
+        out |= idx[:, d].astype(np.uint64) << np.uint64(16 * d)
+    return out
+
+
+def unpack_chunks(key: np.ndarray, k: int) -> np.ndarray:
+    out = np.empty((len(key), k), dtype=np.int64)
+    for d in range(k):
+        out[:, d] = ((key.astype(np.uint64) >> np.uint64(16 * d))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def _grid(shape: Sequence[int], chunk_shape: Sequence[int]) -> List[int]:
+    return [(s + c - 1) // c for s, c in zip(shape, chunk_shape)]
+
+
+def from_function(shape: Sequence[int], chunk_shape: Sequence[int],
+                  fn: Callable[..., np.ndarray],
+                  override_num_blocks: int = None) -> ray.data.Dataset:
+    """Materialize an N-D array defined by fn(*index_arrays) -> values
+    as a Dataset of chunk rows (generated in parallel, streamed)."""
+    k = len(shape)
+    if k > MAX_DIMS:
+        raise ValueError(f"up to {MAX_DIMS} dims")
+    grid = _grid(shape, chunk_shape)
+    n_chunks = int(np.prod(grid))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_idx = np.empty((len(ids), k), dtype=np.int64)
+        rem = ids.copy()
+        for d in range(k - 1, -1, -1):
+            rows_idx[:, d] = rem % grid[d]
+            rem //= grid[d]
+        datas = []
+        for ci in rows_idx:
+            slices = []
+            for d in range(k):
+                lo = ci[d] * chunk_shape[d]
+                hi = min(lo + chunk_shape[d], shape[d])
+                slices.append(np.arange(lo, hi))
+            mesh = np.meshgrid(*slices, indexing="ij")
+            datas.append(fn(*mesh).astype("<f8").tobytes())
+        cols = {"chunk_id": pa.array(pack_chunks(rows_idx)),
+                "data": pa.array(datas, type=pa.binary())}
+        for d in range(k):
+            cols[f"i{d}"] = pa.array(rows_idx[:, d].astype(np.int32))
+        return pa.table(cols)
+
+    return ray.data.range(n_chunks, override_num_blocks=override_num_blocks) \
+        .map_batches(gen, batch_format="pyarrow")
+
+
+def _chunk_extent(ci: np.ndarray, d: int, chunk_shape, shape) -> Tuple[int, int]:
+    lo = int(ci[d]) * chunk_shape[d]
+    return lo, min(lo + chunk_shape[d], shape[d])
+
+
+def slice_view(ds: ray.data.Dataset, shape: Sequence[int],
+               chunk_shape: Sequence[int],
+               ranges: Sequence[Tuple[int, int]]) -> ray.data.Dataset:
+    """GetView([lo:hi, ...]): prune chunks outside the hyper-slab, trim
+    within surviving chunks. Output chunk rows keep ORIGINAL chunk ids
+    plus per-chunk global offsets (o0..) of the trimmed block."""
+    k = len(shape)
+
+    def trim(batch: pa.Table) -> pa.Table:
+        key = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = unpack_chunks(key, k)
+        keep_rows, datas, offs = [], [], []
+        for r in range(len(key)):
+            ci = idx[r]
+            slicers, o = [], []
+            ok = True
+            for d in range(k):
+                lo, hi = _chunk_extent(ci, d, chunk_shape, shape)
+                s0, s1 = max(lo, ranges[d][0]), min(hi, ranges[d][1])
+                if s0 >= s1:
+                    ok = False
+                    break
+                slicers.append(slice(s0 - lo, s1 - lo))
+                o.append(s0)
+            if not ok:
+                continue
+            dims = [min((int(ci[d]) + 1) * chunk_shape[d], shape[d])
+                    - int(ci[d]) * chunk_shape[d] for d in range(k)]
+            arr = np.frombuffer(batch["data"][r].as_py(), dtype="<f8").reshape(dims)
+            datas.append(np.ascontiguousarray(arr[tuple(slicers)]).tobytes())
+            keep_rows.append(r)
+            offs.append(o)
+        out = batch.take(pa.array(np.asarray(keep_rows, dtype=np.int64)))
+        out = out.drop_columns(["data"]).append_column(
+            "data", pa.array(datas, type=pa.binary()))
+        for d in range(k):
+            out = out.append_column(
+                f"o{d}", pa.array(np.asarray([o[d] for o in offs], dtype=np.int32)))
+        return out
+
+    return ds.map_batches(trim, batch_format="pyarrow")
+
+
+def reduce_dim(ds: ray.data.Dataset, shape: Sequence[int],
+               chunk_shape: Sequence[int], axis: int,
+               op: str = "sum") -> ray.data.Dataset:
+    """Reduce one dimension (sum|max): per-chunk partial along `axis`,
+    then one groupby over the projected chunk key."""
+    if op not in ("sum", "max"):
+        raise ValueError("op must be sum|max")
+    k = len(shape)
+    keep_dims = [d for d in range(k) if d != axis]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = unpack_chunks(key, k)
+        new_keys, datas = [], []
+        for r in range(len(key)):
+            ci = idx[r]
+            dims = [min((int(ci[d]) + 1) * chunk_shape[d], shape[d])
+                    - int(ci[d]) * chunk_shape[d] for d in range(k)]
+            arr = np.frombuffer(batch["data"][r].as_py(), dtype="<f8").reshape(dims)
+            red = arr.sum(axis=axis) if op == "sum" else arr.max(axis=axis)
+            datas.append(red.astype("<f8").tobytes())
+            new_keys.append([int(ci[d]) for d in keep_dims])
+        nk = pack_chunks(np.asarray(new_keys, dtype=np.int64).reshape(len(key), k - 1)) \
+            if len(key) else np.empty(0, np.uint64)
+        return pa.table({"chunk_id": pa.array(nk),
+                         "data": pa.array(datas, type=pa.binary())})
+
+    import pandas as pd
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype="<f8") for b in df["data"]]
+        stack = np.stack(arrs)
+        red = stack.sum(axis=0) if op == "sum" else stack.max(axis=0)
+        return pd.DataFrame({"chunk_id": [np.uint64(df["chunk_id"].iloc[0])],
+                             "data": [red.astype("<f8").tobytes()]})
+
+    return partials.groupby("chunk_id").map_groups(combine, batch_format="pandas")
+
+
+def to_numpy(ds: ray.data.Dataset, shape: Sequence[int],
+             chunk_shape: Sequence[int]) -> np.ndarray:
+    """Assemble chunk rows → dense array (tests / small results)."""
+    k = len(shape)
+    out = np.full(shape, np.nan)
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        key = b["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = unpack_chunks(key, k)
+        for r in range(len(key)):
+            ci = idx[r]
+            slicers, dims = [], []
+            for d in range(k):
+                lo, hi = _chunk_extent(ci, d, chunk_shape, shape)
+                slicers.append(slice(lo, hi))
+                dims.append(hi - lo)
+            out[tuple(slicers)] = np.frombuffer(
+                b["data"][r].as_py(), dtype="<f8").reshape(dims)
+    return out
