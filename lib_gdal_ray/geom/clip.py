@@ -40,6 +40,95 @@ def _clip_halfplane(ring: np.ndarray, axis: int, bound: float, keep_less: bool) 
     return np.asarray(out) if out else np.empty((0, 2))
 
 
+def _clip_halfplane_general(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Clip open ring to the half-plane a*x + b*y + c >= 0."""
+    if len(ring) == 0:
+        return ring
+    out: List[np.ndarray] = []
+    prev = ring[-1]
+    prev_v = a * prev[0] + b * prev[1] + c
+    for cur in ring:
+        cur_v = a * cur[0] + b * cur[1] + c
+        if (cur_v >= 0) != (prev_v >= 0):
+            t = prev_v / (prev_v - cur_v)
+            out.append(prev + t * (cur - prev))
+        if cur_v >= 0:
+            out.append(cur)
+        prev, prev_v = cur, cur_v
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """Closed ring convexity (all cross products one sign, zeros ok)."""
+    r = ring[:-1]
+    n = len(r)
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        p0, p1, p2 = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        cr = (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (p2[0] - p1[0])
+        if cr != 0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def clip_ring_to_convex(ring: np.ndarray, clipper: np.ndarray) -> Optional[np.ndarray]:
+    """Clip a closed ring against a CONVEX closed clipper ring
+    (Sutherland–Hodgman generalization: one half-plane per clipper
+    edge). Raises for non-convex clippers (SH would be wrong)."""
+    if not is_convex_ring(clipper):
+        raise ValueError("clipper ring must be convex for Sutherland–Hodgman")
+    cr = clipper[:-1]
+    n = len(cr)
+    # orientation: ensure interior is on the >=0 side of each edge
+    area2 = 0.0
+    for i in range(n):
+        area2 += cr[i][0] * cr[(i + 1) % n][1] - cr[(i + 1) % n][0] * cr[i][1]
+    ccw = area2 > 0
+    open_ring = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    r = open_ring.astype(np.float64)
+    for i in range(n):
+        x1, y1 = cr[i]
+        x2, y2 = cr[(i + 1) % n]
+        # half-plane: left of edge for CCW clipper, right for CW
+        a, b, c = (y1 - y2, x2 - x1, x1 * y2 - x2 * y1)
+        if not ccw:
+            a, b, c = -a, -b, -c
+        r = _clip_halfplane_general(r, a, b, c)
+        if len(r) < 3:
+            return None
+    return np.vstack([r, r[:1]])
+
+
+def intersect_convex_wkb(buf_a: bytes, buf_b_ring: np.ndarray) -> Optional[bytes]:
+    """Intersection geometry of WKB polygon A with convex ring B
+    (polygon semantics; holes of A clipped too)."""
+    kind, payload = wkb_mod.parse_wkb(buf_a)
+    polys = [payload] if kind == "polygon" else payload
+    out_polys = []
+    for rings in polys:
+        clipped = []
+        for i, ring in enumerate(rings):
+            c = clip_ring_to_convex(ring, buf_b_ring)
+            if c is not None:
+                clipped.append(c)
+            elif i == 0:
+                clipped = []
+                break
+        if clipped:
+            out_polys.append(clipped)
+    if not out_polys:
+        return None
+    if kind == "polygon":
+        return wkb_mod.polygon_to_wkb(out_polys[0])
+    return wkb_mod.multipolygon_to_wkb(out_polys)
+
+
 def clip_ring_to_box(ring: np.ndarray, xmin: float, ymin: float,
                      xmax: float, ymax: float) -> Optional[np.ndarray]:
     """Closed ring → clipped closed ring (or None if fully outside)."""

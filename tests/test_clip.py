@@ -108,3 +108,58 @@ class TestBoxIntersectionJoin:
         assert set(got) == set(want)
         for k in want:
             np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
+
+
+def regular_ngon(cx, cy, r, n, phase=0.0):
+    ang = phase + 2 * np.pi * np.arange(n) / n
+    xs = cx + r * np.cos(ang)
+    ys = cy + r * np.sin(ang)
+    return np.stack([np.append(xs, xs[0]), np.append(ys, ys[0])], axis=1)
+
+
+class TestConvexClip:
+    def test_box_via_convex_path_matches(self):
+        from lib_gdal_ray.geom.clip import clip_ring_to_convex
+
+        ring = square(0, 0, 10, 10)
+        clipper = square(5, 5, 20, 20)
+        out = clip_ring_to_convex(ring, clipper)
+        buf = wkb.polygon_to_wkb([out])
+        assert abs(area_of(buf) - 25.0) < 1e-9
+
+    def test_hexagon_intersection_monte_carlo(self):
+        from lib_gdal_ray.geom import pip
+        from lib_gdal_ray.geom.clip import clip_ring_to_convex
+
+        a = regular_ngon(0, 0, 6, 7, phase=0.3)   # heptagon subject
+        b = regular_ngon(3, 1, 5, 6, phase=0.1)   # hexagon clipper
+        out = clip_ring_to_convex(a, b)
+        got = area_of(wkb.polygon_to_wkb([out]))
+        rng = np.random.default_rng(5)
+        px = rng.uniform(-7, 9, 200000)
+        py = rng.uniform(-7, 7, 200000)
+        inside = pip.points_in_ring(px, py, a) & pip.points_in_ring(px, py, b)
+        mc = inside.mean() * (16.0 * 14.0)
+        np.testing.assert_allclose(got, mc, rtol=0.02)
+
+    def test_cw_clipper_supported(self):
+        from lib_gdal_ray.geom.clip import clip_ring_to_convex
+
+        ring = square(0, 0, 4, 4)
+        clipper_cw = square(2, 2, 10, 10)[::-1].copy()
+        out = clip_ring_to_convex(ring, clipper_cw)
+        assert abs(area_of(wkb.polygon_to_wkb([out])) - 4.0) < 1e-9
+
+    def test_nonconvex_clipper_rejected(self):
+        import pytest as _pytest
+
+        from lib_gdal_ray.geom.clip import clip_ring_to_convex
+
+        concave = np.asarray([[0, 0], [4, 0], [2, 1], [4, 4], [0, 4], [0, 0]], float)
+        with _pytest.raises(ValueError):
+            clip_ring_to_convex(square(0, 0, 2, 2), concave)
+
+    def test_disjoint_none(self):
+        from lib_gdal_ray.geom.clip import clip_ring_to_convex
+
+        assert clip_ring_to_convex(square(0, 0, 1, 1), regular_ngon(50, 50, 2, 6)) is None
