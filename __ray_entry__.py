@@ -25,14 +25,14 @@ def entry() -> Any:
     return the joined Dataset (spans carried through untouched)."""
     import pyarrow.parquet as pq
 
-    from lib_gdal_ray.pipelines.catalog import zone_table
+    from lib_gdal_ray.pipelines.catalog import zone_polygon_table
     from lib_gdal_ray.pipelines.spatial_join import broadcast_pip_join
     from lib_gdal_ray.sources.synth import interleaved_docs
 
     sf_dir = "/root/testdata/sf0.001"
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 4
     docs = interleaved_docs(n_docs)
-    zones = zone_table(sf_dir)
+    zones = zone_polygon_table(sf_dir)  # 12-gon zones: ray-casting PIP path
     joined = broadcast_pip_join(docs, zones, "geometry", ["zone_id"], res=5.0)
     return joined
 
