@@ -621,7 +621,7 @@ def q_raster_calc_ratio(sf_dir):
     pts = add_cents(pts, "value", "value_c")
     counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
     sums = rast.rasterize_pixels(pts, 7, value_col="value_c", merge_alg="add", shuffle_partitions=8)
-    ratio = rc.pixel_calc(sums, counts, "div")
+    ratio = rc.pixel_calc(sums, counts, "div", shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))

@@ -41,7 +41,8 @@ _BINOPS = {
 
 
 def pixel_calc(a: ray.data.Dataset, b: ray.data.Dataset, op: str,
-               keep_empty: bool = False) -> ray.data.Dataset:
+               keep_empty: bool = False,
+               shuffle_partitions=None) -> ray.data.Dataset:
     """Per-pixel binary op between two sparse pixel datasets (absent=0).
 
     One shuffle: union of side-tagged rows → groupby(pix_id) summing
@@ -64,10 +65,18 @@ def pixel_calc(a: ray.data.Dataset, b: ray.data.Dataset, op: str,
     both = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow"))
 
-    from ray.data.aggregate import Sum
+    if shuffle_partitions:
+        def combine(batch: pa.Table) -> pa.Table:
+            out = batch.group_by(["pix_id"]).aggregate([("va", "sum"), ("vb", "sum")])
+            return out.rename_columns(["pix_id", "va", "vb"])
 
-    merged = both.groupby("pix_id").aggregate(Sum("va", alias_name="va"),
-                                              Sum("vb", alias_name="vb"))
+        merged = both.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                                 batch_size=None)
+    else:
+        from ray.data.aggregate import Sum
+
+        merged = both.groupby("pix_id").aggregate(Sum("va", alias_name="va"),
+                                                  Sum("vb", alias_name="vb"))
 
     fn = _BINOPS[op]
 
