@@ -293,6 +293,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_hourly_window(sf_dir):
+    """Tumbling-window aggregate over the event stream (the 'windowed
+    aggregate' custom-operator case — keys, not order: window start is
+    a derived column, so it is just a grouped aggregation)."""
+    ev = tables.read_table(sf_dir, "events", columns=["ts", "value"])
+    ev = add_cents(ev, "value", "value_c")
+
+    def win(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("window_start", w)
+
+    return rel.grouped_agg(ev.map_batches(win, batch_format="pyarrow"),
+                           "window_start", [
+        ("count", None, "n"),
+        ("sum", "value_c", "sum_value_c"),
+    ], shuffle_partitions=8)
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
+       CAST(sum({CENTS.format(x='value')}) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1
+"""
+
+
 def q_count_distinct_users(sf_dir):
     ev = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
     d = rel.distinct(ev, ["event_type", "user_id"])
@@ -1030,6 +1055,7 @@ QUERIES = {
     "global_agg": (q_global_agg, SQL_GLOBAL),
     "events_by_type": (q_events_by_type, SQL_EVENTS_TYPE),
     "count_distinct_users": (q_count_distinct_users, SQL_COUNT_DISTINCT),
+    "events_hourly_window": (q_events_hourly_window, SQL_EVENTS_HOURLY),
     "union_names": (q_union_names, SQL_UNION),
     "orders_by_year": (q_orders_by_year, SQL_ORDERS_YEAR),
     # geospatial
