@@ -327,3 +327,16 @@ class TestShuffleKnn:
             sub = out[out["pid"] == i].sort_values("rank")
             assert list(sub["neighbor_id"]) == list(want), f"pid {i}"
             assert sub["exact"].all()
+
+
+class TestAutoSalt:
+    def test_auto_salt_correct(self):
+        pts = make_points(600, seed=41)
+        zones, _ = make_zones()
+        out = sj.shuffle_pip_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(zones),
+            "geometry", ["zone_id"], ["pid"], res=5.0,
+            auto_salt=True, hot_threshold=5,  # force many salted cells
+        ).to_pandas()
+        got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
+        assert got == brute_pip_pairs(pts, zones)
