@@ -734,7 +734,7 @@ def q_hillshade(sf_dir):
 
 def q_dedup_documents(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dd.exact_dedup(docs, "text", "doc_id")
+    out = dd.exact_dedup(docs, "text", "doc_id", shuffle_partitions=8)
     return out.drop_columns(["text"])
 
 

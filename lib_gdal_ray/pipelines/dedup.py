@@ -43,9 +43,11 @@ def _stable_hash64(strings: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
-                keep_cols: Optional[List[str]] = None) -> ray.data.Dataset:
+                keep_cols: Optional[List[str]] = None,
+                shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
     """Keep the min-id row per duplicate key. Returns (key, winner id,
-    dup count) plus keep_cols of the winner."""
+    dup count) plus keep_cols of the winner. shuffle_partitions: local
+    tree combine for modest key cardinality (see relational.grouped_agg)."""
     keep_cols = keep_cols or []
 
     def local(batch: pa.Table) -> pa.Table:
@@ -58,6 +60,17 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
     from ray.data.aggregate import Min, Sum
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
+    if shuffle_partitions:
+        names = [key_col, id_col, "dup_count"] + keep_cols
+
+        def combine(batch: pa.Table) -> pa.Table:
+            aggs = [("__id", "min"), ("__n", "sum")] + \
+                [(f"__k_{c}", "min") for c in keep_cols]
+            out = batch.group_by([key_col]).aggregate(aggs)
+            return out.rename_columns(names)
+
+        return local_ds.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                                   batch_size=None)
     aggs = [Min("__id", alias_name=id_col), Sum("__n", alias_name="dup_count")]
     for c in keep_cols:
         aggs.append(Min(f"__k_{c}", alias_name=c))
