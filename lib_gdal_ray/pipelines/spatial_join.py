@@ -242,6 +242,73 @@ class _BoxIntersectionJoiner:
         return out
 
 
+class _PolyIntersectionJoiner:
+    """General simple-polygon × simple-polygon Intersection (hole-free;
+    geom/triangulate.py convex-decomposition kernel)."""
+
+    def __init__(self, wrapped_ref, res, poly_cols):
+        from ..geom.triangulate import intersect_simple_polygons
+
+        self._isect = intersect_simple_polygons
+        self.table = ray.get(wrapped_ref["ref"])
+        self.index = PolygonCellIndex(self.table, "geometry", res)
+        self.bbox = self.index.bbox
+        self.method_bufs = self.table["geometry"].to_numpy(zero_copy_only=False)
+        self.poly_cols = poly_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom import cells as cellsm
+        from ..stages.geom_ops import wkb_centroid_area
+
+        bufs = batch["geometry"].to_numpy(zero_copy_only=False)
+        in_bbox = wkb.wkb_bbox(bufs)
+        out_rows, out_m, out_geom, out_area = [], [], [], []
+        for i, b in enumerate(bufs):
+            xmin, ymin, xmax, ymax = in_bbox[i]
+            offs, cand_cells = cellsm.covering_grid(
+                np.asarray([xmin]), np.asarray([ymin]),
+                np.asarray([xmax]), np.asarray([ymax]), self.index.res)
+            cands = set()
+            for c in cand_cells:
+                cands.update(self.index.candidates(int(c)).tolist())
+            for mi in sorted(cands):
+                mxmin, mymin, mxmax, mymax = self.bbox[mi]
+                if xmax < mxmin or xmin > mxmax or ymax < mymin or ymin > mymax:
+                    continue  # envelope pretest (ogrlayer.cpp:5285)
+                clipped = self._isect(b, self.method_bufs[mi])
+                if clipped is None:
+                    continue
+                _cx, _cy, area = wkb_centroid_area(clipped)
+                if area <= 1e-12:
+                    continue
+                out_rows.append(i)
+                out_m.append(mi)
+                out_geom.append(clipped)
+                out_area.append(area)
+        out = batch.take(pa.array(np.asarray(out_rows, dtype=np.int64)))
+        out = out.drop_columns(["geometry"])
+        out = out.append_column("geometry", pa.array(out_geom, type=pa.binary()))
+        out = out.append_column("intersection_area", pa.array(out_area))
+        for c in self.poly_cols:
+            out = out.append_column(
+                c, self.table[c].take(pa.array(np.asarray(out_m, dtype=np.int64))))
+        return out
+
+
+def broadcast_polygon_intersection(polys: ray.data.Dataset, method: pa.Table,
+                                   method_cols: Sequence[str], res: float = 5.0,
+                                   concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                                   ) -> ray.data.Dataset:
+    """Layer-algebra Intersection for arbitrary hole-free simple
+    polygons on both sides (fragmented multipolygon output; exact
+    area/point-set — see geom/triangulate.py)."""
+    ref = ray.put(method)
+    return polys.map_batches(
+        _PolyIntersectionJoiner, batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, res, list(method_cols)),
+        concurrency=concurrency)
+
+
 def broadcast_box_intersection(polys: ray.data.Dataset, boxes: pa.Table,
                                box_cols: Sequence[str], res: float = 5.0,
                                concurrency: Union[int, Tuple[int, int]] = (1, 8),
