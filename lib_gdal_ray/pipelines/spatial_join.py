@@ -295,6 +295,68 @@ class _PolyIntersectionJoiner:
         return out
 
 
+class _PolyEraseJoiner:
+    """Layer-algebra Erase with geometry output (`ogrlayer.cpp:7665`):
+    input polygon minus every overlapping method polygon (sequential
+    convex-fragment subtraction, geom/boolean.py)."""
+
+    def __init__(self, wrapped_ref, res):
+        from ..geom.boolean import polygon_difference
+
+        self._diff = polygon_difference
+        self.table = ray.get(wrapped_ref["ref"])
+        self.index = PolygonCellIndex(self.table, "geometry", res)
+        self.bbox = self.index.bbox
+        self.method_bufs = self.table["geometry"].to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom import cells as cellsm
+        from ..stages.geom_ops import wkb_centroid_area
+
+        bufs = batch["geometry"].to_numpy(zero_copy_only=False)
+        in_bbox = wkb.wkb_bbox(bufs)
+        keep_rows, out_geom, out_area = [], [], []
+        for i, b in enumerate(bufs):
+            xmin, ymin, xmax, ymax = in_bbox[i]
+            offs, cand_cells = cellsm.covering_grid(
+                np.asarray([xmin]), np.asarray([ymin]),
+                np.asarray([xmax]), np.asarray([ymax]), self.index.res)
+            cands = set()
+            for c in cand_cells:
+                cands.update(self.index.candidates(int(c)).tolist())
+            cur = b
+            for mi in sorted(cands):
+                mxmin, mymin, mxmax, mymax = self.bbox[mi]
+                if xmax < mxmin or xmin > mxmax or ymax < mymin or ymin > mymax:
+                    continue
+                cur = self._diff(cur, self.method_bufs[mi])
+                if cur is None:
+                    break
+            if cur is None:
+                continue
+            _cx, _cy, a = wkb_centroid_area(cur)
+            keep_rows.append(i)
+            out_geom.append(cur)
+            out_area.append(a)
+        out = batch.take(pa.array(np.asarray(keep_rows, dtype=np.int64)))
+        out = out.drop_columns(["geometry"])
+        out = out.append_column("geometry", pa.array(out_geom, type=pa.binary()))
+        return out.append_column("remaining_area", pa.array(out_area))
+
+
+def broadcast_polygon_erase(polys: ray.data.Dataset, method: pa.Table,
+                            res: float = 5.0,
+                            concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                            ) -> ray.data.Dataset:
+    """Erase with geometry: input polygons minus all overlapping method
+    polygons (hole-free simple polygons; fully-erased rows drop)."""
+    ref = ray.put(method)
+    return polys.map_batches(
+        _PolyEraseJoiner, batch_format="pyarrow",
+        fn_constructor_args=({"ref": ref}, res),
+        concurrency=concurrency)
+
+
 def broadcast_polygon_intersection(polys: ray.data.Dataset, method: pa.Table,
                                    method_cols: Sequence[str], res: float = 5.0,
                                    concurrency: Union[int, Tuple[int, int]] = (1, 8),
