@@ -934,6 +934,34 @@ WHERE least(pb.xmax, z.xmax) > greatest(pb.xmin, z.xmin)
 """
 
 
+def q_erase_overlay(sf_dir):
+    """Layer-algebra Erase with geometry output: part boxes minus all
+    overlapping zone boxes (rows-only; exact identities in
+    tests/test_boolean.py — multi-box coverage needs inclusion-exclusion
+    in SQL)."""
+    from .spatial_join import broadcast_polygon_erase
+
+    parts = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def geo(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        xmin, ymin, xmax, ymax = derive.part_boxes(k)
+        geoms = [wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                 for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+        return batch.append_column("geometry", pa.array(geoms, type=pa.binary()))
+
+    polys = parts.map_batches(geo, batch_format="pyarrow")
+    out = broadcast_polygon_erase(polys, zone_table(sf_dir), res=10.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "remaining_area": pc.round(batch["remaining_area"], ndigits=6),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
 def q_clip_geometry(sf_dir):
     """ogr2ogr -clipsrc: zone boxes clipped to a fixed window; exact
     clipped areas (rows with empty clip drop)."""
@@ -1083,6 +1111,7 @@ QUERIES = {
     "viewshed": (q_viewshed, None),
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
+    "erase_overlay": (q_erase_overlay, None),
     "mosaic_warp": (q_mosaic_warp, None),
     "proximity_dist": (q_proximity, None),
     # documents / embeddings
