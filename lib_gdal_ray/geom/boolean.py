@@ -31,18 +31,34 @@ from .triangulate import _signed_area, triangulate_ring
 _EPS_AREA = 1e-12
 
 
+def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (SH can emit an intersection
+    point equal to an existing vertex; a zero-length edge would yield a
+    degenerate all-space half-plane)."""
+    if len(ring) < 2:
+        return ring
+    keep = [0]
+    for i in range(1, len(ring)):
+        if not np.array_equal(ring[i], ring[keep[-1]]):
+            keep.append(i)
+    return ring[keep]
+
+
 def _edges_ccw(ring: np.ndarray):
     """Half-plane coefficients (a, b, c) with interior where ax+by+c>=0,
     for a closed convex ring of either orientation."""
-    r = ring[:-1]
-    if _signed_area(ring) < 0:
+    r = _dedupe_ring(ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring)
+    if _signed_area(np.vstack([r, r[:1]])) < 0:
         r = r[::-1]
     n = len(r)
     out = []
     for i in range(n):
         x1, y1 = r[i]
         x2, y2 = r[(i + 1) % n]
-        out.append((y1 - y2, x2 - x1, x1 * y2 - x2 * y1))
+        a, b = y1 - y2, x2 - x1
+        if a == 0.0 and b == 0.0:
+            continue  # degenerate edge
+        out.append((a, b, x1 * y2 - x2 * y1))
     return out
 
 
@@ -51,7 +67,7 @@ def convex_difference(piece: np.ndarray, clipper: np.ndarray) -> List[np.ndarray
     fragments (possibly [piece] when disjoint, [] when covered)."""
     frags: List[np.ndarray] = []
     open_piece = piece[:-1] if np.array_equal(piece[0], piece[-1]) else piece
-    remaining = open_piece.astype(np.float64)
+    remaining = _dedupe_ring(open_piece.astype(np.float64))
     for (a, b, c) in _edges_ccw(clipper):
         # fragment outside this edge (and inside all previous edges,
         # which `remaining` already encodes)
@@ -67,18 +83,29 @@ def convex_difference(piece: np.ndarray, clipper: np.ndarray) -> List[np.ndarray
     return frags
 
 
+def _rings_to_fragments(rings: List[np.ndarray]) -> List[np.ndarray]:
+    """Polygon (outer + holes) → disjoint convex fragments: triangulate
+    the outer ring, then fold-subtract each hole's triangles."""
+    frags = triangulate_ring(rings[0])
+    for hole in rings[1:]:
+        for th in triangulate_ring(hole):
+            nxt: List[np.ndarray] = []
+            for f in frags:
+                nxt.extend(convex_difference(f, th))
+            frags = nxt
+            if not frags:
+                return frags
+    return frags
+
+
 def _fragments_of(buf: bytes) -> List[np.ndarray]:
     kind, payload = wkb_mod.parse_wkb(buf)
     if kind == "polygon":
-        if len(payload) != 1:
-            raise NotImplementedError("hole-free simple polygons only")
-        return triangulate_ring(payload[0])
+        return _rings_to_fragments(payload)
     if kind == "multipolygon":
         out = []
         for rings in payload:
-            if len(rings) != 1:
-                raise NotImplementedError("hole-free simple polygons only")
-            out.extend(triangulate_ring(rings[0]))
+            out.extend(_rings_to_fragments(rings))
         return out
     raise ValueError(f"expected (multi)polygon, got {kind}")
 

@@ -90,16 +90,12 @@ def triangulate_ring(ring: np.ndarray) -> List[np.ndarray]:
 
 
 def intersect_simple_polygons(buf_a: bytes, buf_b: bytes) -> Optional[bytes]:
-    """General simple-polygon intersection (no holes) → multipolygon WKB
-    of disjoint convex fragments, or None if empty."""
-    for buf in (buf_a, buf_b):
-        kind, payload = wkb_mod.parse_wkb(buf)
-        if kind != "polygon" or len(payload) != 1:
-            raise NotImplementedError("simple polygons without holes only")
-    _, rings_a = wkb_mod.parse_wkb(buf_a)
-    _, rings_b = wkb_mod.parse_wkb(buf_b)
-    tris_a = triangulate_ring(rings_a[0])
-    tris_b = triangulate_ring(rings_b[0])
+    """General simple-polygon intersection (incl. holes, multipolygons)
+    → multipolygon WKB of disjoint convex fragments, or None if empty."""
+    from .boolean import _fragments_of  # deferred: boolean imports this module
+
+    tris_a = _fragments_of(buf_a)
+    tris_b = _fragments_of(buf_b)
     pieces: List[List[np.ndarray]] = []
     for ta in tris_a:
         for tb in tris_b:

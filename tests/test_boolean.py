@@ -142,3 +142,18 @@ class TestPolygonEraseJoin:
         method = pa.table({"geometry": pa.array([big], type=pa.binary())})
         out = broadcast_polygon_erase(subject, method, res=20.0).to_pandas()
         assert len(out) == 0
+
+
+class TestHoles:
+    def test_donut_difference_union(self):
+        outer = close([(0, 0), (10, 0), (10, 10), (0, 10)])
+        hole = close([(4, 4), (6, 4), (6, 6), (4, 6)])
+        donut = wkb.polygon_to_wkb([outer, hole])
+        np.testing.assert_allclose(area_of_frag := area(polygon_union(donut, donut)), 96.0, rtol=1e-9)
+        sq = wkb.polygon_to_wkb([close([(3, 3), (7, 3), (7, 7), (3, 7)])])
+        # donut ∖ square: 96 - (16 - 4) = 84
+        np.testing.assert_allclose(area(polygon_difference(donut, sq)), 84.0, rtol=1e-9)
+        # square ∖ donut = the hole part inside the square = 4
+        np.testing.assert_allclose(area(polygon_difference(sq, donut)), 4.0, rtol=1e-9)
+        # union = 96 + 16 - 12 = 100
+        np.testing.assert_allclose(area(polygon_union(donut, sq)), 100.0, rtol=1e-9)

@@ -83,13 +83,17 @@ class TestGeneralIntersection:
         inner = wkb.polygon_to_wkb([close([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)])])
         np.testing.assert_allclose(polygon_intersection_area(a, inner), 1.0, rtol=1e-9)
 
-    def test_holes_rejected(self):
+    def test_holes_supported(self):
         outer = close([(0, 0), (10, 0), (10, 10), (0, 10)])
         hole = close([(4, 4), (6, 4), (6, 6), (4, 6)])
         withhole = wkb.polygon_to_wkb([outer, hole])
-        plain = wkb.polygon_to_wkb([outer])
-        with pytest.raises(NotImplementedError):
-            intersect_simple_polygons(withhole, plain)
+        window = wkb.polygon_to_wkb([close([(3, 3), (7, 3), (7, 7), (3, 7)])])
+        # window ∩ donut = 16 - 4 (the hole is fully inside the window)
+        np.testing.assert_allclose(
+            polygon_intersection_area(withhole, window), 12.0, rtol=1e-9)
+        # donut ∩ donut = donut area
+        np.testing.assert_allclose(
+            polygon_intersection_area(withhole, withhole), 96.0, rtol=1e-9)
 
 
 class TestPolygonIntersectionJoin:
