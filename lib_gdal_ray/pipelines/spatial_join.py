@@ -357,6 +357,40 @@ def broadcast_polygon_erase(polys: ray.data.Dataset, method: pa.Table,
         concurrency=concurrency)
 
 
+def layer_update(polys: ray.data.Dataset, method: pa.Table,
+                 res: float = 5.0,
+                 concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                 ) -> ray.data.Dataset:
+    """Layer-algebra Update (`ogrlayer.cpp:7007`): method features
+    replace the overlapping parts of the input — result = (input ∖
+    method union) ⊎ method features. Input rows fully covered by the
+    method layer drop; method rows pass through unchanged (their
+    non-geometry fields null on the input side, per the reference's
+    schema-merge behavior). Output schema: input columns + `geometry`
+    + `src` ('input'|'method')."""
+    import ray.data as _rd
+
+    erased = broadcast_polygon_erase(polys, method, res=res, concurrency=concurrency)
+
+    def tag_input(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(["remaining_area"])
+        return batch.append_column(
+            "src", pa.array(np.full(len(batch), "input"), type=pa.string()))
+
+    left = erased.map_batches(tag_input, batch_format="pyarrow")
+    schema = left.schema()
+    m_cols = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name == "geometry":
+            m_cols[name] = method["geometry"]
+        elif name == "src":
+            m_cols[name] = pa.array(np.full(len(method), "method"), type=pa.string())
+        else:
+            m_cols[name] = pa.nulls(len(method), type=typ)
+    right = _rd.from_arrow(pa.table(m_cols))
+    return left.union(right)
+
+
 def broadcast_polygon_intersection(polys: ray.data.Dataset, method: pa.Table,
                                    method_cols: Sequence[str], res: float = 5.0,
                                    concurrency: Union[int, Tuple[int, int]] = (1, 8),

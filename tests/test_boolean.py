@@ -157,3 +157,27 @@ class TestHoles:
         np.testing.assert_allclose(area(polygon_difference(sq, donut)), 4.0, rtol=1e-9)
         # union = 96 + 16 - 12 = 100
         np.testing.assert_allclose(area(polygon_union(donut, sq)), 100.0, rtol=1e-9)
+
+
+class TestLayerUpdate:
+    def test_update_semantics(self):
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.pipelines.spatial_join import layer_update
+
+        a1 = wkb.polygon_to_wkb([close([(0, 0), (4, 0), (4, 4), (0, 4)])])     # overlaps m
+        a2 = wkb.polygon_to_wkb([close([(20, 20), (22, 20), (22, 22), (20, 22)])])  # disjoint
+        a3 = wkb.polygon_to_wkb([close([(2.5, 2.5), (3, 2.5), (3, 3), (2.5, 3)])])  # covered
+        m = wkb.polygon_to_wkb([close([(2, 2), (6, 2), (6, 6), (2, 6)])])
+        subject = ray.data.from_arrow(pa.table({
+            "gid": pa.array([1, 2, 3], type=pa.int64()),
+            "geometry": pa.array([a1, a2, a3], type=pa.binary())}))
+        method = pa.table({"geometry": pa.array([m], type=pa.binary())})
+        out = layer_update(subject, method, res=20.0).to_pandas()
+        srcs = out["src"].value_counts().to_dict()
+        assert srcs == {"input": 2, "method": 1}   # a3 fully covered -> dropped
+        total = sum(wkb_centroid_area(g)[2] for g in out["geometry"])
+        # (16-4) + 4 + 16 = 28 ; covered a3 contributes 0
+        np.testing.assert_allclose(total, 32.0, rtol=1e-9)
+        assert out[out["src"] == "method"]["gid"].isna().all()
