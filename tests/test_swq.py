@@ -131,3 +131,50 @@ class TestSpecialFields:
                       "geometry": pa.array(bufs, type=pa.binary())})
         m = compile_filter("OGR_GEOM_AREA > 50")(t)
         assert pc.fill_null(m, False).to_pylist() == [False, True]
+
+
+class TestFuzzVsDuckdb:
+    def _gen_expr(self, rng, depth=0):
+        """Random OGR-SQL WHERE expression over lineitem columns (no
+        LIKE: OGR LIKE is case-insensitive, DuckDB's is not)."""
+        num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"]
+        str_cols = ["l_returnflag", "l_linestatus"]
+        if depth < 2 and rng.random() < 0.5:
+            op = rng.choice(["AND", "OR"])
+            a = self._gen_expr(rng, depth + 1)
+            b = self._gen_expr(rng, depth + 1)
+            e = f"({a}) {op} ({b})"
+            return f"NOT ({e})" if rng.random() < 0.2 else e
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            c = rng.choice(num_cols)
+            cmp = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+            v = round(float(rng.uniform(0, 60)), 2)
+            return f"{c} {cmp} {v}"
+        if kind == 1:
+            c = rng.choice(str_cols)
+            v = rng.choice(["A", "N", "R", "F", "O"])
+            return f"{c} {rng.choice(['=', '<>'])} '{v}'"
+        if kind == 2:
+            c = rng.choice(num_cols)
+            lo = round(float(rng.uniform(0, 30)), 2)
+            return f"{c} BETWEEN {lo} AND {round(lo + float(rng.uniform(0, 30)), 2)}"
+        c = rng.choice(num_cols)
+        vals = ", ".join(str(int(v)) for v in rng.integers(1, 50, 3))
+        return f"{c} IN ({vals})"
+
+    def test_30_random_expressions(self, sf_med):
+        import numpy as np
+
+        rng = np.random.default_rng(123)
+        ds = tables.read_table(sf_med, "lineitem",
+                               columns=["l_quantity", "l_extendedprice", "l_discount",
+                                        "l_linenumber", "l_returnflag", "l_linestatus"])
+        ds = ds.materialize()
+        for _ in range(30):
+            expr = self._gen_expr(rng)
+            got = attribute_filter(ds, expr).count()
+            want = duckdb.sql(
+                f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') "
+                f"WHERE {expr}").df()["n"].iloc[0]
+            assert got == want, f"mismatch for {expr!r}: {got} != {want}"
