@@ -545,6 +545,65 @@ GROUP BY zone_id
 """
 
 
+def q_zonal_weighted(sf_dir):
+    """Zonal stats with fractional pixel coverage weights
+    (`alg/zonal.cpp` weighted mode) over the z7 count raster; zone
+    boxes projected to global-pixel space (exact-arith weights,
+    rounded to 4 dp on both sides for the libm lat edges)."""
+    from ..geom import cells as cellsm
+    from .zonal import zonal_stats_weighted
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+    m = (1 << 7) * 256
+    zx0 = (xmin.astype(np.float64) + 180.0) / 360.0 * m
+    zx1 = (xmax.astype(np.float64) + 180.0) / 360.0 * m
+    def lat_to_gy(lat):
+        lat = np.clip(lat.astype(np.float64), -cellsm.MAX_MERC_LAT, cellsm.MAX_MERC_LAT)
+        rad = np.radians(lat)
+        return (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * m
+    zy0 = lat_to_gy(ymax)  # north edge -> smaller gy
+    zy1 = lat_to_gy(ymin)
+    out = zonal_stats_weighted(counts, nk, (zx0, zy0, zx1, zy1), 7,
+                               shuffle_partitions=8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": batch["zone_id"],
+            "weighted_sum": pc.round(batch["weighted_sum"], ndigits=4),
+            "weight_sum": pc.round(batch["weight_sum"], ndigits=4),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_zonal_weighted():
+    gx, gy = _pixel_sql(7)
+    m = (1 << 7) * 256
+    cl = "least(greatest(CAST({lat} AS DOUBLE), -85.05112878), 85.05112878)"
+    lat_gy = ("(1 - ln(tan(radians(" + cl + ")) + 1/cos(radians(" + cl
+              + ")))/pi())/2*" + str(m))
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy, CAST(count(*) AS DOUBLE) AS c
+                FROM {_POINTS_SQL} p GROUP BY 1, 2),
+    zb AS (SELECT zone_id,
+           (xmin + 180.0)/360.0*{m} AS zx0, (xmax + 180.0)/360.0*{m} AS zx1,
+           {lat_gy.format(lat='ymax')} AS zy0, {lat_gy.format(lat='ymin')} AS zy1
+           FROM {_ZONES_SQL} z),
+    pairs AS (SELECT zone_id, c,
+           least(greatest(least(gpx + 1.0, zx1) - greatest(CAST(gpx AS DOUBLE), zx0), 0.0), 1.0)
+           * least(greatest(least(gpy + 1.0, zy1) - greatest(CAST(gpy AS DOUBLE), zy0), 0.0), 1.0)
+             AS cov
+           FROM px, zb)
+    SELECT zone_id, round(sum(c * cov), 4) AS weighted_sum,
+           round(sum(cov), 4) AS weight_sum
+    FROM pairs WHERE cov > 0 GROUP BY zone_id
+    """
+
+
 def q_zone_geometry(sf_dir):
     zones = ray.data.from_arrow(zone_table(sf_dir))
     ds = geom_ops.centroid_area(zones, "geometry")
@@ -1096,6 +1155,7 @@ QUERIES = {
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
     "tile_overview": (q_tile_overview, sql_tile_overview()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
+    "zonal_weighted": (q_zonal_weighted, sql_zonal_weighted()),
     "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),
     "where_filter": (q_where_filter, SQL_WHERE),
     "clip_semi": (q_clip_semi, SQL_CLIP),

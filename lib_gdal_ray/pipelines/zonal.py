@@ -11,11 +11,78 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from .relational import grouped_agg
 from .spatial_join import broadcast_pip_join
+
+
+class _WeightedZonal:
+    """Raster zonal stats with fractional pixel coverage weights
+    (`alg/zonal.cpp` optional weights): for each (pixel, zone-box) pair
+    the weight is the exact area fraction of the pixel square covered
+    by the zone, computed in global-pixel coordinate space."""
+
+    def __init__(self, wrapped, z, tile_size):
+        import ray as _ray
+
+        zb = _ray.get(wrapped["ref"])  # dict with zone_id + pixel-space bounds
+        self.zone_id = zb["zone_id"]
+        self.zx0, self.zy0 = zb["zx0"], zb["zy0"]
+        self.zx1, self.zy1 = zb["zx1"], zb["zy1"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .rasterize import unpack_pixel
+
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        zz, gpx, gpy = unpack_pixel(pix)
+        out = []
+        for zi in range(len(self.zone_id)):
+            w = (np.minimum(gpx + 1.0, self.zx1[zi]) - np.maximum(gpx.astype(np.float64), self.zx0[zi]))
+            h = (np.minimum(gpy + 1.0, self.zy1[zi]) - np.maximum(gpy.astype(np.float64), self.zy0[zi]))
+            cov = np.clip(w, 0.0, 1.0) * np.clip(h, 0.0, 1.0)
+            hit = cov > 0.0
+            if hit.any():
+                out.append(pa.table({
+                    "zone_id": pa.array(np.full(int(hit.sum()), self.zone_id[zi],
+                                                dtype=np.int64)),
+                    "wv": pa.array(burn[hit] * cov[hit]),
+                    "w": pa.array(cov[hit]),
+                }))
+        if not out:
+            return pa.table({"zone_id": pa.array([], pa.int64()),
+                             "wv": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        return pa.concat_tables(out)
+
+
+def zonal_stats_weighted(pixels: ray.data.Dataset, zone_id: np.ndarray,
+                         zone_px_bounds, z: int,
+                         tile_size: int = 256,
+                         shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
+    """Sparse raster × zone boxes with fractional coverage weights.
+
+    zone_px_bounds = (zx0, zy0, zx1, zy1) in GLOBAL PIXEL coordinates at
+    zoom z (callers project zone geometry; keeping the projection at the
+    caller makes the weight arithmetic exactly mirrorable in a SQL
+    oracle). Returns (zone_id, weighted_sum, weight_sum)."""
+    import ray as _ray
+
+    zx0, zy0, zx1, zy1 = (np.asarray(v, dtype=np.float64) for v in zone_px_bounds)
+    ref = _ray.put({"zone_id": np.asarray(zone_id, dtype=np.int64),
+                    "zx0": zx0, "zy0": zy0, "zx1": zx1, "zy1": zy1})
+    pairs = pixels.map_batches(_WeightedZonal, batch_format="pyarrow",
+                               fn_constructor_args=({"ref": ref}, z, tile_size),
+                               concurrency=(1, 8))
+    from .relational import grouped_agg
+
+    return grouped_agg(pairs, "zone_id", [
+        ("sum", "wv", "weighted_sum"),
+        ("sum", "w", "weight_sum"),
+    ], shuffle_partitions=shuffle_partitions)
 
 
 def zonal_stats(points: ray.data.Dataset, zones: pa.Table,
