@@ -94,3 +94,32 @@ def test_swq_arith_consistency(a, b):
     assert compile_filter(expr)(t).to_pylist() == [True]
     expr2 = f"a > {b}"
     assert compile_filter(expr2)(t).to_pylist() == [a > b]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(5, 60), st.integers(1, 5),
+       st.sampled_from([2.0, 5.0, 10.0, 20.0]))
+def test_knn_cell_ring_expansion_exact(seed, n_sites, k, res):
+    """The cell-ring expansion bound must reproduce brute-force kNN for
+    any site layout, k, and grid resolution."""
+    import pyarrow as pa
+
+    from lib_gdal_ray.geom import cells as cellsm
+    from lib_gdal_ray.pipelines.knn import SiteIndex
+
+    rng = np.random.default_rng(seed)
+    sx = rng.uniform(-170, 170, n_sites)
+    sy = rng.uniform(-80, 80, n_sites)
+    sid = np.arange(n_sites, dtype=np.int64)
+    idx = SiteIndex(pa.table({"id": pa.array(sid), "x": pa.array(sx),
+                              "y": pa.array(sy)}), "id", "x", "y", res)
+    px = rng.uniform(-170, 170, 5)
+    py = rng.uniform(-80, 80, 5)
+    cell = cellsm.grid_cell(px, py, res)
+    for u in np.unique(cell):
+        rows = np.flatnonzero(cell == u)
+        got_i, got_d = idx.knn_cell(px[rows], py[rows], int(u), k)
+        for r, row in enumerate(rows):
+            d2 = (idx.x - px[row]) ** 2 + (idx.y - py[row]) ** 2
+            want = np.lexsort((idx.ids, d2))[:min(k, n_sites)]
+            assert list(got_i[r]) == list(want), (seed, row)
