@@ -391,6 +391,65 @@ def layer_update(polys: ray.data.Dataset, method: pa.Table,
     return left.union(right)
 
 
+def layer_union(polys: ray.data.Dataset, method: pa.Table,
+                res: float = 5.0,
+                concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                include_intersections: bool = True) -> ray.data.Dataset:
+    """Layer-algebra Union (`ogrlayer.cpp:5622`): the full overlay —
+    input-only parts (input fields), intersections (both sides'
+    fields), method-only parts (method fields). With
+    include_intersections=False this is SymDifference
+    (`ogrlayer.cpp:6159`). Output adds `src` ∈
+    {input_only, intersection, method_only} and `geometry`.
+
+    Requires `method` to carry `zone-like` id columns; input keeps its
+    own columns (nulls on rows from the other side)."""
+    import ray.data as _rd
+
+    a_only = broadcast_polygon_erase(polys, method, res=res, concurrency=concurrency)
+
+    def tag(src):
+        def fn(batch: pa.Table) -> pa.Table:
+            drop = [c for c in ("remaining_area", "intersection_area")
+                    if c in batch.column_names]
+            batch = batch.drop_columns(drop)
+            return batch.append_column(
+                "src", pa.array(np.full(len(batch), src), type=pa.string()))
+        return fn
+
+    parts = [a_only.map_batches(tag("input_only"), batch_format="pyarrow")]
+    method_cols = [c for c in method.column_names if c != "geometry"]
+    if include_intersections:
+        inter = broadcast_polygon_intersection(polys, method, method_cols,
+                                               res=res, concurrency=concurrency)
+        parts.append(inter.map_batches(tag("intersection"), batch_format="pyarrow"))
+    # method-only parts: method minus the union of all input polygons.
+    # Broadcast the input side (documented: Union's method-side residual
+    # needs one side in memory; swap roles if the method side is the
+    # big one).
+    input_tbl_rows = []
+    for b in polys.iter_batches(batch_format="pyarrow"):
+        input_tbl_rows.append(b.select(["geometry"]))
+    input_tbl = pa.concat_tables(input_tbl_rows) if input_tbl_rows else pa.table(
+        {"geometry": pa.array([], pa.binary())})
+    m_ds = _rd.from_arrow(method)
+    b_only = broadcast_polygon_erase(m_ds, input_tbl, res=res, concurrency=concurrency)
+    parts.append(b_only.map_batches(tag("method_only"), batch_format="pyarrow"))
+
+    from .relational import union_all
+
+    return union_all(parts)
+
+
+def layer_symmetric_difference(polys: ray.data.Dataset, method: pa.Table,
+                               res: float = 5.0,
+                               concurrency: Union[int, Tuple[int, int]] = (1, 8),
+                               ) -> ray.data.Dataset:
+    """Layer-algebra SymDifference (`ogrlayer.cpp:6159`)."""
+    return layer_union(polys, method, res=res, concurrency=concurrency,
+                       include_intersections=False)
+
+
 def broadcast_polygon_intersection(polys: ray.data.Dataset, method: pa.Table,
                                    method_cols: Sequence[str], res: float = 5.0,
                                    concurrency: Union[int, Tuple[int, int]] = (1, 8),

@@ -181,3 +181,41 @@ class TestLayerUpdate:
         # (16-4) + 4 + 16 = 28 ; covered a3 contributes 0
         np.testing.assert_allclose(total, 32.0, rtol=1e-9)
         assert out[out["src"] == "method"]["gid"].isna().all()
+
+
+class TestLayerUnion:
+    def _setup(self):
+        import pyarrow as pa
+        import ray.data
+
+        a1 = wkb.polygon_to_wkb([close([(0, 0), (4, 0), (4, 4), (0, 4)])])
+        m = wkb.polygon_to_wkb([close([(2, 2), (6, 2), (6, 6), (2, 6)])])
+        subject = ray.data.from_arrow(pa.table({
+            "gid": pa.array([1], type=pa.int64()),
+            "geometry": pa.array([a1], type=pa.binary())}))
+        method = pa.table({"zone": pa.array([9], type=pa.int64()),
+                           "geometry": pa.array([m], type=pa.binary())})
+        return subject, method
+
+    def test_union_three_parts(self):
+        from lib_gdal_ray.pipelines.spatial_join import layer_union
+
+        subject, method = self._setup()
+        out = layer_union(subject, method, res=20.0).to_pandas()
+        areas = {r["src"]: wkb_centroid_area(r["geometry"])[2] for _, r in out.iterrows()}
+        np.testing.assert_allclose(areas["input_only"], 12.0, rtol=1e-9)
+        np.testing.assert_allclose(areas["intersection"], 4.0, rtol=1e-9)
+        np.testing.assert_allclose(areas["method_only"], 12.0, rtol=1e-9)
+        # field semantics: intersection carries both; *_only rows null the other side
+        inter = out[out["src"] == "intersection"].iloc[0]
+        assert inter["gid"] == 1 and inter["zone"] == 9
+        assert np.isnan(out[out["src"] == "method_only"]["gid"].iloc[0])
+
+    def test_symmetric_difference(self):
+        from lib_gdal_ray.pipelines.spatial_join import layer_symmetric_difference
+
+        subject, method = self._setup()
+        out = layer_symmetric_difference(subject, method, res=20.0).to_pandas()
+        assert set(out["src"]) == {"input_only", "method_only"}
+        total = sum(wkb_centroid_area(g)[2] for g in out["geometry"])
+        np.testing.assert_allclose(total, 24.0, rtol=1e-9)  # 16 + 16 - 2*4
