@@ -239,6 +239,51 @@ def union_all(datasets: Sequence[ray.data.Dataset],
     return out
 
 
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: Union[str, Sequence[str]],
+              right_on: Union[str, Sequence[str], None] = None,
+              how: str = "inner",
+              num_partitions: int = 32) -> ray.data.Dataset:
+    """Big-big attribute equi-join (both sides distributed).
+
+    Uses Ray's native hash-partitioned `Dataset.join` when available
+    (2.46+); otherwise falls back to the portable explicit bucketed
+    join (hash both sides to `num_partitions` buckets, tagged union,
+    one `groupby(bucket)`, pandas merge per bucket). Broadcast the
+    small side with `broadcast_hash_join` instead when it fits memory.
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    r_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    if hasattr(left, "join"):
+        return left.join(right, join_type=how, num_partitions=num_partitions,
+                         on=on, right_on=r_on)
+
+    # portable fallback: explicit partitioned hash join
+    import pandas as pd
+
+    def bucketed(side, keys):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for k in keys:
+                h ^= pc.cast(pc.if_else(pc.is_null(batch[k]), 0, batch[k]),
+                             pa.uint64(), safe=False).to_numpy(zero_copy_only=False)
+            b = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 8)
+            batch = batch.append_column("__bkt", pa.array((b % num_partitions).astype(np.int32)))
+            return batch.append_column("__side", pa.array(np.full(len(batch), side, np.int8)))
+        return fn
+
+    both = left.map_batches(bucketed(0, on), batch_format="pyarrow").union(
+        right.map_batches(bucketed(1, r_on), batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0].drop(columns=["__bkt", "__side"])
+        r = df[df["__side"] == 1].drop(columns=["__bkt", "__side"])
+        return l.merge(r, left_on=list(on), right_on=list(r_on), how=how)
+
+    return both.groupby("__bkt").map_groups(merge, batch_format="pandas")
+
+
 def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.Dataset:
     """SELECT DISTINCT — per-batch dedup partial, then hash-partition
     groupby (reference: ordered std::set distinct,

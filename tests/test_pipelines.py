@@ -340,3 +340,24 @@ class TestAutoSalt:
         ).to_pandas()
         got = set(zip(out["pid"].astype(int), out["zone_id"].astype(int)))
         assert got == brute_pip_pairs(pts, zones)
+
+
+class TestHashJoin:
+    def test_big_big_inner_vs_duckdb(self, sf_med):
+        li = tables.read_table(sf_med, "lineitem", columns=["l_orderkey", "l_quantity"])
+        orders = tables.read_table(sf_med, "orders", columns=["o_orderkey", "o_totalprice"])
+        out = rel.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                            how="inner", num_partitions=16)
+        got = out.count()
+        want = duckdb.sql(f"""
+            SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') l
+            JOIN read_parquet('{sf_med}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        """).df()["n"].iloc[0]
+        assert got == want
+
+    def test_columns_present(self, sf_med):
+        li = tables.read_table(sf_med, "lineitem", columns=["l_orderkey", "l_quantity"]).limit(100)
+        orders = tables.read_table(sf_med, "orders", columns=["o_orderkey", "o_totalprice"])
+        out = rel.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                            num_partitions=4).to_pandas()
+        assert {"l_orderkey", "l_quantity", "o_totalprice"} <= set(out.columns)
