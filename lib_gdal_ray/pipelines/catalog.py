@@ -823,6 +823,23 @@ FROM documents
 """
 
 
+def q_bpe_tokens(sf_dir):
+    """BPE-ish sub-word token counting (RE2-safe pattern mirrored in
+    the DuckDB oracle via regexp_extract_all)."""
+    from .text import bpe_token_count
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_count(docs).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_ann_topk(sf_dir):
     emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mask = pc.less(emb["vec_id"], 5)
@@ -1177,6 +1194,7 @@ QUERIES = {
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "ann_topk": (q_ann_topk, SQL_ANN),
     "minhash_near_dup": (q_minhash_near_dup, None),
     "simhash": (q_simhash, None),

@@ -38,6 +38,33 @@ def token_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+class _BpeIshTokenizer:
+    """BPE-ish sub-word-run tokenizer: alphabetic runs, digit runs, and
+    punctuation runs (the pre-tokenization split GPT-2-style BPE applies
+    before merges, minus contractions/lookahead so the same pattern runs
+    in RE2-based SQL engines). Regex compiled once per actor."""
+
+    def __init__(self, text_col):
+        import re
+
+        self.text_col = text_col
+        self.pat = re.compile(BPE_ISH_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        counts = np.asarray([len(self.pat.findall(t)) for t in texts], dtype=np.int64)
+        return batch.append_column("n_bpe_tokens", pa.array(counts))
+
+
+def bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(_BpeIshTokenizer, batch_format="pyarrow",
+                          fn_constructor_args=(text_col,), concurrency=concurrency)
+
+
 class _QualityScorer:
     """Quality heuristics: alpha ratio, digit ratio, mean token length,
     stopword ratio (en), uppercase ratio. Regexes compiled per actor."""
