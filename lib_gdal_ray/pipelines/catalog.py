@@ -318,6 +318,53 @@ FROM events GROUP BY 1
 """
 
 
+def q_sliding_window(sf_dir):
+    """Sliding 2h/1h window aggregates over the event stream."""
+    from .windows import sliding_window_agg
+
+    ev = tables.read_table(sf_dir, "events", columns=["ts", "value"])
+    return sliding_window_agg(ev, "ts", "value", size_s=7200, slide_s=3600,
+                              shuffle_partitions=8)
+
+
+SQL_SLIDING = f"""
+WITH e AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS base,
+                  {CENTS.format(x='value')} AS c FROM events),
+x AS (SELECT to_timestamp(base - s*3600) AS window_start, c
+      FROM e, (SELECT unnest([0, 1]) AS s) shifts
+      WHERE base - s*3600 >= 0)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(sum(c) AS BIGINT) AS sum_value_c, count(*) AS n
+FROM x GROUP BY 1
+"""
+
+
+def q_sessionize(sf_dir):
+    """Sessionization: 30-min-gap sessions per user."""
+    from .windows import sessionize
+
+    ev = tables.read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ev, "user_id", "ts", gap_s=1800)
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_count_distinct_users(sf_dir):
     ev = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
     d = rel.distinct(ev, ["event_type", "user_id"])
@@ -1160,6 +1207,8 @@ QUERIES = {
     "events_by_type": (q_events_by_type, SQL_EVENTS_TYPE),
     "count_distinct_users": (q_count_distinct_users, SQL_COUNT_DISTINCT),
     "events_hourly_window": (q_events_hourly_window, SQL_EVENTS_HOURLY),
+    "sliding_window": (q_sliding_window, SQL_SLIDING),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "union_names": (q_union_names, SQL_UNION),
     "orders_by_year": (q_orders_by_year, SQL_ORDERS_YEAR),
     # geospatial

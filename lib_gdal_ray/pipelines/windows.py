@@ -1,0 +1,89 @@
+"""Event-stream windowing: tumbling/sliding windows and sessionization.
+
+The reference is one-shot batch with no window/watermark concepts
+(SURVEY §2.9); these are the "streaming window" custom operators the
+north rule's training-pipeline scope asks for, expressed keys-not-order:
+
+* tumbling window = derived window-start column + grouped agg
+  (`catalog.q_events_hourly_window`);
+* sliding window = each event replicated to the size/slide windows
+  containing it (`map_batches` explode, vectorized) + grouped agg —
+  one narrow shuffle;
+* sessionization = per-user gap splitting: `groupby(user)` then a
+  vectorized sort/diff/cumsum inside the group (the classic 30-minute
+  session rule).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def sliding_window_agg(events: ray.data.Dataset, ts_col: str, value_col: str,
+                       size_s: int, slide_s: int,
+                       shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
+    """-> (window_start [timestamp us], n, sum_value_c) — every event
+    contributes to ceil(size/slide) windows; value summed as exact
+    integer cents."""
+    if size_s % slide_s != 0:
+        raise ValueError("size must be a multiple of slide")
+    k = size_s // slide_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        tsec = ts.astype(np.int64) // 1_000_000
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        # latest window start containing t: floor(t/slide)*slide; then k-1 earlier
+        base = (tsec // slide_s) * slide_s
+        starts = np.concatenate([base - i * slide_s for i in range(k)])
+        rep_cents = np.tile(cents, k)
+        keep = starts >= 0
+        t = pa.table({
+            "window_start": pa.array((starts * 1_000_000).astype("datetime64[us]")),
+            "c": pa.array(rep_cents),
+            "one": pa.array(np.ones(len(starts), dtype=np.int64)),
+        }).filter(pa.array(keep))
+        out = t.group_by(["window_start"]).aggregate([("c", "sum"), ("one", "sum")])
+        return out.rename_columns(["window_start", "c", "one"])
+
+    partials = events.map_batches(explode, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    if shuffle_partitions:
+        def combine(batch: pa.Table) -> pa.Table:
+            out = batch.group_by(["window_start"]).aggregate([("c", "sum"), ("one", "sum")])
+            return out.rename_columns(["window_start", "sum_value_c", "n"])
+
+        return partials.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                                   batch_size=None)
+    return partials.groupby("window_start").aggregate(
+        Sum("c", alias_name="sum_value_c"), Sum("one", alias_name="n"))
+
+
+def sessionize(events: ray.data.Dataset, user_col: str, ts_col: str,
+               gap_s: int = 1800) -> ray.data.Dataset:
+    """-> one row per session: (user, session_start, session_end,
+    n_events). A new session starts when the gap since the previous
+    event of the same user exceeds gap_s."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="stable")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts, prepend=ts[0]) > gap_s * 1_000_000
+        sid = np.cumsum(gaps)
+        out = pd.DataFrame({"sid": sid, "ts": ts})
+        g = out.groupby("sid")["ts"]
+        return pd.DataFrame({
+            user_col: df[user_col].iloc[0],
+            "session_start": g.min().to_numpy().astype("datetime64[us]"),
+            "session_end": g.max().to_numpy().astype("datetime64[us]"),
+            "n_events": g.size().to_numpy().astype(np.int64),
+        })
+
+    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
