@@ -376,6 +376,28 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 
+def q_median_quantity(sf_dir):
+    """Grouped median (quantile aggregate — beyond the reference's
+    aggregate set, rounded 4dp both sides)."""
+    from ray.data.aggregate import Quantile
+
+    li = tables.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = li.groupby("l_returnflag").aggregate(
+        Quantile("l_quantity", q=0.5, alias_name="median_qty"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "median_qty": pc.round(batch["median_qty"], ndigits=4)})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_MEDIAN = """
+SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_union_names(sf_dir):
     r = tables.read_table(sf_dir, "region", columns=["r_name"]).rename_columns(["name"])
     n = tables.read_table(sf_dir, "nation", columns=["n_name"]).rename_columns(["name"])
@@ -1210,6 +1232,7 @@ QUERIES = {
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "union_names": (q_union_names, SQL_UNION),
+    "median_quantity": (q_median_quantity, SQL_MEDIAN),
     "orders_by_year": (q_orders_by_year, SQL_ORDERS_YEAR),
     # geospatial
     "cell_assign": (q_cell_assign, sql_cell_assign()),

@@ -361,3 +361,18 @@ class TestHashJoin:
         out = rel.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                             num_partitions=4).to_pandas()
         assert {"l_orderkey", "l_quantity", "o_totalprice"} <= set(out.columns)
+
+
+class TestQuantile:
+    def test_grouped_quantile_vs_numpy(self, sf_med):
+        from ray.data.aggregate import Quantile
+
+        li = tables.read_table(sf_med, "lineitem", columns=["l_returnflag", "l_quantity"])
+        out = (li.groupby("l_returnflag")
+               .aggregate(Quantile("l_quantity", q=0.5, alias_name="median_qty"))
+               .to_pandas().set_index("l_returnflag"))
+        want = duckdb.sql(f"""
+            SELECT l_returnflag, quantile_cont(l_quantity, 0.5) m
+            FROM read_parquet('{sf_med}/lineitem.parquet') GROUP BY 1""").df().set_index("l_returnflag")
+        for k in want.index:
+            np.testing.assert_allclose(out.loc[k, "median_qty"], want.loc[k, "m"], rtol=1e-9)
