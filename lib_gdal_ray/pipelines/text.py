@@ -131,6 +131,60 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text",
                           fn_constructor_args=(text_col,), concurrency=concurrency)
 
 
+# seed corpora for character-trigram language profiles (public pangram /
+# common-phrase snippets; enough signal for a 4-way vote)
+_SEED_TEXT = {
+    "en": "the quick brown fox jumps over the lazy dog and then it was the "
+          "best of times it was the worst of times in the beginning there was",
+    "de": "der schnelle braune fuchs springt über den faulen hund und es war "
+          "einmal in einem land vor unserer zeit die wahrheit ist nicht immer schön",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux il était "
+          "une fois dans un pays lointain la vérité nest pas toujours belle",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso érase una vez "
+          "en un país muy lejano la verdad no siempre es hermosa",
+}
+
+
+def _trigram_profile(text: str):
+    t = " " + "".join(c for c in text.lower() if c.isalpha() or c == " ") + " "
+    prof = {}
+    for i in range(len(t) - 2):
+        g = t[i:i + 3]
+        prof[g] = prof.get(g, 0) + 1
+    norm = sum(v * v for v in prof.values()) ** 0.5 or 1.0
+    return {k: v / norm for k, v in prof.items()}
+
+
+class _NgramLangId:
+    """Character-trigram cosine language ID (the 'n-gram heuristic' —
+    Cavnar & Trenkle-style profiles, cosine instead of rank-distance).
+    Profiles built once per actor."""
+
+    def __init__(self, text_col, min_sim=0.05):
+        self.text_col = text_col
+        self.min_sim = min_sim
+        self.profiles = {lang: _trigram_profile(t) for lang, t in _SEED_TEXT.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def classify(t):
+            p = _trigram_profile(t)
+            best, best_s = "und", self.min_sim
+            for lang, q in self.profiles.items():
+                s = sum(v * q.get(k, 0.0) for k, v in p.items())
+                if s > best_s:
+                    best, best_s = lang, s
+            return best
+
+        df["lang_ngram"] = df[self.text_col].map(classify)
+        return df
+
+
+def lang_id_ngram(ds: ray.data.Dataset, text_col: str = "text",
+                  concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(_NgramLangId, batch_format="pandas",
+                          fn_constructor_args=(text_col,), concurrency=concurrency)
+
+
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 window: int = 16) -> ray.data.Dataset:
     """Rolling polynomial hash fingerprint (winnowing-style min over

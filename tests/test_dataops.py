@@ -254,3 +254,31 @@ class TestManifest:
         run_partitioned(out, ["a", "b"], "L1", work)
         res = run_partitioned(out, ["a", "b"], "L2", work)
         assert sorted(res["ran"]) == ["a", "b"]
+
+
+class TestNgramLangId:
+    def test_four_languages(self):
+        t = pa.table({"text": pa.array([
+            "the government announced that the new policy would take effect next year",
+            "die regierung hat angekündigt dass die neue richtlinie nächstes jahr",
+            "le gouvernement a annoncé que la nouvelle politique entrerait en vigueur",
+            "el gobierno anunció que la nueva política entraría en vigor el próximo",
+            "0192 3848 !!!",
+        ])})
+        out = text_mod.lang_id_ngram(ray.data.from_arrow(t), concurrency=1).to_pandas()
+        assert list(out["lang_ngram"])[:4] == ["en", "de", "fr", "es"]
+        assert out["lang_ngram"].iloc[4] == "und"
+
+
+class TestStatsMetrics:
+    def test_summarize(self, sf_small):
+        from lib_gdal_ray.state.metrics import summarize_stats
+
+        ds = tables.read_table(sf_small, "lineitem", columns=["l_quantity"])
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        out = summarize_stats(ds)
+        assert len(out["operators"]) >= 1
+        names = " ".join(o["name"] for o in out["operators"])
+        assert "MapBatches" in names or "ReadParquet" in names
+        assert any("rows" in o for o in out["operators"])
+        assert isinstance(out["raw"], str) and len(out["raw"]) > 100
