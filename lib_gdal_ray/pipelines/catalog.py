@@ -965,7 +965,9 @@ def q_lang_quality(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = text_mod.quality_score(docs)
     out = text_mod.lang_id(out)
-    return out.select_columns(["doc_id", "lang", "lang_pred", "quality_score"])
+    out = text_mod.lang_id_ngram(out)
+    return out.select_columns(["doc_id", "lang", "lang_pred", "lang_ngram",
+                               "quality_score"])
 
 
 def q_fingerprint(sf_dir):
