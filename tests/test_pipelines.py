@@ -376,3 +376,27 @@ class TestQuantile:
             FROM read_parquet('{sf_med}/lineitem.parquet') GROUP BY 1""").df().set_index("l_returnflag")
         for k in want.index:
             np.testing.assert_allclose(out.loc[k, "median_qty"], want.loc[k, "m"], rtol=1e-9)
+
+
+class TestTileGoldens:
+    """Autotest-style frozen expectations (the checksum-golden pattern of
+    test_gdalalg_raster_tile.py): exact tile assignments + GDAL checksums
+    for a fixed derived input, pinned as literals."""
+
+    GOLDEN = [(0, 15, 6, 6.0), (1, 5, 6, 6.0), (2, 5, 5, 5.0), (3, 7, 5, 5.0),
+              (4, 10, 9, 9.0), (5, 15, 4, 4.0), (6, 5, 4, 4.0), (6, 15, 3, 3.0),
+              (7, 5, 3, 3.0), (8, 7, 5, 5.0), (9, 10, 2, 2.0), (10, 15, 2, 2.0),
+              (11, 15, 1, 1.0), (12, 5, 1, 1.0), (13, 7, 1, 1.0), (14, 7, 0, 0.0),
+              (15, 9, 6, 6.0), (15, 10, 0, 0.0)]
+
+    def test_frozen_tile_assignments_and_checksums(self):
+        ids = np.arange(1, 21, dtype=np.int64) * 12345
+        lon, lat = derive.event_lonlat(ids)
+        pts = ray.data.from_arrow(pa.table({
+            "lon": pa.array(lon), "lat": pa.array(lat),
+            "v": pa.array((ids % 7).astype(np.float64))})).repartition(3)
+        t = rast.tile_summary(rast.rasterize_pixels(pts, 4, value_col="v",
+                                                    merge_alg="add")).to_pandas()
+        got = sorted((int(r.tile_x), int(r.tile_y), int(r.checksum), float(r.total))
+                     for r in t.itertuples())
+        assert got == self.GOLDEN
