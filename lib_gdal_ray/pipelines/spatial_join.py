@@ -536,39 +536,63 @@ def shuffle_pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
     pls = pls.map_batches(salt_polys, batch_format="pyarrow")
     pls = pls.select_columns(list(dict.fromkeys(list(poly_cols) + [poly_wkb_col, "__jk"])))
 
-    # Tag and union — one shuffle co-partitions both sides.
-    def tag(side: int):
+    # Align both sides to one unified Arrow schema before the union so the
+    # shuffle never mixes block schemas (mixed schemas previously forced a
+    # pandas round-trip whose empty groups upcast int64 -> float64 and broke
+    # value-hash parity with the broadcast path).
+    pts_schema = pts.schema().base_schema
+    pls_schema = pls.schema().base_schema
+    unified = list(pts_schema)
+    have = {f.name for f in unified}
+    unified += [f for f in pls_schema if f.name not in have]
+    uni_names = [f.name for f in unified]
+
+    def tag_and_pad(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+            n = len(batch)
+            cols = []
+            for f in unified:
+                if f.name in batch.column_names:
+                    cols.append(batch[f.name])
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            out_tbl = pa.table(dict(zip(uni_names, cols)))
+            return out_tbl.append_column(
+                "__side", pa.array(np.full(n, side, dtype=np.int8)))
         return fn
 
-    both = pts.map_batches(tag(0), batch_format="pyarrow").union(
-        pls.map_batches(tag(1), batch_format="pyarrow"))
+    both = pts.map_batches(tag_and_pad(0), batch_format="pyarrow").union(
+        pls.map_batches(tag_and_pad(1), batch_format="pyarrow"))
 
     out_cols = list(point_cols) + list(poly_cols)
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
-        pdf = df[df["__side"] == 0]
-        gdf = df[df["__side"] == 1]
-        if len(pdf) == 0 or len(gdf) == 0:
-            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype if c in df else object) for c in out_cols})
-        tbl = pa.Table.from_pandas(gdf[[poly_wkb_col] + list(poly_cols)], preserve_index=False)
-        index = PolygonCellIndex(tbl, poly_wkb_col, res=360.0)  # single-cell local index
-        px = pdf[lon_col].to_numpy(dtype=np.float64)
-        py = pdf[lat_col].to_numpy(dtype=np.float64)
-        parts = []
-        for poly_i in range(len(tbl)):
+    def join_group(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        p = tbl.filter(pa.array(side == 0))
+        g = tbl.filter(pa.array(side == 1))
+        if len(p) == 0 or len(g) == 0:
+            return tbl.select(out_cols).slice(0, 0)
+        index = PolygonCellIndex(g, poly_wkb_col, res=360.0)  # single-cell local index
+        px = p[lon_col].to_numpy(zero_copy_only=False)
+        py = p[lat_col].to_numpy(zero_copy_only=False)
+        pt_idx: List[np.ndarray] = []
+        gm_idx: List[np.ndarray] = []
+        for poly_i in range(len(g)):
             hit = index.refine(px, py, poly_i, predicate)
             if hit.any():
-                left = pdf.iloc[np.flatnonzero(hit)][list(point_cols)].reset_index(drop=True)
-                for c in poly_cols:
-                    left[c] = gdf.iloc[poly_i][c]
-                parts.append(left)
-        if not parts:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-        return pd.concat(parts, ignore_index=True)[out_cols]
+                ii = np.flatnonzero(hit)
+                pt_idx.append(ii)
+                gm_idx.append(np.full(len(ii), poly_i, dtype=np.int64))
+        if not pt_idx:
+            return tbl.select(out_cols).slice(0, 0)
+        li = pa.array(np.concatenate(pt_idx))
+        gi = pa.array(np.concatenate(gm_idx))
+        lt = p.select(list(point_cols)).take(li)
+        gt = g.select(list(poly_cols)).take(gi)
+        return pa.table(
+            {c: lt[c] for c in point_cols} | {c: gt[c] for c in poly_cols})
 
-    return both.groupby("__jk").map_groups(join_group, batch_format="pandas")
+    return both.groupby("__jk").map_groups(join_group, batch_format="pyarrow")
 
 
 def precount_cells(points: ray.data.Dataset, res: float,
