@@ -563,6 +563,103 @@ def sql_rasterize():
     """
 
 
+_RAST_POLY_Z = 2  # global raster is 1024x1024 px — bounded oracle output
+
+
+def q_rasterize_polygons(sf_dir):
+    """Scanline polygon burn (gdal_rasterize parity): zone boxes ->
+    per-pixel coverage counts at zoom 2. Exercises the even-odd
+    pixel-center fill of `alg/llrasterize.cpp` GDALdllImageFilledPolygon
+    via geom/scanline.py; oracle = the same center-in-box rule in SQL."""
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    pix = rast.rasterize_geometries(zones, _RAST_POLY_Z, merge_alg="count",
+                                    shuffle_partitions=8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "gpx": pa.array(gpx),
+            "gpy": pa.array(gpy),
+            "n_zones": pc.cast(pc.round(batch["burn"]), pa.int64()),
+        })
+
+    return pix.map_batches(f, batch_format="pyarrow")
+
+
+def _merc_fy_sql(lat_expr: str, npix: int) -> str:
+    clipped = f"LEAST(GREATEST(CAST({lat_expr} AS DOUBLE), -85.05112878), 85.05112878)"
+    return (f"(1 - ln(tan(radians({clipped})) + 1/cos(radians({clipped})))/pi())"
+            f"/2*{npix}")
+
+
+def sql_rasterize_polygons():
+    npix = (1 << _RAST_POLY_Z) * 256
+    fx = "((({e})+180.0)/360.0*{n})"
+    return f"""
+    WITH rng AS (
+      SELECT zone_id,
+        CAST(floor({fx.format(e='xmin', n=npix)} + 0.5) AS BIGINT) AS gx0,
+        CAST(floor({fx.format(e='xmax', n=npix)} + 0.5) AS BIGINT) - 1 AS gx1,
+        CAST(ceil({_merc_fy_sql('ymax', npix)} - 0.5) AS BIGINT) AS gy0,
+        CAST(ceil({_merc_fy_sql('ymin', npix)} - 0.5) AS BIGINT) - 1 AS gy1
+      FROM {_ZONES_SQL} z
+    )
+    , xs AS (
+      SELECT zone_id, unnest(generate_series(gx0, gx1)) AS gpx, gy0, gy1
+      FROM rng
+    ), xy AS (
+      SELECT zone_id, gpx, unnest(generate_series(gy0, gy1)) AS gpy FROM xs
+    )
+    SELECT gpx, gpy, count(*) AS n_zones FROM xy GROUP BY 1, 2
+    """
+
+
+def q_rasterize_lines(sf_dir):
+    """Bresenham line burn (GDALdllImageLine parity): one vertical
+    meridian segment per zone (center lon, ymin..ymax lat). Vertical
+    Bresenham = floor-pixel span inclusive of both endpoints — exactly
+    expressible in SQL."""
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+    cx = (xmin + xmax) / 2.0
+    geoms = [wkb_mod.linestring_to_wkb(np.array([[float(c), float(y0)],
+                                                 [float(c), float(y1)]]))
+             for c, y0, y1 in zip(cx, ymin, ymax)]
+    lines = ray.data.from_arrow(pa.table({
+        "geometry": pa.array(geoms, type=pa.binary())}))
+    pix = rast.rasterize_geometries(lines, _RAST_POLY_Z, merge_alg="count",
+                                    shuffle_partitions=8)
+
+    def f(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "gpx": pa.array(gpx),
+            "gpy": pa.array(gpy),
+            "n_lines": pc.cast(pc.round(batch["burn"]), pa.int64()),
+        })
+
+    return pix.map_batches(f, batch_format="pyarrow")
+
+
+def sql_rasterize_lines():
+    npix = (1 << _RAST_POLY_Z) * 256
+    return f"""
+    WITH rng AS (
+      SELECT zone_id,
+        CAST(floor(((xmin + xmax)/2.0 + 180.0)/360.0*{npix}) AS BIGINT) AS gx,
+        GREATEST(CAST(floor({_merc_fy_sql('ymax', npix)}) AS BIGINT), 0) AS gy0,
+        LEAST(CAST(floor({_merc_fy_sql('ymin', npix)}) AS BIGINT), {npix - 1}) AS gy1
+      FROM {_ZONES_SQL} z
+    )
+    , xy AS (
+      SELECT zone_id, gx AS gpx, unnest(generate_series(gy0, gy1)) AS gpy
+      FROM rng
+    )
+    SELECT gpx, gpy, count(*) AS n_lines FROM xy GROUP BY 1, 2
+    """
+
+
 def q_tile_overview(sf_dir):
     pts = events_points(sf_dir)
     base = rast.rasterize_pixels(pts, 8, merge_alg="count", shuffle_partitions=8)
@@ -1244,6 +1341,8 @@ QUERIES = {
     "knn": (q_knn, SQL_KNN),
     "reproject": (q_reproject, SQL_REPROJECT),
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
+    "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
+    "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),
     "tile_overview": (q_tile_overview, sql_tile_overview()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "zonal_weighted": (q_zonal_weighted, sql_zonal_weighted()),
