@@ -25,8 +25,11 @@ def _stack_embeddings(col) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    offsets = arr.offsets.to_numpy(zero_copy_only=False)
-    dim = offsets[1] - offsets[0]
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+    else:
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        dim = offsets[1] - offsets[0]
     return flat.reshape(len(arr), dim)
 
 
@@ -111,26 +114,109 @@ def lsh_bucket(ds: ray.data.Dataset, dim: int, emb_col: str = "embedding",
                           concurrency=concurrency)
 
 
+class _MultiTableBucketer:
+    """Banded multi-table random-hyperplane LSH (the MinHash-LSH band
+    structure applied to SimHash bits, per Charikar 2002 + MMDS ch.3):
+    `tables` independent hyperplane sets of `nbits` each; a pair
+    collides if ANY table agrees on all its bits — recall rises with
+    table count instead of by shrinking nbits (which blows bucket
+    sizes up). Emits one row per (vector, table) with a packed bucket
+    key and a 256-way bounded group key (`bb_mod`), exactly like the
+    MinHash band explode."""
+
+    def __init__(self, emb_col, id_col, dim, nbits, tables, seed):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((tables, dim, nbits))
+        self.emb_col, self.id_col = emb_col, id_col
+        self.bits = np.arange(nbits, dtype=np.uint64)
+        self.tables = tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(batch[self.emb_col])
+        mat = _normalize(mat)
+        n = len(mat)
+        buckets = np.empty((n, self.tables), dtype=np.uint64)
+        for t in range(self.tables):
+            signs = (mat @ self.planes[t]) > 0
+            code = (signs.astype(np.uint64) << self.bits[None, :]).sum(axis=1)
+            buckets[:, t] = (np.uint64(t) << np.uint64(58)) | code
+        rep = np.repeat(np.arange(n), self.tables)
+        flat = buckets.ravel()
+        return pa.table({
+            self.id_col: pa.array(
+                batch[self.id_col].to_numpy(zero_copy_only=False)[rep]),
+            "bb": pa.array(flat),
+            "bb_mod": pa.array(
+                ((flat * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56))
+                .astype(np.int32)),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat[rep].ravel()), mat.shape[1]),
+        })
+
+
 def embedding_near_dup_pairs(ds: ray.data.Dataset, dim: int, threshold: float,
                              emb_col: str = "embedding", id_col: str = "vec_id",
-                             nbits: int = 8, seed: int = 42) -> ray.data.Dataset:
-    """Near-dup pairs by cosine ≥ threshold within LSH buckets
-    (approximate: pairs split across buckets are missed; recall is
-    measured in tests and raised by lowering nbits)."""
-    bucketed = lsh_bucket(ds, dim, emb_col, nbits, seed)
+                             nbits: int = 8, seed: int = 42,
+                             tables: int = 8, max_bucket: int = 128,
+                             concurrency=(1, 8)) -> ray.data.Dataset:
+    """Near-dup pairs by cosine >= threshold via banded multi-table LSH.
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "cosine_sim": pd.Series(dtype=np.float64)})
-        ids = df[id_col].to_numpy()
-        mat = _normalize(np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]]))
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= threshold
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": sims[iu[hit], ju[hit]]})
+    Scale shape (fixes the single-table all-pairs blow-up): `tables`
+    independent bucketings explode to (vector, table) rows; one
+    `groupby` over 256 bounded `bb_mod` groups; inside a group the
+    kernel compares only vectors sharing a full bucket key, each bucket
+    capped at `max_bucket` rows (beyond the cap = mass near-identical
+    dupes; truncation is documented and deterministic by id order).
+    Per-group work is O(sum bucket^2) with bucket <= max_bucket, never
+    O((N/buckets)^2). A final (id_a, id_b) groupby dedups pairs found
+    by several tables."""
+    exploded = ds.map_batches(
+        _MultiTableBucketer, batch_format="pyarrow",
+        fn_constructor_args=(emb_col, id_col, dim, nbits, tables, seed),
+        concurrency=concurrency)
 
-    return bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+    def pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "cosine_sim": pa.array([], type=pa.float64())})
+        if len(tbl) < 2:
+            return empty
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        bb = tbl["bb"].to_numpy(zero_copy_only=False)
+        emb = _stack_embeddings(tbl["emb"])
+        order = np.lexsort((ids, bb))
+        ids, bb, emb = ids[order], bb[order], emb[order]
+        # bucket boundaries + per-bucket cap
+        newb = np.flatnonzero(np.diff(bb)) + 1
+        starts = np.concatenate([[0], newb, [len(bb)]])
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = min(e - s, max_bucket)
+            if m < 2:
+                continue
+            sub = emb[s:s + m]
+            sid = ids[s:s + m]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(m, k=1)
+            hit = sims[iu, ju] >= threshold
+            if not hit.any():
+                continue
+            a, b = sid[iu[hit]], sid[ju[hit]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[iu[hit], ju[hit]])
+        if not out_a:
+            return empty
+        t = pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                      "id_b": pa.array(np.concatenate(out_b)),
+                      "cosine_sim": pa.array(np.concatenate(out_s))})
+        return (t.group_by(["id_a", "id_b"])
+                 .aggregate([("cosine_sim", "max")])
+                 .rename_columns(["id_a", "id_b", "cosine_sim"]))
+
+    grouped = exploded.groupby("bb_mod").map_groups(pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    return grouped.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine_sim", alias_name="cosine_sim"))

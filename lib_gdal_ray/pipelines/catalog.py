@@ -958,9 +958,12 @@ def q_hillshade(sf_dir):
 
 
 def q_dedup_documents(sf_dir):
+    """Exact dedup keyed on md5(text) — the shuffle carries 32-byte
+    digests, never document text, and the combine is the plain
+    hash-partitioned groupby (100-TB path; no repartition(1))."""
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dd.exact_dedup(docs, "text", "doc_id", shuffle_partitions=8)
-    return out.drop_columns(["text"])
+    out = dd.exact_dedup(docs, "text", "doc_id", hash_key=True)
+    return out.drop_columns(["text_md5"])
 
 
 SQL_DEDUP = """
@@ -1306,9 +1309,11 @@ def q_embedding_near_dup(sf_dir):
     ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
     dim = len(emb["embedding"][0])
-    # 0.35 ≈ the p99.9 of pairwise cosine in the synthetic embeddings —
-    # high-threshold near-dup finds nothing in this data by construction.
-    return ann_mod.embedding_near_dup_pairs(ds, dim, threshold=0.35, nbits=4)
+    # 0.35 ≈ p99.9 of pairwise cosine in the synthetic embeddings; banded
+    # multi-table LSH recall at this (unusually low) threshold is ~0.7 —
+    # measured in tests; no SQL oracle by design (approximate operator).
+    return ann_mod.embedding_near_dup_pairs(ds, dim, threshold=0.35, nbits=4,
+                                            tables=8, max_bucket=128)
 
 
 # ---------------------------------------------------------------------------

@@ -44,29 +44,48 @@ def _stable_hash64(strings: np.ndarray) -> np.ndarray:
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
                 keep_cols: Optional[List[str]] = None,
-                shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
+                shuffle_partitions: Optional[int] = None,
+                hash_key: bool = False) -> ray.data.Dataset:
     """Keep the min-id row per duplicate key. Returns (key, winner id,
-    dup count) plus keep_cols of the winner. shuffle_partitions: local
-    tree combine for modest key cardinality (see relational.grouped_agg)."""
+    dup count) plus keep_cols of the winner.
+
+    hash_key=True replaces the key with its md5-128 hex digest BEFORE
+    the shuffle — mandatory for unbounded keys like full document text
+    (the shuffle then moves 32 bytes per row, never the corpus; md5
+    collisions at 128 bits are negligible vs 10^12 docs). The output key
+    column is renamed ``{key_col}_md5``.
+
+    shuffle_partitions (local tree combine) is ONLY valid when the
+    distinct-key table fits one block (bounded keyspaces: zone ids,
+    enum fields); leave None for document-scale keys — the plain
+    ``groupby`` path hash-partitions the combine across the cluster.
+    """
     keep_cols = keep_cols or []
+    out_key = f"{key_col}_md5" if hash_key else key_col
 
     def local(batch: pa.Table) -> pa.Table:
-        cols = [key_col, id_col] + keep_cols
-        t = pa.table({c: batch[c] for c in cols})
+        cols = {c: batch[c] for c in [key_col, id_col] + keep_cols}
+        if hash_key:
+            texts = batch[key_col].to_pylist()
+            cols[key_col] = pa.array(
+                [hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
+                 for t in texts])
+        t = pa.table(cols)
         aggs = [(id_col, "min"), (id_col, "count")] + [(c, "min") for c in keep_cols]
         out = t.group_by([key_col]).aggregate(aggs)
-        return out.rename_columns([key_col, "__id", "__n"] + [f"__k_{c}" for c in keep_cols])
+        out = out.rename_columns([key_col, "__id", "__n"] + [f"__k_{c}" for c in keep_cols])
+        return out.rename_columns([out_key] + out.column_names[1:])
 
     from ray.data.aggregate import Min, Sum
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
     if shuffle_partitions:
-        names = [key_col, id_col, "dup_count"] + keep_cols
+        names = [out_key, id_col, "dup_count"] + keep_cols
 
         def combine(batch: pa.Table) -> pa.Table:
             aggs = [("__id", "min"), ("__n", "sum")] + \
                 [(f"__k_{c}", "min") for c in keep_cols]
-            out = batch.group_by([key_col]).aggregate(aggs)
+            out = batch.group_by([out_key]).aggregate(aggs)
             return out.rename_columns(names)
 
         return local_ds.repartition(1).map_batches(combine, batch_format="pyarrow",
@@ -74,7 +93,7 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
     aggs = [Min("__id", alias_name=id_col), Sum("__n", alias_name="dup_count")]
     for c in keep_cols:
         aggs.append(Min(f"__k_{c}", alias_name=c))
-    return local_ds.groupby(key_col).aggregate(*aggs)
+    return local_ds.groupby(out_key).aggregate(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +133,76 @@ def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.nda
     return vals.min(axis=1)
 
 
+# memory bound for the (num_perm, n_shingles) segment matrix: 2^19
+# shingles x 64 perms x 8B = 256 MB peak per actor
+_MINHASH_SEG_SHINGLES = 1 << 19
+
+
+def minhash_signatures_batch(texts, num_perm: int, k: int,
+                             a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Signatures for a whole batch with NO per-doc Python loop in the
+    hot path: one concatenated byte buffer, one k-pass rolling hash over
+    it, and per-doc minima via ``np.minimum.reduceat`` on bounded
+    segments of the (num_perm, shingles) matrix.
+
+    Identical output to per-doc ``minhash_signature`` modulo duplicate
+    shingles (min over duplicates == min over uniques)."""
+    n = len(texts)
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    enc = [e if len(e) >= k else e + b" " * (k - len(e)) for e in enc]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    concat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n_sh = lens - k + 1
+    total = len(concat) - k + 1
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        h = (h * _B + concat[j:j + total]) % _P31
+    # valid (non-boundary-crossing) shingle positions, in doc order
+    sh_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=sh_starts[1:])
+    pos = np.arange(int(n_sh.sum()), dtype=np.int64)
+    pos += np.repeat(starts - sh_starts, n_sh)
+    hv = h[pos]
+    sig = np.empty((n, len(a)), dtype=np.uint64)
+    d0 = 0
+    while d0 < n:
+        d1 = d0 + 1
+        tot = int(n_sh[d0])
+        while d1 < n and tot + n_sh[d1] <= _MINHASH_SEG_SHINGLES:
+            tot += int(n_sh[d1])
+            d1 += 1
+        s0, s1 = sh_starts[d0], sh_starts[d1 - 1] + n_sh[d1 - 1]
+        vals = (a[:, None] * hv[None, s0:s1] + b[:, None]) % _P31
+        sig[d0:d1] = np.minimum.reduceat(
+            vals, sh_starts[d0:d1] - s0, axis=1).T
+        d0 = d1
+    return sig
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized uint64 (public-domain constant
+    mix; replaces per-band hashlib calls)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures -> (n, bands) packed band-bucket keys
+    (band index in the top 6 bits so different bands never collide)."""
+    n, num_perm = sig.shape
+    rpb = num_perm // bands
+    chunks = sig[:, :bands * rpb].reshape(n, bands, rpb)
+    mix = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rpb):
+        mix = _splitmix64(mix ^ chunks[:, :, r])
+    bb = np.broadcast_to(np.arange(bands, dtype=np.uint64)[None, :], (n, bands))
+    return (bb << np.uint64(58)) | (mix >> np.uint64(6))
+
+
 class _MinHashStage:
     """Actor stage: permutation matrix built once per actor. Emits one
     row per (doc, band): (id, packed band-bucket key, bb_mod group,
@@ -129,20 +218,12 @@ class _MinHashStage:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(texts)
-        buckets = np.empty(n * self.bands, dtype=np.uint64)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i in range(n):
-            sig = minhash_signature(texts[i], self.num_perm, self.k, self.a, self.b)
-            sigs[i] = sig
-            for bb in range(self.bands):
-                chunk = sig[bb * self.rows_per_band:(bb + 1) * self.rows_per_band]
-                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                buckets[i * self.bands + bb] = (
-                    (np.uint64(bb) << np.uint64(58))
-                    | (np.frombuffer(digest, dtype=np.uint64)[0] >> np.uint64(6)))
+        sigs = minhash_signatures_batch(texts, self.num_perm, self.k,
+                                        self.a, self.b)
+        buckets = band_buckets(sigs, self.bands).ravel()
         rep = np.repeat(np.arange(n), self.bands)
         return pa.table({
             self.id_col: pa.array(ids[rep]),
@@ -174,32 +255,50 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         concurrency=concurrency,
     )
 
-    def merge_verify(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                              "id_b": pd.Series(dtype=np.int64),
-                              "est_jaccard": pd.Series(dtype=np.float64)})
-        if len(df) < 2:
+    def merge_verify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "est_jaccard": pa.array([], type=pa.float64())})
+        if len(tbl) < 2:
             return empty
-        df = df.drop_duplicates(subset=[id_col, "bb"])
-        df = df.groupby("bb", sort=False).head(max_bucket)
-        df = df.reset_index(drop=True)
-        df["__row"] = np.arange(len(df))
-        m = df[[id_col, "bb", "__row"]].merge(
-            df[[id_col, "bb", "__row"]], on="bb", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if len(m) == 0:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = tbl["bb"].to_numpy(zero_copy_only=False)
+        sig_col = tbl["sig"].combine_chunks()
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = (sig_col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.uint64).reshape(len(tbl), -1))
+        order = np.lexsort((ids, bb))
+        ids, bb, sigs = ids[order], bb[order], sigs[order]
+        # drop duplicate (bb, id) rows (same doc banded twice into a bucket)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = (np.diff(bb) != 0) | (np.diff(ids) != 0)
+        ids, bb, sigs = ids[first], bb[first], sigs[first]
+        newb = np.flatnonzero(np.diff(bb)) + 1
+        starts = np.concatenate([[0], newb, [len(bb)]])
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = min(e - s, max_bucket)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            est = (sigs[s + iu] == sigs[s + ju]).mean(axis=1)
+            hit = est >= threshold
+            if not hit.any():
+                continue
+            out_a.append(ids[s + iu[hit]])
+            out_b.append(ids[s + ju[hit]])
+            out_e.append(est[hit])
+        if not out_a:
             return empty
-        m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
-        est = (sigs[m["__row_a"].to_numpy()] == sigs[m["__row_b"].to_numpy()]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({
-            "id_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64)[keep],
-            "id_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64)[keep],
-            "est_jaccard": est[keep],
-        })
+        t = pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                      "id_b": pa.array(np.concatenate(out_b)),
+                      "est_jaccard": pa.array(np.concatenate(out_e))})
+        return (t.group_by(["id_a", "id_b"])
+                 .aggregate([("est_jaccard", "max")])
+                 .rename_columns(["id_a", "id_b", "est_jaccard"]))
 
-    pairs = banded.groupby("bb_mod").map_groups(merge_verify, batch_format="pandas")
+    pairs = banded.groupby("bb_mod").map_groups(merge_verify, batch_format="pyarrow")
     from ray.data.aggregate import Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(
@@ -219,12 +318,33 @@ def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
 
 
 class _SimHashStage:
+    """Per-actor token-hash cache: natural-language batches re-use a
+    small vocabulary, so each distinct token is blake2b-hashed at most
+    once per actor lifetime; the per-doc work is then pure numpy."""
+
     def __init__(self, text_col):
         import re
 
         self.text_col = text_col
         self.tok = re.compile(r"\w+", re.UNICODE)
         self.bits = np.arange(64, dtype=np.uint64)
+        self._cache: dict = {}
+
+    def _token_hashes(self, toks) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = np.frombuffer(
+                    hashlib.blake2b(t.encode("utf-8", "ignore"),
+                                    digest_size=8).digest(),
+                    dtype=np.uint64)[0]
+                cache[t] = h
+            out[i] = h
+        if len(cache) > 1_000_000:  # bound actor memory
+            cache.clear()
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
@@ -233,7 +353,7 @@ class _SimHashStage:
             toks = self.tok.findall(t.lower())
             if not toks:
                 continue
-            hs = _stable_hash64(np.asarray(toks, dtype=object))
+            hs = self._token_hashes(toks)
             bitmat = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bitmat - 1).sum(axis=0)
             out[i] = np.sum((votes > 0).astype(np.uint64) << self.bits)
