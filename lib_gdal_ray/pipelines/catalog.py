@@ -541,6 +541,72 @@ FROM {_POINTS_SQL} p
 """
 
 
+def q_reproject_utm(sf_dir):
+    """General-CRS reprojection: every event to ITS WGS84 UTM zone
+    (EPSG:326xx/327xx via geom/proj Snyder series — reference
+    delegates to PROJ, `ogr/ogrct.cpp:665`; its own benchmark is
+    32631<->4326, `autotest/benchmark/test_ogr2ogr.py:61-66`).
+    Latitudes clamped to the UTM validity band [-80, 84] on both sides."""
+    pts = events_points(sf_dir)
+    from ..geom import proj as proj_mod
+
+    def tx(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = np.clip(batch["lat"].to_numpy(zero_copy_only=False), -80.0, 84.0)
+        zone = proj_mod.utm_zone_for_lon(lon)
+        south = lat < 0
+        e = np.empty(len(lon), dtype=np.float64)
+        n = np.empty(len(lon), dtype=np.float64)
+        for z in np.unique(zone):
+            m = zone == z
+            e[m], n[m] = proj_mod.utm_forward(lon[m], lat[m], int(z))
+        n = n + np.where(south, 10000000.0, 0.0)
+        epsg = np.where(south, 32700, 32600) + zone
+        return pa.table({
+            "event_id": batch["event_id"],
+            "utm_epsg": pa.array(epsg.astype(np.int64)),
+            "easting": pa.array(e.round(2)),
+            "northing": pa.array(n.round(2)),
+        })
+
+    return pts.map_batches(tx, batch_format="pyarrow")
+
+
+def sql_reproject_utm():
+    from ..geom.proj import _E2, _EP2, _K0, _M0, _M2, _M4, _M6, WGS84_A
+
+    phi = "radians(LEAST(GREATEST(lat, -80.0), 84.0))"
+    zone = "(LEAST(GREATEST(CAST(floor((lon+180.0)/6.0) AS BIGINT) + 1, 1), 60))"
+    lam0 = f"radians(CAST({zone} AS DOUBLE)*6.0 - 183.0)"
+    return f"""
+    WITH b AS (
+      SELECT event_id, lon, {phi} AS phi, {zone} AS zone, {lam0} AS lam0,
+             (lat < 0) AS south
+      FROM {_POINTS_SQL} p
+    ), t AS (
+      SELECT event_id, zone, south,
+        sin(phi) AS s, cos(phi) AS c, phi,
+        {WGS84_A!r} / sqrt(1.0 - {_E2!r}*sin(phi)*sin(phi)) AS n,
+        pow(sin(phi)/cos(phi), 2) AS tt,
+        {_EP2!r}*cos(phi)*cos(phi) AS cc,
+        (radians(lon) - lam0)*cos(phi) AS aa,
+        {WGS84_A!r}*({_M0!r}*phi - {_M2!r}*sin(2*phi)
+                     + {_M4!r}*sin(4*phi) - {_M6!r}*sin(6*phi)) AS m
+      FROM b
+    )
+    SELECT event_id,
+      (CASE WHEN south THEN 32700 ELSE 32600 END) + zone AS utm_epsg,
+      round({_K0!r}*n*(aa + (1 - tt + cc)*pow(aa,3)/6.0
+            + (5 - 18*tt + tt*tt + 72*cc - 58*{_EP2!r})*pow(aa,5)/120.0)
+            + 500000.0, 2) AS easting,
+      round({_K0!r}*(m + n*(s/c)*(pow(aa,2)/2.0
+            + (5 - tt + 9*cc + 4*cc*cc)*pow(aa,4)/24.0
+            + (61 - 58*tt + tt*tt + 600*cc - 330*{_EP2!r})*pow(aa,6)/720.0))
+            + (CASE WHEN south THEN 10000000.0 ELSE 0.0 END), 2) AS northing
+    FROM t
+    """
+
+
 def q_rasterize_tiles(sf_dir):
     pts = events_points(sf_dir)
     t = rast.tile_summary(rast.rasterize_pixels(pts, 8, merge_alg="count", shuffle_partitions=8), shuffle_partitions=8)
@@ -1345,6 +1411,7 @@ QUERIES = {
     "shuffle_join": (q_shuffle_join, SQL_BBOX_JOIN),
     "knn": (q_knn, SQL_KNN),
     "reproject": (q_reproject, SQL_REPROJECT),
+    "reproject_utm": (q_reproject_utm, sql_reproject_utm()),
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
     "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
     "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),

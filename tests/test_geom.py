@@ -177,8 +177,11 @@ class TestProj:
         t = proj.Transformer.get(4326, 3857)
         x, y = t.transform([0.0], [45.0])
         np.testing.assert_allclose(y[0], 5621521.486192, atol=1e-5)
+        # UTM codes resolve dynamically since round 2 (test_proj_utm.py);
+        # unregistered codes still raise
+        proj.Transformer.get(4326, 32631)
         with pytest.raises(NotImplementedError):
-            proj.Transformer.get(4326, 32631)
+            proj.Transformer.get(4326, 2154)
 
     def test_geotransform(self):
         gt = proj.GeoTransform([100.0, 0.5, 0.0, 200.0, 0.0, -0.5])
