@@ -94,21 +94,45 @@ def interpolate_at_points(pixels: ray.data.Dataset, points: ray.data.Dataset,
     both = points.map_batches(probes, batch_format="pyarrow").union(
         pixels.map_batches(pix_rows, batch_format="pyarrow"))
 
-    import pandas as pd
+    # Re-key the per-pixel match into 256 bounded groups (NOTES lesson:
+    # never per-pixel map_groups — ~1 ms/group kills million-pixel
+    # rasters); inside a group the probe->pixel match is one vectorized
+    # searchsorted.
+    def bucket(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((pix * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.int32)
+        return batch.append_column("__g", pa.array(g))
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        pv_rows = df[df["side"] == 0]
-        probes_rows = df[df["side"] == 1]
-        if len(pv_rows) == 0 or len(probes_rows) == 0:
-            return pd.DataFrame({"point": pd.Series(dtype=np.int64),
-                                 "wv": pd.Series(dtype=np.float64),
-                                 "w": pd.Series(dtype=np.float64)})
-        v = float(pv_rows["pv"].iloc[0])  # pix_id is unique in the raster
-        w = probes_rows["w"].to_numpy()
-        return pd.DataFrame({"point": probes_rows["point"].to_numpy(dtype=np.int64),
-                             "wv": w * v, "w": w})
+    def match(tbl: pa.Table) -> pa.Table:
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        pv_rows = tbl.filter(pa.array(side == 0))
+        probe_rows = tbl.filter(pa.array(side == 1))
+        empty = pa.table({"point": pa.array([], type=pa.int64()),
+                          "wv": pa.array([], type=pa.float64()),
+                          "w": pa.array([], type=pa.float64())})
+        if len(pv_rows) == 0 or len(probe_rows) == 0:
+            return empty
+        ppix = pv_rows["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pval = pv_rows["pv"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ppix)
+        ppix, pval = ppix[order], pval[order]
+        qpix = probe_rows["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.searchsorted(ppix, qpix)
+        idx = np.clip(idx, 0, len(ppix) - 1)
+        found = ppix[idx] == qpix
+        if not found.any():
+            return empty
+        w = probe_rows["w"].to_numpy(zero_copy_only=False)[found]
+        v = pval[idx[found]]
+        return pa.table({
+            "point": pa.array(probe_rows["point"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[found]),
+            "wv": pa.array(w * v),
+            "w": pa.array(w),
+        })
 
-    matched = both.groupby("pix_id").map_groups(match, batch_format="pandas")
+    matched = (both.map_batches(bucket, batch_format="pyarrow")
+               .groupby("__g").map_groups(match, batch_format="pyarrow"))
 
     from ray.data.aggregate import Sum
 

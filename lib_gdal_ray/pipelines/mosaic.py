@@ -143,19 +143,41 @@ def warp_bilinear(pixels: ray.data.Dataset, dst_z: int,
     both = pixels.map_batches(probes, batch_format="pyarrow").union(
         pixels.map_batches(src_rows, batch_format="pyarrow"))
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[df["side"] == 0]
-        prb = df[df["side"] == 1]
-        if len(vals) == 0 or len(prb) == 0:
-            return pd.DataFrame({"dpix": pd.Series(dtype=np.uint64),
-                                 "wv": pd.Series(dtype=np.float64),
-                                 "w": pd.Series(dtype=np.float64)})
-        v = float(vals["pv"].iloc[0])
-        w = prb["w"].to_numpy()
-        return pd.DataFrame({"dpix": prb["dpix"].to_numpy(dtype=np.uint64),
-                             "wv": w * v, "w": w})
+    # 256 bounded groups + vectorized searchsorted match (NOTES lesson:
+    # never per-pixel map_groups)
+    def bucket(batch: pa.Table) -> pa.Table:
+        pix = batch["spix"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((pix * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.int32)
+        return batch.append_column("__g", pa.array(g))
 
-    matched = both.groupby("spix").map_groups(match, batch_format="pandas")
+    def match(tbl: pa.Table) -> pa.Table:
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        vals = tbl.filter(pa.array(side == 0))
+        prb = tbl.filter(pa.array(side == 1))
+        empty = pa.table({"dpix": pa.array([], type=pa.uint64()),
+                          "wv": pa.array([], type=pa.float64()),
+                          "w": pa.array([], type=pa.float64())})
+        if len(vals) == 0 or len(prb) == 0:
+            return empty
+        spix = vals["spix"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pval = vals["pv"].to_numpy(zero_copy_only=False)
+        order = np.argsort(spix)
+        spix, pval = spix[order], pval[order]
+        qpix = prb["spix"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = np.clip(np.searchsorted(spix, qpix), 0, len(spix) - 1)
+        found = spix[idx] == qpix
+        if not found.any():
+            return empty
+        w = prb["w"].to_numpy(zero_copy_only=False)[found]
+        return pa.table({
+            "dpix": pa.array(prb["dpix"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)[found]),
+            "wv": pa.array(w * pval[idx[found]]),
+            "w": pa.array(w),
+        })
+
+    matched = (both.map_batches(bucket, batch_format="pyarrow")
+               .groupby("__g").map_groups(match, batch_format="pyarrow"))
 
     from ray.data.aggregate import Sum
 

@@ -344,13 +344,16 @@ class _PolyEraseJoiner:
         return out.append_column("remaining_area", pa.array(out_area))
 
 
-def broadcast_polygon_erase(polys: ray.data.Dataset, method: pa.Table,
+def broadcast_polygon_erase(polys: ray.data.Dataset, method,
                             res: float = 5.0,
                             concurrency: Union[int, Tuple[int, int]] = (1, 8),
                             ) -> ray.data.Dataset:
     """Erase with geometry: input polygons minus all overlapping method
-    polygons (hole-free simple polygons; fully-erased rows drop)."""
-    ref = ray.put(method)
+    polygons (hole-free simple polygons; fully-erased rows drop).
+    `method` may be a pa.Table or an ObjectRef to one (the ref form lets
+    callers assemble the broadcast side inside a Ray task so the bytes
+    never pass through the driver)."""
+    ref = method if isinstance(method, ray.ObjectRef) else ray.put(method)
     return polys.map_batches(
         _PolyEraseJoiner, batch_format="pyarrow",
         fn_constructor_args=({"ref": ref}, res),
@@ -424,16 +427,22 @@ def layer_union(polys: ray.data.Dataset, method: pa.Table,
                                                res=res, concurrency=concurrency)
         parts.append(inter.map_batches(tag("intersection"), batch_format="pyarrow"))
     # method-only parts: method minus the union of all input polygons.
-    # Broadcast the input side (documented: Union's method-side residual
-    # needs one side in memory; swap roles if the method side is the
-    # big one).
-    input_tbl_rows = []
-    for b in polys.iter_batches(batch_format="pyarrow"):
-        input_tbl_rows.append(b.select(["geometry"]))
-    input_tbl = pa.concat_tables(input_tbl_rows) if input_tbl_rows else pa.table(
-        {"geometry": pa.array([], pa.binary())})
+    # The broadcast input side is assembled INSIDE a Ray task from the
+    # dataset's block refs — the geometry bytes go block-store ->
+    # task -> object store and never pass through the driver.
+    # (Documented: Union's method-side residual needs one side in
+    # memory; swap roles if the method side is the big one.)
+    geom_blocks = polys.select_columns(["geometry"]).to_arrow_refs()
+
+    @ray.remote
+    def _concat_blocks(*blocks: pa.Table) -> pa.Table:
+        if not blocks:
+            return pa.table({"geometry": pa.array([], pa.binary())})
+        return pa.concat_tables([b.select(["geometry"]) for b in blocks])
+
+    input_ref = _concat_blocks.remote(*geom_blocks)
     m_ds = _rd.from_arrow(method)
-    b_only = broadcast_polygon_erase(m_ds, input_tbl, res=res, concurrency=concurrency)
+    b_only = broadcast_polygon_erase(m_ds, input_ref, res=res, concurrency=concurrency)
     parts.append(b_only.map_batches(tag("method_only"), batch_format="pyarrow"))
 
     from .relational import union_all

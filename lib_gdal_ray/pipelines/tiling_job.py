@@ -57,35 +57,56 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
     skipped = [b for b in all_bands if str(b) in done]
     ran = []
 
-    for band in pending:
-        if fail_on_band is not None and band == fail_on_band:
-            raise RuntimeError(f"injected failure at band {band}")
+    if pending:
+        # ONE pass over the input for ALL pending bands (VERDICT r1
+        # item 8: the per-band loop re-scanned the source n_bands
+        # times). Rows of already-committed bands are pruned at the
+        # first map stage; the finalized pixels are written
+        # hive-partitioned by band, then each band directory commits
+        # into the manifest atomically (rename + commit, in band
+        # order), so a crash mid-commit resumes with only the
+        # uncommitted bands.
+        pending_arr = np.asarray(pending, dtype=np.int64)
         src = source_fn()
 
-        def band_filter(batch: pa.Table, band=band) -> pa.Table:
+        def band_filter(batch: pa.Table) -> pa.Table:
             lon = batch[lon_col].to_numpy(zero_copy_only=False)
             lat = batch[lat_col].to_numpy(zero_copy_only=False)
             _tx, ty = cells.lonlat_to_tile(lon, lat, z)
-            keep = band_of_tile_y(ty, z, n_bands) == band
+            keep = np.isin(band_of_tile_y(ty, z, n_bands), pending_arr)
             return batch.filter(pa.array(keep))
 
         banded = src.map_batches(band_filter, batch_format="pyarrow")
         pixels = with_tile_cols(rasterize_pixels(
             banded, z, lon_col=lon_col, lat_col=lat_col,
             value_col=value_col, merge_alg=merge_alg))
+
+        def add_band(batch: pa.Table) -> pa.Table:
+            _z, _tx, ty = cells.unpack_tile(
+                batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            return batch.append_column(
+                "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+
         tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-        final = os.path.join(out_dir, f"part={band}")
-        if os.path.exists(final):
-            shutil.rmtree(final)  # uncommitted output from a crashed run
-        os.makedirs(tmp, exist_ok=True)  # empty band still commits a partition
-        pixels.write_parquet(tmp)
-        os.replace(tmp, final)
+        os.makedirs(tmp, exist_ok=True)
+        pixels.map_batches(add_band, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["band"])
         import pyarrow.parquet as pq
 
-        n_pixels = sum(pq.read_metadata(os.path.join(final, f)).num_rows
-                       for f in os.listdir(final) if f.endswith(".parquet"))
-        man.commit(str(band), lineage, {"pixels": float(n_pixels)})
-        ran.append(band)
+        for band in pending:
+            if fail_on_band is not None and band == fail_on_band:
+                raise RuntimeError(f"injected failure at band {band}")
+            src_dir = os.path.join(tmp, f"band={band}")
+            final = os.path.join(out_dir, f"part={band}")
+            if os.path.exists(final):
+                shutil.rmtree(final)  # uncommitted output from a crashed run
+            os.makedirs(src_dir, exist_ok=True)  # empty band still commits
+            os.replace(src_dir, final)
+            n_pixels = sum(pq.read_metadata(os.path.join(final, f)).num_rows
+                           for f in os.listdir(final) if f.endswith(".parquet"))
+            man.commit(str(band), lineage, {"pixels": float(n_pixels)})
+            ran.append(band)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return {"ran": ran, "skipped": skipped, "counters": man.counters_total()}
 
