@@ -1136,6 +1136,71 @@ def q_lang_quality(sf_dir):
                                "quality_score"])
 
 
+def q_lang_stopword_quality(sf_dir):
+    """SQL-checkable slice of the text-analysis stack: stopword-vote
+    language ID + quality ratios (the trigram lang_ngram column stays in
+    the rows-only `lang_quality` query — cosine profiles aren't SQL)."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = text_mod.quality_score(docs)
+    out = text_mod.lang_id(out)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "lang_pred": batch["lang_pred"],
+            "alpha_ratio": batch["alpha_ratio"],
+            "digit_ratio": batch["digit_ratio"],
+            "stopword_ratio": batch["stopword_ratio"],
+            "quality_score": batch["quality_score"],
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_lang_stopword_quality():
+    sw = {lang: sorted(text_mod._STOPWORDS[lang]) for lang in ("de", "en", "es", "fr")}
+
+    def sw_list(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sw[lang]) + "]"
+
+    hits = {lang: (f"len(list_filter(regexp_extract_all(lower(text), "
+                   f"'[a-zà-ÿäöüß]+'), x -> list_contains({sw_list(lang)}, x)))")
+            for lang in sw}
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+        GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS n,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+        regexp_extract_all(lower(text), '[a-z]+') AS toks,
+        {hits['de']} AS h_de, {hits['en']} AS h_en,
+        {hits['es']} AS h_es, {hits['fr']} AS h_fr
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, h_de, h_en, h_es, h_fr,
+        n_alpha / n AS alpha_ratio,
+        n_digit / n AS digit_ratio,
+        CAST(len(list_filter(toks, x -> list_contains({sw_list('en')}, x)))
+             AS DOUBLE) / GREATEST(len(toks), 1) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        WHEN h_es >= h_fr THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred,
+      alpha_ratio, digit_ratio, stopword_ratio,
+      0.4 * LEAST(GREATEST(alpha_ratio, 0), 1)
+        + 0.3 * LEAST(GREATEST(stopword_ratio, 0), 0.5) * 2
+        + 0.3 * (1.0 - LEAST(GREATEST(digit_ratio, 0), 1)) AS quality_score
+    FROM r
+    """
+
+
 def q_fingerprint(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.fingerprint(docs, "text")
@@ -1444,6 +1509,7 @@ QUERIES = {
     "minhash_near_dup": (q_minhash_near_dup, None),
     "simhash": (q_simhash, None),
     "lang_quality": (q_lang_quality, None),
+    "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
     "fingerprint": (q_fingerprint, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "media_features": (q_media_features, None),

@@ -95,3 +95,23 @@ def envelope_buffer(ds: ray.data.Dataset, dist: float,
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dissolve_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry",
+                      snap: float = 1e-9) -> ray.data.Dataset:
+    """Merge fragmented overlay output (disjoint convex pieces) into
+    clean multipolygons per row — the surface-form parity pass for the
+    reference's GEOS-backed layer algebra (`ogrlayer.cpp:5384-5448`,
+    PROMOTE_TO_MULTI). Stateless map_batches; area/point-set preserved
+    (geom/dissolve.py; identities pinned in tests/test_dissolve.py)."""
+    from ..geom.dissolve import dissolve_wkb
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bufs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        out = [dissolve_wkb(b, snap) for b in bufs]
+        keep = np.asarray([o is not None for o in out])
+        batch = batch.drop_columns([wkb_col]).append_column(
+            wkb_col, pa.array(out, type=pa.binary()))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
