@@ -142,9 +142,27 @@ def warp_bilinear(pixels: ray.data.Dataset, dst_z: int,
 
     both = pixels.map_batches(probes, batch_format="pyarrow").union(
         pixels.map_batches(src_rows, batch_format="pyarrow"))
+    return _warp_tail(both)
 
-    # 256 bounded groups + vectorized searchsorted match (NOTES lesson:
-    # never per-pixel map_groups)
+
+def _src_rows(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table({
+        "spix": batch["pix_id"],
+        "dpix": pa.array(np.zeros(n, dtype=np.uint64)),
+        "w": pa.array(np.zeros(n)),
+        "pv": pa.array(batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)),
+        "side": pa.array(np.zeros(n, dtype=np.int8)),
+    })
+
+
+def _warp_tail(both: ray.data.Dataset) -> ray.data.Dataset:
+    """Shared resample tail: probe->source match in 256 bounded groups
+    (vectorized searchsorted), then per-destination weight-normalized
+    sum. The w-normalization IS the density weighting of
+    `alg/gdalwarpkernel.cpp:770-790`: absent (nodata/sparse) source
+    pixels contribute neither value nor weight, so edge pixels
+    renormalize over the taps that exist."""
     def bucket(batch: pa.Table) -> pa.Table:
         pix = batch["spix"].to_numpy(zero_copy_only=False).astype(np.uint64)
         g = ((pix * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.int32)
@@ -191,6 +209,73 @@ def warp_bilinear(pixels: ray.data.Dataset, dst_z: int,
                          "burn": pa.array(wv / np.maximum(w, 1e-300))})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def cubic_weight(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic convolution weight, bit-parity with the
+    reference `alg/gdalresamplingkernels.h:23` CubicKernel (a = -0.5):
+    |x|<=1: x^2*(1.5|x| - 2.5) + 1; 1<|x|<=2: x^2*(-0.5|x| + 2.5) - 4|x| + 2."""
+    ax = np.abs(x)
+    x2 = x * x
+    near = x2 * (1.5 * ax - 2.5) + 1.0
+    far = x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0
+    return np.where(ax <= 1.0, near, np.where(ax <= 2.0, far, 0.0))
+
+
+def warp_cubic(pixels: ray.data.Dataset, dst_z: int,
+               tile_size: int = 256) -> ray.data.Dataset:
+    """Up-zoom re-grid with cubic-convolution resampling (gdalwarp
+    GRA_Cubic, `alg/gdalwarpkernel.cpp` GWKCubic): each destination
+    pixel center samples a 4x4 source neighborhood with separable
+    Catmull-Rom weights. Same probe/match/normalize shape as
+    warp_bilinear; density weighting comes from the shared tail (absent
+    taps renormalize)."""
+
+    def probes(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        z, gpx, gpy = unpack_pixel(pix)
+        if len(z) == 0:
+            return pa.table({"spix": pa.array([], pa.uint64()),
+                             "dpix": pa.array([], pa.uint64()),
+                             "w": pa.array([], pa.float64()),
+                             "pv": pa.array([], pa.float64()),
+                             "side": pa.array([], pa.int8())})
+        dz = dst_z - int(z[0])
+        if dz <= 0:
+            raise ValueError("warp_cubic is the up-zoom path; use "
+                             "warp_nearest for down-zoom")
+        scale = 1 << dz
+        offs = np.arange(scale)
+        ox, oy = np.meshgrid(offs, offs, indexing="ij")
+        ox, oy = ox.ravel(), oy.ravel()
+        dgx = (gpx[:, None] * scale + ox[None, :]).ravel()
+        dgy = (gpy[:, None] * scale + oy[None, :]).ravel()
+        fx = (dgx + 0.5) / scale - 0.5
+        fy = (dgy + 0.5) / scale - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        dpix = pack_pixel(dst_z, dgx, dgy)
+        parts = []
+        for dx in (-1, 0, 1, 2):
+            wx = cubic_weight(fx - (x0 + dx))
+            for dy in (-1, 0, 1, 2):
+                w = wx * cubic_weight(fy - (y0 + dy))
+                sxc = x0 + dx
+                syc = y0 + dy
+                ok = (sxc >= 0) & (syc >= 0) & (np.abs(w) > 1e-15)
+                parts.append(pa.table({
+                    "spix": pa.array(pack_pixel(int(z[0]), np.maximum(sxc, 0),
+                                                np.maximum(syc, 0))),
+                    "dpix": pa.array(dpix),
+                    "w": pa.array(w),
+                    "pv": pa.array(np.zeros(len(w))),
+                    "side": pa.array(np.ones(len(w), dtype=np.int8)),
+                }).filter(pa.array(ok)))
+        return pa.concat_tables(parts)
+
+    both = pixels.map_batches(probes, batch_format="pyarrow").union(
+        pixels.map_batches(_src_rows, batch_format="pyarrow"))
+    return _warp_tail(both)
 
 
 def pansharpen(pan: ray.data.Dataset, bands: List[ray.data.Dataset]

@@ -111,3 +111,63 @@ class TestPansharpen:
         # pixel (0,0): mean=4, ratio=2 -> b0=4, b1=12; pixel (1,0): mean=4, ratio=0.5
         assert got[(0, 0)] == 4.0 and got[(0, 1)] == 12.0
         assert got[(1, 0)] == 2.0 and got[(1, 1)] == 2.0
+
+
+from lib_gdal_ray.pipelines import mosaic as mosaic_mod
+
+
+class TestWarpCubic:
+    def _dense(self, z, n0, n1, vals):
+        import pyarrow as pa
+
+        import ray.data as rd
+        gx, gy = np.meshgrid(np.arange(n0, n1), np.arange(n0, n1), indexing="ij")
+        return rd.from_arrow(pa.table({
+            "pix_id": pa.array(mosaic_mod.pack_pixel(z, gx.ravel(), gy.ravel())),
+            "burn": pa.array(vals.ravel().astype(np.float64)),
+        }))
+
+    def test_constant_field_stays_constant(self):
+        # partition of unity: interior dst pixels with all 16 taps present
+        vals = np.full((8, 8), 7.5)
+        out = mosaic_mod.warp_cubic(self._dense(3, 0, 8, vals), 4).to_pandas()
+        z, gx, gy = mosaic_mod.unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        interior = (gx >= 4) & (gx < 12) & (gy >= 4) & (gy < 12)
+        np.testing.assert_allclose(out["burn"].to_numpy()[interior], 7.5,
+                                   rtol=1e-12)
+
+    def test_vs_brute_cubic(self):
+        rng = np.random.default_rng(6)
+        vals = rng.uniform(0, 100, (8, 8))
+        out = mosaic_mod.warp_cubic(self._dense(3, 0, 8, vals), 4).to_pandas()
+        z, gx, gy = mosaic_mod.unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        got = {(int(a), int(b)): v for a, b, v in zip(gx, gy, out["burn"])}
+        # brute: for a few dst pixels compute the renormalized 4x4 sum
+        for dgx, dgy in [(6, 6), (8, 9), (3, 3), (0, 0), (15, 15)]:
+            fx = (dgx + 0.5) / 2 - 0.5
+            fy = (dgy + 0.5) / 2 - 0.5
+            x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+            wsum, vsum = 0.0, 0.0
+            for dx in (-1, 0, 1, 2):
+                for dy in (-1, 0, 1, 2):
+                    sx, sy = x0 + dx, y0 + dy
+                    if not (0 <= sx < 8 and 0 <= sy < 8):
+                        continue
+                    w = float(mosaic_mod.cubic_weight(np.asarray([fx - sx]))[0]
+                              * mosaic_mod.cubic_weight(np.asarray([fy - sy]))[0])
+                    wsum += w
+                    vsum += w * vals[sx, sy]
+            want = vsum / wsum
+            np.testing.assert_allclose(got[(dgx, dgy)], want, rtol=1e-10)
+
+    def test_cubic_weight_reference_values(self):
+        # CubicKernel spot values (alg/gdalresamplingkernels.h)
+        assert mosaic_mod.cubic_weight(np.asarray([0.0]))[0] == 1.0
+        assert mosaic_mod.cubic_weight(np.asarray([1.0]))[0] == 0.0
+        assert mosaic_mod.cubic_weight(np.asarray([2.0]))[0] == 0.0
+        np.testing.assert_allclose(mosaic_mod.cubic_weight(np.asarray([0.5]))[0], 0.5625)
+        np.testing.assert_allclose(mosaic_mod.cubic_weight(np.asarray([1.5]))[0], -0.0625)
+        # partition of unity at any phase
+        for t in (0.0, 0.25, 0.37, 0.5, 0.99):
+            s = mosaic_mod.cubic_weight(np.asarray([t + 1, t, t - 1, t - 2])).sum()
+            np.testing.assert_allclose(s, 1.0, rtol=1e-12)
