@@ -541,6 +541,35 @@ FROM {_POINTS_SQL} p
 """
 
 
+def q_buffer_zones(sf_dir):
+    """Geometry Buffer end-to-end (OGRGeometry::Buffer analog): each
+    zone box buffered by 2.0 deg with 8 quadrant segments; output the
+    buffered area in integer cents. Oracle: the closed-form area of a
+    buffered rectangle with k-gon corners — w*h + 2*(w+h)*d + the four
+    quarter (4*quadsegs)-gons = 0.5*k*d^2*sin(2*pi/k)."""
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    buffered = geom_ops.buffer_geometry(zones, 2.0, quadsegs=8)
+    with_area = geom_ops.centroid_area(buffered)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": batch["zone_id"],
+            "buf_area_c": pa.array(_cents(
+                batch["area"].to_numpy(zero_copy_only=False))),
+        })
+
+    return with_area.map_batches(f, batch_format="pyarrow")
+
+
+SQL_BUFFER_ZONES = f"""
+SELECT zone_id,
+  CAST(floor(((xmax - xmin)*(ymax - ymin)
+      + 2.0*((xmax - xmin) + (ymax - ymin))*2.0
+      + 0.5*32*4.0*sin(2*pi()/32))*100 + 0.5) AS BIGINT) AS buf_area_c
+FROM {_ZONES_SQL} z
+"""
+
+
 def q_reproject_utm(sf_dir):
     """General-CRS reprojection: every event to ITS WGS84 UTM zone
     (EPSG:326xx/327xx via geom/proj Snyder series — reference
@@ -1484,6 +1513,7 @@ QUERIES = {
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "zonal_weighted": (q_zonal_weighted, sql_zonal_weighted()),
     "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),
+    "buffer_zones": (q_buffer_zones, SQL_BUFFER_ZONES),
     "where_filter": (q_where_filter, SQL_WHERE),
     "clip_semi": (q_clip_semi, SQL_CLIP),
     "erase_anti": (q_erase_anti, SQL_ERASE),

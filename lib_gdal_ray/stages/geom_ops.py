@@ -115,3 +115,55 @@ def dissolve_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry",
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _map_wkb_column(ds: ray.data.Dataset, wkb_col: str, fn, drop_none: bool
+                    ) -> ray.data.Dataset:
+    def stage(batch: pa.Table) -> pa.Table:
+        bufs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        out = [fn(b) for b in bufs]
+        batch = batch.drop_columns([wkb_col]).append_column(
+            wkb_col, pa.array(out, type=pa.binary()))
+        if drop_none:
+            keep = np.asarray([o is not None for o in out])
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def buffer_geometry(ds: ray.data.Dataset, dist: float, quadsegs: int = 8,
+                    wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometry::Buffer analog (`ogr/ogrgeometry.cpp`, pipeline step
+    `apps/gdalalg_vector_buffer.cpp`): positive round-join buffer, arcs
+    discretized at `quadsegs` segments per quadrant (geom/unary.py)."""
+    from ..geom.unary import buffer_wkb
+
+    return _map_wkb_column(ds, wkb_col,
+                           lambda b: buffer_wkb(b, dist, quadsegs), True)
+
+
+def simplify_geometry(ds: ray.data.Dataset, tol: float,
+                      wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometry::Simplify analog (Douglas–Peucker per ring; collapsed
+    rows drop, matching GEOS's empty-geometry result)."""
+    from ..geom.unary import simplify_wkb
+
+    return _map_wkb_column(ds, wkb_col, lambda b: simplify_wkb(b, tol), True)
+
+
+def segmentize_geometry(ds: ray.data.Dataset, max_length: float,
+                        wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometry::segmentize analog: bound every segment length."""
+    from ..geom.unary import segmentize_wkb
+
+    return _map_wkb_column(ds, wkb_col,
+                           lambda b: segmentize_wkb(b, max_length), False)
+
+
+def convex_hull_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
+                         ) -> ray.data.Dataset:
+    """OGRGeometry::ConvexHull analog (Andrew monotone chain)."""
+    from ..geom.unary import convex_hull_wkb
+
+    return _map_wkb_column(ds, wkb_col, convex_hull_wkb, False)
