@@ -321,6 +321,13 @@ def rasterize_shape(kind: str, parts: List[np.ndarray], width: int,
             fx, fy = burn_lines(parts, width, height)
         m = (fy >= y_lo) & (fy <= (y_hi if y_hi is not None else height - 1))
         fx, fy = fx[m], fy[m]
+    elif kind == "point":
+        pts = np.concatenate([np.asarray(p, dtype=np.float64) for p in parts])
+        fx = np.floor(pts[:, 0]).astype(np.int64)
+        fy = np.floor(pts[:, 1]).astype(np.int64)
+        m = ((fx >= 0) & (fx < width) & (fy >= y_lo)
+             & (fy <= (y_hi if y_hi is not None else height - 1)))
+        fx, fy = fx[m], fy[m]
     else:
         raise ValueError(f"rasterize_shape: unsupported kind {kind}")
     if len(fx) == 0:

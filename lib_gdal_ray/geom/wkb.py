@@ -81,6 +81,37 @@ def linestring_to_wkb(coords) -> bytes:
     return struct.pack("<BII", 1, WKB_LINESTRING, len(coords)) + coords.tobytes()
 
 
+def point_z_to_wkb(x: float, y: float, z: float) -> bytes:
+    """ISO wkbPointZ (type 1001)."""
+    return struct.pack("<BIddd", 1, 1001, x, y, z)
+
+
+def linestring_z_to_wkb(coords) -> bytes:
+    """ISO wkbLineStringZ (type 1002); coords (K,3)."""
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    return struct.pack("<BII", 1, 1002, len(coords)) + coords.tobytes()
+
+
+def multipoint_to_wkb(coords) -> bytes:
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    parts = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(coords))]
+    for x, y in coords:
+        parts.append(struct.pack("<BIdd", 1, WKB_POINT, x, y))
+    return b"".join(parts)
+
+
+def multilinestring_to_wkb(lines) -> bytes:
+    parts = [struct.pack("<BII", 1, 5, len(lines))]
+    for c in lines:
+        parts.append(linestring_to_wkb(c))
+    return b"".join(parts)
+
+
+def geometrycollection_to_wkb(members) -> bytes:
+    """members: list of already-encoded WKB buffers."""
+    return struct.pack("<BII", 1, 7, len(members)) + b"".join(members)
+
+
 def box_to_wkb(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
     """Axis-aligned box as a CCW closed polygon ring."""
     ring = np.asarray(
@@ -90,20 +121,58 @@ def box_to_wkb(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
     return polygon_to_wkb([ring])
 
 
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_GEOMETRYCOLLECTION = 7
+
+# EWKB dimension flags (PostGIS extension; GDAL reads both,
+# `ogr/ogr_wkb.cpp` / `ogrgeometryfactory.cpp`)
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _type_dims(raw_type: int):
+    """ISO (1000/2000/3000 offsets, `ogr/ogr_core.h:404-515`) or EWKB
+    flag decoding -> (base_type, ndims, has_srid)."""
+    has_srid = bool(raw_type & _EWKB_SRID)
+    ndims = 2
+    if raw_type & _EWKB_Z:
+        ndims += 1
+    if raw_type & _EWKB_M:
+        ndims += 1
+    base = raw_type & 0x0FFFFFFF
+    if ndims == 2:  # ISO offsets
+        iso = base // 1000
+        ndims += (2 if iso == 3 else 1 if iso in (1, 2) else 0)
+    base = base % 1000
+    return base, ndims, has_srid
+
+
+def _read_coords(buf, fmt, off, npts, ndims):
+    """Read npts*ndims doubles; return (K,2) xy slice (Z/M dropped —
+    2.5D handled as 2D, like OGR's flatten) and next offset."""
+    arr = np.frombuffer(buf, dtype=fmt + "f8", count=npts * ndims,
+                        offset=off).reshape(npts, ndims)
+    return np.ascontiguousarray(arr[:, :2]), off + npts * ndims * 8
+
+
 def _parse_geom(buf: bytes, off: int):
     byte_order = buf[off]
     fmt = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(fmt + "I", buf, off + 1)
-    gtype = gtype % 1000  # strip Z/M variants (2.5D handled as 2D here)
+    (raw_type,) = struct.unpack_from(fmt + "I", buf, off + 1)
+    gtype, ndims, has_srid = _type_dims(raw_type)
     off += 5
+    if has_srid:
+        off += 4  # skip EWKB SRID
     if gtype == WKB_POINT:
-        x, y = struct.unpack_from(fmt + "dd", buf, off)
-        return ("point", np.asarray([[x, y]]), off + 16)
+        coords, off = _read_coords(buf, fmt, off, 1, ndims)
+        return ("point", coords, off)
     if gtype == WKB_LINESTRING:
         (npts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
-        coords = np.frombuffer(buf, dtype=fmt + "f8", count=npts * 2, offset=off).reshape(npts, 2)
-        return ("linestring", coords, off + npts * 16)
+        coords, off = _read_coords(buf, fmt, off, npts, ndims)
+        return ("linestring", coords, off)
     if gtype == WKB_POLYGON:
         (nrings,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
@@ -111,9 +180,28 @@ def _parse_geom(buf: bytes, off: int):
         for _ in range(nrings):
             (npts,) = struct.unpack_from(fmt + "I", buf, off)
             off += 4
-            rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=npts * 2, offset=off).reshape(npts, 2))
-            off += npts * 16
+            ring, off = _read_coords(buf, fmt, off, npts, ndims)
+            rings.append(ring)
         return ("polygon", rings, off)
+    if gtype == WKB_MULTIPOINT:
+        (npts,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(npts):
+            kind, c, off = _parse_geom(buf, off)
+            assert kind == "point"
+            pts.append(c)
+        return ("multipoint", np.concatenate(pts) if pts
+                else np.empty((0, 2)), off)
+    if gtype == WKB_MULTILINESTRING:
+        (nlines,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(nlines):
+            kind, c, off = _parse_geom(buf, off)
+            assert kind == "linestring"
+            lines.append(c)
+        return ("multilinestring", lines, off)
     if gtype == WKB_MULTIPOLYGON:
         (npolys,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
@@ -123,7 +211,44 @@ def _parse_geom(buf: bytes, off: int):
             assert kind == "polygon"
             polys.append(rings)
         return ("multipolygon", polys, off)
-    raise ValueError(f"unsupported WKB geometry type {gtype}")
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        (ngeoms,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        members = []
+        for _ in range(ngeoms):
+            kind, payload, off = _parse_geom(buf, off)
+            members.append((kind, payload))
+        return ("geometrycollection", members, off)
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def wkb_point_z(buf: bytes):
+    """Z of a point WKB (ISO 1001 / EWKB Z point) or nan — the
+    BURN_VALUE_FROM=Z source (`alg/gdalrasterize.cpp:787`)."""
+    fmt = "<" if buf[0] == 1 else ">"
+    (raw_type,) = struct.unpack_from(fmt + "I", buf, 1)
+    gtype, ndims, has_srid = _type_dims(raw_type)
+    if gtype != WKB_POINT or ndims < 3:
+        return float("nan")
+    off = 5 + (4 if has_srid else 0)
+    vals = struct.unpack_from(fmt + "d" * ndims, buf, off)
+    return float(vals[2])
+
+
+def collection_polygons(payload):
+    """Polygon members of a parsed geometrycollection, as a
+    multipolygon-style list of list-of-rings (mixed-type layer support:
+    the joiners consume the areal members, matching OGR layer algebra's
+    per-geometry type dispatch)."""
+    out = []
+    for kind, p in payload:
+        if kind == "polygon":
+            out.append(p)
+        elif kind == "multipolygon":
+            out.extend(p)
+        elif kind == "geometrycollection":
+            out.extend(collection_polygons(p))
+    return out
 
 
 def parse_wkb(buf: bytes):
@@ -150,16 +275,30 @@ def wkb_bbox(wkbs) -> np.ndarray:
     out = np.empty((len(wkbs), 4), dtype=np.float64)
     for i, b in enumerate(wkbs):
         kind, payload = parse_wkb(b)
-        if kind == "point":
-            c = payload
-        elif kind == "linestring":
+        if kind in ("point", "linestring", "multipoint"):
             c = payload
         elif kind == "polygon":
             c = payload[0]
-        else:  # multipolygon — outer rings only
+        elif kind == "multilinestring":
+            c = np.concatenate(payload)
+        elif kind == "multipolygon":
             c = np.concatenate([rings[0] for rings in payload])
+        else:  # geometrycollection
+            c = np.concatenate([_all_coords(k, p) for k, p in payload])
         out[i, 0] = c[:, 0].min()
         out[i, 1] = c[:, 1].min()
         out[i, 2] = c[:, 0].max()
         out[i, 3] = c[:, 1].max()
     return out
+
+
+def _all_coords(kind, payload) -> np.ndarray:
+    if kind in ("point", "linestring", "multipoint"):
+        return payload
+    if kind == "polygon":
+        return payload[0]
+    if kind == "multilinestring":
+        return np.concatenate(payload)
+    if kind == "multipolygon":
+        return np.concatenate([rings[0] for rings in payload])
+    return np.concatenate([_all_coords(k, p) for k, p in payload])

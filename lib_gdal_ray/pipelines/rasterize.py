@@ -361,6 +361,10 @@ def rasterize_geometries(geoms: ray.data.Dataset, z: int,
                 parts, gk = [r for rings in payload for r in rings], "polygon"
             elif kind == "linestring":
                 parts, gk = [payload], "line"
+            elif kind == "multilinestring":
+                parts, gk = list(payload), "line"
+            elif kind in ("point", "multipoint"):
+                parts, gk = [payload], "point"
             else:
                 raise ValueError(f"rasterize_geometries: unsupported {kind}")
             px_parts = []

@@ -57,6 +57,12 @@ class PolygonCellIndex:
                 self.rings.append([payload])
             elif kind == "multipolygon":
                 self.rings.append(payload)
+            elif kind == "geometrycollection":
+                polys = wkb.collection_polygons(payload)
+                if not polys:
+                    raise ValueError(
+                        "geometrycollection on the polygon side has no areal members")
+                self.rings.append(polys)
             else:
                 raise ValueError(f"polygon side must be (multi)polygon, got {kind}")
         self.bbox = wkb.wkb_bbox(wkbs)

@@ -205,3 +205,69 @@ class TestDerive:
         xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
         assert (xmax > xmin).all() and (ymax > ymin).all()
         assert xmin.min() >= -185 and xmax.max() <= 185
+
+
+class TestExtendedWkb:
+    def test_z_point_parse_and_z(self):
+        b = wkb.point_z_to_wkb(1.5, 2.5, 99.0)
+        k, p = wkb.parse_wkb(b)
+        assert k == "point"
+        np.testing.assert_array_equal(p, [[1.5, 2.5]])
+        assert wkb.wkb_point_z(b) == 99.0
+        # 2-D point has no z
+        b2 = wkb.points_to_wkb(np.asarray([1.0]), np.asarray([2.0]))[0]
+        assert np.isnan(wkb.wkb_point_z(b2))
+
+    def test_z_linestring_xy_slice(self):
+        b = wkb.linestring_z_to_wkb(np.array([[0, 0, 5], [3, 4, 6]], dtype=float))
+        k, p = wkb.parse_wkb(b)
+        assert k == "linestring"
+        np.testing.assert_array_equal(p, [[0, 0], [3, 4]])
+
+    def test_multipoint_multilinestring(self):
+        mp = wkb.multipoint_to_wkb(np.array([[1, 2], [3, 4]], dtype=float))
+        k, p = wkb.parse_wkb(mp)
+        assert k == "multipoint" and p.shape == (2, 2)
+        ml = wkb.multilinestring_to_wkb([np.array([[0, 0], [1, 1]], dtype=float),
+                                         np.array([[2, 2], [3, 3]], dtype=float)])
+        k, p = wkb.parse_wkb(ml)
+        assert k == "multilinestring" and len(p) == 2
+
+    def test_geometrycollection_and_polygon_extract(self):
+        gc = wkb.geometrycollection_to_wkb([
+            wkb.points_to_wkb(np.asarray([9.0]), np.asarray([9.0]))[0],
+            wkb.box_to_wkb(0, 0, 2, 2),
+            wkb.multipolygon_to_wkb([[np.array(
+                [[5, 5], [6, 5], [6, 6], [5, 5]], dtype=float)]]),
+        ])
+        k, members = wkb.parse_wkb(gc)
+        assert k == "geometrycollection" and len(members) == 3
+        polys = wkb.collection_polygons(members)
+        assert len(polys) == 2
+        bbox = wkb.wkb_bbox(np.asarray([gc], dtype=object))[0]
+        np.testing.assert_array_equal(bbox, [0, 0, 9, 9])
+
+    def test_ewkb_flags(self):
+        import struct
+        # EWKB point with Z flag + SRID
+        raw = struct.pack("<BIIddd", 1, 1 | 0x80000000 | 0x20000000,
+                          4326, 7.0, 8.0, 9.0)
+        k, p = wkb.parse_wkb(raw)
+        assert k == "point"
+        np.testing.assert_array_equal(p, [[7.0, 8.0]])
+
+    def test_collection_in_pip_join(self):
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.pipelines.spatial_join import broadcast_pip_join
+
+        gc = wkb.geometrycollection_to_wkb([wkb.box_to_wkb(0, 0, 10, 10)])
+        zones = pa.table({"zone_id": pa.array([1], type=pa.int64()),
+                          "geometry": pa.array([gc], type=pa.binary())})
+        pts = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "lon": pa.array([5.0, 50.0]), "lat": pa.array([5.0, 50.0])}))
+        out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"],
+                                 res=50.0).to_pandas()
+        assert list(out["event_id"]) == [1]
