@@ -40,7 +40,8 @@ _KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS", "NULL",
              "ESCAPE", "CAST", "AS"}
 
 # OGR SQL CAST target types (ogr/swq_parser.y type list; SWQCastEvaluator
-# swq_op_registrar.cpp:61) → arrow types
+# swq_op_registrar.cpp:61) → arrow types. Temporal targets accept the
+# OGR date formats 'YYYY-MM-DD[ HH:MM:SS]' and 'YYYY/MM/DD'.
 _CAST_TYPES = {
     "INTEGER": pa.int32(),
     "BIGINT": pa.int64(),
@@ -49,6 +50,9 @@ _CAST_TYPES = {
     "NUMERIC": pa.float64(),
     "CHARACTER": pa.string(),
     "STRING": pa.string(),
+    "DATE": pa.date32(),
+    "TIME": pa.time32("s"),
+    "TIMESTAMP": pa.timestamp("s"),
 }
 
 
@@ -257,6 +261,20 @@ class _Parser:
             self.expect("op", ")")
             return ("cast", ty, inner)
         if t.kind == "name":
+            if self.peek().kind == "op" and self.peek().value == "(":
+                # scalar function call (ogr/swq_op_registrar.cpp:28-61)
+                self.next()
+                args = []
+                if not (self.peek().kind == "op" and self.peek().value == ")"):
+                    args.append(self.sum())
+                    while self.peek().kind == "op" and self.peek().value == ",":
+                        self.next()
+                        args.append(self.sum())
+                self.expect("op", ")")
+                fname = t.value.upper()
+                if fname not in _FUNCS:
+                    raise ValueError(f"unsupported function {fname}")
+                return ("func", fname, args)
             return ("col", t.value)
         if t.kind == "op" and t.value == "(":
             node = self.or_expr()
@@ -269,6 +287,52 @@ class _Parser:
 
 def parse(expr: str):
     return _Parser(_tokenize(expr)).parse()
+
+
+def _fn_substr(args):
+    """OGR SUBSTR(str, start[, len]) — 1-based; negative start counts
+    from the end (swq_op_general.cpp SUBSTR notes)."""
+    s = args[0]
+    start = args[1].as_py() if isinstance(args[1], pa.Scalar) else args[1]
+    if isinstance(start, (int, float)):
+        start = int(start)
+        begin = start - 1 if start > 0 else start
+    else:
+        raise ValueError("SUBSTR start must be a literal integer")
+    if len(args) >= 3:
+        ln = int(args[2].as_py() if isinstance(args[2], pa.Scalar) else args[2])
+        stop = (begin + ln) if begin >= 0 else (begin + ln if begin + ln < 0 else None)
+        return pc.utf8_slice_codeunits(s, begin, stop)
+    return pc.utf8_slice_codeunits(s, begin)
+
+
+def _fn_hstore_get_value(args):
+    """HSTORE_GET_VALUE(hstore_str, 'key') (swq_op_registrar.cpp:60,
+    OGRHStoreGetValue in ogr_core): value for key in a
+    'k=>v, "k2"=>"v2"' string, NULL when absent."""
+    col, key = args[0], args[1]
+    if not isinstance(key, pa.Scalar):
+        raise ValueError("HSTORE_GET_VALUE key must be a literal string")
+    k = re.escape(key.as_py())
+    pat = (r'(?:^|,)\s*"?' + k + r'"?\s*=>\s*(?:"(?P<q>[^"]*)"|(?P<u>[^,]*))')
+    ex = pc.extract_regex(col, pattern=pat)
+    q = pc.struct_field(ex, "q")
+    u = pc.struct_field(ex, "u")
+    # Arrow fills non-participating groups with '' (not null): prefer the
+    # quoted capture when it matched anything, else the unquoted one.
+    val = pc.if_else(pc.equal(pc.fill_null(q, ""), ""), u, q)
+    return pc.if_else(pc.is_null(ex), pa.scalar(None, pa.string()),
+                      pc.utf8_trim_whitespace(pc.fill_null(val, "")))
+
+
+_FUNCS = {
+    "CONCAT": lambda args: pc.binary_join_element_wise(*args, ""),
+    "UPPER": lambda args: pc.utf8_upper(args[0]),
+    "LOWER": lambda args: pc.utf8_lower(args[0]),
+    "LENGTH": lambda args: pc.cast(pc.utf8_length(args[0]), pa.int32()),
+    "SUBSTR": _fn_substr,
+    "HSTORE_GET_VALUE": _fn_hstore_get_value,
+}
 
 
 _CMP = {
@@ -291,6 +355,12 @@ def _eval(node, table: pa.Table):
 
             bufs = table["geometry"].to_numpy(zero_copy_only=False)
             return pa.array([wkb_centroid_area(b)[2] for b in bufs])
+        if node[1] == "FID" and "FID" not in table.column_names:
+            # OGR special field (ogr/ogrfeaturequery.cpp:37): feature id.
+            # Maps to a "fid" column when present.
+            if "fid" in table.column_names:
+                return table["fid"]
+            raise KeyError("FID special field needs a 'fid' column")
         if node[1] not in table.column_names:
             raise KeyError(f"unknown column {node[1]}")
         return table[node[1]]
@@ -299,6 +369,18 @@ def _eval(node, table: pa.Table):
     if op == "cast":
         v = _eval(node[2], table)
         target = _CAST_TYPES[node[1]]
+        vtype = v.type
+        if node[1] in ("DATE", "TIME", "TIMESTAMP") and pa.types.is_string(vtype):
+            # temporal CAST from OGR date strings ('YYYY-MM-DD[ HH:MM:SS]'
+            # or 'YYYY/MM/DD'), SWQCastEvaluator temporal branch
+            v = pc.replace_substring(v, "/", "-")
+            if node[1] == "TIME":
+                ts = pc.strptime(v, format="%H:%M:%S", unit="s")
+            elif node[1] == "TIMESTAMP":
+                ts = pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="s")
+            else:
+                ts = pc.strptime(v, format="%Y-%m-%d", unit="s")
+            return pc.cast(ts, target)
         if isinstance(v, pa.Scalar):
             return v.cast(target)
         # numeric→int truncates in OGR (C cast semantics)
@@ -306,6 +388,9 @@ def _eval(node, table: pa.Table):
                 v.type if not isinstance(v, pa.ChunkedArray) else v.type):
             v = pc.trunc(v)
         return pc.cast(v, target, safe=False)
+    if op == "func":
+        args = [_eval(a, table) for a in node[2]]
+        return _FUNCS[node[1]](args)
     if op == "arith":
         return _ARITH[node[1]](_eval(node[2], table), _eval(node[3], table))
     if op == "cmp":

@@ -259,6 +259,29 @@ FROM part WHERE p_name LIKE '%a%'
 """
 
 
+def q_swq_functions(sf_dir):
+    """OGR SQL scalar functions + temporal CAST through the SWQ parser
+    (`ogr/swq_op_registrar.cpp:28-61`): UPPER, SUBSTR, IN, and a
+    TIMESTAMP literal comparison, all evaluated by
+    functions/swq.compile_filter inside map_batches."""
+    from ..functions.swq import attribute_filter
+
+    ds = tables.read_table(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderstatus",
+                                    "o_orderpriority", "o_orderdate"])
+    out = attribute_filter(ds, "UPPER(o_orderstatus) = 'O' AND "
+                               "SUBSTR(o_orderpriority, 1, 1) IN ('1', '2') AND "
+                               "o_orderdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)")
+    return out.select_columns(["o_orderkey"])
+
+
+SQL_SWQ_FUNCS = """
+SELECT o_orderkey FROM orders
+WHERE upper(o_orderstatus) = 'O' AND substr(o_orderpriority, 1, 1) IN ('1', '2')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
 def q_global_agg(sf_dir):
     li = tables.read_table(sf_dir, "lineitem", columns=["l_quantity"])
     li = add_cents(li, "l_quantity", "qty_c")
@@ -1489,6 +1512,7 @@ QUERIES = {
     "topk_orders": (q_topk_orders, SQL_TOPK),
     "distinct_segments": (q_distinct_segments, SQL_DISTINCT),
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR),
+    "swq_functions": (q_swq_functions, SQL_SWQ_FUNCS),
     "global_agg": (q_global_agg, SQL_GLOBAL),
     "events_by_type": (q_events_by_type, SQL_EVENTS_TYPE),
     "count_distinct_users": (q_count_distinct_users, SQL_COUNT_DISTINCT),

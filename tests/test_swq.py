@@ -178,3 +178,65 @@ class TestFuzzVsDuckdb:
                 f"SELECT count(*) n FROM read_parquet('{sf_med}/lineitem.parquet') "
                 f"WHERE {expr}").df()["n"].iloc[0]
             assert got == want, f"mismatch for {expr!r}: {got} != {want}"
+
+
+class TestSwqFunctions:
+    def _t(self):
+        return pa.table({
+            "name": pa.array(["alpha", "Beta", "gamma"]),
+            "tags": pa.array(['a=>1, b=>two', '"a"=>"x y", c=>3', 'b=>9']),
+            "d": pa.array(["2020-01-05", "2021/03/09", "2019-12-31"]),
+            "fid": pa.array([10, 11, 12], type=pa.int64()),
+        })
+
+    def test_concat_upper_lower_length_substr(self):
+        from lib_gdal_ray.functions import swq
+
+        t = self._t()
+        fn = swq.compile_filter("UPPER(name) = 'BETA'")
+        assert fn(t).to_pylist() == [False, True, False]
+        fn = swq.compile_filter("LENGTH(name) = 5")
+        assert fn(t).to_pylist() == [True, False, True]
+        fn = swq.compile_filter("SUBSTR(name, 1, 3) = 'gam'")
+        assert fn(t).to_pylist() == [False, False, True]
+        fn = swq.compile_filter("CONCAT(name, '!') = 'alpha!'")
+        assert fn(t).to_pylist() == [True, False, False]
+
+    def test_hstore_get_value(self):
+        from lib_gdal_ray.functions import swq
+
+        t = self._t()
+        fn = swq.compile_filter("HSTORE_GET_VALUE(tags, 'a') = '1'")
+        assert fn(t).to_pylist() == [True, False, None]
+        fn = swq.compile_filter("HSTORE_GET_VALUE(tags, 'a') = 'x y'")
+        assert fn(t).to_pylist() == [False, True, None]
+        fn = swq.compile_filter("HSTORE_GET_VALUE(tags, 'b') = '9'")
+        assert fn(t).to_pylist() == [False, None, True]
+
+    def test_temporal_cast(self):
+        from lib_gdal_ray.functions import swq
+
+        t = self._t()
+        fn = swq.compile_filter("CAST(d AS DATE) >= CAST('2020-01-01' AS DATE)")
+        assert fn(t).to_pylist() == [True, True, False]
+        # slash format accepted like OGR
+        fn = swq.compile_filter("CAST(d AS DATE) = CAST('2021-03-09' AS DATE)")
+        assert fn(t).to_pylist() == [False, True, False]
+        t2 = pa.table({"ts": pa.array(["2020-01-05 10:30:00",
+                                       "2020-01-04 09:00:00"])})
+        fn = swq.compile_filter(
+            "CAST(ts AS TIMESTAMP) > CAST('2020-01-05 00:00:00' AS TIMESTAMP)")
+        assert fn(t2).to_pylist() == [True, False]
+
+    def test_fid_special_field(self):
+        from lib_gdal_ray.functions import swq
+
+        t = self._t()
+        fn = swq.compile_filter("FID >= 11")
+        assert fn(t).to_pylist() == [False, True, True]
+
+    def test_unknown_function_raises(self):
+        from lib_gdal_ray.functions import swq
+
+        with pytest.raises(ValueError):
+            swq.compile_filter("NOSUCHFN(name) = 1")
