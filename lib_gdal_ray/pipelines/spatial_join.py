@@ -628,3 +628,113 @@ def precount_cells(points: ray.data.Dataset, res: float,
         int(c): int(min(max_salts, max(2, n // hot_threshold + 1)))
         for c, n in zip(hot["cell_id"], hot["count()"])
     }
+
+
+# ---------------------------------------------------------------------------
+# Shuffle polygon erase (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def _cell_box(cell_ids: np.ndarray, res: float):
+    ix, iy = cells.unpack_grid(cell_ids)
+    x0 = -180.0 + ix * res
+    y0 = -90.0 + iy * res
+    return x0, y0, x0 + res, y0 + res
+
+
+def shuffle_polygon_erase(polys: ray.data.Dataset, method: ray.data.Dataset,
+                          poly_cols: Sequence[str], res: float = 5.0,
+                          wkb_col: str = "geometry") -> ray.data.Dataset:
+    """Both-sides-large Erase (layer algebra, `ogrlayer.cpp:7665`) with
+    NO broadcast side: the `res`-degree grid partitions the plane, and
+    (A ∖ B) ∩ cell == (A ∩ cell) ∖ (B ∩ cell), so each side explodes to
+    its covering cells, clips to the cell box (convex clip — exact), and
+    one `groupby(cell)` computes per-cell differences independently.
+
+    Output: one row per surviving (input row × cell) fragment with
+    `geometry` (fragmented multipolygon within the cell), `cell_id`, and
+    `fragment_area`; fragments across cells partition A ∖ B exactly
+    (shared cell borders are measure-zero). Aggregate `fragment_area`
+    by input id to get per-feature remaining area; run
+    `stages.geom_ops.dissolve_geometry` after an id-regroup for clean
+    polygons."""
+    from ..geom.boolean import polygon_difference
+    from ..geom.clip import clip_wkb_to_box
+    from ..stages.cell_assign import explode_covering_cells
+    from ..stages.geom_ops import wkb_centroid_area
+
+    def clip_side(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            bufs = batch[wkb_col].to_numpy(zero_copy_only=False)
+            cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+            x0, y0, x1, y1 = _cell_box(cell, res)
+            out = []
+            keep = np.zeros(len(bufs), dtype=bool)
+            for i, b in enumerate(bufs):
+                c = clip_wkb_to_box(b, x0[i], y0[i], x1[i], y1[i])
+                if c is not None:
+                    keep[i] = True
+                    out.append(c)
+            batch = batch.filter(pa.array(keep))
+            batch = batch.drop_columns([wkb_col]).append_column(
+                wkb_col, pa.array(out, type=pa.binary()))
+            return batch.append_column(
+                "__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+        return fn
+
+    a = explode_covering_cells(polys, res, wkb_col=wkb_col)
+    a = a.map_batches(clip_side(0), batch_format="pyarrow")
+    a = a.select_columns(list(dict.fromkeys(list(poly_cols) + [wkb_col, "cell_id", "__side"])))
+    b = explode_covering_cells(method, res, wkb_col=wkb_col)
+    b = b.map_batches(clip_side(1), batch_format="pyarrow")
+    b = b.select_columns([wkb_col, "cell_id", "__side"])
+
+    # schema-align (method side lacks poly_cols)
+    def pad(batch: pa.Table) -> pa.Table:
+        for c in poly_cols:
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.nulls(len(batch), pa.int64()))
+        return batch.select(list(poly_cols) + [wkb_col, "cell_id", "__side"])
+
+    both = a.map_batches(pad, batch_format="pyarrow").union(
+        b.map_batches(pad, batch_format="pyarrow"))
+
+    out_cols = list(poly_cols)
+
+    def erase_group(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        at = tbl.filter(pa.array(side == 0))
+        bt = tbl.filter(pa.array(side == 1))
+        empty_cols = {c: at[c].slice(0, 0) for c in out_cols}
+        empty = pa.table({**empty_cols,
+                          "geometry": pa.array([], type=pa.binary()),
+                          "cell_id": pa.array([], type=pa.uint64()),
+                          "fragment_area": pa.array([], type=pa.float64())})
+        if len(at) == 0:
+            return empty
+        a_bufs = at[wkb_col].to_numpy(zero_copy_only=False)
+        b_bufs = bt[wkb_col].to_numpy(zero_copy_only=False)
+        keep_rows, out_geom, out_area = [], [], []
+        for i, ab in enumerate(a_bufs):
+            cur = ab
+            for bb in b_bufs:
+                cur = polygon_difference(cur, bb)
+                if cur is None:
+                    break
+            if cur is None:
+                continue
+            _cx, _cy, area = wkb_centroid_area(cur)
+            if area <= 0:
+                continue
+            keep_rows.append(i)
+            out_geom.append(cur)
+            out_area.append(area)
+        if not keep_rows:
+            return empty
+        sel = at.take(pa.array(np.asarray(keep_rows, dtype=np.int64)))
+        return pa.table({**{c: sel[c] for c in out_cols},
+                         "geometry": pa.array(out_geom, type=pa.binary()),
+                         "cell_id": sel["cell_id"],
+                         "fragment_area": pa.array(out_area)})
+
+    return both.groupby("cell_id").map_groups(erase_group, batch_format="pyarrow")

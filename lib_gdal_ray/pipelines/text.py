@@ -65,69 +65,120 @@ def bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
                           fn_constructor_args=(text_col,), concurrency=concurrency)
 
 
+_ACCENT_TOK = "[a-zà-ÿäöüß]+"
+
+
+def _token_sep(lower_col, token_class: str):
+    """Lowercased text -> ' tok1  tok2 ' with DOUBLE separators, so a
+    plain substring count of ' word ' counts exact-token hits without
+    the overlapping-match problem (Arrow RE2 has no lookarounds).
+    Token equality semantics identical to findall(token_class)."""
+    body = pc.replace_substring_regex(
+        lower_col, pattern=_negate_class(token_class), replacement="  ")
+    return pc.binary_join_element_wise(
+        pa.array(np.full(len(body), " "), type=pa.string()), body,
+        pa.array(np.full(len(body), " "), type=pa.string()), "")
+
+
+def _negate_class(token_class: str) -> str:
+    # "[abc]+" -> "[^abc]+"
+    assert token_class.startswith("[") and token_class.endswith("]+")
+    return "[^" + token_class[1:-2] + "]+"
+
+
+def _count_token(sep_col, word: str):
+    return pc.count_substring(sep_col, f" {word} ")
+
+
 class _QualityScorer:
     """Quality heuristics: alpha ratio, digit ratio, mean token length,
-    stopword ratio (en), uppercase ratio. Regexes compiled per actor."""
+    stopword ratio (en). Fully vectorized Arrow kernels — token hits via
+    double-space normalization + substring counts (no per-row Python)."""
 
     def __init__(self, text_col):
-        import re
-
         self.text_col = text_col
-        self.word = re.compile(r"[A-Za-z]+")
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        txt = df[self.text_col]
-        n = txt.str.len().clip(lower=1)
-        df["alpha_ratio"] = txt.str.count(r"[A-Za-z]") / n
-        df["digit_ratio"] = txt.str.count(r"[0-9]") / n
-        df["space_ratio"] = txt.str.count(r" ") / n
-        toks = txt.str.lower().str.findall(r"[a-z]+")
-        df["mean_tok_len"] = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        sw = _STOPWORDS["en"]
-        df["stopword_ratio"] = toks.map(lambda ws: sum(w in sw for w in ws) / max(1, len(ws)))
-        df["quality_score"] = (
-            0.4 * df["alpha_ratio"].clip(0, 1)
-            + 0.3 * df["stopword_ratio"].clip(0, 0.5) * 2
-            + 0.3 * (1.0 - df["digit_ratio"].clip(0, 1))
-        )
-        return df
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        n = pc.max_element_wise(pc.cast(pc.utf8_length(txt), pa.float64()),
+                                pa.scalar(1.0))
+        alpha = pc.cast(pc.count_substring_regex(txt, "[A-Za-z]"), pa.float64())
+        digit = pc.cast(pc.count_substring_regex(txt, "[0-9]"), pa.float64())
+        space = pc.cast(pc.count_substring(txt, " "), pa.float64())
+        lower = pc.utf8_lower(txt)
+        ntok = pc.cast(pc.count_substring_regex(lower, "[a-z]+"), pa.float64())
+        ntok1 = pc.max_element_wise(ntok, pa.scalar(1.0))
+        toklen = pc.cast(pc.count_substring_regex(lower, "[a-z]"), pa.float64())
+        sep = _token_sep(lower, "[a-z]+")
+        hits = None
+        for w in _STOPWORDS["en"]:
+            c = pc.cast(_count_token(sep, w), pa.float64())
+            hits = c if hits is None else pc.add(hits, c)
+        alpha_ratio = pc.divide(alpha, n)
+        digit_ratio = pc.divide(digit, n)
+        stop_ratio = pc.divide(hits, ntok1)
+        mean_tok = pc.if_else(pc.greater(ntok, 0.0),
+                              pc.divide(toklen, ntok1), pa.scalar(0.0))
+        clip01 = lambda v: pc.min_element_wise(  # noqa: E731
+            pc.max_element_wise(v, pa.scalar(0.0)), pa.scalar(1.0))
+        quality = pc.add(
+            pc.add(pc.multiply(pa.scalar(0.4), clip01(alpha_ratio)),
+                   pc.multiply(pc.multiply(
+                       pa.scalar(0.3), pc.min_element_wise(
+                           pc.max_element_wise(stop_ratio, pa.scalar(0.0)),
+                           pa.scalar(0.5))), pa.scalar(2.0))),
+            pc.multiply(pa.scalar(0.3),
+                        pc.subtract(pa.scalar(1.0), clip01(digit_ratio))))
+        for name, col in (("alpha_ratio", alpha_ratio),
+                          ("digit_ratio", digit_ratio),
+                          ("space_ratio", pc.divide(space, n)),
+                          ("mean_tok_len", mean_tok),
+                          ("stopword_ratio", stop_ratio),
+                          ("quality_score", quality)):
+            batch = batch.append_column(name, col)
+        return batch
 
 
 def quality_score(ds: ray.data.Dataset, text_col: str = "text",
                   concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_QualityScorer, batch_format="pandas",
+    return ds.map_batches(_QualityScorer, batch_format="pyarrow",
                           fn_constructor_args=(text_col,), concurrency=concurrency)
 
 
 class _LangId:
     """Stopword-vote language ID over the 4 built-in profiles;
-    'und' when no stopword hits."""
+    'und' when no stopword hits. Vectorized: per-language hit counts via
+    the same double-space token normalization, then an argmax cascade
+    with first-in-sorted-order tie semantics (matching the original
+    strict-> loop)."""
 
     def __init__(self, text_col):
-        import re
-
         self.text_col = text_col
-        self.tok = re.compile(r"[a-zà-ÿäöüß]+")
         self.langs = sorted(_STOPWORDS)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[self.text_col].str.lower().str.findall(self.tok)
-
-        def vote(ws):
-            best, best_n = "und", 0
-            for lang in self.langs:
-                nhits = sum(w in _STOPWORDS[lang] for w in ws)
-                if nhits > best_n:
-                    best, best_n = lang, nhits
-            return best
-
-        df["lang_pred"] = toks.map(vote)
-        return df
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[self.text_col])
+        sep = _token_sep(lower, _ACCENT_TOK)
+        counts = {}
+        for lang in self.langs:
+            h = None
+            for w in _STOPWORDS[lang]:
+                c = _count_token(sep, w)
+                h = c if h is None else pc.add(h, c)
+            counts[lang] = pc.cast(h, pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        pred = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for lang in self.langs:
+            m = counts[lang] > best
+            pred[m] = lang
+            best = np.maximum(best, counts[lang])
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 def lang_id(ds: ray.data.Dataset, text_col: str = "text",
             concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_LangId, batch_format="pandas",
+    return ds.map_batches(_LangId, batch_format="pyarrow",
                           fn_constructor_args=(text_col,), concurrency=concurrency)
 
 

@@ -1,9 +1,13 @@
-"""Table sources: column-pruned parquet readers.
+"""Table sources: column-pruned Lance/Parquet readers.
 
-The v0 storage format is Parquet (Lance is the production target per
-the north rule; `read_fn` is the seam — `ray.data.read_parquet` and a
-future `read_lance` share the signature). Always pass ``columns`` so
-only needed columns leave storage (SURVEY.md "prune at the read").
+The north rule's production format is Lance; the sandbox test data is
+Parquet. ``read_table`` dispatches on what exists on disk: a
+``<name>.lance`` dataset directory reads through
+``ray.data.read_lance`` (column projection pushed down to the Lance
+fragment reader), else ``<name>.parquet`` through
+``ray.data.read_parquet``. Both share the (path, columns) signature, so
+every pipeline is storage-agnostic. Always pass ``columns`` so only
+needed columns leave storage (SURVEY.md "prune at the read").
 """
 
 from __future__ import annotations
@@ -14,10 +18,27 @@ from typing import Optional, Sequence
 import ray.data
 
 
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def read_table(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None,
                **kwargs) -> ray.data.Dataset:
+    cols = list(columns) if columns else None
+    lance_path = os.path.join(sf_dir, f"{name}.lance")
+    if os.path.isdir(lance_path):
+        if not lance_available():
+            raise ImportError(
+                f"{lance_path} is a Lance dataset but the 'lance' package "
+                "is not installed in this environment")
+        return ray.data.read_lance(lance_path, columns=cols, **kwargs)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return ray.data.read_parquet(path, columns=list(columns) if columns else None, **kwargs)
+    return ray.data.read_parquet(path, columns=cols, **kwargs)
 
 
 def read_table_arrow(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None):

@@ -219,3 +219,41 @@ class TestLayerUnion:
         assert set(out["src"]) == {"input_only", "method_only"}
         total = sum(wkb_centroid_area(g)[2] for g in out["geometry"])
         np.testing.assert_allclose(total, 24.0, rtol=1e-9)  # 16 + 16 - 2*4
+
+
+class TestShuffleErase:
+    def test_matches_broadcast_erase_areas(self):
+        """Cell-partitioned big-big erase: per-feature remaining area
+        equals the broadcast path (cells partition the plane, so
+        per-cell differences sum exactly)."""
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.geom import wkb as wkb_mod
+        from lib_gdal_ray.pipelines.spatial_join import (
+            broadcast_polygon_erase, shuffle_polygon_erase)
+
+        rng = np.random.default_rng(21)
+        def rand_box(lo, hi):
+            x0, y0 = rng.uniform(lo, hi - 8, 2)
+            w, h = rng.uniform(2, 8, 2)
+            return wkb_mod.box_to_wkb(x0, y0, x0 + w, y0 + h)
+
+        a_bufs = [rand_box(-20, 20) for _ in range(12)]
+        b_bufs = [rand_box(-20, 20) for _ in range(10)]
+        a_ds = ray.data.from_arrow(pa.table({
+            "pid": pa.array(np.arange(12, dtype=np.int64)),
+            "geometry": pa.array(a_bufs, type=pa.binary())}))
+        b_ds = ray.data.from_arrow(pa.table({
+            "geometry": pa.array(b_bufs, type=pa.binary())}))
+        b_tbl = pa.table({"geometry": pa.array(b_bufs, type=pa.binary())})
+
+        bc = broadcast_polygon_erase(a_ds, b_tbl, res=5.0).to_pandas()
+        want = dict(zip(bc["pid"], bc["remaining_area"]))
+
+        sh = shuffle_polygon_erase(a_ds, b_ds, ["pid"], res=5.0).to_pandas()
+        got = sh.groupby("pid")["fragment_area"].sum().to_dict()
+        assert set(got) == set(want)
+        for pid, area in want.items():
+            np.testing.assert_allclose(got[pid], area, rtol=1e-9,
+                                       err_msg=f"pid {pid}")

@@ -282,3 +282,28 @@ class TestStatsMetrics:
         assert "MapBatches" in names or "ReadParquet" in names
         assert any("rows" in o for o in out["operators"])
         assert isinstance(out["raw"], str) and len(out["raw"]) > 100
+
+
+class TestLanceSeam:
+    def test_parquet_fallback(self, sf_small):
+        ds = tables.read_table(sf_small, "nation", columns=["n_nationkey"])
+        assert ds.count() == 25
+
+    def test_lance_dir_without_package_raises(self, tmp_path):
+        import os
+
+        if tables.lance_available():
+            pytest.skip("lance installed; dispatch covered by read path")
+        os.makedirs(tmp_path / "t.lance")
+        with pytest.raises(ImportError):
+            tables.read_table(str(tmp_path), "t")
+
+    @pytest.mark.skipif(not tables.lance_available(), reason="lance not installed")
+    def test_lance_roundtrip(self, sf_small, tmp_path):
+        import lance
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_small}/nation.parquet")
+        lance.write_dataset(t, str(tmp_path / "nation.lance"))
+        ds = tables.read_table(str(tmp_path), "nation", columns=["n_nationkey"])
+        assert ds.count() == len(t)
