@@ -79,7 +79,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "rasterize_tiles", "tile_overview", "zonal_stats",
                      "dedup_documents", "token_stats", "ann_topk", "minhash_near_dup",
                      "grid_idw", "intersection_overlay", "raster_calc_ratio",
-                     "where_filter", "media_features"]
+                     "where_filter", "media_features",
+                     # round-2 additions
+                     "rasterize_polygons", "reproject_utm", "shuffle_join",
+                     "lang_stopword_quality", "buffer_zones", "swq_functions",
+                     "embedding_near_dup"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

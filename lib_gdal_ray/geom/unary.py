@@ -198,13 +198,21 @@ def _union_fold(pieces: List[np.ndarray]) -> List[np.ndarray]:
     the original convex pieces (not accumulated fragments, which can be
     numerically non-convex) keeps every clipper convex, so the
     Sutherland–Hodgman half-plane decomposition stays exact."""
+    bboxes = [(p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max())
+              for p in pieces]
     frags: List[np.ndarray] = []
     for i, piece in enumerate(pieces):
         add = [piece]
         for j in range(i):
+            bj = bboxes[j]
             nxt: List[np.ndarray] = []
             for p in add:
-                nxt.extend(convex_difference(p, pieces[j]))
+                # bbox pretest: disjoint pieces subtract nothing
+                if (p[:, 0].max() < bj[0] or p[:, 0].min() > bj[2]
+                        or p[:, 1].max() < bj[1] or p[:, 1].min() > bj[3]):
+                    nxt.append(p)
+                else:
+                    nxt.extend(convex_difference(p, pieces[j]))
             add = nxt
             if not add:
                 break

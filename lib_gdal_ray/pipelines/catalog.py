@@ -570,7 +570,9 @@ def q_buffer_zones(sf_dir):
     buffered area in integer cents. Oracle: the closed-form area of a
     buffered rectangle with k-gon corners — w*h + 2*(w+h)*d + the four
     quarter (4*quadsegs)-gons = 0.5*k*d^2*sin(2*pi/k)."""
-    zones = ray.data.from_arrow(zone_table(sf_dir))
+    # repartition the tiny zone table so the per-feature buffer kernels
+    # parallelize across cores (one block would serialize them)
+    zones = ray.data.from_arrow(zone_table(sf_dir)).repartition(8)
     buffered = geom_ops.buffer_geometry(zones, 2.0, quadsegs=8)
     with_area = geom_ops.centroid_area(buffered)
 

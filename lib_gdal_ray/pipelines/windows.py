@@ -72,18 +72,40 @@ def sessionize(events: ray.data.Dataset, user_col: str, ts_col: str,
     n_events). A new session starts when the gap since the previous
     event of the same user exceeds gap_s."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="stable")
-        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts, prepend=ts[0]) > gap_s * 1_000_000
-        sid = np.cumsum(gaps)
-        out = pd.DataFrame({"sid": sid, "ts": ts})
-        g = out.groupby("sid")["ts"]
-        return pd.DataFrame({
-            user_col: df[user_col].iloc[0],
-            "session_start": g.min().to_numpy().astype("datetime64[us]"),
-            "session_end": g.max().to_numpy().astype("datetime64[us]"),
-            "n_events": g.size().to_numpy().astype(np.int64),
+    # 256 bounded groups (user-hash buckets), NOT one group per user —
+    # a per-user map_groups costs ~1 ms/group and dies at millions of
+    # users (NOTES lesson 2). All sessions of a user land in one bucket,
+    # and the kernel sessionizes every user in the bucket in one
+    # lexsort + run-length pass.
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        if u.dtype == object:
+            from zlib import crc32  # stable across processes (PYTHONHASHSEED-free)
+
+            h = np.fromiter((crc32(str(x).encode()) & 0xFF for x in u),
+                            dtype=np.int32, count=len(u))
+        else:
+            h = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(56)).astype(np.int32)
+        return batch.append_column("__g", pa.array(h))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl[user_col].to_numpy(zero_copy_only=False)
+        ts = tbl[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (np.diff(ts) > gap_s * 1_000_000)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.table({
+            user_col: pa.array(u[starts]),
+            "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "session_end": pa.array(ts[ends].astype("datetime64[us]")),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
         })
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return (events.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__g").map_groups(per_bucket, batch_format="pyarrow"))
