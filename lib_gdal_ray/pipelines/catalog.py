@@ -1190,6 +1190,50 @@ def q_lang_quality(sf_dir):
                                "quality_score"])
 
 
+def q_ngram_jaccard(sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.7): MinHash-LSH
+    candidates + distributed hash-join back to texts + exact
+    character-shingle verify. Oracle = the full exact pairwise Jaccard
+    in SQL; safe to compare because LSH miss probability at the data's
+    J>=0.9 near-dup band is < 1e-9 (see dedup.ngram_jaccard_pairs)."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["id_a"],
+            "id_b": batch["id_b"],
+            "jacc_c": pa.array(_cents(
+                batch["jaccard"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(floor(CAST(ninter AS DOUBLE)
+       / (sa.n + sb.n - ninter) * 100 + 0.5) AS BIGINT) AS jacc_c
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.7
+"""
+
+
 def q_lang_stopword_quality(sf_dir):
     """SQL-checkable slice of the text-analysis stack: stopword-vote
     language ID + quality ratios (the trigram lang_ngram column stays in
@@ -1563,6 +1607,7 @@ QUERIES = {
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "ann_topk": (q_ann_topk, SQL_ANN),
     "minhash_near_dup": (q_minhash_near_dup, None),
+    "ngram_jaccard_dup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, None),
     "lang_quality": (q_lang_quality, None),
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),

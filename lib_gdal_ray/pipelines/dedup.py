@@ -368,3 +368,61 @@ def simhash64(ds: ray.data.Dataset, text_col: str, concurrency=(1, 8)) -> ray.da
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                        shingle_k: int = 5, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 16,
+                        est_margin: float = 0.2,
+                        max_bucket: int = 64,
+                        concurrency=(1, 8)) -> ray.data.Dataset:
+    """EXACT n-gram (character k-shingle) Jaccard near-dup pairs.
+
+    Two stages, both distributed:
+    1. candidate generation — MinHash-LSH banding at a LOWERED estimate
+       threshold (threshold - est_margin), so true pairs at the exact
+       threshold survive estimator noise;
+    2. exact verify — candidates hash-join back to the document texts
+       (Ray native hash-partitioned join, both sides distributed), and
+       the kernel computes the true character-shingle Jaccard per
+       candidate pair (pairs are output-bounded, so the per-pair set
+       intersection is cheap relative to the corpus scan).
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold, jaccard
+    EXACT (inter/union of distinct k-substr sets — SQL-mirrorable)."""
+    cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                              shingle_k=shingle_k, bands=bands,
+                              threshold=max(0.0, threshold - est_margin),
+                              max_bucket=max_bucket, concurrency=concurrency)
+    docs = ds.select_columns([id_col, text_col])
+
+    def ren(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([f"id_{suffix}", f"text_{suffix}"])
+        return fn
+
+    docs_a = docs.map_batches(ren("a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(ren("b"), batch_format="pyarrow")
+    # size the join's aggregator-actor pool to the cluster: Ray's hash
+    # join holds one CPU per partition, so partitions >= cluster CPUs
+    # deadlocks against the upstream map tasks (seen under the 4-CPU
+    # test session)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 2))
+    j = cands.select_columns(["id_a", "id_b"]).join(
+        docs_a, join_type="inner", num_partitions=nparts, on=("id_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=nparts, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            jac[i] = jaccard_shingles(ta[i], tb[i], shingle_k)
+        out = pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "jaccard": pa.array(jac),
+        })
+        return out.filter(pa.array(jac >= threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -243,7 +243,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: Union[str, Sequence[str]],
               right_on: Union[str, Sequence[str], None] = None,
               how: str = "inner",
-              num_partitions: int = 32) -> ray.data.Dataset:
+              num_partitions: Optional[int] = None) -> ray.data.Dataset:
     """Big-big attribute equi-join (both sides distributed).
 
     Uses Ray's native hash-partitioned `Dataset.join` when available
@@ -255,6 +255,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     on = (on,) if isinstance(on, str) else tuple(on)
     r_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    if num_partitions is None:
+        # Ray's hash join holds one CPU per partition-aggregator actor;
+        # partitions >= cluster CPUs deadlocks against upstream maps
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, cpus // 2))
     if hasattr(left, "join"):
         return left.join(right, join_type=how, num_partitions=num_partitions,
                          on=on, right_on=r_on)

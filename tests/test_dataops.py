@@ -307,3 +307,25 @@ class TestLanceSeam:
         lance.write_dataset(t, str(tmp_path / "nation.lance"))
         ds = tables.read_table(str(tmp_path), "nation", columns=["n_nationkey"])
         assert ds.count() == len(t)
+
+
+class TestNgramJaccard:
+    def test_exact_pairs_with_planted_dups(self):
+        from lib_gdal_ray.pipelines.dedup import jaccard_shingles, ngram_jaccard_pairs
+
+        base = "the quick brown fox jumps over the lazy dog and runs away " * 6
+        docs = [base + f"tail {i} " * 3 for i in range(15)]
+        docs.append(base + "tail 0 tail 0 tail 0 !")   # near-dup of doc 0
+        docs.append("completely unrelated text about warp kernels " * 8)
+        t = pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                      "text": pa.array(docs)})
+        out = ngram_jaccard_pairs(ray.data.from_arrow(t), "text", "doc_id",
+                                  threshold=0.7).to_pandas()
+        got = {(a, b): j for a, b, j in
+               zip(out["id_a"], out["id_b"], out["jaccard"])}
+        assert (0, 15) in got
+        # every reported value is the EXACT jaccard
+        for (a, b), j in got.items():
+            np.testing.assert_allclose(j, jaccard_shingles(docs[a], docs[b], 5))
+        # unrelated doc pairs never appear
+        assert not any(16 in p for p in got)
