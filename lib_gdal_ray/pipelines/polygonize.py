@@ -110,7 +110,8 @@ def _label_pixels(gpx: np.ndarray, gpy: np.ndarray, val: np.ndarray,
 
 
 def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
-                               tile_size: int = 256) -> ray.data.Dataset:
+                               tile_size: int = 256,
+                               cc_mode: str = "auto") -> ray.data.Dataset:
     """Sparse pixel rows → labeled pixel rows
     (gpx, gpy, value, region_id); shared by polygonize and sieve.
 
@@ -212,14 +213,57 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     pairs = borders.groupby("edge").map_groups(edge_pairs, batch_format="pandas")
-    pairs_df = pairs.to_pandas()  # label graph: border-touching components only
 
-    uf = UnionFind()
-    if len(pairs_df) and "la" in pairs_df.columns:
-        for la, lb in zip(pairs_df["la"].astype(np.uint64), pairs_df["lb"].astype(np.uint64)):
-            uf.union(int(la), int(lb))
-    relabel = {x: uf.find(x) for x in uf.parent}
-    relabel_ref = ray.put(relabel)
+    # Cross-tile merge. The label graph has one node per BORDER-TOUCHING
+    # component (<< pixel count). Two resolution paths:
+    # * task union-find (default): the pair blocks concat + union-find
+    #   inside ONE Ray task — never on the driver; the relabel map ref
+    #   broadcasts to the relabel actors. Bounded by border-component
+    #   count in one worker's heap.
+    # * distributed min-label propagation (cc_mode="labelprop" or auto
+    #   beyond ~5M edges): O(log n) rounds of edge-join + pointer
+    #   jumping, no single-node graph at all (see _cc_root_map).
+    pairs = pairs.materialize()
+    if cc_mode == "labelprop" or (cc_mode == "auto"
+                                  and pairs.count() > 5_000_000):
+        root_map = _cc_root_map(pairs)
+
+        def lab64(batch: pa.Table) -> pa.Table:
+            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.drop_columns(["label"]).append_column(
+                "label", pa.array(lab))
+
+        joined = labeled.map_batches(lab64, batch_format="pyarrow").join(
+            root_map, join_type="left_outer",
+            num_partitions=max(
+                2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+            on=("label",))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            isnull = pa.compute.is_null(batch["root"]).to_numpy(zero_copy_only=False)
+            root = pa.compute.fill_null(batch["root"], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out = np.where(isnull, lab, root).astype(np.uint64)
+            return (batch.drop_columns(["label", "root"])
+                    .append_column("region_id", pa.array(out)))
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    pair_blocks = pairs.to_arrow_refs()
+
+    @ray.remote
+    def _uf_task(*blocks: pa.Table):
+        uf = UnionFind()
+        for b in blocks:
+            if len(b) == 0 or "la" not in b.column_names:
+                continue
+            for la, lb in zip(b["la"].to_numpy(zero_copy_only=False),
+                              b["lb"].to_numpy(zero_copy_only=False)):
+                uf.union(int(la), int(lb))
+        return {x: uf.find(x) for x in uf.parent}
+
+    relabel_ref = _uf_task.remote(*pair_blocks)
 
     class Relabel:
         def __init__(self, wrapped):
@@ -237,6 +281,74 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
     return labeled.map_batches(Relabel, batch_format="pyarrow",
                                fn_constructor_args=({"ref": relabel_ref},),
                                concurrency=(1, 8))
+
+
+def _cc_root_map(pairs: ray.data.Dataset, max_rounds: int = 30
+                 ) -> ray.data.Dataset:
+    """(la, lb) edge rows -> (label, root) rows: distributed connected
+    components by min-label propagation + pointer jumping (the
+    hash-to-min / pointer-jump scheme of the distributed-CC literature,
+    e.g. Kiveris et al. 'Connected Components in MapReduce'). Converges
+    in O(log n) rounds; each round is two bounded hash joins + one
+    groupby over the (small) border-component graph, all in the object
+    store."""
+    from ray.data.aggregate import Min, Sum
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    # int64 throughout: Ray aggregates normalize unsigned keys, and the
+    # packed labels use < 63 bits (z <= 21 at 256px tiles)
+    def both(batch: pa.Table) -> pa.Table:
+        la = batch["la"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = batch["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(np.concatenate([la, lb])),
+                         "y": pa.array(np.concatenate([lb, la]))})
+
+    edges = pairs.map_batches(both, batch_format="pyarrow").materialize()
+    # initial root: min(self, neighbors)
+    m = edges.groupby("x").aggregate(Min("y", alias_name="root"))
+
+    def clamp_self(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"label": pa.array(x),
+                         "root": pa.array(np.minimum(x, r))})
+
+    m = m.map_batches(clamp_self, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        # propagate roots across edges: (x,y) joined with m on y
+        my = m.map_batches(
+            lambda b: b.rename_columns(["y", "nroot"]), batch_format="pyarrow")
+        cand = edges.join(my, join_type="inner", num_partitions=nparts,
+                          on=("y",))
+        cand = cand.map_batches(
+            lambda b: pa.table({"label": b["x"], "root": b["nroot"]}),
+            batch_format="pyarrow")
+        merged = m.union(cand).groupby("label").aggregate(
+            Min("root", alias_name="root"))
+        # pointer jump: root <- root's root
+        mr = merged.map_batches(
+            lambda b: b.rename_columns(["jlabel", "jroot"]), batch_format="pyarrow")
+        jumped = merged.map_batches(
+            lambda b: b.rename_columns(["label", "root"]), batch_format="pyarrow"
+        ).join(mr, join_type="left_outer", num_partitions=nparts,
+               on=("root",), right_on=("jlabel",))
+
+        def jump(batch: pa.Table) -> pa.Table:
+            r = batch["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+            jrn = pa.compute.is_null(batch["jroot"]).to_numpy(zero_copy_only=False)
+            jrv = pa.compute.fill_null(batch["jroot"], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out = np.where(jrn, r, jrv)
+            return pa.table({"label": batch["label"], "root": pa.array(out)})
+
+        m = jumped.map_batches(jump, batch_format="pyarrow").materialize()
+        s = m.aggregate(Sum("root"))["sum(root)"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return m
 
 
 def polygonize_wkb(pixels: ray.data.Dataset, connectivity: int = 4,

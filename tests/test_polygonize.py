@@ -122,3 +122,31 @@ def test_bad_connectivity():
     t, *_ = make_pixels(3, n=10)
     with pytest.raises(ValueError):
         polygonize(ray.data.from_arrow(t), connectivity=6)
+
+
+def test_labelprop_equals_task_uf():
+    """Distributed min-label-propagation CC produces the same components
+    as the task union-find on a multi-tile snake + separate blob."""
+    import pyarrow as pa
+    import ray.data
+
+    from lib_gdal_ray.pipelines.polygonize import label_connected_components
+    from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+    pts = [(x, 7) for x in range(3, 20)]
+    pts += [(19, y) for y in range(7, 18)]
+    pts += [(x, y) for x in range(30, 34) for y in range(30, 33)]
+    gx = np.array([p[0] for p in pts])
+    gy = np.array([p[1] for p in pts])
+    ds = ray.data.from_arrow(pa.table({
+        "pix_id": pa.array(pack_pixel(6, gx, gy)),
+        "burn": pa.array(np.ones(len(gx)))}))
+
+    def comps(df):
+        return set(df.groupby("region_id").apply(
+            lambda s: frozenset(zip(s.gpx, s.gpy)), include_groups=False))
+
+    a = label_connected_components(ds, 4, tile_size=8, cc_mode="task").to_pandas()
+    b = label_connected_components(ds, 4, tile_size=8, cc_mode="labelprop").to_pandas()
+    assert comps(a) == comps(b)
+    assert len(comps(a)) == 2
