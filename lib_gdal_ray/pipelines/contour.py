@@ -222,13 +222,24 @@ def contour_lines(pixels: ray.data.Dataset, levels: Sequence[float]
         return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0], dtype=np.uint64),
                              "b": ids[1:]})
 
-    pairs = eps.groupby("ep").map_groups(ep_pairs, batch_format="pandas").to_pandas()
-    uf = UnionFind()
-    if len(pairs) and "a" in pairs.columns:
-        for a, b in zip(pairs["a"], pairs["b"]):
-            uf.union(int(a), int(b))
-    relabel = {x: uf.find(x) for x in uf.parent}
-    ref = ray.put(relabel)
+    # endpoint-graph union-find runs in ONE Ray task from block refs
+    # (bounded by segment count, never on the driver)
+    pair_blocks = (eps.groupby("ep")
+                   .map_groups(ep_pairs, batch_format="pandas")
+                   .to_arrow_refs())
+
+    @ray.remote
+    def _uf_task(*blocks):
+        uf = UnionFind()
+        for b in blocks:
+            if len(b) == 0 or "a" not in b.column_names:
+                continue
+            for a, bb in zip(b["a"].to_numpy(zero_copy_only=False),
+                             b["b"].to_numpy(zero_copy_only=False)):
+                uf.union(int(a), int(bb))
+        return {x: uf.find(x) for x in uf.parent}
+
+    ref = _uf_task.remote(*pair_blocks)
 
     class Assign:
         def __init__(self, wrapped):

@@ -57,13 +57,8 @@ def _adjacency_pairs(labeled: ray.data.Dataset) -> pd.DataFrame:
         return pd.DataFrame({"ra": m["region_a"].to_numpy(dtype=np.uint64),
                              "rb": m["region_b"].to_numpy(dtype=np.uint64)})
 
-    out = (labeled.map_batches(probes, batch_format="pyarrow")
-           .groupby("ek").map_groups(pairs, batch_format="pandas")
-           .to_pandas())
-    if len(out) == 0 or "ra" not in out.columns:
-        return pd.DataFrame({"ra": pd.Series(dtype=np.uint64),
-                             "rb": pd.Series(dtype=np.uint64)})
-    return out.drop_duplicates()
+    return (labeled.map_batches(probes, batch_format="pyarrow")
+            .groupby("ek").map_groups(pairs, batch_format="pandas"))
 
 
 def sieve(pixels: ray.data.Dataset, threshold: int,
@@ -75,52 +70,70 @@ def sieve(pixels: ray.data.Dataset, threshold: int,
 
     from ray.data.aggregate import Count, Min
 
-    regions = (labeled.groupby("region_id")
-               .aggregate(Count(alias_name="n"), Min("value", alias_name="value"))
-               .to_pandas())
-    sizes = dict(zip(regions["region_id"].astype(np.uint64).map(int),
-                     regions["n"].map(int)))
-    values = dict(zip(regions["region_id"].astype(np.uint64).map(int),
-                      regions["value"].map(float)))
+    # The GDAL merge loop is inherently sequential on the CONTRACTED
+    # region graph (region count << pixel count). It runs inside ONE Ray
+    # task fed by block refs — regions and adjacency never pass through
+    # the driver; the result map ref broadcasts to the rewrite actors.
+    region_blocks = (labeled.groupby("region_id")
+                     .aggregate(Count(alias_name="n"),
+                                Min("value", alias_name="value"))
+                     .to_arrow_refs())
+    adj_blocks = _adjacency_pairs(labeled).to_arrow_refs()
 
-    adj_df = _adjacency_pairs(labeled)
-    adj: dict = {r: set() for r in sizes}
-    for ra, rb in zip(adj_df["ra"].map(int), adj_df["rb"].map(int)):
-        adj.setdefault(ra, set()).add(rb)
-        adj.setdefault(rb, set()).add(ra)
-
-    # GDAL merge loop on the contracted region graph
-    mapping = {r: r for r in sizes}
-
-    def resolve(r):
-        while mapping[r] != r:
-            r = mapping[r]
-        return r
-
-    changed = True
-    while changed:
-        changed = False
-        small = sorted((r for r in sizes if mapping[r] == r and sizes[r] < threshold
-                        and adj.get(r)),
-                       key=lambda r: (sizes[r], r))
-        for r in small:
-            neighbors = {resolve(n) for n in adj[r]} - {r}
-            if not neighbors:
+    @ray.remote
+    def _merge_task(threshold, n_region_blocks, *blocks):
+        sizes: dict = {}
+        values: dict = {}
+        for b in blocks[:n_region_blocks]:
+            if len(b) == 0 or "region_id" not in b.column_names:
                 continue
-            target = max(neighbors, key=lambda n: (sizes[n], -n))
-            mapping[r] = target
-            sizes[target] += sizes[r]
-            adj[target] = (adj.get(target, set()) | adj[r]) - {target, r}
-            for n in adj[r]:
-                s = adj.get(n)
-                if s is not None:
-                    s.discard(r)
-                    if n != target:
-                        s.add(target)
-            changed = True
+            for r, n, v in zip(b["region_id"].to_numpy(zero_copy_only=False),
+                               b["n"].to_numpy(zero_copy_only=False),
+                               b["value"].to_numpy(zero_copy_only=False)):
+                sizes[int(r)] = int(n)
+                values[int(r)] = float(v)
+        adj: dict = {r: set() for r in sizes}
+        for b in blocks[n_region_blocks:]:
+            if len(b) == 0 or "ra" not in b.column_names:
+                continue
+            for ra, rb in zip(b["ra"].to_numpy(zero_copy_only=False),
+                              b["rb"].to_numpy(zero_copy_only=False)):
+                adj.setdefault(int(ra), set()).add(int(rb))
+                adj.setdefault(int(rb), set()).add(int(ra))
 
-    final = {r: values[resolve(r)] for r in sizes if resolve(r) != r}
-    ref = ray.put(final)
+        mapping = {r: r for r in sizes}
+
+        def resolve(r):
+            while mapping[r] != r:
+                r = mapping[r]
+            return r
+
+        changed = True
+        while changed:
+            changed = False
+            small = sorted((r for r in sizes if mapping[r] == r
+                            and sizes[r] < threshold and adj.get(r)),
+                           key=lambda r: (sizes[r], r))
+            for r in small:
+                neighbors = {resolve(n) for n in adj[r]} - {r}
+                if not neighbors:
+                    continue
+                target = max(neighbors, key=lambda n: (sizes[n], -n))
+                mapping[r] = target
+                sizes[target] += sizes[r]
+                adj[target] = (adj.get(target, set()) | adj[r]) - {target, r}
+                for n in adj[r]:
+                    s = adj.get(n)
+                    if s is not None:
+                        s.discard(r)
+                        if n != target:
+                            s.add(target)
+                changed = True
+
+        return {r: values[resolve(r)] for r in sizes if resolve(r) != r}
+
+    ref = _merge_task.remote(threshold, len(region_blocks),
+                             *(list(region_blocks) + list(adj_blocks)))
 
     class Rewrite:
         def __init__(self, wrapped):
