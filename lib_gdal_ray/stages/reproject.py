@@ -18,12 +18,19 @@ import ray.data
 from ..geom import proj, wkb
 
 
-def reproject(ds: ray.data.Dataset, src_epsg: int, dst_epsg: int,
+def reproject(ds: ray.data.Dataset, src_epsg: int = None, dst_epsg: int = None,
               x_col: str = "lon", y_col: str = "lat",
               out_x: str = "x", out_y: str = "y",
               wkb_in: Optional[str] = None, wkb_out: Optional[str] = None,
-              round_to: Optional[int] = None) -> ray.data.Dataset:
+              round_to: Optional[int] = None,
+              transformer=None) -> ray.data.Dataset:
     """Add transformed coordinate columns (and optionally re-encoded WKB).
+
+    transformer: any object with ``.transform(x, y)`` — an EPSG pair via
+    `proj.Transformer.get`, or a GCP polynomial / TPS / RPC transformer
+    (`geom/gcp.py`, the gdaltransformer chain analog). Fitted
+    transformers are broadcast to workers via closure capture (fit once,
+    evaluate per batch).
 
     round_to: optional decimal rounding applied to the output columns —
     used when results must hash-match a SQL oracle computed with a
@@ -31,7 +38,8 @@ def reproject(ds: ray.data.Dataset, src_epsg: int, dst_epsg: int,
     """
 
     def tx(batch: pa.Table) -> pa.Table:
-        t = proj.Transformer.get(src_epsg, dst_epsg)
+        t = (transformer if transformer is not None
+             else proj.Transformer.get(src_epsg, dst_epsg))
         if wkb_in is not None:
             x, y = wkb.wkb_to_points(batch[wkb_in].to_numpy(zero_copy_only=False))
         else:
