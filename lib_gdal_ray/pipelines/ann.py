@@ -220,3 +220,130 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, dim: int, threshold: float,
 
     return grouped.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine_sim", alias_name="cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: distributed k-means coarse quantizer + lists
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(ds: ray.data.Dataset, dim: int, k: int,
+               emb_col: str = "embedding", iters: int = 5,
+               seed: int = 42) -> np.ndarray:
+    """Distributed Lloyd k-means on normalized embeddings (the IVF
+    coarse quantizer; spherical k-means since vectors are unit-norm).
+
+    Each iteration is one map_batches pass emitting per-batch partial
+    (cluster, sum-vector, count) rows — the in-batch combiner — plus a
+    tiny k-row groupby; only the (k, dim) centroid matrix ever lands on
+    the driver (legitimate small-side state, re-broadcast per
+    iteration). Deterministic: seeded init from the first k rows."""
+    from ray.data.aggregate import Sum
+
+    first = ds.limit(k).to_pandas()
+    init = _normalize(np.stack(
+        [np.asarray(e, dtype=np.float64) for e in first[emb_col]]))
+    rng = np.random.default_rng(seed)
+    if len(init) < k:  # degenerate tiny input: pad with random directions
+        pad = rng.standard_normal((k - len(init), dim))
+        init = np.vstack([init, _normalize(pad)])
+    centroids = init
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cents = ray.get(_ref)
+            mat = _normalize(_stack_embeddings(batch[emb_col]))
+            assign = np.argmax(mat @ cents.T, axis=1)
+            cols = {"cl": pa.array(np.arange(len(cents), dtype=np.int64)),
+                    "n": pa.array(np.bincount(assign, minlength=len(cents))
+                                  .astype(np.int64))}
+            for d in range(mat.shape[1]):
+                cols[f"s{d}"] = pa.array(
+                    np.bincount(assign, weights=mat[:, d], minlength=len(cents)))
+            return pa.table(cols)
+
+        aggs = [Sum("n", alias_name="n")] + [
+            Sum(f"s{d}", alias_name=f"s{d}") for d in range(dim)]
+        tot = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("cl").aggregate(*aggs).to_pandas())
+        new = centroids.copy()
+        for _i, row in tot.iterrows():
+            c = int(row["cl"])
+            n = float(row["n"])
+            if n > 0:
+                v = np.asarray([row[f"s{d}"] for d in range(dim)])
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[c] = v / nv
+        centroids = new
+    return centroids
+
+
+def ivf_assign(ds: ray.data.Dataset, centroids: np.ndarray,
+               emb_col: str = "embedding") -> ray.data.Dataset:
+    """Attach the nearest-centroid list id (`ivf_list`)."""
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _normalize(_stack_embeddings(batch[emb_col]))
+        a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(indexed: ray.data.Dataset, centroids: np.ndarray,
+             query_ids: np.ndarray, query_mat: np.ndarray, k: int,
+             nprobe: int = 4, emb_col: str = "embedding",
+             id_col: str = "vec_id") -> ray.data.Dataset:
+    """IVF approximate top-k: each query probes its `nprobe` nearest
+    lists; per batch only rows in probed lists are compared (the scan
+    shrinks by ~nprobe/n_lists vs brute force). Same partial-top-k +
+    per-query merge shape as brute_topk."""
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put({"query_ids": np.asarray(query_ids, dtype=np.int64),
+                   "qmat": qmat, "probes": probes})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        mat = _normalize(_stack_embeddings(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(len(q["query_ids"])):
+            m = np.isin(lists, q["probes"][j])
+            if not m.any():
+                continue
+            s = mat[m] @ q["qmat"][j]
+            sub_ids = ids[m]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            order = part[np.lexsort((sub_ids[part], -s[part]))]
+            out_q.append(np.full(kk, q["query_ids"][j], dtype=np.int64))
+            out_id.append(sub_ids[order])
+            out_sim.append(s[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine_sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "cosine_sim": pa.array(np.concatenate(out_sim)),
+        })
+
+    partials = indexed.map_batches(partial, batch_format="pyarrow")
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        sims = tbl["cosine_sim"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        out = tbl.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int32)))
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -329,3 +329,57 @@ class TestNgramJaccard:
             np.testing.assert_allclose(j, jaccard_shingles(docs[a], docs[b], 5))
         # unrelated doc pairs never appear
         assert not any(16 in p for p in got)
+
+
+class TestIvf:
+    def _clustered(self, n_per=80, k=4, d=16, seed=3):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((k, d)) * 4
+        mat = np.vstack([c + 0.3 * rng.standard_normal((n_per, d))
+                         for c in centers]).astype(np.float32)
+        ids = np.arange(len(mat), dtype=np.int64)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32()))})
+        return t, mat
+
+    def test_kmeans_separates_clusters(self):
+        t, mat = self._clustered()
+        cents = ann_mod.kmeans_fit(ray.data.from_arrow(t), 16, 4, iters=4)
+        assert cents.shape == (4, 16)
+        assigned = ann_mod.ivf_assign(ray.data.from_arrow(t), cents).to_pandas()
+        # each true cluster maps to (mostly) one list
+        for c in range(4):
+            lists = assigned["ivf_list"].to_numpy()[c * 80:(c + 1) * 80]
+            dominant = np.bincount(lists).max()
+            assert dominant >= 70
+
+    def test_ivf_topk_recall_vs_brute(self):
+        t, mat = self._clustered()
+        ds = ray.data.from_arrow(t)
+        cents = ann_mod.kmeans_fit(ds, 16, 4, iters=4)
+        indexed = ann_mod.ivf_assign(ds, cents).materialize()
+        qmat = mat[:6].astype(np.float64)
+        qids = np.arange(6)
+        ivf = ann_mod.ivf_topk(indexed, cents, qids, qmat, 10, nprobe=1).to_pandas()
+        brute = ann_mod.brute_topk(ds, qids, qmat, 10).to_pandas()
+        hits = 0
+        for q in range(6):
+            a = set(ivf[ivf.query_id == q]["vec_id"])
+            b = set(brute[brute.query_id == q]["vec_id"])
+            hits += len(a & b)
+        recall = hits / (6 * 10)
+        assert recall >= 0.9  # nprobe=1 on well-separated clusters
+
+    def test_ivf_nprobe_all_is_exact(self):
+        t, mat = self._clustered(n_per=50)
+        ds = ray.data.from_arrow(t)
+        cents = ann_mod.kmeans_fit(ds, 16, 4, iters=3)
+        indexed = ann_mod.ivf_assign(ds, cents).materialize()
+        qmat = mat[:3].astype(np.float64)
+        qids = np.arange(3)
+        ivf = ann_mod.ivf_topk(indexed, cents, qids, qmat, 8, nprobe=4).to_pandas()
+        brute = ann_mod.brute_topk(ds, qids, qmat, 8).to_pandas()
+        for q in range(3):
+            a = list(ivf[ivf.query_id == q].sort_values("rank")["vec_id"])
+            b = list(brute[brute.query_id == q].sort_values("rank")["vec_id"])
+            assert a == b  # probing every list == exact

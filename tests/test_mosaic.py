@@ -171,3 +171,31 @@ class TestWarpCubic:
         for t in (0.0, 0.25, 0.37, 0.5, 0.99):
             s = mosaic_mod.cubic_weight(np.asarray([t + 1, t, t - 1, t - 2])).sum()
             np.testing.assert_allclose(s, 1.0, rtol=1e-12)
+
+
+class TestWarpLanczos:
+    def test_weight_reference_values(self):
+        w = mosaic_mod.lanczos_weight
+        assert w(np.asarray([0.0]))[0] == 1.0
+        np.testing.assert_allclose(w(np.asarray([1.0]))[0], 0.0, atol=1e-15)
+        np.testing.assert_allclose(w(np.asarray([2.0]))[0], 0.0, atol=1e-15)
+        assert w(np.asarray([3.0]))[0] == 0.0
+        assert w(np.asarray([3.5]))[0] == 0.0
+        # classic lanczos3 value at 0.5: sinc(0.5)*sinc(1/6)
+        want = (np.sin(np.pi * 0.5) / (np.pi * 0.5)) * \
+               (np.sin(np.pi / 6) / (np.pi / 6))
+        np.testing.assert_allclose(w(np.asarray([0.5]))[0], want, rtol=1e-12)
+
+    def test_constant_field_interior(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        gx, gy = np.meshgrid(np.arange(0, 12), np.arange(0, 12), indexing="ij")
+        ds = rd.from_arrow(pa.table({
+            "pix_id": pa.array(mosaic_mod.pack_pixel(3, gx.ravel(), gy.ravel())),
+            "burn": pa.array(np.full(gx.size, 4.25))}))
+        out = mosaic_mod.warp_lanczos(ds, 4).to_pandas()
+        z, ox, oy = mosaic_mod.unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        interior = (ox >= 8) & (ox < 16) & (oy >= 8) & (oy < 16)
+        np.testing.assert_allclose(out["burn"].to_numpy()[interior], 4.25,
+                                   rtol=1e-9)
