@@ -167,3 +167,13 @@ def convex_hull_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
     from ..geom.unary import convex_hull_wkb
 
     return _map_wkb_column(ds, wkb_col, convex_hull_wkb, False)
+
+
+def make_valid_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
+                        ) -> ray.data.Dataset:
+    """OGRGeometry::MakeValid analog: planar-arrangement even-odd repair
+    of self-intersecting polygons (geom/makevalid.py); empty results
+    drop."""
+    from ..geom.makevalid import make_valid_wkb
+
+    return _map_wkb_column(ds, wkb_col, make_valid_wkb, True)
