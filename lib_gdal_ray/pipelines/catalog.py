@@ -661,6 +661,72 @@ def sql_reproject_utm():
     """
 
 
+def q_gcp_affine(sf_dir):
+    """GCP transformer chain end-to-end: fit an order-1 polynomial from
+    12 deterministic GCPs sampling an exact affine, then transform every
+    event through the reproject stage. LSQ on exact-affine GCPs recovers
+    the coefficients to ~1e-12, so the SQL closed-form affine matches at
+    2-dp rounding."""
+    from ..geom.gcp import GCPPolynomialTransformer
+
+    k = np.arange(12, dtype=np.float64)
+    gpx = (k * 97) % 1000
+    gpy = (k * 211) % 800
+    ggx = 500.0 + 0.25 * gpx - 0.05 * gpy
+    ggy = -200.0 + 0.03 * gpx + 0.4 * gpy
+    t = GCPPolynomialTransformer(gpx, gpy, ggx, ggy, order=1)
+    pts = events_points(sf_dir)
+    out = reproject(pts, transformer=t, x_col="lon", y_col="lat",
+                    out_x="tx", out_y="ty", round_to=2)
+    return out.select_columns(["event_id", "tx", "ty"])
+
+
+SQL_GCP_AFFINE = f"""
+SELECT event_id,
+  round(500.0 + 0.25*lon - 0.05*lat, 2) AS tx,
+  round(-200.0 + 0.03*lon + 0.4*lat, 2) AS ty
+FROM {_POINTS_SQL} p
+"""
+
+
+def q_makevalid_bowties(sf_dir):
+    """MakeValid end-to-end: one self-intersecting bowtie ring per part
+    key; output the repaired even-odd area in cents. Closed form: a
+    bowtie over a w x h box has valid area w*h/2 (two mirrored lobes)."""
+    from ..stages.geom_ops import centroid_area, make_valid_geometry
+
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 200]
+    x0, y0, x1, y1 = derive.part_boxes(pk)
+    geoms = [wkb_mod.polygon_to_wkb([np.array(
+        [[a, b], [c, d], [c, b], [a, d], [a, b]], dtype=np.float64)])
+        for a, b, c, d in zip(x0, y0, x1, y1)]
+    ds = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    fixed = centroid_area(make_valid_geometry(ds))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "valid_area_c": pa.array(_cents(
+                batch["area"].to_numpy(zero_copy_only=False))),
+        })
+
+    return fixed.map_batches(f, batch_format="pyarrow")
+
+
+def sql_makevalid_bowties():
+    return f"""
+    SELECT p_partkey,
+      CAST(floor(CAST((({derive.SQL_PART_XMAX}) - ({derive.SQL_PART_XMIN})) AS DOUBLE)
+           * (({derive.SQL_PART_YMAX}) - ({derive.SQL_PART_YMIN})) / 2.0 * 100 + 0.5)
+           AS BIGINT) AS valid_area_c
+    FROM part WHERE p_partkey <= 200
+    """
+
+
 def q_rasterize_tiles(sf_dir):
     pts = events_points(sf_dir)
     t = rast.tile_summary(rast.rasterize_pixels(pts, 8, merge_alg="count", shuffle_partitions=8), shuffle_partitions=8)
@@ -1576,6 +1642,8 @@ QUERIES = {
     "knn": (q_knn, SQL_KNN),
     "reproject": (q_reproject, SQL_REPROJECT),
     "reproject_utm": (q_reproject_utm, sql_reproject_utm()),
+    "gcp_affine": (q_gcp_affine, SQL_GCP_AFFINE),
+    "makevalid_bowties": (q_makevalid_bowties, sql_makevalid_bowties()),
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
     "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
     "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),
