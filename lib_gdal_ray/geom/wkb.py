@@ -211,6 +211,50 @@ def _parse_geom(buf: bytes, off: int):
             assert kind == "polygon"
             polys.append(rings)
         return ("multipolygon", polys, off)
+    if gtype == 8:  # CircularString -> linearized linestring
+        (npts,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        coords, off = _read_coords(buf, fmt, off, npts, ndims)
+        return ("linestring", linearize_circularstring(coords), off)
+    if gtype == 9:  # CompoundCurve -> concatenated linestring
+        (ncurves,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        parts = []
+        for ci in range(ncurves):
+            kind, c, off = _parse_geom(buf, off)
+            assert kind == "linestring"
+            parts.append(c if ci == 0 else c[1:])
+        return ("linestring", np.vstack(parts) if parts
+                else np.empty((0, 2)), off)
+    if gtype == 10:  # CurvePolygon -> polygon with linearized rings
+        (nrings,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            kind, c, off = _parse_geom(buf, off)
+            assert kind == "linestring"
+            if not np.array_equal(c[0], c[-1]):
+                c = np.vstack([c, c[:1]])
+            rings.append(c)
+        return ("polygon", rings, off)
+    if gtype == 11:  # MultiCurve -> multilinestring
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(n):
+            kind, c, off = _parse_geom(buf, off)
+            assert kind == "linestring"
+            lines.append(c)
+        return ("multilinestring", lines, off)
+    if gtype == 12:  # MultiSurface -> multipolygon
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(n):
+            kind, rings, off = _parse_geom(buf, off)
+            assert kind == "polygon"
+            polys.append(rings)
+        return ("multipolygon", polys, off)
     if gtype == WKB_GEOMETRYCOLLECTION:
         (ngeoms,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
@@ -302,3 +346,79 @@ def _all_coords(kind, payload) -> np.ndarray:
     if kind == "multipolygon":
         return np.concatenate([rings[0] for rings in payload])
     return np.concatenate([_all_coords(k, p) for k, p in payload])
+
+
+# ---------------------------------------------------------------------------
+# Curved geometry types: parse + linearize (OGR curveToLine analog)
+# ---------------------------------------------------------------------------
+
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+
+_ARC_STEP_DEG = 4.0  # OGR default OGR_ARC_STEPSIZE (ogr_geometry.h docs)
+
+
+def _linearize_arc3(p0, p1, p2, step_deg: float) -> np.ndarray:
+    """Linearize the circular arc through (p0, p1, p2) — p1 on the arc —
+    at `step_deg` maximum angular step (OGRGeometryFactory::curveToLineString
+    semantics, re-derived: circumcenter from perpendicular bisectors,
+    sweep from p0 through p1 to p2). Collinear points degrade to the
+    straight segments."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if abs(d) < 1e-12:
+        return np.asarray([p0, p1, p2], dtype=np.float64)
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r = float(np.hypot(ax - ux, ay - uy))
+    a0 = np.arctan2(ay - uy, ax - ux)
+    a1 = np.arctan2(by - uy, bx - ux)
+    a2 = np.arctan2(cy - uy, cx - ux)
+    # choose sweep direction so the path passes through p1
+    ccw_mid = (a1 - a0) % (2 * np.pi)
+    ccw_end = (a2 - a0) % (2 * np.pi)
+    if ccw_mid <= ccw_end:
+        sweep = ccw_end  # counter-clockwise
+        sign = 1.0
+    else:
+        sweep = (a0 - a2) % (2 * np.pi)
+        sign = -1.0
+    nseg = max(2, int(np.ceil(np.degrees(sweep) / step_deg)))
+    t = np.linspace(0.0, sweep, nseg + 1)
+    ang = a0 + sign * t
+    return np.stack([ux + r * np.cos(ang), uy + r * np.sin(ang)], axis=1)
+
+
+def linearize_circularstring(coords: np.ndarray,
+                             step_deg: float = _ARC_STEP_DEG) -> np.ndarray:
+    """(2k+1, 2) control points -> linearized linestring coords."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 3:
+        return coords
+    parts = []
+    for i in range(0, len(coords) - 2, 2):
+        seg = _linearize_arc3(coords[i], coords[i + 1], coords[i + 2], step_deg)
+        parts.append(seg if i == 0 else seg[1:])
+    return np.vstack(parts)
+
+
+def circularstring_to_wkb(coords) -> bytes:
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    return struct.pack("<BII", 1, WKB_CIRCULARSTRING, len(coords)) + coords.tobytes()
+
+
+def curvepolygon_to_wkb(members) -> bytes:
+    """members: list of already-encoded ring WKBs (linestring or
+    circularstring)."""
+    return struct.pack("<BII", 1, WKB_CURVEPOLYGON, len(members)) + b"".join(members)
+
+
+def compoundcurve_to_wkb(members) -> bytes:
+    return struct.pack("<BII", 1, WKB_COMPOUNDCURVE, len(members)) + b"".join(members)

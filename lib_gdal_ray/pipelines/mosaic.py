@@ -33,7 +33,11 @@ def mosaic(datasets: Sequence[ray.data.Dataset]) -> ray.data.Dataset:
     if n == 0:
         raise ValueError("mosaic needs at least one dataset")
     if n > 16:
-        raise ValueError("mosaic one-hot path supports up to 16 sources; chain calls")
+        # fold: mosaic the first 16 into one layer (last-wins preserved),
+        # then overlay the rest on top — arbitrary source counts with the
+        # same bounded one-hot shuffle width per round
+        head = mosaic(datasets[:16])
+        return mosaic([head] + list(datasets[16:]))
 
     def tag(i: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -271,3 +271,50 @@ class TestExtendedWkb:
         out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"],
                                  res=50.0).to_pandas()
         assert list(out["event_id"]) == [1]
+
+
+class TestCurvedWkb:
+    def test_circularstring_half_circle(self):
+        cs = wkb.circularstring_to_wkb(np.array([[1, 0], [0, 1], [-1, 0]],
+                                                dtype=np.float64))
+        k, c = wkb.parse_wkb(cs)
+        assert k == "linestring"
+        r = np.hypot(c[:, 0], c[:, 1])
+        np.testing.assert_allclose(r, 1.0, atol=1e-12)  # all points on the arc
+        np.testing.assert_allclose(c[0], [1, 0])
+        np.testing.assert_allclose(c[-1], [-1, 0], atol=1e-12)
+        assert len(c) >= 45  # 180 deg at 4 deg steps
+
+    def test_clockwise_arc(self):
+        # p1 below the chord -> clockwise sweep
+        cs = wkb.circularstring_to_wkb(np.array([[1, 0], [0, -1], [-1, 0]],
+                                                dtype=np.float64))
+        _k, c = wkb.parse_wkb(cs)
+        assert c[:, 1].min() < -0.99  # passes through (0,-1)
+
+    def test_curvepolygon_area_approximates_circle(self):
+        from lib_gdal_ray.stages.geom_ops import wkb_centroid_area
+
+        ring = wkb.circularstring_to_wkb(np.array(
+            [[1, 0], [0, 1], [-1, 0], [0, -1], [1, 0]], dtype=np.float64))
+        cp = wkb.curvepolygon_to_wkb([ring])
+        k, rings = wkb.parse_wkb(cp)
+        assert k == "polygon"
+        area = wkb_centroid_area(wkb.polygon_to_wkb(rings))[2]
+        np.testing.assert_allclose(area, np.pi, rtol=2e-3)  # 4-deg facets
+
+    def test_compoundcurve_concatenates(self):
+        seg = wkb.linestring_to_wkb(np.array([[0, 0], [1, 0]], dtype=np.float64))
+        arc = wkb.circularstring_to_wkb(np.array([[1, 0], [2, 1], [3, 0]],
+                                                 dtype=np.float64))
+        cc = wkb.compoundcurve_to_wkb([seg, arc])
+        k, c = wkb.parse_wkb(cc)
+        assert k == "linestring"
+        np.testing.assert_allclose(c[0], [0, 0])
+        np.testing.assert_allclose(c[-1], [3, 0], atol=1e-12)
+
+    def test_collinear_arc_degenerates(self):
+        cs = wkb.circularstring_to_wkb(np.array([[0, 0], [1, 0], [2, 0]],
+                                                dtype=np.float64))
+        _k, c = wkb.parse_wkb(cs)
+        assert len(c) == 3
