@@ -75,11 +75,16 @@ def brute_topk(ds: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarra
     matmul) then one tiny per-query merge via map_groups."""
     ref = ray.put({"query_ids": np.asarray(query_ids, dtype=np.int64),
                    "query_mat": np.asarray(query_mat)})
-    partials = ds.map_batches(
-        _BruteTopK, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, emb_col, id_col, k),
-        concurrency=concurrency,
-    )
+    key = ref.hex()
+
+    def scorer(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _BruteTopK({"ref": ref}, emb_col,
+                                                 id_col, k))
+        return j(batch)
+
+    partials = ds.map_batches(scorer, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine_sim", id_col], ascending=[False, True]).head(k)

@@ -249,10 +249,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     multiple bands. Buckets larger than `max_bucket` are truncated
     (mass near-identical dupes; documented drop).
     """
+    # the permutation matrix is tiny — ship it inside the callable and
+    # run as a plain task pool (no actor cold-start; NOTES lesson 5)
     banded = ds.map_batches(
-        _MinHashStage, batch_format="pyarrow",
-        fn_constructor_args=(text_col, id_col, num_perm, shingle_k, bands),
-        concurrency=concurrency,
+        _MinHashStage(text_col, id_col, num_perm, shingle_k, bands),
+        batch_format="pyarrow",
     )
 
     def merge_verify(tbl: pa.Table) -> pa.Table:

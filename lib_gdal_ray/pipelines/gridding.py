@@ -119,7 +119,13 @@ def grid_idw(pixels: ray.data.Dataset, site_x: np.ndarray, site_y: np.ndarray,
     ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
                    "y": np.asarray(site_y, dtype=np.float64),
                    "v": np.asarray(site_v, dtype=np.float64)})
-    return pixels.map_batches(
-        _IdwStage, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, z, tile_size, power, mode, k, res),
-        concurrency=concurrency)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _IdwStage(
+            {"ref": ref}, z, tile_size, power, mode, k, res))
+        return j(batch)
+
+    return pixels.map_batches(stage, batch_format="pyarrow")

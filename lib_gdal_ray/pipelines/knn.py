@@ -303,12 +303,19 @@ def knn_join(points: ray.data.Dataset, sites: pa.Table, k: int,
              res: float = 5.0,
              lon_col: str = "lon", lat_col: str = "lat",
              concurrency: Union[int, Tuple[int, int]] = (1, 16)) -> ray.data.Dataset:
-    """For each point row emit k rows (neighbor_id, rank, dist2)."""
+    """For each point row emit k rows (neighbor_id, rank, dist2).
+
+    Task-pool stage with a per-worker SiteIndex cache (see
+    broadcast_pip_join; `concurrency` kept for API compat)."""
     ref = ray.put(sites)
-    return points.map_batches(
-        _KnnJoiner,
-        batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, site_id_col, site_lon_col, site_lat_col,
-                             res, k, lon_col, lat_col),
-        concurrency=concurrency,
-    )
+    key = ref.hex()
+
+    def joiner(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _KnnJoiner(
+            {"ref": ref}, site_id_col, site_lon_col, site_lat_col,
+            res, k, lon_col, lat_col))
+        return j(batch)
+
+    return points.map_batches(joiner, batch_format="pyarrow")

@@ -60,9 +60,9 @@ class _BpeIshTokenizer:
 
 
 def bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
-                    concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_BpeIshTokenizer, batch_format="pyarrow",
-                          fn_constructor_args=(text_col,), concurrency=concurrency)
+                    concurrency=None) -> ray.data.Dataset:
+    fn = _BpeIshTokenizer(text_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 _ACCENT_TOK = "[a-zà-ÿäöüß]+"
@@ -140,9 +140,12 @@ class _QualityScorer:
 
 
 def quality_score(ds: ray.data.Dataset, text_col: str = "text",
-                  concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_QualityScorer, batch_format="pyarrow",
-                          fn_constructor_args=(text_col,), concurrency=concurrency)
+                  concurrency=None) -> ray.data.Dataset:
+    """Stateless Arrow kernel -> plain task pool (actor pools only pay
+    off when __init__ is expensive — NOTES perf lesson 5); concurrency
+    kept for API compat, ignored."""
+    fn = _QualityScorer(text_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 class _LangId:
@@ -177,9 +180,10 @@ class _LangId:
 
 
 def lang_id(ds: ray.data.Dataset, text_col: str = "text",
-            concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_LangId, batch_format="pyarrow",
-                          fn_constructor_args=(text_col,), concurrency=concurrency)
+            concurrency=None) -> ray.data.Dataset:
+    """Stateless Arrow kernel -> plain task pool (see quality_score)."""
+    fn = _LangId(text_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # seed corpora for character-trigram language profiles (public pangram /
@@ -231,9 +235,11 @@ class _NgramLangId:
 
 
 def lang_id_ngram(ds: ray.data.Dataset, text_col: str = "text",
-                  concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_NgramLangId, batch_format="pandas",
-                          fn_constructor_args=(text_col,), concurrency=concurrency)
+                  concurrency=None) -> ray.data.Dataset:
+    """Profiles are a tiny dict — built once per worker process via the
+    callable's lazy init, plain task pool."""
+    fn = _NgramLangId(text_col)
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",

@@ -127,9 +127,10 @@ def media_features(docs: ray.data.Dataset,
     batch_size is small because payload bytes dominate block memory
     (SURVEY.md 'large binary payloads need small batches')."""
     spans = explode_media_spans(docs)
-    fetched = spans.map_batches(MediaFetchStage, batch_format="pyarrow",
-                                batch_size=batch_size,
-                                concurrency=fetch_concurrency)
-    return fetched.map_batches(MediaDecodeStage, batch_format="pyarrow",
-                               batch_size=batch_size,
-                               concurrency=decode_concurrency)
+    # sandbox fetch/decode are stateless fakes -> plain task pools (no
+    # actor spin-up); production (real=True) should pass the CLASS with
+    # concurrency so the fs handle / model loads once per actor
+    fetched = spans.map_batches(MediaFetchStage(), batch_format="pyarrow",
+                                batch_size=batch_size)
+    return fetched.map_batches(MediaDecodeStage(), batch_format="pyarrow",
+                               batch_size=batch_size)
