@@ -134,3 +134,67 @@ def media_features(docs: ray.data.Dataset,
                                 batch_size=batch_size)
     return fetched.map_batches(MediaDecodeStage(), batch_format="pyarrow",
                                batch_size=batch_size)
+
+
+class MediaResizeStage:
+    """Actor/task stage: image payload -> resized payload.
+
+    Production: PIL decode + resize + re-encode, model-ready shapes.
+    Sandbox: deterministic stub — byte payload is strided down to the
+    target byte budget (same schema/flow contract as a real resize:
+    binary in, smaller binary out, width/height metadata columns)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 real: bool = False):
+        self.target_w, self.target_h = target_w, target_h
+        self.real = real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("PIL not present in sandbox; plug "
+                                      "Image.open/resize here")
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        budget = self.target_w * self.target_h // 64  # stub byte budget
+        out = []
+        for p in payloads:
+            b = np.frombuffer(p, dtype=np.uint8)
+            stride = max(1, len(b) // max(1, budget))
+            out.append(b[::stride].tobytes())
+        batch = batch.drop_columns(["payload"]).append_column(
+            "payload", pa.array(out, type=pa.binary()))
+        batch = batch.append_column(
+            "width", pa.array(np.full(len(batch), self.target_w, dtype=np.int32)))
+        return batch.append_column(
+            "height", pa.array(np.full(len(batch), self.target_h, dtype=np.int32)))
+
+
+class FrameSampleStage:
+    """Actor/task stage: video payload -> one row per sampled frame.
+
+    Production: av/ffmpeg keyframe iteration loaded once per actor.
+    Sandbox: the payload is treated as `n_frames` fixed-size chunks and
+    every `every_n`-th chunk becomes a frame row (real explode shape:
+    row multiplication, frame_idx column, bounded batch sizes)."""
+
+    def __init__(self, frame_bytes: int = 256, every_n: int = 4,
+                 real: bool = False):
+        self.frame_bytes = frame_bytes
+        self.every_n = every_n
+        self.real = real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            raise NotImplementedError("av/ffmpeg not present in sandbox")
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        rows, frames, fidx = [], [], []
+        for i, p in enumerate(payloads):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.every_n):
+                rows.append(i)
+                fidx.append(f)
+                frames.append(p[f * self.frame_bytes:(f + 1) * self.frame_bytes])
+        out = batch.drop_columns(["payload"]).take(
+            pa.array(np.asarray(rows, dtype=np.int64)))
+        out = out.append_column("frame_idx",
+                                pa.array(np.asarray(fidx, dtype=np.int32)))
+        return out.append_column("frame", pa.array(frames, type=pa.binary()))

@@ -43,3 +43,40 @@ def test_real_mode_raises():
     t2 = pa.table({"payload": pa.array([b"abc"], type=pa.binary())})
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(real=True)(t2)
+
+
+def test_resize_stage_plumbing():
+    import pyarrow as pa
+    import ray.data
+
+    from lib_gdal_ray.stages.media import MediaFetchStage, MediaResizeStage
+
+    t = pa.table({"media_ref": pa.array([f"img://{i}" for i in range(6)])})
+    ds = ray.data.from_arrow(t).map_batches(MediaFetchStage(payload_size=4096),
+                                            batch_format="pyarrow")
+    out = ds.map_batches(MediaResizeStage(64, 64), batch_format="pyarrow").to_pandas()
+    assert set(out.columns) >= {"payload", "width", "height"}
+    assert (out["width"] == 64).all()
+    assert all(len(p) <= 4096 for p in out["payload"])
+    # deterministic across runs
+    out2 = (ray.data.from_arrow(t)
+            .map_batches(MediaFetchStage(payload_size=4096), batch_format="pyarrow")
+            .map_batches(MediaResizeStage(64, 64), batch_format="pyarrow").to_pandas())
+    assert list(out["payload"]) == list(out2["payload"])
+
+
+def test_frame_sample_stage_plumbing():
+    import pyarrow as pa
+    import ray.data
+
+    from lib_gdal_ray.stages.media import FrameSampleStage, MediaFetchStage
+
+    t = pa.table({"media_ref": pa.array(["vid://a", "vid://b"])})
+    ds = ray.data.from_arrow(t).map_batches(MediaFetchStage(payload_size=2048),
+                                            batch_format="pyarrow")
+    out = ds.map_batches(FrameSampleStage(frame_bytes=256, every_n=2),
+                         batch_format="pyarrow").to_pandas()
+    # 2048/256 = 8 frames, every 2nd -> 4 rows per video
+    assert len(out) == 8
+    assert set(out["frame_idx"]) == {0, 2, 4, 6}
+    assert all(len(f) == 256 for f in out["frame"])
