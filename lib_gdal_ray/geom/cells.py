@@ -128,13 +128,15 @@ def covering_grid(xmin, ymin, xmax, ymax, res: float):
     counts = (x1 - x0 + 1) * (y1 - y0 + 1)
     offsets = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    cells = np.empty(offsets[-1], dtype=np.uint64)
-    for i in range(len(counts)):
-        xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
-        ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
-        gx, gy = np.meshgrid(xs, ys, indexing="ij")
-        cells[offsets[i]:offsets[i + 1]] = pack_grid(gx.ravel(), gy.ravel())
-    return offsets, cells
+    total = int(offsets[-1])
+    # fully vectorized ragged cartesian product (x-major, matching the
+    # old per-box meshgrid order): no per-box Python loop
+    box_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    local = np.arange(total, dtype=np.int64) - offsets[box_of]
+    ny = (y1 - y0 + 1)[box_of]
+    gx = x0[box_of] + local // ny
+    gy = y0[box_of] + local % ny
+    return offsets, pack_grid(gx, gy)
 
 
 def zorder_key(ix: np.ndarray, iy: np.ndarray, bits: int = 24) -> np.ndarray:

@@ -1456,7 +1456,9 @@ def q_intersection_overlay(sf_dir):
                  for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
         return batch.append_column("geometry", pa.array(geoms, type=pa.binary()))
 
-    polys = parts.map_batches(geo, batch_format="pyarrow")
+    # spread the per-geometry clip kernels across all cores (a single
+    # parquet file otherwise yields too few blocks to parallelize)
+    polys = parts.repartition(32).map_batches(geo, batch_format="pyarrow")
     out = broadcast_box_intersection(polys, zone_table(sf_dir), ["zone_id"], res=10.0)
     return out.select_columns(["p_partkey", "zone_id", "intersection_area"])
 
