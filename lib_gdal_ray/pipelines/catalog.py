@@ -1442,6 +1442,24 @@ def q_proximity(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def sql_proximity():
+    gx, gy = _tile_sql(14)  # z6 global pixels at 256px tiles
+    return f"""
+    WITH clicks AS (
+      SELECT DISTINCT {gx} AS gpx, {gy} AS gpy FROM {_POINTS_SQL} p
+      WHERE event_type = 'click'
+    ), errors AS (
+      SELECT DISTINCT {gx} AS gpx, {gy} AS gpy FROM {_POINTS_SQL} p
+      WHERE event_type = 'error'
+    )
+    SELECT c.gpx, c.gpy,
+      round(LEAST(min(sqrt(CAST((c.gpx - e.gpx)*(c.gpx - e.gpx)
+            + (c.gpy - e.gpy)*(c.gpy - e.gpy) AS DOUBLE))), 128.0), 6) AS dist
+    FROM clicks c CROSS JOIN errors e
+    GROUP BY c.gpx, c.gpy
+    """
+
+
 def q_intersection_overlay(sf_dir):
     """Layer-algebra Intersection with geometry output: part-derived
     boxes × zone boxes, clipped geometry + exact intersection areas."""
@@ -1670,7 +1688,7 @@ QUERIES = {
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
     "erase_overlay": (q_erase_overlay, None),
     "mosaic_warp": (q_mosaic_warp, None),
-    "proximity_dist": (q_proximity, None),
+    "proximity_dist": (q_proximity, sql_proximity()),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),

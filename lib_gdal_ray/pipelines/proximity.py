@@ -55,11 +55,31 @@ class _ProximityStage:
 def proximity(query_pixels: ray.data.Dataset, target_pixels: ray.data.Dataset,
               maxdist: float = 64.0,
               concurrency: Union[int, Tuple[int, int]] = (1, 8)) -> ray.data.Dataset:
-    """-> (pix_id, dist) for every query pixel; dist capped at maxdist."""
-    tdf = target_pixels.to_pandas()  # broadcast side (see scale note above)
-    z, tx, ty = unpack_pixel(tdf["pix_id"].to_numpy().astype(np.uint64))
-    ref = ray.put({"x": tx.astype(np.float64), "y": ty.astype(np.float64)})
-    return query_pixels.map_batches(
-        _ProximityStage, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, maxdist),
-        concurrency=concurrency)
+    """-> (pix_id, dist) for every query pixel; dist capped at maxdist.
+
+    The broadcast target side is assembled INSIDE a Ray task from block
+    refs (never on the driver) and cached once per worker process."""
+    blocks = target_pixels.select_columns(["pix_id"]).to_arrow_refs()
+
+    @ray.remote
+    def _collect(*bs):
+        import pyarrow as _pa
+
+        if not bs:
+            return {"x": np.empty(0), "y": np.empty(0)}
+        pix = np.concatenate([
+            b["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for b in bs if len(b)])
+        _z, tx, ty = unpack_pixel(pix)
+        return {"x": tx.astype(np.float64), "y": ty.astype(np.float64)}
+
+    ref = _collect.remote(*blocks)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _ProximityStage({"ref": ref}, maxdist))
+        return j(batch)
+
+    return query_pixels.map_batches(stage, batch_format="pyarrow")
