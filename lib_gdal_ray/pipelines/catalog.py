@@ -1138,6 +1138,38 @@ def q_hillshade(sf_dir):
     return out.map_batches(f, batch_format="pyarrow")
 
 
+def sql_hillshade():
+    """Exact Horn-hillshade mirror: the analytic DEM regenerates from
+    generate_series, gradients and shade computed with the same
+    expressions (radians/atan/atan2/cos/sin on identical doubles);
+    full-stencil interior only (gx, gy in [1, 126])."""
+    v = "(100.0 + 10.0*sin((gx+({dx}))/7.0) + 8.0*cos((gy+({dy}))/9.0))"
+
+    def vv(dx, dy):
+        return v.format(dx=dx, dy=dy)
+
+    dzdx = (f"((({vv(1,-1)}) + 2*({vv(1,0)}) + ({vv(1,1)}))"
+            f" - (({vv(-1,-1)}) + 2*({vv(-1,0)}) + ({vv(-1,1)}))) / 8.0")
+    dzdy = (f"((({vv(-1,1)}) + 2*({vv(0,1)}) + ({vv(1,1)}))"
+            f" - (({vv(-1,-1)}) + 2*({vv(0,-1)}) + ({vv(1,-1)}))) / 8.0")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, {dzdx} AS dzdx, {dzdy} AS dzdy FROM g
+    )
+    SELECT gx AS gpx, gy AS gpy,
+      LEAST(GREATEST(round(254.0 * (
+          cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+          + sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+            * cos(radians(315.0) - pi()/2.0 - atan2(dzdy, -dzdx)))) + 1.0,
+          1.0), 255.0) AS shade
+    FROM d
+    """
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
@@ -1679,7 +1711,7 @@ QUERIES = {
     "raster_calc_ratio": (q_raster_calc_ratio, sql_raster_calc_ratio()),
     "pixel_histogram": (q_pixel_histogram, sql_pixel_histogram()),
     "polygonize_regions": (q_polygonize_regions, None),
-    "hillshade": (q_hillshade, None),
+    "hillshade": (q_hillshade, sql_hillshade()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "contour": (q_contour, None),
     "sieve_filter": (q_sieve, None),
