@@ -1332,6 +1332,29 @@ WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.7
 """
 
 
+def sql_fingerprint():
+    """Winnowing fingerprint mirror: each 16-byte window hash expands to
+    the direct 16-term polynomial sum with precomputed base powers mod
+    2^31-1 (ASCII text: ord(char) == byte; BIGINT terms < 2^43)."""
+    from .text import FP_BASE, FP_MOD
+
+    w = 16
+    pows = [pow(FP_BASE, w - 1 - j, FP_MOD) for j in range(w)]
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i+{j}, 1)) AS BIGINT) * {pows[j]}"
+        for j in range(w))
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {w - 1})) AS i
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ({terms}) % {FP_MOD} AS hv FROM pos
+    )
+    SELECT doc_id, min(hv) AS fingerprint FROM h GROUP BY doc_id
+    """
+
+
 def q_lang_stopword_quality(sf_dir):
     """SQL-checkable slice of the text-analysis stack: stopword-vote
     language ID + quality ratios (the trigram lang_ngram column stays in
@@ -1731,7 +1754,7 @@ QUERIES = {
     "simhash": (q_simhash, None),
     "lang_quality": (q_lang_quality, None),
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, sql_fingerprint()),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "media_features": (q_media_features, None),
 }

@@ -242,12 +242,21 @@ def lang_id_ngram(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+FP_BASE = 257
+FP_MOD = (1 << 31) - 1  # Mersenne 2^31-1: h*B < 2^40 never wraps uint64
+
+
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 window: int = 16) -> ray.data.Dataset:
     """Rolling polynomial hash fingerprint (winnowing-style min over
-    windows, Schleimer et al. 2003): deterministic doc fingerprint."""
-    B = np.uint64(1000003)
-    MOD = np.uint64((1 << 61) - 1)
+    windows, Schleimer et al. 2003): deterministic doc fingerprint.
+
+    Arithmetic is exact mod 2^31-1 with base 257 (the round-1 constants
+    B=1000003 mod 2^61-1 silently wrapped uint64 at h*B ~ 2^81 —
+    deterministic but not the stated polynomial; the fixed math is
+    SQL-mirrorable, see catalog sql_fingerprint)."""
+    B = np.uint64(FP_BASE)
+    MOD = np.uint64(FP_MOD)
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
