@@ -1462,18 +1462,47 @@ def q_sieve(sf_dir):
 
 def q_mosaic_warp(sf_dir):
     """Mosaic two event-type rasters (last wins) then warp-resample to
-    z5 (mean); rows-only — oracles in tests/test_mosaic.py."""
+    z5 (mean over present children). Values go through integer cents so
+    every float sum is exact (integer-valued doubles < 2^53) and the
+    mean is one identical division on both sides — full SQL oracle."""
     from ..functions.swq import attribute_filter
     from .mosaic import mosaic, warp_nearest
 
     pts = events_points(sf_dir, cols=("event_id", "event_type", "value"))
+    pts = add_cents(pts, "value", "value_c")
     clicks = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'click'"), 7, value_col="value")
+        attribute_filter(pts, "event_type = 'click'"), 7, value_col="value_c")
     views = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'view'"), 7, value_col="value")
+        attribute_filter(pts, "event_type = 'view'"), 7, value_col="value_c")
     over = mosaic([clicks, views])
     out = warp_nearest(over, 5, merge="mean")
-    return rast.with_tile_cols(out).select_columns(["tile_id", "pxy", "burn"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        _z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx5": pa.array(gpx), "gpy5": pa.array(gpy),
+                         "mean_c": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_mosaic_warp():
+    gx, gy = _tile_sql(15)  # z7 global pixels at 256px tiles
+    return f"""
+    WITH c AS (
+      SELECT {gx} AS gx7, {gy} AS gy7, sum({CENTS.format(x='value')}) AS v
+      FROM {_POINTS_SQL} p WHERE event_type = 'click' GROUP BY 1, 2
+    ), vw AS (
+      SELECT {gx} AS gx7, {gy} AS gy7, sum({CENTS.format(x='value')}) AS v
+      FROM {_POINTS_SQL} p WHERE event_type = 'view' GROUP BY 1, 2
+    ), over_ AS (
+      SELECT COALESCE(vw.gx7, c.gx7) AS gx7, COALESCE(vw.gy7, c.gy7) AS gy7,
+             CAST(COALESCE(vw.v, c.v) AS DOUBLE) AS v
+      FROM c FULL OUTER JOIN vw ON c.gx7 = vw.gx7 AND c.gy7 = vw.gy7
+    )
+    SELECT gx7 // 4 AS gpx5, gy7 // 4 AS gpy5, avg(v) AS mean_c
+    FROM over_ GROUP BY 1, 2
+    """
 
 
 def q_proximity(sf_dir):
@@ -1742,7 +1771,7 @@ QUERIES = {
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
     "erase_overlay": (q_erase_overlay, None),
-    "mosaic_warp": (q_mosaic_warp, None),
+    "mosaic_warp": (q_mosaic_warp, sql_mosaic_warp()),
     "proximity_dist": (q_proximity, sql_proximity()),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
