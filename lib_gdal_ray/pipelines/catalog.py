@@ -498,14 +498,44 @@ ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
 
 
 def q_pip_join_polygons(sf_dir):
-    """Ray-casting PIP against non-rectangular 12-gons — not
-    SQL-expressible; driver records rows-only, pytest pins vs brute force."""
+    """Ray-casting PIP against non-rectangular 12-gons; the oracle
+    regenerates the jittered 12-gon vertices in SQL and mirrors the
+    crossing-number test edge by edge (sum of crossings mod 2)."""
     from .spatial_join import broadcast_pip_join
 
     pts = events_points(sf_dir)
     zones = zone_polygon_table(sf_dir)
     out = broadcast_pip_join(pts, zones, "geometry", ["zone_id"], res=5.0)
     return out.select_columns(["event_id", "zone_id"])
+
+
+def sql_pip_join_polygons():
+    return f"""
+    WITH zb AS (
+      SELECT zone_id, (xmin + xmax)/2.0 AS cx, (ymin + ymax)/2.0 AS cy,
+             (xmax - xmin)/2.0 AS rx, (ymax - ymin)/2.0 AS ry
+      FROM {_ZONES_SQL} z
+    ), vtx AS (
+      SELECT zone_id, s.i,
+        cx + rx * (0.55 + 0.45*(((zone_id*7919 + s.i*104729) % 1000)/1000.0))
+           * cos(2*pi()*s.i/12) AS x,
+        cy + ry * (0.55 + 0.45*(((zone_id*7919 + s.i*104729) % 1000)/1000.0))
+           * sin(2*pi()*s.i/12) AS y
+      FROM zb, (SELECT unnest(generate_series(0, 11)) AS i) s
+    ), edges AS (
+      SELECT a.zone_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM vtx a JOIN vtx b
+        ON a.zone_id = b.zone_id AND b.i = (a.i + 1) % 12
+    ), crossings AS (
+      SELECT p.event_id, e.zone_id,
+        CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+              AND p.lon < e.x1 + (p.lat - e.y1)/(e.y2 - e.y1)*(e.x2 - e.x1)
+             THEN 1 ELSE 0 END AS c
+      FROM {_POINTS_SQL} p CROSS JOIN edges e
+    )
+    SELECT event_id, zone_id FROM crossings
+    GROUP BY 1, 2 HAVING sum(c) % 2 = 1
+    """
 
 
 def q_shuffle_join(sf_dir):
@@ -1741,7 +1771,7 @@ QUERIES = {
     # geospatial
     "cell_assign": (q_cell_assign, sql_cell_assign()),
     "bbox_join": (q_bbox_join, SQL_BBOX_JOIN),
-    "pip_join_polygons": (q_pip_join_polygons, None),
+    "pip_join_polygons": (q_pip_join_polygons, sql_pip_join_polygons()),
     "shuffle_join": (q_shuffle_join, SQL_BBOX_JOIN),
     "knn": (q_knn, SQL_KNN),
     "reproject": (q_reproject, SQL_REPROJECT),
