@@ -1612,9 +1612,10 @@ WHERE least(pb.xmax, z.xmax) > greatest(pb.xmin, z.xmin)
 
 def q_erase_overlay(sf_dir):
     """Layer-algebra Erase with geometry output: part boxes minus all
-    overlapping zone boxes (rows-only; exact identities in
-    tests/test_boolean.py — multi-box coverage needs inclusion-exclusion
-    in SQL)."""
+    overlapping zone boxes. Oracle: all box edges are integers, so the
+    remaining area equals the count of 1x1 integer cells in the part box
+    not covered by any zone box (a unit cell is entirely inside or
+    outside every integer-aligned zone — no partial coverage)."""
     from .spatial_join import broadcast_polygon_erase
 
     parts = tables.read_table(sf_dir, "part", columns=["p_partkey"])
@@ -1636,6 +1637,33 @@ def q_erase_overlay(sf_dir):
         })
 
     return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_erase_overlay():
+    return f"""
+    WITH pb AS (
+      SELECT p_partkey,
+        CAST({derive.SQL_PART_XMIN} AS BIGINT) AS x0,
+        CAST({derive.SQL_PART_YMIN} AS BIGINT) AS y0,
+        CAST({derive.SQL_PART_XMAX} AS BIGINT) AS x1,
+        CAST({derive.SQL_PART_YMAX} AS BIGINT) AS y1
+      FROM part
+    ), cx AS (
+      SELECT p_partkey, x0 + unnest(generate_series(0, x1 - x0 - 1)) AS cxv,
+             y0, y1
+      FROM pb
+    ), cell AS (
+      SELECT p_partkey, cxv, y0 + unnest(generate_series(0, y1 - y0 - 1)) AS cyv
+      FROM cx
+    )
+    SELECT c.p_partkey, round(CAST(count(*) AS DOUBLE), 6) AS remaining_area
+    FROM cell c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {_ZONES_SQL} z
+      WHERE c.cxv >= z.xmin AND c.cxv + 1 <= z.xmax
+        AND c.cyv >= z.ymin AND c.cyv + 1 <= z.ymax)
+    GROUP BY 1
+    """
 
 
 def q_clip_geometry(sf_dir):
@@ -1800,7 +1828,7 @@ QUERIES = {
     "viewshed": (q_viewshed, None),
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
-    "erase_overlay": (q_erase_overlay, None),
+    "erase_overlay": (q_erase_overlay, sql_erase_overlay()),
     "mosaic_warp": (q_mosaic_warp, sql_mosaic_warp()),
     "proximity_dist": (q_proximity, sql_proximity()),
     # documents / embeddings

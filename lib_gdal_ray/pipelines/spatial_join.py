@@ -376,10 +376,15 @@ def broadcast_polygon_erase(polys: ray.data.Dataset, method,
     callers assemble the broadcast side inside a Ray task so the bytes
     never pass through the driver)."""
     ref = method if isinstance(method, ray.ObjectRef) else ray.put(method)
-    return polys.map_batches(
-        _PolyEraseJoiner, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, res),
-        concurrency=concurrency)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key + ":erase", lambda: _PolyEraseJoiner({"ref": ref}, res))
+        return j(batch)
+
+    return polys.map_batches(stage, batch_format="pyarrow")
 
 
 def layer_update(polys: ray.data.Dataset, method: pa.Table,
