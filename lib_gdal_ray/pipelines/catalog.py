@@ -1135,13 +1135,60 @@ def sql_pixel_histogram():
 
 
 def q_polygonize_regions(sf_dir):
-    """Connected components of the z6 count raster (rows-only: the BFS
-    oracle lives in tests/test_polygonize.py)."""
+    """Connected components of the z6 count raster. The oracle computes
+    the same components with a recursive min-label reachability CTE
+    (region_id == the component's minimum packed pixel id on both sides
+    — the engine's union-find picks the smaller root at every merge)."""
     from .polygonize import polygonize
 
     pts = events_points(sf_dir)
     counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
-    return polygonize(counts)
+    out = polygonize(counts)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_id": pc.cast(batch["region_id"], pa.int64()),
+            "value": batch["value"],
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "gpx_min": pc.cast(batch["gpx_min"], pa.int64()),
+            "gpy_min": pc.cast(batch["gpy_min"], pa.int64()),
+            "gpx_max": pc.cast(batch["gpx_max"], pa.int64()),
+            "gpy_max": pc.cast(batch["gpy_max"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_polygonize_regions():
+    gx, gy = _tile_sql(14)  # z6 global pixels
+    # engine labels pack as (gx << 32) | gy (polygonize._label_pixels)
+    return f"""
+    WITH RECURSIVE pxl AS (
+      SELECT gx, gy, cnt,
+             (gx * 4294967296) + gy AS pid
+      FROM (SELECT {gx} AS gx, {gy} AS gy, count(*) AS cnt
+            FROM {_POINTS_SQL} p GROUP BY 1, 2)
+    ), edges AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM pxl a JOIN pxl b ON a.cnt = b.cnt
+        AND ((abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+             OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1))
+    ), reach(pid, lbl) AS (
+      SELECT pid, pid FROM pxl
+      UNION
+      SELECT e.pa, r.lbl FROM reach r JOIN edges e ON e.pb = r.pid
+      WHERE r.lbl < e.pa
+    ), lab AS (
+      SELECT pid, min(lbl) AS region_id FROM reach GROUP BY 1
+    )
+    SELECT l.region_id,
+           CAST(min(p.cnt) AS DOUBLE) AS value,
+           count(*) AS n_pixels,
+           min(p.gx) AS gpx_min, min(p.gy) AS gpy_min,
+           max(p.gx) AS gpx_max, max(p.gy) AS gpy_max
+    FROM lab l JOIN pxl p ON p.pid = l.pid
+    GROUP BY 1
+    """
 
 
 def q_hillshade(sf_dir):
@@ -1820,7 +1867,7 @@ QUERIES = {
     "identity_left": (q_identity_left, SQL_IDENTITY),
     "raster_calc_ratio": (q_raster_calc_ratio, sql_raster_calc_ratio()),
     "pixel_histogram": (q_pixel_histogram, sql_pixel_histogram()),
-    "polygonize_regions": (q_polygonize_regions, None),
+    "polygonize_regions": (q_polygonize_regions, sql_polygonize_regions()),
     "hillshade": (q_hillshade, sql_hillshade()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "contour": (q_contour, None),
