@@ -1753,7 +1753,74 @@ def q_viewshed(sf_dir):
         })
 
     obs = sup.map_batches(to_obs, batch_format="pyarrow")
-    return viewshed_counts(obs, dem)
+    return viewshed_counts(obs, dem).select_columns(
+        ["obs_id", "n_visible", "n_total"])
+
+
+def sql_viewshed():
+    """LoS ray-march mirror: DEM regenerates from the closed form, the
+    DDA samples round half-to-even (numpy semantics, emulated in SQL),
+    and the per-ray max elevation angle uses identical float
+    expressions. n_visible = count of targets whose angle clears every
+    intermediate sample."""
+    dem = "(10.0*sin(({x})/6.0) + 8.0*cos(({y})/5.0))"
+
+    def rhe(x):  # round-half-to-even on a non-negative expression
+        return (f"CAST(floor({x}) + (CASE WHEN ({x}) - floor({x}) > 0.5 THEN 1 "
+                f"WHEN ({x}) - floor({x}) = 0.5 THEN "
+                f"(CASE WHEN CAST(floor({x}) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) "
+                f"ELSE 0 END) AS BIGINT)")
+
+    sx = rhe("ox + (tx - ox) * frac")
+    sy = rhe("oy + (ty - oy) * frac")
+    return f"""
+    WITH obs AS (
+      SELECT s_suppkey AS obs_id,
+             (s_suppkey * 7) % 48 AS ox, (s_suppkey * 11) % 48 AS oy
+      FROM supplier
+    ), tgt AS (
+      SELECT a.tx, b.ty
+      FROM (SELECT unnest(generate_series(0, 47)) AS tx) a,
+           (SELECT unnest(generate_series(0, 47)) AS ty) b
+    ), pair AS (
+      SELECT obs_id, ox, oy, tx, ty,
+        sqrt(CAST((tx-ox)*(tx-ox) + (ty-oy)*(ty-oy) AS DOUBLE)) AS dist,
+        GREATEST(1, CAST(ceil(sqrt(CAST((tx-ox)*(tx-ox) + (ty-oy)*(ty-oy)
+                                        AS DOUBLE))) AS BIGINT)) AS nsteps,
+        ({dem.format(x='ox', y='oy')} + 2.0) AS h0,
+        {dem.format(x='tx', y='ty')} AS tdem
+      FROM obs, tgt
+    ), steps AS (
+      SELECT obs_id, ox, oy, tx, ty, dist, nsteps, h0,
+             unnest(generate_series(1, nsteps - 1)) AS k
+      FROM pair
+    ), samp AS (
+      SELECT obs_id, tx, ty, h0, dist,
+             CAST(k AS DOUBLE) / CAST(nsteps AS DOUBLE) AS frac, ox, oy
+      FROM steps
+    ), ang AS (
+      SELECT obs_id, tx, ty,
+        ({dem.format(x=f"LEAST(GREATEST({sx}, 0), 47)",
+                     y=f"LEAST(GREATEST({sy}, 0), 47)")} - h0)
+          / GREATEST(dist * frac, 1e-12) AS a
+      FROM samp
+      WHERE NOT (LEAST(GREATEST({sx}, 0), 47) = tx
+                 AND LEAST(GREATEST({sy}, 0), 47) = ty)
+    ), best AS (
+      SELECT obs_id, tx, ty, max(a) AS best FROM ang GROUP BY 1, 2, 3
+    ), vis AS (
+      SELECT p.obs_id,
+        CASE WHEN p.tx = p.ox AND p.ty = p.oy THEN 1
+             WHEN (p.tdem - p.h0) / GREATEST(p.dist, 1e-12)
+                  >= COALESCE(b.best, -1e308) - 1e-12 THEN 1
+             ELSE 0 END AS v
+      FROM pair p LEFT JOIN best b
+        ON b.obs_id = p.obs_id AND b.tx = p.tx AND b.ty = p.ty
+    )
+    SELECT obs_id, CAST(sum(v) AS BIGINT) AS n_visible,
+           CAST(2304 AS BIGINT) AS n_total
+    FROM vis GROUP BY 1
+    """
 
 
 def q_grid_idw(sf_dir):
@@ -1872,7 +1939,7 @@ QUERIES = {
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "contour": (q_contour, None),
     "sieve_filter": (q_sieve, None),
-    "viewshed": (q_viewshed, None),
+    "viewshed": (q_viewshed, sql_viewshed()),
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
     "erase_overlay": (q_erase_overlay, sql_erase_overlay()),
