@@ -45,18 +45,18 @@ class _BpeIshTokenizer:
     """BPE-ish sub-word-run tokenizer: alphabetic runs, digit runs, and
     punctuation runs (the pre-tokenization split GPT-2-style BPE applies
     before merges, minus contractions/lookahead so the same pattern runs
-    in RE2-based SQL engines). Regex compiled once per actor."""
+    in RE2-based SQL engines). Fully vectorized: Arrow's RE2
+    count_substring_regex counts the same non-overlapping matches as
+    re.findall for this alternation-of-classes pattern (parity pinned in
+    the SQL oracle)."""
 
     def __init__(self, text_col):
-        import re
-
         self.text_col = text_col
-        self.pat = re.compile(BPE_ISH_PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        counts = np.asarray([len(self.pat.findall(t)) for t in texts], dtype=np.int64)
-        return batch.append_column("n_bpe_tokens", pa.array(counts))
+        counts = pc.cast(pc.count_substring_regex(
+            batch[self.text_col], BPE_ISH_PATTERN), pa.int64())
+        return batch.append_column("n_bpe_tokens", counts)
 
 
 def bpe_token_count(ds: ray.data.Dataset, text_col: str = "text",
