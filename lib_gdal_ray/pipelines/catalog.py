@@ -1497,6 +1497,86 @@ def sql_lang_stopword_quality():
     """
 
 
+def sql_lang_quality():
+    """Full lang_quality oracle: stopword vote + trigram-cosine language
+    ID + quality score. Trigram profiles embed as literal (lang, gram,
+    weight) rows computed by the same Python profile builder; doc
+    trigrams explode in SQL; cosine = dot/doc_norm with ties resolved in
+    the kernel's profile iteration order (en, de, fr, es)."""
+    from .text import _SEED_TEXT, _trigram_profile
+
+    rows = []
+    langs = list(_SEED_TEXT)  # insertion order == kernel iteration order
+    for lang in langs:
+        for g, w in _trigram_profile(_SEED_TEXT[lang]).items():
+            esc = g.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {w!r})")
+    prof_values = ",\n      ".join(rows)
+    sw = {lang: sorted(text_mod._STOPWORDS[lang]) for lang in ("de", "en", "es", "fr")}
+
+    def sw_list(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sw[lang]) + "]"
+
+    hits = {lang: (f"len(list_filter(regexp_extract_all(lower(text), "
+                   f"'[a-zà-ÿäöüß]+'), x -> list_contains({sw_list(lang)}, x)))")
+            for lang in sw}
+    # cascade in kernel order en, de, fr, es with strict > over 0.05
+    return f"""
+    WITH prof(plang, g, w) AS (VALUES
+      {prof_values}
+    ), base AS (
+      SELECT doc_id, lang, text,
+        ' ' || regexp_replace(lower(text), '[^a-z ]', '', 'g') || ' ' AS t,
+        {hits['de']} AS h_de, {hits['en']} AS h_en,
+        {hits['es']} AS h_es, {hits['fr']} AS h_fr,
+        GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS n,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+        regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i FROM base
+    ), cnt AS (
+      SELECT doc_id, substr(t, i, 3) AS g, count(*) AS c
+      FROM pos GROUP BY 1, 2
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(CAST(c*c AS DOUBLE))) AS nd FROM cnt GROUP BY 1
+    ), dots AS (
+      SELECT c.doc_id, p.plang, sum(CAST(c.c AS DOUBLE) * p.w) AS dot
+      FROM cnt c JOIN prof p ON p.g = c.g GROUP BY 1, 2
+    ), sims AS (
+      SELECT n.doc_id,
+        COALESCE(MAX(CASE WHEN plang = 'en' THEN dot END), 0.0)/n.nd AS s_en,
+        COALESCE(MAX(CASE WHEN plang = 'de' THEN dot END), 0.0)/n.nd AS s_de,
+        COALESCE(MAX(CASE WHEN plang = 'fr' THEN dot END), 0.0)/n.nd AS s_fr,
+        COALESCE(MAX(CASE WHEN plang = 'es' THEN dot END), 0.0)/n.nd AS s_es
+      FROM nrm n LEFT JOIN dots d ON d.doc_id = n.doc_id
+      GROUP BY 1, n.nd
+    )
+    SELECT b.doc_id, b.lang,
+      CASE
+        WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+        WHEN h_es >= h_fr THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred,
+      CASE
+        WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.05 THEN 'und'
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es'
+      END AS lang_ngram,
+      0.4 * LEAST(GREATEST(n_alpha / n, 0), 1)
+        + 0.3 * LEAST(GREATEST(
+            CAST(len(list_filter(toks, x -> list_contains({sw_list('en')}, x)))
+                 AS DOUBLE) / GREATEST(len(toks), 1), 0), 0.5) * 2
+        + 0.3 * (1.0 - LEAST(GREATEST(n_digit / n, 0), 1)) AS quality_score
+    FROM base b JOIN sims s ON s.doc_id = b.doc_id
+    """
+
+
 def q_fingerprint(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.fingerprint(docs, "text")
@@ -1953,7 +2033,7 @@ QUERIES = {
     "minhash_near_dup": (q_minhash_near_dup, None),
     "ngram_jaccard_dup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, None),
-    "lang_quality": (q_lang_quality, None),
+    "lang_quality": (q_lang_quality, sql_lang_quality()),
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
     "fingerprint": (q_fingerprint, sql_fingerprint()),
     "embedding_near_dup": (q_embedding_near_dup, None),
