@@ -1942,6 +1942,31 @@ FROM pc2, s GROUP BY gpx, gpy
 """
 
 
+def sql_media_features():
+    """The interleaved-doc synthesis is pure modular arithmetic, so the
+    media-span explode mirrors in SQL: span count d%6+1, kind from the
+    6-slot kind wheel at (d+s)%6, s3 ref from lpad/concat; text spans
+    (empty ref) drop, exactly like explode_media_spans."""
+    return """
+    WITH ids AS (
+      SELECT unnest(generate_series(0,
+             (SELECT count(*) FROM documents) - 1)) AS d
+    ), sp AS (
+      SELECT d, unnest(generate_series(0, d % 6)) AS s FROM ids
+    ), k AS (
+      SELECT d, s,
+        ['text','image','audio','text','text','video'][(d + s) % 6 + 1] AS kind
+      FROM sp
+    )
+    SELECT 'doc-' || lpad(CAST(d AS VARCHAR), 9, '0') AS doc_id,
+           CAST(s AS INTEGER) AS span_idx, kind,
+           's3://media/' || kind || '/' || lpad(CAST(d % 1000 AS VARCHAR), 3, '0')
+             || '/' || CAST(d AS VARCHAR) || '_' || CAST(s AS VARCHAR)
+             || '.bin' AS media_ref
+    FROM k WHERE kind <> 'text'
+    """
+
+
 def q_media_features(sf_dir):
     """Multimodal: explode media spans of the interleaved-doc table,
     fetch + decode (stubbed codecs, real actor-pool plumbing)."""
@@ -2037,5 +2062,5 @@ QUERIES = {
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
     "fingerprint": (q_fingerprint, sql_fingerprint()),
     "embedding_near_dup": (q_embedding_near_dup, None),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, sql_media_features()),
 }
