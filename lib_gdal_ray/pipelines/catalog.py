@@ -1342,6 +1342,57 @@ def q_minhash_near_dup(sf_dir):
                                 threshold=0.5)
 
 
+def sql_minhash_near_dup():
+    """Exact MinHash-LSH mirror: shingle hashes are the same base-257
+    mod-2^31-1 polynomials (5-term direct form), the 64 permutations
+    embed as literals, band membership is component equality (the
+    engine's splitmix bucket key collides only on equal components;
+    bucket truncation is inactive at oracle scale — max bucket 10 vs cap
+    64), and est_jaccard = matching-components/64 exactly."""
+    from .dedup import _minhash_matrix, _P31
+
+    P = int(_P31)
+    a, b = _minhash_matrix(64)
+    perm_rows = ",\n      ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    pows = [pow(257, 4 - j, P) for j in range(5)]
+    hterms = " + ".join(
+        f"CAST(ord(substr(text, i+{j}, 1)) AS BIGINT) * {pows[j]}"
+        for j in range(5))
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ({hterms}) % {P} AS h FROM pos
+    ), perm(pi, pa_, pb_) AS (VALUES
+      {perm_rows}
+    ), sig AS (
+      SELECT doc_id, pi, min((pa_ * h + pb_) % {P}) AS v
+      FROM sh CROSS JOIN perm GROUP BY 1, 2
+    ), bandkey AS (
+      SELECT doc_id, pi // 4 AS band,
+        max(CASE WHEN pi % 4 = 0 THEN v END) AS c0,
+        max(CASE WHEN pi % 4 = 1 THEN v END) AS c1,
+        max(CASE WHEN pi % 4 = 2 THEN v END) AS c2,
+        max(CASE WHEN pi % 4 = 3 THEN v END) AS c3
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandkey x JOIN bandkey y
+        ON x.band = y.band AND x.c0 = y.c0 AND x.c1 = y.c1
+       AND x.c2 = y.c2 AND x.c3 = y.c3 AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.pi = sa.pi
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 >= 0.5
+    """
+
+
 def q_simhash(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = dd.simhash64(docs, "text")
@@ -2055,7 +2106,7 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "ann_topk": (q_ann_topk, SQL_ANN),
-    "minhash_near_dup": (q_minhash_near_dup, None),
+    "minhash_near_dup": (q_minhash_near_dup, sql_minhash_near_dup()),
     "ngram_jaccard_dup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, None),
     "lang_quality": (q_lang_quality, sql_lang_quality()),
