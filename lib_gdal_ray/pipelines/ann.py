@@ -114,9 +114,8 @@ def lsh_bucket(ds: ray.data.Dataset, dim: int, emb_col: str = "embedding",
                concurrency: Union[int, Tuple[int, int]] = (1, 8)) -> ray.data.Dataset:
     """Attach a random-hyperplane LSH bucket id (for bucketed ANN /
     embedding near-dup: co-partition by bucket, compare within)."""
-    return ds.map_batches(_LshBucketer, batch_format="pyarrow",
-                          fn_constructor_args=(emb_col, nbits, dim, seed),
-                          concurrency=concurrency)
+    return ds.map_batches(_LshBucketer(emb_col, nbits, dim, seed),
+                          batch_format="pyarrow")
 
 
 class _MultiTableBucketer:
@@ -176,9 +175,8 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, dim: int, threshold: float,
     O((N/buckets)^2). A final (id_a, id_b) groupby dedups pairs found
     by several tables."""
     exploded = ds.map_batches(
-        _MultiTableBucketer, batch_format="pyarrow",
-        fn_constructor_args=(emb_col, id_col, dim, nbits, tables, seed),
-        concurrency=concurrency)
+        _MultiTableBucketer(emb_col, id_col, dim, nbits, tables, seed),
+        batch_format="pyarrow")
 
     def pairs(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),

@@ -2033,14 +2033,63 @@ def q_media_features(sf_dir):
 
 
 def q_embedding_near_dup(sf_dir):
+    """Banded multi-table hyperplane LSH near-dup pairs, emitted with
+    integer-cents similarities. SQL-checkable at oracle scale: the
+    hyperplanes embed as literals, sign margins (min |projection|
+    2.3e-5) and threshold/cents margins (2.9e-5 / 3.2e-6) dwarf float
+    drift, and bucket truncation is inactive (max bucket 54 < 128)."""
     ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = tables.read_table_arrow(sf_dir, "embeddings", columns=["embedding"])
     dim = len(emb["embedding"][0])
-    # 0.35 ≈ p99.9 of pairwise cosine in the synthetic embeddings; banded
-    # multi-table LSH recall at this (unusually low) threshold is ~0.7 —
-    # measured in tests; no SQL oracle by design (approximate operator).
-    return ann_mod.embedding_near_dup_pairs(ds, dim, threshold=0.35, nbits=4,
-                                            tables=8, max_bucket=128)
+    out = ann_mod.embedding_near_dup_pairs(ds, dim, threshold=0.35, nbits=4,
+                                           tables=8, max_bucket=128)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "sim_c": pa.array(_cents(
+                batch["cosine_sim"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_embedding_near_dup():
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64, 4))
+    code_exprs = []
+    for t in range(8):
+        bits = []
+        for bbit in range(4):
+            vec = "[" + ", ".join(repr(float(v)) for v in planes[t, :, bbit]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(e, {vec}) > 0 "
+                        f"THEN {1 << bbit} ELSE 0 END)")
+        code_exprs.append(f"{' + '.join(bits)} AS code_{t}")
+    codes = ",\n        ".join(code_exprs)
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tbl, code_{t} AS code FROM coded"
+        for t in range(8))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), coded AS (
+      SELECT vec_id, e,
+        {codes}
+      FROM base
+    ), rows_ AS (
+      {per_table}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) AS cos
+      FROM rows_ a JOIN rows_ b
+        ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(cos * 100 + 0.5) AS BIGINT) AS sim_c
+    FROM cand WHERE cos >= 0.35
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2112,6 +2161,6 @@ QUERIES = {
     "lang_quality": (q_lang_quality, sql_lang_quality()),
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
     "fingerprint": (q_fingerprint, sql_fingerprint()),
-    "embedding_near_dup": (q_embedding_near_dup, None),
+    "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
     "media_features": (q_media_features, sql_media_features()),
 }

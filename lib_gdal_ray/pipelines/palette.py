@@ -101,9 +101,15 @@ def quantize(rgb: ray.data.Dataset, n_colors: int = 16,
     hist = color_histogram(rgb)
     pal = median_cut(hist, n_colors)
     ref = ray.put(pal)
-    out = rgb.map_batches(_ApplyPalette, batch_format="pyarrow",
-                          fn_constructor_args=({"ref": ref},),
-                          concurrency=concurrency)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _ApplyPalette({"ref": ref}))
+        return j(batch)
+
+    out = rgb.map_batches(stage, batch_format="pyarrow")
     return out, pal
 
 

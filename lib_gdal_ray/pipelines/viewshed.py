@@ -87,6 +87,13 @@ def viewshed_counts(observers: ray.data.Dataset, dem: np.ndarray,
     """Observer rows (ox, oy, ...) → + (n_visible, n_total) over the
     broadcast DEM window."""
     ref = ray.put(np.ascontiguousarray(dem, dtype=np.float64))
-    return observers.map_batches(_ViewshedStage, batch_format="pyarrow",
-                                 fn_constructor_args=({"ref": ref}, observer_height),
-                                 concurrency=concurrency)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _ViewshedStage({"ref": ref},
+                                                     observer_height))
+        return j(batch)
+
+    return observers.map_batches(stage, batch_format="pyarrow")

@@ -74,9 +74,15 @@ def zonal_stats_weighted(pixels: ray.data.Dataset, zone_id: np.ndarray,
     zx0, zy0, zx1, zy1 = (np.asarray(v, dtype=np.float64) for v in zone_px_bounds)
     ref = _ray.put({"zone_id": np.asarray(zone_id, dtype=np.int64),
                     "zx0": zx0, "zy0": zy0, "zx1": zx1, "zy1": zy1})
-    pairs = pixels.map_batches(_WeightedZonal, batch_format="pyarrow",
-                               fn_constructor_args=({"ref": ref}, z, tile_size),
-                               concurrency=(1, 8))
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _WeightedZonal({"ref": ref}, z, tile_size))
+        return j(batch)
+
+    pairs = pixels.map_batches(stage, batch_format="pyarrow")
     from .relational import grouped_agg
 
     return grouped_agg(pairs, "zone_id", [
