@@ -1393,6 +1393,78 @@ def sql_minhash_near_dup():
     """
 
 
+def sql_simhash():
+    """Exact SimHash mirror: the token hash is a base-257 polynomial mod
+    2^64 + splitmix64 (chosen in round 2 precisely so it mirrors:
+    HUGEINT arithmetic, xor + floor-division shifts), hashed once per
+    DISTINCT token and joined back to occurrences; 64 per-bit vote sums
+    reproduce the fingerprint, reinterpreted into int64 like the Ray
+    output."""
+    M64 = 1 << 64
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    pow_rows = ",\n      ".join(
+        f"({k}, CAST({pow(257, k, M64)} AS HUGEINT))" for k in range(32))
+    bit_sums = ",\n      ".join(
+        f"CASE WHEN sum(CASE WHEN (h // CAST({1 << b} AS HUGEINT)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END AS bit_{b}"
+        for b in range(64))
+    total = " + ".join(f"bit_{b}" for b in range(64))
+
+    def mulmod(a_expr: str, const: int) -> str:
+        # a*b mod 2^64 without INT128 overflow: split b into 32-bit halves
+        b_lo, b_hi = const & 0xFFFFFFFF, const >> 32
+        return (f"((({a_expr}) * CAST({b_lo} AS HUGEINT)"
+                f" + ((({a_expr}) * CAST({b_hi} AS HUGEINT))"
+                f" % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT))"
+                f" % CAST({M64} AS HUGEINT))")
+
+    mm2 = mulmod(f"xor(x1_, x1_ // CAST({1 << 30} AS HUGEINT))", C2)
+    mm3 = mulmod(f"xor(x2_, x2_ // CAST({1 << 27} AS HUGEINT))", C3)
+    return f"""
+    WITH powt(k, p) AS (VALUES
+      {pow_rows}
+    ), occ AS (
+      SELECT doc_id, substr(unnest(regexp_extract_all(lower(text), '\\w+')), 1, 32) AS t
+      FROM documents
+    ), vocab AS (
+      SELECT DISTINCT t FROM occ
+    ), chars AS (
+      SELECT t, length(t) AS L, unnest(generate_series(1, length(t))) AS j
+      FROM vocab
+    ), rawh AS (
+      SELECT c.t,
+        sum(CAST(ord(substr(c.t, c.j, 1)) AS HUGEINT) * p.p)
+          % CAST({M64} AS HUGEINT) AS h0
+      FROM chars c JOIN powt p ON p.k = c.L - c.j
+      GROUP BY 1
+    ), mixed AS (
+      SELECT t, {mm3} AS x3_
+      FROM (
+        SELECT t, {mm2} AS x2_
+        FROM (
+          SELECT t, (h0 + CAST({C1} AS HUGEINT)) % CAST({M64} AS HUGEINT) AS x1_
+          FROM rawh
+        )
+      )
+    ), hashed AS (
+      SELECT t, xor(x3_, x3_ // CAST({1 << 31} AS HUGEINT)) AS h FROM mixed
+    ), votes AS (
+      SELECT o.doc_id,
+      {bit_sums}
+      FROM occ o JOIN hashed v ON v.t = o.t
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+      CAST(CASE WHEN COALESCE(hv, 0) >= CAST({1 << 63} AS HUGEINT)
+                THEN COALESCE(hv, 0) - CAST({M64} AS HUGEINT)
+                ELSE COALESCE(hv, 0) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, ({total}) AS hv FROM votes
+    ) x ON x.doc_id = d.doc_id
+    """
+
+
 def q_simhash(sf_dir):
     docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = dd.simhash64(docs, "text")
@@ -2157,7 +2229,7 @@ QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN),
     "minhash_near_dup": (q_minhash_near_dup, sql_minhash_near_dup()),
     "ngram_jaccard_dup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, sql_simhash()),
     "lang_quality": (q_lang_quality, sql_lang_quality()),
     "lang_stopword_quality": (q_lang_stopword_quality, sql_lang_stopword_quality()),
     "fingerprint": (q_fingerprint, sql_fingerprint()),

@@ -318,10 +318,31 @@ def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
+_M64 = (1 << 64) - 1
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_SIMHASH_TOKEN_CAP = 32  # hash at most 32 token bytes (SQL mirror bound)
+
+
+def token_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash: base-257 polynomial mod 2^64
+    over the first 32 utf-8 bytes, finalized with splitmix64 (full
+    avalanche). Exact-int Python arithmetic — process-stable AND
+    SQL-mirrorable (HUGEINT mod-2^64 in DuckDB), unlike blake2b."""
+    h = 0
+    for ch in token.encode("utf-8", "ignore")[:_SIMHASH_TOKEN_CAP]:
+        h = (h * 257 + ch) & _M64
+    h = (h + _SM_C1) & _M64
+    h = ((h ^ (h >> 30)) * _SM_C2) & _M64
+    h = ((h ^ (h >> 27)) * _SM_C3) & _M64
+    return h ^ (h >> 31)
+
+
 class _SimHashStage:
     """Per-actor token-hash cache: natural-language batches re-use a
-    small vocabulary, so each distinct token is blake2b-hashed at most
-    once per actor lifetime; the per-doc work is then pure numpy."""
+    small vocabulary, so each distinct token hashes at most once per
+    actor lifetime; the per-doc work is then pure numpy."""
 
     def __init__(self, text_col):
         import re
@@ -337,10 +358,7 @@ class _SimHashStage:
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = np.frombuffer(
-                    hashlib.blake2b(t.encode("utf-8", "ignore"),
-                                    digest_size=8).digest(),
-                    dtype=np.uint64)[0]
+                h = np.uint64(token_hash64(t))
                 cache[t] = h
             out[i] = h
         if len(cache) > 1_000_000:  # bound actor memory
