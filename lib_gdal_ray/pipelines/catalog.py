@@ -1714,30 +1714,251 @@ def q_fingerprint(sf_dir):
 
 
 def q_contour(sf_dir):
-    """Contour iso-lines over the analytic z6 DEM (rows-only; analytic
-    circle/ramp oracles in tests/test_contour.py)."""
-    from .contour import contour_lines
+    """Marching-squares contour segments over the analytic cone DEM.
+    The oracle mirrors the full 16-case classification + linear edge
+    interpolation in SQL (identical IEEE doubles: the DEM value is
+    100 - sqrt(dx*dx+dy*dy) with the exact same op sequence on both
+    sides, so every crossing fraction is bit-equal).
+    Reference: `alg/contour.cpp:277-384` + `alg/marching_squares/`."""
+    from .contour import contour_segments
 
     def dem_batch(batch: pa.Table) -> pa.Table:
         idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         gx, gy = idx % 96, idx // 96
-        val = 100.0 - np.hypot(gx - 47.5, gy - 47.5)
+        dx, dy = gx - 47.5, gy - 47.5
+        val = 100.0 - np.sqrt(dx * dx + dy * dy)
         return pa.table({"pix_id": pa.array(rast.pack_pixel(6, gx, gy)),
                          "burn": pa.array(val)})
 
     dem = ray.data.range(96 * 96).map_batches(dem_batch, batch_format="pyarrow")
-    return contour_lines(dem, [70.0, 80.0, 90.0])
+    return contour_segments(dem, [70.0, 80.0, 90.0])
+
+
+def _sql_marching_squares(val_expr: str, n_cells: int, levels) -> str:
+    """SQL mirror of contour._cell_segments: DEM value `val_expr` (in
+    terms of `x`/`y`), full cells cx,cy in [0, n_cells-1], all 16 cases
+    incl. the center-average saddle rule. Emits (level,x1,y1,x2,y2) in
+    the same endpoint order as the engine's emit() calls."""
+    lv = ", ".join(repr(float(l)) for l in levels)
+
+    def v(dx, dy):
+        return ("(" + val_expr.replace("{x}", f"(cx+{dx})")
+                .replace("{y}", f"(cy+{dy})") + ")")
+
+    frac = ("LEAST(GREATEST(COALESCE((L - {a}) / NULLIF({b} - {a}, 0), 0.5),"
+            " 0.0), 1.0)")
+    return f"""
+    WITH lv AS (SELECT unnest([{lv}]) AS L),
+    g AS (
+      SELECT a.cx, b.cy
+      FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS cx) a,
+           (SELECT unnest(generate_series(0, {n_cells - 1})) AS cy) b
+    ), c AS (
+      SELECT cx, cy, {v(0, 0)} AS c0, {v(1, 0)} AS c1,
+             {v(0, 1)} AS c2, {v(1, 1)} AS c3
+      FROM g
+    ), x AS (
+      SELECT l.L, c.cx, c.cy, c.c0, c.c1, c.c2, c.c3,
+        (CASE WHEN c0 >= L THEN 1 ELSE 0 END
+         + CASE WHEN c1 >= L THEN 2 ELSE 0 END
+         + CASE WHEN c2 >= L THEN 4 ELSE 0 END
+         + CASE WHEN c3 >= L THEN 8 ELSE 0 END) AS cs,
+        CAST(cx AS DOUBLE) + {frac.format(a='c0', b='c1')} AS top_x,
+        CAST(cx AS DOUBLE) + {frac.format(a='c2', b='c3')} AS bot_x,
+        CAST(cy AS DOUBLE) + {frac.format(a='c0', b='c2')} AS left_y,
+        CAST(cy AS DOUBLE) + {frac.format(a='c1', b='c3')} AS right_y,
+        (c0 + c1 + c2 + c3) / 4.0 AS ctr,
+        CAST(cx AS DOUBLE) AS fx, CAST(cy AS DOUBLE) AS fy,
+        CAST(cx + 1 AS DOUBLE) AS fx1, CAST(cy + 1 AS DOUBLE) AS fy1
+      FROM c, lv l
+    ), seg AS (
+      SELECT L AS level, top_x AS x1, fy AS y1, fx AS x2, left_y AS y2
+        FROM x WHERE cs IN (1, 14)
+      UNION ALL SELECT L, top_x, fy, fx1, right_y FROM x WHERE cs IN (2, 13)
+      UNION ALL SELECT L, fx, left_y, bot_x, fy1 FROM x WHERE cs IN (4, 11)
+      UNION ALL SELECT L, fx1, right_y, bot_x, fy1 FROM x WHERE cs IN (8, 7)
+      UNION ALL SELECT L, fx, left_y, fx1, right_y FROM x WHERE cs IN (3, 12)
+      UNION ALL SELECT L, top_x, fy, bot_x, fy1 FROM x WHERE cs IN (5, 10)
+      UNION ALL SELECT L, top_x, fy, fx1, right_y FROM x WHERE cs = 6 AND ctr >= L
+      UNION ALL SELECT L, fx, left_y, bot_x, fy1 FROM x WHERE cs = 6 AND ctr >= L
+      UNION ALL SELECT L, top_x, fy, fx, left_y FROM x WHERE cs = 6 AND ctr < L
+      UNION ALL SELECT L, fx1, right_y, bot_x, fy1 FROM x WHERE cs = 6 AND ctr < L
+      UNION ALL SELECT L, top_x, fy, fx, left_y FROM x WHERE cs = 9 AND ctr >= L
+      UNION ALL SELECT L, fx1, right_y, bot_x, fy1 FROM x WHERE cs = 9 AND ctr >= L
+      UNION ALL SELECT L, top_x, fy, fx1, right_y FROM x WHERE cs = 9 AND ctr < L
+      UNION ALL SELECT L, fx, left_y, bot_x, fy1 FROM x WHERE cs = 9 AND ctr < L
+    )"""
+
+
+def sql_contour():
+    cone = "100.0 - sqrt(({x} - 47.5) * ({x} - 47.5) + ({y} - 47.5) * ({y} - 47.5))"
+    return (_sql_marching_squares(cone, 95, [70.0, 80.0, 90.0])
+            + "\n    SELECT level, x1, y1, x2, y2 FROM seg")
+
+
+def q_contour_lines_ring(sf_dir):
+    """Contour POLYLINES (stitched) over a 64x64 pyramid DEM. Crossing
+    fractions are exact binary (.25/.5/.75) so endpoint quantization is
+    lossless; the oracle stitches the same segments with a recursive
+    min-label CTE over shared quantized endpoints and compares the
+    per-line aggregates (no internal line ids cross the boundary).
+    Reference: `alg/marching_squares/segment_merger.h`."""
+    from .contour import contour_lines
+
+    def dem_batch(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = idx % 64, idx // 64
+        val = np.minimum(np.minimum(gx, gy),
+                         np.minimum(63 - gx, 63 - gy)).astype(np.float64)
+        return pa.table({"pix_id": pa.array(rast.pack_pixel(6, gx, gy)),
+                         "burn": pa.array(val)})
+
+    dem = ray.data.range(64 * 64).map_batches(dem_batch, batch_format="pyarrow")
+    out = contour_lines(dem, [5.5, 13.25, 21.75])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": batch["level"],
+            "n_segments": pc.cast(batch["n_segments"], pa.int64()),
+            "x_min": batch["x_min"], "y_min": batch["y_min"],
+            "x_max": batch["x_max"], "y_max": batch["y_max"],
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_contour_lines_ring():
+    pyr = "CAST(LEAST({x}, {y}, 63 - {x}, 63 - {y}) AS DOUBLE)"
+    ms = _sql_marching_squares(pyr, 63, [5.5, 13.25, 21.75])
+    # quantized endpoint key (Q = 1<<20, exact for binary fractions)
+    ek = "CAST(round({x} * 1048576) AS BIGINT) * 134217728 + CAST(round({y} * 1048576) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE {ms.split("WITH", 1)[1]}
+    , s AS (
+      SELECT row_number() OVER (ORDER BY level, x1, y1, x2, y2) AS sid, *
+      FROM seg
+    ), eps AS (
+      SELECT level, sid, {ek.format(x='x1', y='y1')} AS ep FROM s
+      UNION ALL
+      SELECT level, sid, {ek.format(x='x2', y='y2')} AS ep FROM s
+    ), sedges AS (
+      SELECT a.sid AS sa, b.sid AS sb
+      FROM eps a JOIN eps b ON a.level = b.level AND a.ep = b.ep
+      WHERE a.sid <> b.sid
+    ), reach(sid, lbl) AS (
+      SELECT sid, sid FROM s
+      UNION
+      SELECT e.sa, r.lbl FROM reach r JOIN sedges e ON e.sb = r.sid
+      WHERE r.lbl < e.sa
+    ), lab AS (
+      SELECT sid, min(lbl) AS line FROM reach GROUP BY 1
+    )
+    SELECT min(s.level) AS level, count(*) AS n_segments,
+           min(LEAST(x1, x2)) AS x_min, min(LEAST(y1, y2)) AS y_min,
+           max(GREATEST(x1, x2)) AS x_max, max(GREATEST(y1, y2)) AS y_max
+    FROM lab JOIN s USING (sid)
+    GROUP BY lab.line
+    """
 
 
 def q_sieve(sf_dir):
-    """Sieve the z6 count raster (threshold 2); rows-only — region
-    semantics pinned in tests/test_sieve.py."""
+    """Sieve filter over a structured 64x64 raster (threshold 4):
+    single-pixel specks, a 2-px bar, a speck-in-a-hole (sole neighbor =
+    the 23-px bar) and a speck with two candidate absorbers. The layout
+    guarantees single-pass largest-neighbor semantics (no small region
+    neighbors another small region whose merge could change a target),
+    so GDAL's iterative merge loop (`alg/gdalsievefilter.cpp:129-187`)
+    is exactly expressible as one argmax in SQL."""
     from .sieve import sieve
 
-    pts = events_points(sf_dir)
-    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
-    out = sieve(counts, threshold=2)
-    return rast.with_tile_cols(out).select_columns(["tile_id", "pxy", "burn"])
+    def dem_batch(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = idx % 64, idx // 64
+        val = np.zeros(len(gx), dtype=np.float64)
+        val[(gx % 8 == 3) & (gy % 8 == 5)] = 1.0
+        val[(gy >= 1) & (gy <= 3) & (gx >= 8) & (gx <= 15)] = 2.0
+        val[(gx == 12) & (gy == 2)] = 5.0
+        val[(gx == 16) & (gy == 1)] = 4.0
+        val[(gy == 24) & ((gx == 10) | (gx == 11))] = 3.0
+        return pa.table({"pix_id": pa.array(rast.pack_pixel(6, gx, gy)),
+                         "burn": pa.array(val)})
+
+    raster = ray.data.range(64 * 64).map_batches(dem_batch, batch_format="pyarrow")
+    out = sieve(raster, threshold=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "burn": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_SIEVE_VAL = """CAST(CASE
+      WHEN gx = 12 AND gy = 2 THEN 5
+      WHEN gy BETWEEN 1 AND 3 AND gx BETWEEN 8 AND 15 THEN 2
+      WHEN gx = 16 AND gy = 1 THEN 4
+      WHEN gy = 24 AND gx IN (10, 11) THEN 3
+      WHEN gx % 8 = 3 AND gy % 8 = 5 THEN 1
+      ELSE 0 END AS DOUBLE)"""
+
+
+def sql_sieve():
+    # The recursive min-label CC runs over NONZERO pixels only (~91):
+    # the val=0 background is a single connected component by
+    # construction (no feature spans a full row/column), so it gets
+    # region id 0 directly — a dense-background CTE would accumulate
+    # O(|region|^2) reach pairs.
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(0, 63)) AS gx) a,
+           (SELECT unnest(generate_series(0, 63)) AS gy) b
+    ), px AS (
+      SELECT gx, gy, {SQL_SIEVE_VAL} AS val,
+             gx * 4294967296 + gy AS pid
+      FROM g
+    ), nz AS (
+      SELECT * FROM px WHERE val <> 0
+    ), e AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM nz a JOIN nz b ON a.val = b.val
+        AND ((abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+             OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1))
+    ), reach(pid, lbl) AS (
+      SELECT pid, pid FROM nz
+      UNION
+      SELECT e.pa, r.lbl FROM reach r JOIN e ON e.pb = r.pid
+      WHERE r.lbl < e.pa
+    ), lab AS (
+      SELECT pid, min(lbl) AS rid FROM reach GROUP BY 1
+    ), pxr AS (
+      SELECT px.gx, px.gy, px.val,
+             CASE WHEN px.val = 0 THEN 0 ELSE lab.rid END AS rid
+      FROM px LEFT JOIN lab USING (pid)
+    ), reg AS (
+      SELECT rid, count(*) AS n, min(val) AS val FROM pxr GROUP BY 1
+    ), radj AS (
+      SELECT DISTINCT a.rid AS ra, b.rid AS rb
+      FROM (SELECT pxr.* FROM pxr WHERE pxr.val <> 0) a
+      JOIN pxr b ON a.val <> b.val
+        AND ((abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+             OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1))
+    ), tgt AS (
+      SELECT ra, rb FROM (
+        SELECT r.ra, r.rb,
+               row_number() OVER (PARTITION BY r.ra
+                                  ORDER BY nb.n DESC, r.rb ASC) AS rk
+        FROM radj r JOIN reg nb ON nb.rid = r.rb) WHERE rk = 1
+    )
+    SELECT p.gx AS gpx, p.gy AS gpy,
+           CASE WHEN rg.n < 4 AND tv.val IS NOT NULL THEN tv.val
+                ELSE p.val END AS burn
+    FROM pxr p
+    JOIN reg rg ON rg.rid = p.rid
+    LEFT JOIN tgt t ON t.ra = p.rid
+    LEFT JOIN reg tv ON tv.rid = t.rb
+    """
 
 
 def q_mosaic_warp(sf_dir):
@@ -2214,8 +2435,9 @@ QUERIES = {
     "polygonize_regions": (q_polygonize_regions, sql_polygonize_regions()),
     "hillshade": (q_hillshade, sql_hillshade()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
-    "contour": (q_contour, None),
-    "sieve_filter": (q_sieve, None),
+    "contour": (q_contour, sql_contour()),
+    "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
+    "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),

@@ -26,8 +26,16 @@ from .polygonize import label_connected_components
 from .rasterize import pack_pixel
 
 
-def _adjacency_pairs(labeled: ray.data.Dataset) -> pd.DataFrame:
-    """Region adjacency (ra, rb, ra≠rb) from 4-neighbor pixel pairs."""
+def _adjacency_pairs(labeled: ray.data.Dataset) -> ray.data.Dataset:
+    """Region adjacency (ra, rb, ra≠rb) from 4-neighbor pixel pairs.
+
+    Each shared pixel edge gets exactly one row per incident pixel
+    (side 0 = the pixel east/south of the edge, side 1 = west/north);
+    region ids are < 2^62 (pack_pixel keys), so `enc = side<<62 | region`
+    lets a single native Min/Max/Count aggregate recover both sides of
+    every edge — no per-edge-key map_groups."""
+    SIDE = np.uint64(1) << np.uint64(62)
+    MASK = SIDE - np.uint64(1)
 
     def probes(batch: pa.Table) -> pa.Table:
         gpx = batch["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -41,24 +49,26 @@ def _adjacency_pairs(labeled: ray.data.Dataset) -> pd.DataFrame:
         vk_s = (((gpx.astype(np.uint64) << np.uint64(32)) | (gpy + 1).astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
         vk_n = (((gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
         for key, side in ((hk_e, 0), (hk_w, 1), (vk_s, 0), (vk_n, 1)):
-            tables.append(pa.table({"ek": pa.array(key),
-                                    "side": pa.array(np.full(len(reg), side, dtype=np.int8)),
-                                    "region": pa.array(reg)}))
+            enc = reg if side == 0 else (reg | SIDE)
+            tables.append(pa.table({"ek": pa.array(key), "enc": pa.array(enc)}))
         return pa.concat_tables(tables)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({"ra": pd.Series(dtype=np.uint64),
-                                 "rb": pd.Series(dtype=np.uint64)})
-        m = a.merge(b, on="ek", suffixes=("_a", "_b"))
-        m = m[m["region_a"] != m["region_b"]]
-        return pd.DataFrame({"ra": m["region_a"].to_numpy(dtype=np.uint64),
-                             "rb": m["region_b"].to_numpy(dtype=np.uint64)})
+    from ray.data.aggregate import Count, Max, Min
 
-    return (labeled.map_batches(probes, batch_format="pyarrow")
-            .groupby("ek").map_groups(pairs, batch_format="pandas"))
+    grouped = (labeled.map_batches(probes, batch_format="pyarrow")
+               .groupby("ek").aggregate(Count(alias_name="n"),
+                                        Min("enc", alias_name="lo"),
+                                        Max("enc", alias_name="hi")))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ra, rb = lo & MASK, hi & MASK
+        keep = (n == 2) & (ra != rb)
+        return pa.table({"ra": pa.array(ra[keep]), "rb": pa.array(rb[keep])})
+
+    return grouped.map_batches(pairs, batch_format="pyarrow")
 
 
 def sieve(pixels: ray.data.Dataset, threshold: int,
