@@ -19,7 +19,6 @@ All hashing is deterministic (fixed seeds) so retries/resumes are safe.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 import numpy as np
@@ -31,15 +30,41 @@ import ray.data
 _M61 = np.uint64((1 << 61) - 1)
 
 
-def _stable_hash64(strings: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit hash per string (blake2b-8; stable across
-    processes, unlike Python's randomized hash())."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(),
-            dtype=np.uint64)[0]
-    return out
+def _hash128_hex(texts) -> pa.Array:
+    """Vectorized deterministic 128-bit content key per string: each doc
+    is zero-padded to 8-byte words; two independent lanes accumulate
+    `splitmix64(word ^ splitmix64(word_index + salt))` mod 2^64 (position
+    salt keeps the sum order-sensitive); the exact byte length rides in
+    the key. No per-row Python in the hot path — one concatenated
+    buffer, two mixer passes, `np.add.reduceat` per doc, and one
+    whole-batch hexlify sliced into an Arrow string array."""
+    import binascii
+
+    n = len(texts)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    pad = (-lens) % 8
+    buf = b"".join(e + b"\0" * int(p) for e, p in zip(enc, pad))
+    words = (np.frombuffer(buf, dtype="<u8") if buf
+             else np.empty(0, np.uint64))
+    nw = (lens + pad) // 8
+    starts = np.zeros(n, np.int64)
+    np.cumsum(nw[:-1], out=starts[1:])
+    j = (np.arange(len(words), dtype=np.int64)
+         - np.repeat(starts, nw)).astype(np.uint64)
+    key = np.zeros((n, 3), dtype=">u8")
+    nz = np.flatnonzero(nw > 0)
+    for lane, salt in enumerate((np.uint64(0xA24BAED4963EE407),
+                                 np.uint64(0x9FB21C651E98DF25))):
+        hw = _splitmix64(words ^ _splitmix64(j + salt))
+        if len(nz):
+            key[nz, lane] = np.add.reduceat(hw, starts[nz])
+    key[:, 2] = lens.astype(np.uint64)
+    big = binascii.hexlify(key.tobytes())
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 48).tobytes())
+    return pa.Array.from_buffers(pa.utf8(), n, [None, offsets, pa.py_buffer(big)])
 
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
@@ -49,11 +74,12 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
     """Keep the min-id row per duplicate key. Returns (key, winner id,
     dup count) plus keep_cols of the winner.
 
-    hash_key=True replaces the key with its md5-128 hex digest BEFORE
-    the shuffle — mandatory for unbounded keys like full document text
-    (the shuffle then moves 32 bytes per row, never the corpus; md5
-    collisions at 128 bits are negligible vs 10^12 docs). The output key
-    column is renamed ``{key_col}_md5``.
+    hash_key=True replaces the key with a 128-bit content digest + exact
+    length (hex, `_hash128_hex`) BEFORE the shuffle — mandatory for
+    unbounded keys like full document text (the shuffle then moves 48
+    bytes per row, never the corpus; collisions at 128 bits are
+    negligible vs 10^12 docs). Fully vectorized, no per-row Python. The
+    output key column is renamed ``{key_col}_md5`` (historical name).
 
     shuffle_partitions (local tree combine) is ONLY valid when the
     distinct-key table fits one block (bounded keyspaces: zone ids,
@@ -66,10 +92,7 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
     def local(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in [key_col, id_col] + keep_cols}
         if hash_key:
-            texts = batch[key_col].to_pylist()
-            cols[key_col] = pa.array(
-                [hashlib.md5(t.encode("utf-8", "ignore")).hexdigest()
-                 for t in texts])
+            cols[key_col] = _hash128_hex(batch[key_col].to_pylist())
         t = pa.table(cols)
         aggs = [(id_col, "min"), (id_col, "count")] + [(c, "min") for c in keep_cols]
         out = t.group_by([key_col]).aggregate(aggs)

@@ -210,36 +210,88 @@ def _trigram_profile(text: str):
     return {k: v / norm for k, v in prof.items()}
 
 
+_TRI_K = 27  # [a-z] + space
+_TRI_V = _TRI_K ** 3
+
+
 class _NgramLangId:
     """Character-trigram cosine language ID (the 'n-gram heuristic' —
     Cavnar & Trenkle-style profiles, cosine instead of rank-distance).
-    Profiles built once per actor."""
+
+    Fully vectorized: the (n_langs, 27^3) profile-weight matrix is built
+    once per worker; per batch, documents normalize to the [a-z ]
+    alphabet with Arrow kernels, trigram ids come from one byte-code
+    pass over a concatenated buffer, per-doc dot products are
+    `np.add.reduceat` gathers of the weight row, and the doc norm is a
+    run-length pass over the sorted (doc, trigram) keys — no per-row
+    Python, no per-doc dicts. Docs normalize with '[^a-z ]' removal
+    (the SQL oracle's rule; profile grams outside that alphabet can
+    never match a normalized doc)."""
 
     def __init__(self, text_col, min_sim=0.05):
         self.text_col = text_col
         self.min_sim = min_sim
-        self.profiles = {lang: _trigram_profile(t) for lang, t in _SEED_TEXT.items()}
+        self.langs = list(_SEED_TEXT)  # iteration order = tie priority
+        W = np.zeros((len(self.langs), _TRI_V), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            for g, w in _trigram_profile(_SEED_TEXT[lang]).items():
+                ids = [26 if c == " " else (ord(c) - 97) for c in g]
+                if any(i < 0 or i > 26 for i in ids):
+                    continue  # accented seed grams: unreachable post-normalization
+                W[li, (ids[0] * _TRI_K + ids[1]) * _TRI_K + ids[2]] = w
+        self.W = W
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        def classify(t):
-            p = _trigram_profile(t)
-            best, best_s = "und", self.min_sim
-            for lang, q in self.profiles.items():
-                s = sum(v * q.get(k, 0.0) for k, v in p.items())
-                if s > best_s:
-                    best, best_s = lang, s
-            return best
-
-        df["lang_ngram"] = df[self.text_col].map(classify)
-        return df
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[self.text_col])
+        body = pc.replace_substring_regex(lower, pattern="[^a-z ]", replacement="")
+        n = len(batch)
+        sp = pa.array(np.full(n, " "), type=pa.string())
+        sep = pc.binary_join_element_wise(sp, body, sp, "")
+        texts = sep.to_pylist() if isinstance(sep, pa.Array) else sep.combine_chunks().to_pylist()
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        arr = np.frombuffer("".join(texts).encode("ascii"), dtype=np.uint8)
+        ids = np.where(arr == 32, np.uint8(26), arr - np.uint8(97)).astype(np.int64)
+        keys_all = ((ids[:-2] * _TRI_K + ids[1:-1]) * _TRI_K + ids[2:]
+                    if len(ids) >= 3 else np.empty(0, np.int64))
+        n_tri = np.maximum(lens - 2, 0)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        t_starts = np.zeros(n, np.int64)
+        np.cumsum(n_tri[:-1], out=t_starts[1:])
+        pos = (np.arange(int(n_tri.sum()), dtype=np.int64)
+               + np.repeat(starts - t_starts, n_tri))
+        keys = keys_all[pos]
+        nz = np.flatnonzero(n_tri > 0)
+        dots = np.zeros((len(self.langs), n), dtype=np.float64)
+        if len(nz) and len(keys):
+            for li in range(len(self.langs)):
+                dots[li, nz] = np.add.reduceat(self.W[li][keys], t_starts[nz])
+        # ||doc||: run lengths over sorted (doc, trigram) keys
+        sumsq = np.zeros(n, dtype=np.float64)
+        if len(keys):
+            combined = np.repeat(np.arange(n, dtype=np.int64), n_tri) * _TRI_V + keys
+            sc = np.sort(combined)
+            bound = np.concatenate(([0], np.flatnonzero(np.diff(sc) != 0) + 1))
+            cnts = np.diff(np.concatenate((bound, [len(sc)]))).astype(np.float64)
+            rdoc = sc[bound] // _TRI_V
+            np.add.at(sumsq, rdoc, cnts * cnts)
+        norm = np.sqrt(sumsq)
+        pred = np.full(n, "und", dtype=object)
+        best = np.full(n, self.min_sim, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for li, lang in enumerate(self.langs):
+                s = np.where(norm > 0, dots[li] / norm, 0.0)
+                pred[s > best] = lang
+                best = np.maximum(best, s)
+        return batch.append_column("lang_ngram", pa.array(pred, type=pa.string()))
 
 
 def lang_id_ngram(ds: ray.data.Dataset, text_col: str = "text",
                   concurrency=None) -> ray.data.Dataset:
-    """Profiles are a tiny dict — built once per worker process via the
-    callable's lazy init, plain task pool."""
+    """Profile matrix is tiny (4 x 27^3 doubles) — built once per worker
+    process via the callable's lazy init, plain task pool."""
     fn = _NgramLangId(text_col)
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 FP_BASE = 257
@@ -259,31 +311,42 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
     MOD = np.uint64(FP_MOD)
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-            if len(b) == 0:
-                continue
-            if len(b) < window:
-                h = np.uint64(0)
-                for c in b:
-                    h = (h * B + c) % MOD
-                out[i] = h
-                continue
-            # rolling hashes of all windows
-            h = np.uint64(0)
-            pw = np.uint64(1)
-            for _ in range(window - 1):
-                pw = (pw * B) % MOD
-            hashes = np.empty(len(b) - window + 1, dtype=np.uint64)
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        enc = [t.encode("utf-8", "ignore") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+        # short docs (< window bytes): whole-doc polynomial, vectorized
+        # per distinct length (≤ window-1 passes total)
+        for L in np.unique(lens[(lens > 0) & (lens < window)]):
+            idx = np.flatnonzero(lens == L)
+            m = np.frombuffer(b"".join(enc[i] for i in idx), dtype=np.uint8)
+            m = m.astype(np.uint64).reshape(len(idx), int(L))
+            h = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(int(L)):
+                h = (h * B + m[:, j]) % MOD
+            out[idx] = h
+        # long docs: every window hash from ONE concatenated buffer with
+        # `window` vectorized passes (the per-window polynomial equals
+        # the old rolling recurrence exactly — same residues mod 2^31-1),
+        # then per-doc minima via np.minimum.reduceat.
+        long_idx = np.flatnonzero(lens >= window)
+        if len(long_idx):
+            enc_l = [enc[i] for i in long_idx]
+            lens_l = lens[long_idx]
+            concat = np.frombuffer(b"".join(enc_l), dtype=np.uint8).astype(np.uint64)
+            total = len(concat) - window + 1
+            h = np.zeros(total, dtype=np.uint64)
             for j in range(window):
-                h = (h * B + b[j]) % MOD
-            hashes[0] = h
-            for j in range(window, len(b)):
-                h = ((h + MOD * B - (b[j - window] * pw) % MOD) * B + b[j]) % MOD
-                hashes[j - window + 1] = h
-            out[i] = hashes.min()
+                h = (h * B + concat[j:j + total]) % MOD
+            n_w = lens_l - window + 1
+            starts = np.zeros(len(long_idx), np.int64)
+            np.cumsum(lens_l[:-1], out=starts[1:])
+            w_starts = np.zeros(len(long_idx), np.int64)
+            np.cumsum(n_w[:-1], out=w_starts[1:])
+            pos = (np.arange(int(n_w.sum()), dtype=np.int64)
+                   + np.repeat(starts - w_starts, n_w))
+            out[long_idx] = np.minimum.reduceat(h[pos], w_starts)
         return batch.append_column("fingerprint", pa.array(out))
 
     return ds.map_batches(fp, batch_format="pyarrow")
