@@ -2045,6 +2045,29 @@ def sql_proximity():
     """
 
 
+def q_proximity_shuffle(sf_dir):
+    """Same distances via the cell-partitioned (no-broadcast) path:
+    queries keyed to 128px tiles, targets replicated to halo-reachable
+    tiles, one groupby(tile). Shares sql_proximity (bit-identical by
+    construction)."""
+    from ..functions.swq import attribute_filter
+    from .proximity import proximity_shuffle
+
+    pts = events_points(sf_dir, cols=("event_id", "event_type"))
+    clicks = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count")
+    errors = rast.rasterize_pixels(
+        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count")
+    out = proximity_shuffle(clicks, errors, maxdist=128.0, tile=128)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "dist": pc.round(batch["dist"], ndigits=6)})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
 def q_intersection_overlay(sf_dir):
     """Layer-algebra Intersection with geometry output: part-derived
     boxes × zone boxes, clipped geometry + exact intersection areas."""
@@ -2134,6 +2157,116 @@ def sql_erase_overlay():
       WHERE c.cxv >= z.xmin AND c.cxv + 1 <= z.xmax
         AND c.cyv >= z.ymin AND c.cyv + 1 <= z.ymax)
     GROUP BY 1
+    """
+
+
+def q_union_overlay(sf_dir):
+    """Layer-algebra Union (big-both-sides method residual): part boxes
+    x zone boxes, all three parts (input_only / intersection /
+    method_only). The method-only residual runs cell-partitioned
+    (shuffle_polygon_erase — no whole-input broadcast). Oracle: all box
+    edges are integers, so every part area is an exact unit-cell count
+    (intersections in closed form). Reference: `ogrlayer.cpp:5622`."""
+    from ..stages.geom_ops import wkb_centroid_area
+    from .spatial_join import layer_union
+
+    parts = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def geo(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        xmin, ymin, xmax, ymax = derive.part_boxes(k)
+        geoms = [wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                 for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+        return batch.append_column("geometry", pa.array(geoms, type=pa.binary()))
+
+    polys = parts.map_batches(geo, batch_format="pyarrow")
+    out = layer_union(polys, zone_table(sf_dir), res=10.0)
+
+    def areas(batch: pa.Table) -> pa.Table:
+        bufs = batch["geometry"].to_numpy(zero_copy_only=False)
+        a = np.asarray([wkb_centroid_area(b)[2] for b in bufs])
+        return pa.table({
+            "src": batch["src"],
+            "p_partkey": pc.cast(batch["p_partkey"], pa.int64())
+            if "p_partkey" in batch.column_names
+            else pa.nulls(len(batch), pa.int64()),
+            "zone_id": pc.cast(batch["zone_id"], pa.int64())
+            if "zone_id" in batch.column_names
+            else pa.nulls(len(batch), pa.int64()),
+            "frag_area": pa.array(a),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (out.map_batches(areas, batch_format="pyarrow")
+           .groupby(["src", "p_partkey", "zone_id"])
+           .aggregate(Sum("frag_area", alias_name="area")))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch["src"],
+            "p_partkey": batch["p_partkey"],
+            "zone_id": batch["zone_id"],
+            "area": pc.round(batch["area"], ndigits=4),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def sql_union_overlay():
+    # part boxes and zone boxes are integer-aligned: unit-cell counting
+    # for both residuals; closed-form rectangle overlap for intersections
+    return f"""
+    WITH pb AS (
+      SELECT p_partkey,
+        CAST({derive.SQL_PART_XMIN} AS BIGINT) AS x0,
+        CAST({derive.SQL_PART_YMIN} AS BIGINT) AS y0,
+        CAST({derive.SQL_PART_XMAX} AS BIGINT) AS x1,
+        CAST({derive.SQL_PART_YMAX} AS BIGINT) AS y1
+      FROM part
+    ), zb AS (
+      SELECT zone_id, CAST(xmin AS BIGINT) AS x0, CAST(ymin AS BIGINT) AS y0,
+             CAST(xmax AS BIGINT) AS x1, CAST(ymax AS BIGINT) AS y1
+      FROM {_ZONES_SQL}
+    ), pcell AS (
+      SELECT p_partkey, cxv, y0 + unnest(generate_series(0, y1 - y0 - 1)) AS cyv
+      FROM (SELECT p_partkey, x0 + unnest(generate_series(0, x1 - x0 - 1)) AS cxv,
+                   y0, y1 FROM pb)
+    ), zcell AS (
+      SELECT zone_id, cxv, y0 + unnest(generate_series(0, y1 - y0 - 1)) AS cyv
+      FROM (SELECT zone_id, x0 + unnest(generate_series(0, x1 - x0 - 1)) AS cxv,
+                   y0, y1 FROM zb)
+    ), input_only AS (
+      SELECT 'input_only' AS src, c.p_partkey,
+             CAST(NULL AS BIGINT) AS zone_id,
+             round(CAST(count(*) AS DOUBLE), 4) AS area
+      FROM pcell c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM zb z
+        WHERE c.cxv >= z.x0 AND c.cxv + 1 <= z.x1
+          AND c.cyv >= z.y0 AND c.cyv + 1 <= z.y1)
+      GROUP BY 2
+    ), inter AS (
+      SELECT 'intersection' AS src, p.p_partkey, z.zone_id,
+             round(CAST((LEAST(p.x1, z.x1) - GREATEST(p.x0, z.x0))
+                   * (LEAST(p.y1, z.y1) - GREATEST(p.y0, z.y0)) AS DOUBLE),
+                   4) AS area
+      FROM pb p JOIN zb z
+        ON LEAST(p.x1, z.x1) > GREATEST(p.x0, z.x0)
+       AND LEAST(p.y1, z.y1) > GREATEST(p.y0, z.y0)
+    ), method_only AS (
+      SELECT 'method_only' AS src, CAST(NULL AS BIGINT) AS p_partkey,
+             c.zone_id, round(CAST(count(*) AS DOUBLE), 4) AS area
+      FROM zcell c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pb p
+        WHERE c.cxv >= p.x0 AND c.cxv + 1 <= p.x1
+          AND c.cyv >= p.y0 AND c.cyv + 1 <= p.y1)
+      GROUP BY 3
+    )
+    SELECT * FROM input_only
+    UNION ALL SELECT * FROM inter
+    UNION ALL SELECT * FROM method_only
     """
 
 
@@ -2442,8 +2575,10 @@ QUERIES = {
     "intersection_overlay": (q_intersection_overlay, SQL_INTERSECTION),
     "clip_geometry": (q_clip_geometry, SQL_CLIP_GEOM),
     "erase_overlay": (q_erase_overlay, sql_erase_overlay()),
+    "union_overlay": (q_union_overlay, sql_union_overlay()),
     "mosaic_warp": (q_mosaic_warp, sql_mosaic_warp()),
     "proximity_dist": (q_proximity, sql_proximity()),
+    "proximity_shuffle": (q_proximity_shuffle, sql_proximity()),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "token_stats": (q_token_stats, SQL_TOKEN),

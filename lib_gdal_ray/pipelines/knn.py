@@ -15,7 +15,7 @@ exactly mirrorable in a SQL oracle). Ties broken by site id.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 import pyarrow as pa
@@ -138,7 +138,10 @@ def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
                      site_id_col: str, site_lon_col: str, site_lat_col: str,
                      res: float = 5.0, max_ring: int = 4,
                      lon_col: str = "lon", lat_col: str = "lat",
-                     point_id_col: str = "pid") -> ray.data.Dataset:
+                     point_id_col: str = "pid",
+                     hot_cells: Optional[dict] = None,
+                     auto_salt: bool = False,
+                     hot_threshold: int = 1_000_000) -> ray.data.Dataset:
     """Both-sides-large kNN: co-partition by grid cell with ring-`r`
     site replication, refine per cell, and guarantee exactness by a
     bound check (SURVEY §7.3 "kNN ring round 2").
@@ -152,11 +155,31 @@ def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
     Unsatisfied points re-run with doubled r (bounded by max_ring; the
     final round accepts best-effort and reports `exact=False`).
 
+    Skew: `hot_cells` ({cell_id: n_salts} from
+    `spatial_join.precount_cells`, or auto_salt=True to pre-count here)
+    splits a hot cell's POINTS across salt sub-keys and replicates the
+    cell's gathered SITES to every salt — a dense urban cell becomes
+    n_salts bounded groups instead of one quadratic one (exactness
+    unchanged: every point still sees every ring site of its cell).
+
     Returns (point cols…, neighbor_id, rank, dist2, exact).
     """
     import pandas as pd
 
     from ..geom import cells as cellsm
+
+    if auto_salt and hot_cells is None:
+        from .spatial_join import precount_cells
+
+        hot_cells = precount_cells(points, res, lon_col=lon_col,
+                                   lat_col=lat_col, hot_threshold=hot_threshold)
+    hot = hot_cells or {}
+
+    def _salts_for(cc: np.ndarray) -> np.ndarray:
+        reps = np.ones(len(cc), dtype=np.int64)
+        for c, nsalt in hot.items():
+            reps[cc == np.uint64(c)] = int(nsalt)
+        return reps
 
     remaining = points
     results = []
@@ -183,19 +206,34 @@ def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
                                  "side": pa.array([], pa.int8())})
             cc = np.concatenate(out_cell)
             ii = np.concatenate(out_idx)
+            # replicate to every salt of each (hot) covered cell
+            reps = _salts_for(cc)
+            tot = int(reps.sum())
+            rix = np.repeat(np.arange(len(cc), dtype=np.int64), reps)
+            salts = (np.arange(tot, dtype=np.int64)
+                     - np.repeat(np.cumsum(reps) - reps, reps)).astype(np.uint64)
+            key = (cc[rix] << np.uint64(6)) | salts
+            ii = ii[rix]
             return pa.table({
-                "cell": pa.array(cc),
+                "cell": pa.array(key),
                 "sid": pa.array(sid[ii].astype(np.int64)),
                 "sx": pa.array(sx[ii]), "sy": pa.array(sy[ii]),
-                "side": pa.array(np.ones(len(cc), dtype=np.int8)),
+                "side": pa.array(np.ones(len(key), dtype=np.int8)),
             })
 
         def point_key(batch: pa.Table) -> pa.Table:
             px = batch[lon_col].to_numpy(zero_copy_only=False)
             py = batch[lat_col].to_numpy(zero_copy_only=False)
             pid = batch[point_id_col].to_numpy(zero_copy_only=False)
+            cell = cellsm.grid_cell(px, py, res)
+            salt = np.zeros(len(cell), dtype=np.uint64)
+            for c, nsalt in hot.items():
+                m = cell == np.uint64(c)
+                if m.any():  # deterministic: salt by point id
+                    salt[m] = (pid[m].astype(np.uint64)) % np.uint64(int(nsalt))
+            key = (cell << np.uint64(6)) | salt
             return pa.table({
-                "cell": pa.array(cellsm.grid_cell(px, py, res)),
+                "cell": pa.array(key),
                 "sid": pa.array(pid.astype(np.int64)),  # reuse col as point id
                 "sx": pa.array(px), "sy": pa.array(py),
                 "side": pa.array(np.zeros(len(px), dtype=np.int8)),
@@ -239,9 +277,25 @@ def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
             py = pts["sy"].to_numpy(zero_copy_only=False)
             kk = min(k, len(sid))
             d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
-            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-            rows = np.arange(len(px))[:, None]
-            topd = d2[rows, top]
+            n_p = len(px)
+            # O(s) selection instead of a full argsort: partition for the
+            # kk-th distance, keep the <=kth superset (boundary ties
+            # included), then one lexsort by (row, dist, site index) —
+            # identical output to a stable argsort (ties -> smaller sid).
+            if d2.shape[1] > kk:
+                kth_part = np.partition(d2, kk - 1, axis=1)[:, kk - 1:kk]
+                rows_c, cols_c = np.nonzero(d2 <= kth_part)
+            else:
+                rows_c = np.repeat(np.arange(n_p, dtype=np.int64), d2.shape[1])
+                cols_c = np.tile(np.arange(d2.shape[1], dtype=np.int64), n_p)
+            vals_c = d2[rows_c, cols_c]
+            ordk = np.lexsort((cols_c, vals_c, rows_c))
+            rows_s, cols_s, vals_s = rows_c[ordk], cols_c[ordk], vals_c[ordk]
+            firsts = np.searchsorted(rows_s, np.arange(n_p))
+            posin = np.arange(len(rows_s), dtype=np.int64) - firsts[rows_s]
+            selm = posin < kk
+            top = cols_s[selm].reshape(n_p, kk)
+            topd = vals_s[selm].reshape(n_p, kk)
             kth = topd[:, -1]
             exact = (kth <= bound2) & (kk == k)
             return pa.table({

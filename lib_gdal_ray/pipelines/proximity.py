@@ -8,10 +8,15 @@ broadcast once (`ray.put`), each query batch computes a chunked
 running-min distance matrix (memory-bounded: targets are processed in
 blocks so batch×block stays small).
 
-Scale assumption (documented): the *target* set fits in worker memory
-(typical: rasterized vector features). For huge target sets, partition
-queries by cell and ship only targets within MAXDIST of each cell —
-the same cell-join pattern as the spatial join.
+Two paths:
+
+* ``proximity`` — broadcast targets (typical: sparse rasterized vector
+  features that fit in worker memory).
+* ``proximity_shuffle`` — tile-halo co-partition for HUGE/dense target
+  sets: queries go to their own tile, targets replicate to every tile
+  whose halo (= maxdist) can reach them, one ``groupby(tile)`` runs the
+  bounded per-tile kernel. A target farther than the halo is capped
+  anyway, so output is identical to the broadcast path.
 """
 
 from __future__ import annotations
@@ -83,3 +88,74 @@ def proximity(query_pixels: ray.data.Dataset, target_pixels: ray.data.Dataset,
         return j(batch)
 
     return query_pixels.map_batches(stage, batch_format="pyarrow")
+
+
+def proximity_shuffle(query_pixels: ray.data.Dataset,
+                      target_pixels: ray.data.Dataset,
+                      maxdist: float = 64.0,
+                      tile: int = 256) -> ray.data.Dataset:
+    """Cell-partitioned proximity for dense/huge target sets (the
+    100-TB path): NO broadcast side. Queries key to their ``tile``
+    block; targets replicate to every block whose halo(=ceil(maxdist))
+    window reaches them (≤4 replicas while halo < tile); one
+    ``groupby(block)`` computes the bounded per-tile chunked min-dist.
+    Bit-identical to ``proximity`` (targets beyond the halo are capped
+    to maxdist either way). Reference: `alg/gdalproximity.cpp:29-101`
+    (MAXDIST cap semantics)."""
+    halo = int(np.ceil(maxdist))
+
+    def tag_query(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        key = (gpx // tile).astype(np.uint64) << np.uint64(29) \
+            | (gpy // tile).astype(np.uint64)
+        return pa.table({
+            "pix_id": batch["pix_id"],
+            "__blk": pa.array(key),
+            "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    def tag_target(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        bx0 = np.maximum((gpx - halo) // tile, 0)
+        bx1 = (gpx + halo) // tile
+        by0 = np.maximum((gpy - halo) // tile, 0)
+        by1 = (gpy + halo) // tile
+        nx = (bx1 - bx0 + 1).astype(np.int64)
+        ny = (by1 - by0 + 1).astype(np.int64)
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        # vectorized (bx, by) cartesian offsets per row (ragged arange)
+        tot = int(reps.sum())
+        flat = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        bx = np.repeat(bx0, reps) + flat // np.repeat(ny, reps)
+        by = np.repeat(by0, reps) + flat % np.repeat(ny, reps)
+        keys = bx.astype(np.uint64) << np.uint64(29) | by.astype(np.uint64)
+        sub = batch.take(pa.array(idx))
+        return pa.table({
+            "pix_id": sub["pix_id"],
+            "__blk": pa.array(keys),
+            "__side": pa.array(np.ones(len(sub), dtype=np.int8)),
+        })
+
+    both = query_pixels.map_batches(tag_query, batch_format="pyarrow").union(
+        target_pixels.map_batches(tag_target, batch_format="pyarrow"))
+
+    def dist_group(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        q = tbl.filter(pa.array(side == 0))
+        if len(q) == 0:
+            return pa.table({"pix_id": pa.array([], type=pa.uint64()),
+                             "dist": pa.array([], type=pa.float64())})
+        t = tbl.filter(pa.array(side == 1))
+        _, qx, qy = unpack_pixel(q["pix_id"].to_numpy(zero_copy_only=False))
+        if len(t) == 0:
+            d = np.full(len(q), float(maxdist))
+        else:
+            _, tx, ty = unpack_pixel(t["pix_id"].to_numpy(zero_copy_only=False))
+            d = _min_dist_chunked(qx.astype(np.float64), qy.astype(np.float64),
+                                  tx.astype(np.float64), ty.astype(np.float64))
+            np.minimum(d, maxdist, out=d)
+        return pa.table({"pix_id": q["pix_id"], "dist": pa.array(d)})
+
+    return both.groupby("__blk").map_groups(dist_group, batch_format="pyarrow")

@@ -453,24 +453,24 @@ def layer_union(polys: ray.data.Dataset, method: pa.Table,
         inter = broadcast_polygon_intersection(polys, method, method_cols,
                                                res=res, concurrency=concurrency)
         parts.append(inter.map_batches(tag("intersection"), batch_format="pyarrow"))
-    # method-only parts: method minus the union of all input polygons.
-    # The broadcast input side is assembled INSIDE a Ray task from the
-    # dataset's block refs — the geometry bytes go block-store ->
-    # task -> object store and never pass through the driver.
-    # (Documented: Union's method-side residual needs one side in
-    # memory; swap roles if the method side is the big one.)
-    geom_blocks = polys.select_columns(["geometry"]).to_arrow_refs()
-
-    @ray.remote
-    def _concat_blocks(*blocks: pa.Table) -> pa.Table:
-        if not blocks:
-            return pa.table({"geometry": pa.array([], pa.binary())})
-        return pa.concat_tables([b.select(["geometry"]) for b in blocks])
-
-    input_ref = _concat_blocks.remote(*geom_blocks)
+    # method-only parts: method minus the union of all input polygons —
+    # cell-partitioned (shuffle_polygon_erase): (M ∖ A) ∩ cell ==
+    # (M ∩ cell) ∖ (A ∩ cell), so NEITHER side is ever materialized in
+    # one object; the input geometries ship only to the cells they
+    # cover. Output rows are per-(method feature × cell) fragments
+    # (fragments partition M ∖ A exactly; aggregate by the method id
+    # columns for per-feature areas).
     m_ds = _rd.from_arrow(method)
-    b_only = broadcast_polygon_erase(m_ds, input_ref, res=res, concurrency=concurrency)
-    parts.append(b_only.map_batches(tag("method_only"), batch_format="pyarrow"))
+    b_only = shuffle_polygon_erase(m_ds, polys.select_columns(["geometry"]),
+                                   method_cols, res=res)
+
+    def tag_method(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(
+            [c for c in ("cell_id", "fragment_area") if c in batch.column_names])
+        return batch.append_column(
+            "src", pa.array(np.full(len(batch), "method_only"), type=pa.string()))
+
+    parts.append(b_only.map_batches(tag_method, batch_format="pyarrow"))
 
     from .relational import union_all
 

@@ -329,6 +329,38 @@ class TestShuffleKnn:
             assert sub["exact"].all()
 
 
+class TestShuffleKnnSalted:
+    def test_skewed_cell_salted_exact(self):
+        """One cell holds ~50% of sites AND points; salting splits it
+        into bounded groups without changing results (vs brute)."""
+        rng = np.random.default_rng(33)
+        n_hot = 200
+        # hot cluster inside one 20-degree cell, plus scattered rest
+        plon = np.concatenate([rng.uniform(1, 19, n_hot), rng.uniform(-179, 179, 200)])
+        plat = np.concatenate([rng.uniform(1, 19, n_hot), rng.uniform(-84, 84, 200)])
+        pts = pa.table({"pid": pa.array(np.arange(len(plon), dtype=np.int64)),
+                        "lon": pa.array(plon), "lat": pa.array(plat)})
+        slon = np.concatenate([rng.uniform(1, 19, n_hot), rng.uniform(-179, 179, 200)])
+        slat = np.concatenate([rng.uniform(1, 19, n_hot), rng.uniform(-84, 84, 200)])
+        sites_tbl = pa.table({
+            "site_id": pa.array(np.arange(len(slon), dtype=np.int64)),
+            "slon": pa.array(slon), "slat": pa.array(slat)})
+        from lib_gdal_ray.pipelines.knn import shuffle_knn_join
+
+        out = shuffle_knn_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(sites_tbl), 3,
+            "site_id", "slon", "slat", res=20.0, max_ring=16,
+            point_id_col="pid", auto_salt=True, hot_threshold=50,
+        ).to_pandas()
+        ns = len(slon)
+        for i in range(0, len(plon), 13):
+            d2 = (slon - plon[i]) ** 2 + (slat - plat[i]) ** 2
+            want = np.lexsort((np.arange(ns), d2))[:3]
+            sub = out[out["pid"] == i].sort_values("rank")
+            assert list(sub["neighbor_id"]) == list(want), f"pid {i}"
+            assert sub["exact"].all()
+
+
 class TestAutoSalt:
     def test_auto_salt_correct(self):
         pts = make_points(600, seed=41)

@@ -30,3 +30,32 @@ def test_vs_brute():
 def test_maxdist_cap():
     out = proximity(ds_from([(0, 0)]), ds_from([(50, 0)]), maxdist=10.0).to_pandas()
     assert out["dist"].iloc[0] == 10.0
+
+
+def test_shuffle_matches_broadcast_dense():
+    """Cell-partitioned path vs broadcast on a DENSE target raster
+    (every pixel of a 40x40 block is a target) + sparse far queries
+    that exercise the empty-tile -> maxdist cap."""
+    from lib_gdal_ray.pipelines.proximity import proximity_shuffle
+
+    rng = np.random.default_rng(7)
+    targets = [(int(x), int(y)) for x in range(40) for y in range(40)]
+    queries = [(int(x), int(y)) for x, y in rng.integers(0, 300, (200, 2))]
+    bro = proximity(ds_from(queries), ds_from(targets), maxdist=64.0).to_pandas()
+    shf = proximity_shuffle(ds_from(queries), ds_from(targets),
+                            maxdist=64.0, tile=64).to_pandas()
+    b = bro.sort_values("pix_id").reset_index(drop=True)
+    s = shf.sort_values("pix_id").reset_index(drop=True)
+    assert len(b) == len(s) == len(set(map(tuple, queries)))
+    np.testing.assert_array_equal(b["pix_id"].to_numpy(), s["pix_id"].to_numpy())
+    np.testing.assert_allclose(b["dist"].to_numpy(), s["dist"].to_numpy())
+
+
+def test_shuffle_halo_replication_exact():
+    """A target one pixel outside a tile border must still serve the
+    neighboring tile's queries (halo shipment)."""
+    from lib_gdal_ray.pipelines.proximity import proximity_shuffle
+
+    out = proximity_shuffle(ds_from([(64, 10)]), ds_from([(63, 10)]),
+                            maxdist=32.0, tile=64).to_pandas()
+    assert out["dist"].iloc[0] == 1.0
