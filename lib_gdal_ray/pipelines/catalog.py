@@ -900,6 +900,187 @@ def sql_tile_overview():
     """
 
 
+def _q_overview(sf_dir, how: str):
+    """One overview step z7 -> z6 on the events count raster with the
+    given reducer; integer-valued doubles keep every sum exact, and the
+    final division/sqrt is the same single IEEE op on both sides.
+    Reference: `gcore/overview.cpp:3355-4641`."""
+    pts = events_points(sf_dir)
+    base = rast.rasterize_pixels(pts, 7, merge_alg="count")
+    out = tiles_mod.overview_pixels(base, how=how)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "val": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def q_overview_average(sf_dir):
+    return _q_overview(sf_dir, "average")
+
+
+def q_overview_rms(sf_dir):
+    return _q_overview(sf_dir, "rms")
+
+
+def q_overview_mode(sf_dir):
+    return _q_overview(sf_dir, "mode")
+
+
+def q_overview_gauss(sf_dir):
+    return _q_overview(sf_dir, "gauss")
+
+
+def _sql_c7():
+    gx, gy = _tile_sql(15)  # z7 global pixels
+    return f"""c7 AS (
+      SELECT {gx} AS gx, {gy} AS gy, CAST(count(*) AS DOUBLE) AS v
+      FROM {_POINTS_SQL} p GROUP BY 1, 2
+    )"""
+
+
+def sql_overview_average():
+    return f"""
+    WITH {_sql_c7()}
+    SELECT gx // 2 AS gpx, gy // 2 AS gpy,
+           sum(v) / CAST(count(*) AS DOUBLE) AS val
+    FROM c7 GROUP BY 1, 2
+    """
+
+
+def sql_overview_rms():
+    return f"""
+    WITH {_sql_c7()}
+    SELECT gx // 2 AS gpx, gy // 2 AS gpy,
+           sqrt(sum(v * v) / CAST(count(*) AS DOUBLE)) AS val
+    FROM c7 GROUP BY 1, 2
+    """
+
+
+def sql_overview_mode():
+    return f"""
+    WITH {_sql_c7()}, cnts AS (
+      SELECT gx // 2 AS gpx, gy // 2 AS gpy, v, count(*) AS c
+      FROM c7 GROUP BY 1, 2, 3
+    )
+    SELECT gpx, gpy, v AS val FROM (
+      SELECT gpx, gpy, v,
+             row_number() OVER (PARTITION BY gpx, gpy
+                                ORDER BY c DESC, v ASC) AS rk
+      FROM cnts) WHERE rk = 1
+    """
+
+
+def sql_overview_gauss():
+    # mirror of the engine's scatter: even source coord -> two dests
+    # (offset 0 and 2, weight 1); odd -> one dest (offset 1, weight 2)
+    return f"""
+    WITH {_sql_c7()}, xo AS (
+      SELECT gx, gy, gx // 2 AS dx,
+             CASE WHEN gx % 2 = 1 THEN 2.0 ELSE 1.0 END AS wx FROM c7
+      UNION ALL
+      SELECT gx, gy, gx // 2 - 1, 1.0 FROM c7
+      WHERE gx % 2 = 0 AND gx // 2 - 1 >= 0
+    ), yo AS (
+      SELECT gx, gy, gy // 2 AS dy,
+             CASE WHEN gy % 2 = 1 THEN 2.0 ELSE 1.0 END AS wy FROM c7
+      UNION ALL
+      SELECT gx, gy, gy // 2 - 1, 1.0 FROM c7
+      WHERE gy % 2 = 0 AND gy // 2 - 1 >= 0
+    )
+    SELECT x.dx AS gpx, y.dy AS gpy,
+           sum(x.wx * y.wy * c.v) / sum(x.wx * y.wy) AS val
+    FROM c7 c
+    JOIN xo x ON x.gx = c.gx AND x.gy = c.gy
+    JOIN yo y ON y.gx = c.gx AND y.gy = c.gy
+    GROUP BY 1, 2
+    """
+
+
+def q_grid_linear(sf_dir):
+    """Delaunay-linear gridding (GDAL `GDALGridLinear`,
+    `alg/gdalgrid.cpp` linear via `alg/delaunay.c`). Site layout: one
+    well-separated triangle of 3 sites per nation key — each small
+    triangle's circumcircle is empty, so it is PROVABLY a Delaunay face
+    regardless of how the triangulation connects the clusters. The
+    query keeps only points ≥0.01 inside a cluster face (margin on
+    bit-identical barycentrics), where the oracle reproduces the same
+    barycentric interpolation in closed form."""
+    from .gridding import grid_linear
+
+    nat = tables.read_table_arrow(sf_dir, "nation", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    # 3 sites per nation: A=(Cx+1,Cy+1) B=(Cx+6,Cy+2) C=(Cx+2,Cy+6)
+    cxs = (nk % 5) * 12.0
+    cys = (nk // 5) * 12.0
+    sx = np.concatenate([cxs + 1.0, cxs + 6.0, cxs + 2.0])
+    sy = np.concatenate([cys + 1.0, cys + 2.0, cys + 6.0])
+    sid = np.concatenate([nk * 3, nk * 3 + 1, nk * 3 + 2])
+    order = np.argsort(sid)
+    sx, sy = sx[order], sy[order]
+    sv = ((sid[order] * 37) % 101).astype(np.float64)
+
+    W = 128  # query lattice: x,y = 0.25 + 0.5*i over [0, 64)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(0.25 + 0.5 * (idx % W)),
+                         "y": pa.array(0.25 + 0.5 * (idx // W))})
+
+    queries = ray.data.range(W * W).map_batches(gen, batch_format="pyarrow")
+    out = grid_linear(queries, sx, sy, sv, cell=8.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        i1 = batch["i1"].to_numpy(zero_copy_only=False)
+        i2 = batch["i2"].to_numpy(zero_copy_only=False)
+        i3 = batch["i3"].to_numpy(zero_copy_only=False)
+        l1 = batch["l1"].to_numpy(zero_copy_only=False)
+        l2 = batch["l2"].to_numpy(zero_copy_only=False)
+        l3 = batch["l3"].to_numpy(zero_copy_only=False)
+        keep = ((i1 % 3 == 0) & (i2 == i1 + 1) & (i3 == i1 + 2)
+                & (l1 >= 0.01) & (l2 >= 0.01) & (l3 >= 0.01))
+        sub = batch.filter(pa.array(keep))
+        return pa.table({"x": sub["x"], "y": sub["y"],
+                         "nation": pc.cast(pc.divide(sub["i1"], 3), pa.int64()),
+                         "v": sub["v"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_grid_linear():
+    # mirror the engine's barycentric expressions verbatim (vertex roles
+    # = site-id order: A=3k, B=3k+1, C=3k+2)
+    l1 = "((y2 - y3) * (q.x - x3) + (x3 - x2) * (q.y - y3)) / den"
+    l2 = "((y3 - y1) * (q.x - x3) + (x1 - x3) * (q.y - y3)) / den"
+    return f"""
+    WITH t AS (
+      SELECT n_nationkey AS k,
+        (n_nationkey % 5) * 12.0 + 1.0 AS x1, (n_nationkey // 5) * 12.0 + 1.0 AS y1,
+        (n_nationkey % 5) * 12.0 + 6.0 AS x2, (n_nationkey // 5) * 12.0 + 2.0 AS y2,
+        (n_nationkey % 5) * 12.0 + 2.0 AS x3, (n_nationkey // 5) * 12.0 + 6.0 AS y3,
+        CAST((n_nationkey * 3 * 37) % 101 AS DOUBLE) AS v1,
+        CAST(((n_nationkey * 3 + 1) * 37) % 101 AS DOUBLE) AS v2,
+        CAST(((n_nationkey * 3 + 2) * 37) % 101 AS DOUBLE) AS v3
+      FROM nation
+    ), tt AS (
+      SELECT *, (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3) AS den FROM t
+    ), q AS (
+      SELECT 0.25 + 0.5 * (i % 128) AS x, 0.25 + 0.5 * (i // 128) AS y
+      FROM (SELECT unnest(generate_series(0, 128 * 128 - 1)) AS i)
+    ), b AS (
+      SELECT q.x, q.y, tt.k AS nation,
+             {l1} AS l1, {l2} AS l2,
+             1.0 - ({l1}) - ({l2}) AS l3,
+             v1, v2, v3
+      FROM q, tt
+    )
+    SELECT x, y, nation, l1 * v1 + l2 * v2 + l3 * v3 AS v
+    FROM b WHERE l1 >= 0.01 AND l2 >= 0.01 AND l3 >= 0.01
+    """
+
+
 def q_zonal_stats(sf_dir):
     pts = events_points(sf_dir, cols=("event_id", "value"))
     pts = add_cents(pts, "value", "value_c")
@@ -2555,6 +2736,10 @@ QUERIES = {
     "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
     "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),
     "tile_overview": (q_tile_overview, sql_tile_overview()),
+    "overview_average": (q_overview_average, sql_overview_average()),
+    "overview_rms": (q_overview_rms, sql_overview_rms()),
+    "overview_mode": (q_overview_mode, sql_overview_mode()),
+    "overview_gauss": (q_overview_gauss, sql_overview_gauss()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "zonal_weighted": (q_zonal_weighted, sql_zonal_weighted()),
     "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),
@@ -2568,6 +2753,7 @@ QUERIES = {
     "polygonize_regions": (q_polygonize_regions, sql_polygonize_regions()),
     "hillshade": (q_hillshade, sql_hillshade()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
+    "grid_linear": (q_grid_linear, sql_grid_linear()),
     "contour": (q_contour, sql_contour()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),

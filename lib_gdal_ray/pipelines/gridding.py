@@ -129,3 +129,105 @@ def grid_idw(pixels: ray.data.Dataset, site_x: np.ndarray, site_y: np.ndarray,
         return j(batch)
 
     return pixels.map_batches(stage, batch_format="pyarrow")
+
+
+class _LinearStage:
+    """Delaunay-linear interpolation (GDAL `GDALGridLinear`,
+    `alg/gdalgrid.cpp` linear via `alg/delaunay.c`): triangulation built
+    ONCE per worker from the broadcast site table; faces bucketed to a
+    coarse grid for the per-batch locate; queries outside the hull are
+    dropped (GDAL nodata). Vertex roles within a face are index-sorted,
+    so the barycentric expressions are deterministic (SQL-mirrorable).
+    """
+
+    def __init__(self, wrapped, cell: float):
+        from ..geom.delaunay import delaunay
+
+        data = ray.get(wrapped["ref"])
+        self.sx, self.sy, self.sv = data["x"], data["y"], data["v"]
+        self.tri = delaunay(self.sx, self.sy)
+        self.cell = cell
+        # face -> covered coarse cells (bbox cover)
+        self.buckets: dict = {}
+        for t in range(len(self.tri)):
+            ia, ib, ic = self.tri[t]
+            xs = (self.sx[ia], self.sx[ib], self.sx[ic])
+            ys = (self.sy[ia], self.sy[ib], self.sy[ic])
+            for bx in range(int(np.floor(min(xs) / cell)),
+                            int(np.floor(max(xs) / cell)) + 1):
+                for by in range(int(np.floor(min(ys) / cell)),
+                                int(np.floor(max(ys) / cell)) + 1):
+                    self.buckets.setdefault((bx, by), []).append(t)
+
+    def _bary(self, t_idx: np.ndarray, qx: np.ndarray, qy: np.ndarray):
+        """Barycentric coords of (qx, qy) w.r.t. faces t_idx — the
+        expression order here is the oracle contract (catalog
+        sql mirrors it verbatim)."""
+        ia, ib, ic = (self.tri[t_idx, 0], self.tri[t_idx, 1], self.tri[t_idx, 2])
+        x1, y1 = self.sx[ia], self.sy[ia]
+        x2, y2 = self.sx[ib], self.sy[ib]
+        x3, y3 = self.sx[ic], self.sy[ic]
+        den = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+        l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / den
+        l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / den
+        l3 = 1.0 - l1 - l2
+        return l1, l2, l3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qy = batch["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(qx)
+        found = np.full(n, -1, dtype=np.int64)
+        bx = np.floor(qx / self.cell).astype(np.int64)
+        by = np.floor(qy / self.cell).astype(np.int64)
+        key = bx * np.int64(1 << 32) + by
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, n)
+        for u in range(len(uniq)):
+            rows = order[bounds[u]:bounds[u + 1]]
+            cands = self.buckets.get((int(bx[rows[0]]), int(by[rows[0]])))
+            if not cands:
+                continue
+            remaining = rows
+            for t in cands:  # ascending face index -> deterministic pick
+                if not len(remaining):
+                    break
+                l1, l2, l3 = self._bary(np.full(len(remaining), t, dtype=np.int64),
+                                        qx[remaining],
+                                        qy[remaining])
+                inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
+                found[remaining[inside]] = t
+                remaining = remaining[~inside]
+        ok = found >= 0
+        t_ok = found[ok]
+        l1, l2, l3 = self._bary(t_ok, qx[ok], qy[ok])
+        ia, ib, ic = self.tri[t_ok, 0], self.tri[t_ok, 1], self.tri[t_ok, 2]
+        v = l1 * self.sv[ia] + l2 * self.sv[ib] + l3 * self.sv[ic]
+        sub = batch.filter(pa.array(ok))
+        for name, col in (("v", v), ("i1", ia), ("i2", ib), ("i3", ic),
+                          ("l1", l1), ("l2", l2), ("l3", l3)):
+            sub = sub.append_column(name, pa.array(col))
+        return sub
+
+
+def grid_linear(queries: ray.data.Dataset, site_x: np.ndarray,
+                site_y: np.ndarray, site_v: np.ndarray,
+                cell: float = 8.0) -> ray.data.Dataset:
+    """Delaunay-linear interpolation of site values at query (x, y)
+    rows -> (query cols…, v, i1, i2, i3, l1, l2, l3); outside-hull
+    queries drop. Broadcast sites; triangulation + face buckets built
+    once per worker (the 100-TB path re-runs the same kernel per tile
+    over halo-gathered sites)."""
+    ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
+                   "y": np.asarray(site_y, dtype=np.float64),
+                   "v": np.asarray(site_v, dtype=np.float64)})
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key + ":lin", lambda: _LinearStage({"ref": ref}, cell))
+        return j(batch)
+
+    return queries.map_batches(stage, batch_format="pyarrow")

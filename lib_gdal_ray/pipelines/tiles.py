@@ -29,7 +29,24 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
                     tile_size: int = 256,
                     shuffle_partitions=None) -> ray.data.Dataset:
     """One overview step on sparse pixel rows: zoom z → z-1.
-    shuffle_partitions: see rasterize_pixels — small-shuffle knob."""
+    shuffle_partitions: see rasterize_pixels — small-shuffle knob.
+
+    Reductions (reference `gcore/overview.cpp:3355-4641`):
+    "sum", "max", "mean4" (sum/4 — GDAL average over the FULL 2×2 block
+    where absent means zero), "average" (mean over PRESENT children —
+    GDAL average with nodata), "rms" (sqrt of mean of squares over
+    present children), "mode" (most frequent child value, ties → the
+    smallest value; GDAL's tie is hash-order — documented divergence),
+    "gauss" (3×3 [1 2 1]⊗[1 2 1] kernel centered on source pixel
+    (2x+1, 2y+1), weights renormalized over present pixels)."""
+    if how == "average":
+        return _overview_weighted(pixels, mode="average")
+    if how == "rms":
+        return _overview_weighted(pixels, mode="rms")
+    if how == "gauss":
+        return _overview_weighted(pixels, mode="gauss")
+    if how == "mode":
+        return _overview_mode(pixels)
     if how not in ("sum", "max", "mean4"):
         raise ValueError(f"unknown reduction {how}")
     pa_agg = {"sum": "sum", "mean4": "sum", "max": "max"}[how]
@@ -56,6 +73,109 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
             return batch.drop_columns(["burn"]).append_column("burn", pa.array(b))
         out = out.map_batches(div4, batch_format="pyarrow")
     return out
+
+
+def _overview_weighted(pixels: ray.data.Dataset, mode: str) -> ray.data.Dataset:
+    """average / rms / gauss as one weighted-sum shuffle: per source
+    pixel scatter (parent, w·f(v), w) rows (f = v² for rms; gauss emits
+    ≤4 parents with kernel weights, the others exactly one), in-batch
+    pyarrow combine, one hash groupby(Sum, Sum), then the final
+    division/sqrt — no dense arrays, no per-group Python."""
+    from ray.data.aggregate import Sum
+
+    from .rasterize import pack_pixel, unpack_pixel
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        v = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z, gpx, gpy = unpack_pixel(pix)
+        zp = int(z[0]) - 1 if len(z) else 0
+        if mode in ("average", "rms"):
+            parent = pack_pixel(zp, gpx >> 1, gpy >> 1)
+            wv = v * v if mode == "rms" else v
+            t = pa.table({"pix_id": pa.array(parent), "wv": pa.array(wv),
+                          "w": pa.array(np.ones(len(v)))})
+        else:  # gauss: x-contribs (dx, wx): even sx -> (sx/2, 1) and
+            # (sx/2-1, 1); odd sx -> ((sx-1)/2, 2); same for y
+            def axis(c):
+                even = (c & 1) == 0
+                d_a = c >> 1
+                w_a = np.where(even, 1.0, 2.0)
+                d_b = np.where(even, (c >> 1) - 1, d_a)
+                keep_b = even & (d_b >= 0)
+                return d_a, w_a, d_b, keep_b
+
+            dxa, wxa, dxb, kxb = axis(gpx)
+            dya, wya, dyb, kyb = axis(gpy)
+            parts = []
+            for dx, wx, kx in ((dxa, wxa, None), (dxb, np.ones(len(v)), kxb)):
+                for dy, wy, ky in ((dya, wya, None), (dyb, np.ones(len(v)), kyb)):
+                    m = np.ones(len(v), dtype=bool)
+                    if kx is not None:
+                        m &= kx
+                    if ky is not None:
+                        m &= ky
+                    if not m.any():
+                        continue
+                    w = (wx * wy)[m]
+                    parts.append(pa.table({
+                        "pix_id": pa.array(pack_pixel(zp, dx[m], dy[m])),
+                        "wv": pa.array(w * v[m]), "w": pa.array(w)}))
+            t = (pa.concat_tables(parts) if parts else
+                 pa.table({"pix_id": pa.array([], pa.uint64()),
+                           "wv": pa.array([], pa.float64()),
+                           "w": pa.array([], pa.float64())}))
+        out = t.group_by(["pix_id"]).aggregate([("wv", "sum"), ("w", "sum")])
+        return out.rename_columns(["pix_id", "wv", "w"])
+
+    partials = pixels.map_batches(scatter, batch_format="pyarrow")
+    agg = partials.groupby("pix_id").aggregate(Sum("wv", alias_name="wv"),
+                                               Sum("w", alias_name="w"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        wv = batch["wv"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        val = wv / w
+        if mode == "rms":
+            val = np.sqrt(val)
+        return pa.table({"pix_id": batch["pix_id"], "burn": pa.array(val)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _overview_mode(pixels: ray.data.Dataset,
+                   n_buckets: int = 256) -> ray.data.Dataset:
+    """mode: in-batch (parent, value) partial counts, then ONE shuffle
+    to `n_buckets` bounded parent-hash buckets whose kernel finishes the
+    counts with a pyarrow group_by and picks argmax(count, -value) via
+    one lexsort — exact ties -> smallest value."""
+    from .rasterize import pack_pixel, unpack_pixel
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        z, gpx, gpy = unpack_pixel(pix)
+        parent = pack_pixel(int(z[0]) - 1 if len(z) else 0, gpx >> 1, gpy >> 1)
+        t = pa.table({"pix_id": pa.array(parent), "burn": batch["burn"]})
+        out = t.group_by(["pix_id", "burn"]).aggregate([("burn", "count")])
+        out = out.rename_columns(["pix_id", "burn", "cnt"])
+        bb = (out["pix_id"].to_numpy(zero_copy_only=False)
+              % np.uint64(n_buckets)).astype(np.int32)
+        return out.append_column("bb", pa.array(bb))
+
+    def mode_group(tbl: pa.Table) -> pa.Table:
+        t = tbl.group_by(["pix_id", "burn"]).aggregate([("cnt", "sum")])
+        pix = t["pix_id"].to_numpy(zero_copy_only=False)
+        val = t["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, -cnt, pix))  # per pixel: max cnt, min value
+        pix_s = pix[order]
+        first = np.ones(len(pix_s), dtype=bool)
+        first[1:] = pix_s[1:] != pix_s[:-1]
+        return pa.table({"pix_id": pa.array(pix_s[first]),
+                         "burn": pa.array(val[order][first])})
+
+    return (pixels.map_batches(partial, batch_format="pyarrow")
+            .groupby("bb").map_groups(mode_group, batch_format="pyarrow"))
 
 
 def overview_pyramid(pixels: ray.data.Dataset, z_base: int, z_min: int,
