@@ -236,12 +236,15 @@ def kmeans_fit(ds: ray.data.Dataset, dim: int, k: int,
     """Distributed Lloyd k-means on normalized embeddings (the IVF
     coarse quantizer; spherical k-means since vectors are unit-norm).
 
-    Each iteration is one map_batches pass emitting per-batch partial
-    (cluster, sum-vector, count) rows — the in-batch combiner — plus a
-    tiny k-row groupby; only the (k, dim) centroid matrix ever lands on
-    the driver (legitimate small-side state, re-broadcast per
-    iteration). Deterministic: seeded init from the first k rows."""
-    from ray.data.aggregate import Sum
+    Each iteration is one map_batches pass emitting ONE packed partial
+    per batch — the whole (k, dim+1) count+sum matrix as a binary blob —
+    tree-reduced by a matrix-add AggregateFn (no per-dimension column
+    explosion: dim=1024 costs the same shuffle row count as dim=8; a
+    few hundred blob rows of k·(dim+1)·8 bytes). Only the (k, dim)
+    centroid matrix ever lands on the driver (legitimate small-side
+    state, re-broadcast per iteration). Deterministic: seeded init from
+    the first k rows."""
+    from ray.data.aggregate import AggregateFn
 
     first = ds.limit(k).to_pandas()
     init = _normalize(np.stack(
@@ -259,27 +262,24 @@ def kmeans_fit(ds: ray.data.Dataset, dim: int, k: int,
             cents = ray.get(_ref)
             mat = _normalize(_stack_embeddings(batch[emb_col]))
             assign = np.argmax(mat @ cents.T, axis=1)
-            cols = {"cl": pa.array(np.arange(len(cents), dtype=np.int64)),
-                    "n": pa.array(np.bincount(assign, minlength=len(cents))
-                                  .astype(np.int64))}
-            for d in range(mat.shape[1]):
-                cols[f"s{d}"] = pa.array(
-                    np.bincount(assign, weights=mat[:, d], minlength=len(cents)))
-            return pa.table(cols)
+            m = np.zeros((len(cents), mat.shape[1] + 1))
+            m[:, 0] = np.bincount(assign, minlength=len(cents))
+            np.add.at(m[:, 1:], assign, mat)
+            return pa.table({"m": pa.array([m.tobytes()], type=pa.binary())})
 
-        aggs = [Sum("n", alias_name="n")] + [
-            Sum(f"s{d}", alias_name=f"s{d}") for d in range(dim)]
-        tot = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby("cl").aggregate(*aggs).to_pandas())
+        msum = AggregateFn(
+            init=lambda _k: np.zeros((k, dim + 1)),
+            merge=lambda a, b: a + b,
+            accumulate_row=lambda acc, row: acc + np.frombuffer(
+                row["m"], dtype=np.float64).reshape(k, dim + 1),
+            name="msum")
+        tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(msum)["msum"]
         new = centroids.copy()
-        for _i, row in tot.iterrows():
-            c = int(row["cl"])
-            n = float(row["n"])
-            if n > 0:
-                v = np.asarray([row[f"s{d}"] for d in range(dim)])
-                nv = np.linalg.norm(v)
+        for c in range(k):
+            if tot[c, 0] > 0:
+                nv = np.linalg.norm(tot[c, 1:])
                 if nv > 0:
-                    new[c] = v / nv
+                    new[c] = tot[c, 1:] / nv
         centroids = new
     return centroids
 
