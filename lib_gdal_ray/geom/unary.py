@@ -269,3 +269,218 @@ def buffer_wkb(buf: bytes, dist: float, quadsegs: int = 8) -> Optional[bytes]:
     if not polys:
         return None
     return wkb_mod.multipolygon_to_wkb(polys)
+
+
+# ---------------------------------------------------------------------------
+# Delaunay triangulation / concave hull / wrap-dateline
+# ---------------------------------------------------------------------------
+
+def _vertex_set(buf: bytes) -> np.ndarray:
+    """All unique 2-D vertices of any geometry (hole rings included),
+    lexicographically sorted — the point set OGR feeds GEOS for
+    DelaunayTriangulation / ConcaveHull."""
+
+    def coords(kind, payload):
+        if kind in ("point", "linestring", "multipoint"):
+            return [payload]
+        if kind == "polygon":
+            return list(payload)
+        if kind == "multilinestring":
+            return list(payload)
+        if kind == "multipolygon":
+            return [r for rings in payload for r in rings]
+        return [c for k, p in payload for c in coords(k, p)]
+
+    kind, payload = wkb_mod.parse_wkb(buf)
+    pts = np.concatenate(coords(kind, payload)).astype(np.float64)[:, :2]
+    return np.unique(pts, axis=0)
+
+
+def delaunay_triangles(buf: bytes):
+    """-> (pts (n,2), tris (m,3) int64) Delaunay triangulation of the
+    geometry's vertex set (``OGRGeometry::DelaunayTriangulation``,
+    `ogr/ogrgeometry.cpp:4374`, which delegates to GEOS; re-derived via
+    the Bowyer-Watson build in geom/delaunay.py). Deterministic: rows
+    sorted."""
+    from .delaunay import delaunay as _bw
+
+    pts = _vertex_set(buf)
+    return pts, _bw(pts[:, 0], pts[:, 1])
+
+
+def delaunay_triangulation_wkb(buf: bytes, only_edges: bool = False) -> bytes:
+    """GEOS-style DelaunayTriangulation: GeometryCollection of CCW
+    triangle polygons (or a MultiLineString of the unique edges when
+    ``only_edges``)."""
+    pts, tris = delaunay_triangles(buf)
+    if only_edges:
+        ek = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]])
+        ek = np.unique(np.sort(ek, axis=1), axis=0)
+        return wkb_mod.multilinestring_to_wkb(
+            [pts[[a, b]] for a, b in ek])
+    members = []
+    for t in tris:
+        ring = pts[t]
+        if _signed_area(np.vstack([ring, ring[:1]])) < 0:
+            ring = ring[::-1]
+        members.append(("polygon", [np.vstack([ring, ring[:1]])]))
+    return wkb_mod.geometrycollection_to_wkb(
+        [wkb_mod.polygon_to_wkb(p) for _, p in members])
+
+
+def concave_hull_wkb(buf: bytes, ratio: float = 0.5) -> bytes:
+    """Concave hull by edge-length ratio (``OGR_G_ConcaveHull`` /
+    GEOS ``concaveHullByLengthRatio``; chi-shape erosion, Duckham et
+    al. 2008): Delaunay-triangulate the vertex set, then repeatedly
+    remove the boundary triangle with the longest boundary edge while
+    that edge exceeds ``minLen + ratio·(maxLen − minLen)`` (lengths over
+    all triangulation edges) and removal keeps every input point on or
+    inside the hull (only triangles with exactly ONE boundary edge whose
+    opposite vertex is interior are removable). Returns polygon WKB;
+    ratio=1 degenerates to the convex hull."""
+    import heapq
+
+    pts, tris = delaunay_triangles(buf)
+    if len(tris) == 0:
+        return convex_hull_wkb(buf)
+    # edge -> list of adjacent live triangle ids
+    edge_tris: dict = {}
+    for ti, t in enumerate(tris):
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+            edge_tris.setdefault((int(min(e)), int(max(e))), []).append(ti)
+    lens = {e: float(np.hypot(*(pts[e[0]] - pts[e[1]]))) for e in edge_tris}
+    lo, hi = min(lens.values()), max(lens.values())
+    thresh = lo + float(ratio) * (hi - lo)
+    live = np.ones(len(tris), dtype=bool)
+    border = [(-l, e) for e, l in lens.items()
+              if len(edge_tris[e]) == 1 and l > thresh]
+    heapq.heapify(border)
+
+    def boundary_edge_count(ti):
+        t = tris[ti]
+        return sum(1 for e in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2]))
+                   if len(edge_tris[(int(min(e)), int(max(e)))]) == 1)
+
+    def on_boundary(v):
+        # vertex v lies on the current hull boundary
+        return any(len(ts) == 1 and v in e
+                   for e, ts in edge_tris.items() if v in e)
+
+    while border:
+        negl, e = heapq.heappop(border)
+        ts = edge_tris.get(e, [])
+        if len(ts) != 1 or not live[ts[0]]:
+            continue  # stale heap entry
+        ti = ts[0]
+        if -negl <= thresh:
+            continue
+        if boundary_edge_count(ti) != 1:
+            continue  # ear triangle: removal would orphan a point
+        t = tris[ti]
+        opp = int([v for v in t if v not in e][0])
+        if on_boundary(opp):
+            continue  # removal would pinch the hull at opp
+        live[ti] = False
+        edge_tris[e].remove(ti)
+        if not edge_tris[e]:
+            del edge_tris[e]
+        for v in (e[0], e[1]):
+            ne = (min(int(v), opp), max(int(v), opp))
+            edge_tris[ne].remove(ti)
+            if len(edge_tris[ne]) == 1 and lens[ne] > thresh:
+                heapq.heappush(border, (-lens[ne], ne))
+
+    # stitch remaining boundary edges into the hull ring
+    nbr: dict = {}
+    for e, ts in edge_tris.items():
+        if len(ts) == 1:
+            nbr.setdefault(e[0], []).append(e[1])
+            nbr.setdefault(e[1], []).append(e[0])
+    start = min(nbr)
+    ring_idx = [start]
+    prev, cur = -1, start
+    while True:
+        nxt = [v for v in nbr[cur] if v != prev]
+        if not nxt:
+            break
+        prev, cur = cur, nxt[0]
+        if cur == start:
+            break
+        ring_idx.append(cur)
+    ring = pts[np.asarray(ring_idx, dtype=np.int64)]
+    ring = np.vstack([ring, ring[:1]])
+    if _signed_area(ring) < 0:
+        ring = ring[::-1]
+    return wkb_mod.polygon_to_wkb([ring])
+
+
+def wrap_dateline_wkb(buf: bytes, offset: float = 10.0):
+    """``OGRGeometryFactory::transformWithOptions(WRAPDATELINE=YES)``
+    (`ogr/ogrgeometryfactory.cpp` splitGeometryCrossingDateline):
+    geometries whose longitudes touch both the +180−offset and
+    −180+offset margins are treated as dateline-crossing; negative
+    longitudes are unwrapped by +360, the geometry is cut at lon=180,
+    and the eastern piece is shifted back by −360. Non-crossing
+    geometries pass through unchanged. Returns WKB (multi geometry when
+    split)."""
+    from .clip import clip_wkb_to_box
+
+    kind, payload = wkb_mod.parse_wkb(buf)
+    if kind == "point":
+        x, y = payload[0]
+        if x > 180.0:
+            return _point_wkb(x - 360.0, y)
+        if x < -180.0:
+            return _point_wkb(x + 360.0, y)
+        return buf
+    coords = wkb_mod._all_coords(kind, payload)
+    xs = coords[:, 0]
+    crosses = (xs.max() > 180.0 - offset) and (xs.min() < -180.0 + offset)
+    if not crosses:
+        return buf
+
+    def unwrap(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.float64).copy()
+        a[a[:, 0] < 0.0, 0] += 360.0
+        return a
+
+    BIG = 1e9
+    if kind in ("linestring", "multilinestring"):
+        parts = [payload] if kind == "linestring" else list(payload)
+        out = []
+        for p in parts:
+            u = unwrap(p)
+            west = clip_wkb_to_box(wkb_mod.linestring_to_wkb(u),
+                                   -BIG, -BIG, 180.0, BIG)
+            east = clip_wkb_to_box(wkb_mod.linestring_to_wkb(u),
+                                   180.0, -BIG, BIG, BIG)
+            if west is not None:
+                out.append(wkb_mod.parse_wkb(west)[1])
+            if east is not None:
+                e = wkb_mod.parse_wkb(east)[1].copy()
+                e[:, 0] -= 360.0
+                out.append(e)
+        return wkb_mod.multilinestring_to_wkb(out)
+    if kind in ("polygon", "multipolygon"):
+        polys = [payload] if kind == "polygon" else list(payload)
+        out_polys = []
+        for rings in polys:
+            u = [unwrap(r) for r in rings]
+            for xmin, xmax, shift in ((-BIG, 180.0, 0.0), (180.0, BIG, -360.0)):
+                w = clip_wkb_to_box(wkb_mod.polygon_to_wkb(u),
+                                    xmin, -BIG, xmax, BIG)
+                if w is None:
+                    continue
+                k2, p2 = wkb_mod.parse_wkb(w)
+                for rr in ([p2] if k2 == "polygon" else p2):
+                    shifted = [r.copy() for r in rr]
+                    for r in shifted:
+                        r[:, 0] += shift
+                    out_polys.append(shifted)
+        return wkb_mod.multipolygon_to_wkb(out_polys)
+    raise ValueError(f"wrap_dateline_wkb: unsupported kind {kind}")
+
+
+def _point_wkb(x: float, y: float) -> bytes:
+    import struct
+    return struct.pack("<BIdd", 1, 1, x, y)

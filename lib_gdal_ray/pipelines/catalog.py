@@ -2699,6 +2699,169 @@ def sql_embedding_near_dup():
     """
 
 
+def q_delaunay_mesh(sf_dir):
+    """DelaunayTriangulation end-to-end (`ogr/ogrgeometry.cpp:4374`):
+    one parabola point set per part key — strictly convex position, so
+    ANY valid triangulation has exactly m-2 triangles whose areas sum to
+    the hull's shoelace area, closed form (m-2)(m-1)m/6 (integer).
+    Emits triangle count + mesh area in cents."""
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 400]
+    geoms = []
+    for p in pk:
+        m = 4 + int(p % 13)
+        cx = float((p * 37) % 340 - 170)
+        cy = float((p * 53) % 160 - 80)
+        i = np.arange(m, dtype=np.float64)
+        geoms.append(wkb_mod.multipoint_to_wkb(
+            np.stack([i + cx, i * i + cy], axis=1)))
+    ds = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    mesh = geom_ops.delaunay_geometry(ds)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..geom.triangulate import _signed_area
+        nt, ac = [], []
+        for b in batch["geometry"].to_numpy(zero_copy_only=False):
+            _kind, members = wkb_mod.parse_wkb(b)
+            nt.append(len(members))
+            ac.append(sum(abs(_signed_area(rings[0]))
+                          for _k, rings in members))
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "n_triangles": pa.array(np.asarray(nt, np.int64)),
+            "mesh_area_c": pa.array(_cents(np.asarray(ac)))})
+
+    return mesh.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DELAUNAY_MESH = """
+SELECT p_partkey,
+       CAST(2 + p_partkey % 13 AS BIGINT) AS n_triangles,
+       CAST((2 + p_partkey % 13) * (3 + p_partkey % 13)
+            * (4 + p_partkey % 13) * 100 / 6 AS BIGINT) AS mesh_area_c
+FROM part WHERE p_partkey <= 400
+"""
+
+
+def q_concave_hull(sf_dir):
+    """ConcaveHull end-to-end (OGR_G_ConcaveHull / GEOS
+    concaveHullByLengthRatio; chi-shape erosion): a 3-row unit grid with
+    the top-middle point removed. Triangulation edge lengths are 1, √2
+    and 2 (the notch-spanning hull edge); ratio 0.5 puts the erosion
+    threshold at 1.5, so exactly the one notch triangle (area 1) erodes
+    and the hull area is 2(m-1)-1. ratio=1 keeps the convex hull,
+    area 2(m-1)."""
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 300]
+
+    def notched_grid(p: int) -> np.ndarray:
+        m = 9 + 2 * int(p % 8)
+        mid = (m - 1) // 2
+        cx = float((p * 37) % 340 - 170)
+        cy = float((p * 53) % 160 - 80)
+        return np.asarray([(x + cx, y + cy) for y in range(3)
+                           for x in range(m) if not (x == mid and y == 2)],
+                          dtype=np.float64)
+
+    geoms = [wkb_mod.multipoint_to_wkb(notched_grid(p)) for p in pk]
+    ds = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    concave = geom_ops.concave_hull_geometry(ds, ratio=0.5)
+
+    def g(batch: pa.Table) -> pa.Table:
+        from ..geom.triangulate import _signed_area
+        from ..geom.unary import concave_hull_wkb
+        keys = batch["p_partkey"].to_numpy()
+        areas, cvx = [], []
+        for b, p in zip(batch["geometry"].to_numpy(zero_copy_only=False), keys):
+            _k, rings = wkb_mod.parse_wkb(b)
+            areas.append(abs(_signed_area(rings[0])))
+            # convex-case (ratio=1) column: re-derive the point set from
+            # the key (row-aligned zip across repartition isn't
+            # guaranteed, so don't carry the raw column through)
+            _k2, rings2 = wkb_mod.parse_wkb(concave_hull_wkb(
+                wkb_mod.multipoint_to_wkb(notched_grid(int(p))), ratio=1.0))
+            cvx.append(abs(_signed_area(rings2[0])))
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "hull_area_c": pa.array(_cents(np.asarray(areas))),
+            "convex_area_c": pa.array(_cents(np.asarray(cvx)))})
+
+    return concave.map_batches(g, batch_format="pyarrow")
+
+
+SQL_CONCAVE_HULL = """
+SELECT p_partkey,
+       CAST((15 + 4 * (p_partkey % 8)) * 100 AS BIGINT) AS hull_area_c,
+       CAST((16 + 4 * (p_partkey % 8)) * 100 AS BIGINT) AS convex_area_c
+FROM part WHERE p_partkey <= 300
+"""
+
+
+def q_wrap_dateline(sf_dir):
+    """WRAPDATELINE end-to-end (`ogr/ogrgeometryfactory.cpp`
+    transformWithOptions): per part key a box either crossing the
+    antimeridian (lon in [180-a, 180] ∪ [-180, -180+b], stored as a
+    jump-crossing ring) or a plain box [-a, b] — both width a+b. The
+    crossing box splits into 2 parts with max lon exactly 180; the
+    plain box passes through with max lon b."""
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 400]
+    geoms = []
+    for p in pk:
+        a = 1 + int(p % 7)
+        b = 1 + int((p * 3) % 5)
+        h = 1 + int(p % 4)
+        y0 = float((p * 53) % 160 - 80)
+        if p % 3 != 0:
+            ring = np.asarray([[180.0 - a, y0], [-180.0 + b, y0],
+                               [-180.0 + b, y0 + h], [180.0 - a, y0 + h],
+                               [180.0 - a, y0]], dtype=np.float64)
+        else:
+            ring = np.asarray([[-float(a), y0], [float(b), y0],
+                               [float(b), y0 + h], [-float(a), y0 + h],
+                               [-float(a), y0]], dtype=np.float64)
+        geoms.append(wkb_mod.polygon_to_wkb([ring]))
+    ds = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    wrapped = geom_ops.wrap_dateline_geometry(ds, offset=10.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..geom.triangulate import _signed_area
+        nparts, areas, maxlon = [], [], []
+        for b in batch["geometry"].to_numpy(zero_copy_only=False):
+            kind, payload = wkb_mod.parse_wkb(b)
+            polys = [payload] if kind == "polygon" else payload
+            nparts.append(len(polys))
+            areas.append(sum(abs(_signed_area(rings[0])) for rings in polys))
+            maxlon.append(max(float(rings[0][:, 0].max()) for rings in polys))
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "n_parts": pa.array(np.asarray(nparts, np.int64)),
+            "total_area_c": pa.array(_cents(np.asarray(areas))),
+            "max_lon_c": pa.array(_cents(np.asarray(maxlon)))})
+
+    return wrapped.map_batches(f, batch_format="pyarrow")
+
+
+SQL_WRAP_DATELINE = """
+SELECT p_partkey,
+       CAST(CASE WHEN p_partkey % 3 <> 0 THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+       CAST(((1 + p_partkey % 7) + (1 + (p_partkey * 3) % 5))
+            * (1 + p_partkey % 4) * 100 AS BIGINT) AS total_area_c,
+       CAST(CASE WHEN p_partkey % 3 <> 0 THEN 18000
+                 ELSE (1 + (p_partkey * 3) % 5) * 100 END AS BIGINT) AS max_lon_c
+FROM part WHERE p_partkey <= 400
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2732,6 +2895,9 @@ QUERIES = {
     "reproject_utm": (q_reproject_utm, sql_reproject_utm()),
     "gcp_affine": (q_gcp_affine, SQL_GCP_AFFINE),
     "makevalid_bowties": (q_makevalid_bowties, sql_makevalid_bowties()),
+    "delaunay_mesh": (q_delaunay_mesh, SQL_DELAUNAY_MESH),
+    "concave_hull": (q_concave_hull, SQL_CONCAVE_HULL),
+    "wrap_dateline": (q_wrap_dateline, SQL_WRAP_DATELINE),
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
     "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
     "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),

@@ -177,3 +177,35 @@ def make_valid_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
     from ..geom.makevalid import make_valid_wkb
 
     return _map_wkb_column(ds, wkb_col, make_valid_wkb, True)
+
+
+def delaunay_geometry(ds: ray.data.Dataset, only_edges: bool = False,
+                      wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometry::DelaunayTriangulation analog
+    (`ogr/ogrgeometry.cpp:4374`): geometry -> GeometryCollection of
+    triangles (or MultiLineString of edges)."""
+    from ..geom.unary import delaunay_triangulation_wkb
+
+    return _map_wkb_column(
+        ds, wkb_col, lambda b: delaunay_triangulation_wkb(b, only_edges), False)
+
+
+def concave_hull_geometry(ds: ray.data.Dataset, ratio: float = 0.5,
+                          wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGR_G_ConcaveHull analog (GEOS concaveHullByLengthRatio;
+    chi-shape erosion over the Delaunay triangulation)."""
+    from ..geom.unary import concave_hull_wkb
+
+    return _map_wkb_column(ds, wkb_col,
+                           lambda b: concave_hull_wkb(b, ratio), False)
+
+
+def wrap_dateline_geometry(ds: ray.data.Dataset, offset: float = 10.0,
+                           wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometryFactory::transformWithOptions(WRAPDATELINE=YES) analog
+    (`ogr/ogrgeometryfactory.cpp`): split dateline-crossing geometries
+    at lon=180 into multi-part geometries within [-180, 180]."""
+    from ..geom.unary import wrap_dateline_wkb
+
+    return _map_wkb_column(ds, wkb_col,
+                           lambda b: wrap_dateline_wkb(b, offset), False)

@@ -113,3 +113,108 @@ class TestBuffer:
         buf = wkb_mod.polygon_to_wkb([box_ring(0, 0, 5, 5)])
         with pytest.raises(NotImplementedError):
             unary.buffer_wkb(buf, -1.0)
+
+
+class TestDelaunayTriangulation:
+    def test_parabola_counts_and_area(self):
+        # strictly convex position: m-2 triangles covering the hull
+        from lib_gdal_ray.geom.triangulate import _signed_area
+        m = 9
+        pts = np.array([[i, i * i] for i in range(m)], float)
+        p, tris = unary.delaunay_triangles(wkb_mod.multipoint_to_wkb(pts))
+        assert len(tris) == m - 2
+        area = sum(abs(_signed_area(np.vstack([p[t], p[t][:1]]))) for t in tris)
+        assert area == (m - 2) * (m - 1) * m / 6
+
+    def test_geometrycollection_output(self):
+        pts = np.array([[0, 0], [4, 0], [0, 4], [4, 4], [2, 1]], float)
+        gc = unary.delaunay_triangulation_wkb(wkb_mod.multipoint_to_wkb(pts))
+        kind, members = wkb_mod.parse_wkb(gc)
+        assert kind == "geometrycollection"
+        assert all(k == "polygon" for k, _ in members)
+
+    def test_edges_output(self):
+        pts = np.array([[0, 0], [2, 0], [1, 2]], float)
+        ml = unary.delaunay_triangulation_wkb(
+            wkb_mod.multipoint_to_wkb(pts), only_edges=True)
+        kind, lines = wkb_mod.parse_wkb(ml)
+        assert kind == "multilinestring" and len(lines) == 3
+
+    def test_polygon_vertices_used(self):
+        ring = np.array([[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]], float)
+        gc = unary.delaunay_triangulation_wkb(wkb_mod.polygon_to_wkb([ring]))
+        _, members = wkb_mod.parse_wkb(gc)
+        assert len(members) == 2  # square -> 2 triangles
+
+
+class TestConcaveHull:
+    def _notched(self, m):
+        mid = (m - 1) // 2
+        return np.asarray([(x, y) for y in range(3) for x in range(m)
+                           if not (x == mid and y == 2)], float)
+
+    def test_notch_erodes(self):
+        from lib_gdal_ray.geom.triangulate import _signed_area
+        m = 13
+        buf = wkb_mod.multipoint_to_wkb(self._notched(m))
+        kind, rings = wkb_mod.parse_wkb(unary.concave_hull_wkb(buf, ratio=0.5))
+        assert kind == "polygon"
+        assert abs(_signed_area(rings[0])) == 2 * (m - 1) - 1
+
+    def test_ratio_one_is_convex_hull(self):
+        from lib_gdal_ray.geom.triangulate import _signed_area
+        m = 9
+        buf = wkb_mod.multipoint_to_wkb(self._notched(m))
+        _, rings = wkb_mod.parse_wkb(unary.concave_hull_wkb(buf, ratio=1.0))
+        assert abs(_signed_area(rings[0])) == 2 * (m - 1)
+
+    def test_all_points_inside_or_on_hull(self):
+        from lib_gdal_ray.geom.pip import points_in_ring
+        pts = self._notched(11)
+        _, rings = wkb_mod.parse_wkb(
+            unary.concave_hull_wkb(wkb_mod.multipoint_to_wkb(pts), ratio=0.5))
+        ring = rings[0]
+        # every input point within the hull (allow boundary: shrink test
+        # by checking a slightly inflated hull via distance)
+        inside = points_in_ring(pts[:, 0], pts[:, 1], ring)
+        on_edge = np.zeros(len(pts), bool)
+        for i, p in enumerate(pts):
+            a, b = ring[:-1], ring[1:]
+            d = np.abs((b[:, 0] - a[:, 0]) * (a[:, 1] - p[1])
+                       - (a[:, 0] - p[0]) * (b[:, 1] - a[:, 1]))
+            seg = ((np.minimum(a, b) - 1e-9 <= p) & (p <= np.maximum(a, b) + 1e-9)).all(axis=1)
+            on_edge[i] = bool((seg & (d < 1e-9)).any())
+        assert (inside | on_edge).all()
+
+
+class TestWrapDateline:
+    def test_crossing_polygon_splits(self):
+        from lib_gdal_ray.geom.triangulate import _signed_area
+        ring = np.array([[175, 0], [-175, 0], [-175, 10], [175, 10], [175, 0]], float)
+        kind, polys = wkb_mod.parse_wkb(
+            unary.wrap_dateline_wkb(wkb_mod.polygon_to_wkb([ring])))
+        assert kind == "multipolygon" and len(polys) == 2
+        areas = sorted(abs(_signed_area(r[0])) for r in polys)
+        assert areas == [50.0, 50.0]
+        xs = np.concatenate([r[0][:, 0] for r in polys])
+        assert xs.min() >= -180 and xs.max() <= 180
+
+    def test_noncrossing_passthrough(self):
+        ring = np.array([[10, 0], [20, 0], [20, 10], [10, 10], [10, 0]], float)
+        buf = wkb_mod.polygon_to_wkb([ring])
+        assert unary.wrap_dateline_wkb(buf) == buf
+
+    def test_crossing_linestring(self):
+        ls = np.array([[178, 0], [-178, 2]], float)
+        kind, lines = wkb_mod.parse_wkb(
+            unary.wrap_dateline_wkb(wkb_mod.linestring_to_wkb(ls)))
+        assert kind == "multilinestring" and len(lines) == 2
+        for ln in lines:
+            assert np.abs(ln[:, 0]).max() <= 180
+
+    def test_point_normalization(self):
+        import struct
+        buf = struct.pack("<BIdd", 1, 1, 190.0, 5.0)
+        out = unary.wrap_dateline_wkb(buf)
+        kind, payload = wkb_mod.parse_wkb(out)
+        assert kind == "point" and payload[0][0] == -170.0
