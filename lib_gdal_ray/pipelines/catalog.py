@@ -2862,6 +2862,153 @@ FROM part WHERE p_partkey <= 400
 """
 
 
+def q_check_coverage(sf_dir):
+    """check-coverage end-to-end (`apps/gdalalg_vector_check_coverage.cpp:36`):
+    a row of boxes per run of 8 part keys where even-position boxes are
+    extended 2 units east to overlap their successor — the overlapping
+    pairs and exact overlap areas (2 × h, h=2) are closed-form."""
+    from .coverage import check_coverage
+
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 400]
+    j = pk % 8
+    r = pk // 8
+    x0 = 10.0 * j
+    x1 = x0 + 10.0 + np.where(j % 2 == 0, 2.0, 0.0)
+    y0 = -88.0 + r * 3.5
+    geoms = [wkb_mod.polygon_to_wkb([np.asarray(
+        [[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=np.float64)])
+        for a, b, c, d in zip(x0, y0, x1, y0 + 2.0)]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    pairs = check_coverage(ds, res=50.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "overlap_area_c": pa.array(_cents(
+                batch["overlap_area"].to_numpy(zero_copy_only=False)))})
+
+    return pairs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CHECK_COVERAGE = """
+SELECT a.p_partkey AS id_a,
+       CAST(a.p_partkey + 1 AS BIGINT) AS id_b,
+       CAST(400 AS BIGINT) AS overlap_area_c
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+WHERE a.p_partkey <= 400 AND b.p_partkey <= 400
+  AND (a.p_partkey % 8) % 2 = 0 AND (a.p_partkey % 8) < 7
+"""
+
+
+def q_clean_coverage(sf_dir):
+    """clean-coverage end-to-end
+    (`apps/gdalalg_vector_clean_coverage.cpp:36-48`, merge-strategy
+    min-index): same overlapping box rows as check_coverage; the lower
+    key keeps the overlap strip, so cleaned areas are 24 (even
+    positions) or 16 (odd positions; part keys are contiguous from 0,
+    so every odd position has an even predecessor) — closed form."""
+    from ray.data.aggregate import Sum
+
+    from .coverage import clean_coverage
+
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 400]
+    j = pk % 8
+    r = pk // 8
+    x0 = 10.0 * j
+    x1 = x0 + 10.0 + np.where(j % 2 == 0, 2.0, 0.0)
+    y0 = -88.0 + r * 3.5
+    geoms = [wkb_mod.polygon_to_wkb([np.asarray(
+        [[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=np.float64)])
+        for a, b, c, d in zip(x0, y0, x1, y0 + 2.0)]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    frags = clean_coverage(ds, res=50.0)
+    tot = frags.groupby("id").aggregate(Sum("fragment_area", alias_name="a"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch["id"],
+            "clean_area_c": pa.array(_cents(
+                batch["a"].to_numpy(zero_copy_only=False)))})
+
+    return tot.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CLEAN_COVERAGE = """
+SELECT p_partkey AS id,
+       CAST(CASE WHEN (p_partkey % 8) % 2 = 0 THEN 2400
+                 ELSE 1600 END AS BIGINT) AS clean_area_c
+FROM part WHERE p_partkey <= 400
+"""
+
+
+def q_simplify_coverage(sf_dir):
+    """simplify-coverage end-to-end
+    (`apps/gdalalg_vector_simplify_coverage.cpp:36`): runs of 8
+    rectangles sharing vertical edges that carry a 0.3-amplitude zigzag
+    midpoint; midpoints sit ONLY on shared edges (an unshared-edge
+    midpoint would be a chain-interior farthest point that DP keeps —
+    GEOS ring-edge semantics), so tol=1 removes every midpoint
+    identically on both owners, leaving exact 10 × h rectangles
+    (h = 8 + (run % 3)), 5-vertex rings — closed form."""
+    from .coverage import simplify_coverage
+
+    part = tables.read_table_arrow(sf_dir, "part", columns=["p_partkey"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pk = pk[pk <= 300]
+    pmax = int(pk.max())
+    geoms = []
+    for p in pk:
+        j = int(p % 8)
+        r = int(p // 8)
+        h = 8.0 + (r % 3)
+        xb = (r // 14) * 100.0 - 170.0 + 10.0 * j
+        yb = (r % 14) * 12.5 - 87.5
+        midy = yb + h / 2.0
+        ring = [[xb, yb], [xb + 10.0, yb]]
+        if j < 7 and p < pmax:  # zigzag midpoint on the shared right edge
+            ring.append([xb + 10.0 + 0.3, midy])
+        ring += [[xb + 10.0, yb + h], [xb, yb + h]]
+        if j > 0:  # zigzag midpoint on the shared left edge
+            ring.append([xb + 0.3, midy])
+        ring.append([xb, yb])
+        geoms.append(wkb_mod.polygon_to_wkb(
+            [np.asarray(ring, dtype=np.float64)]))
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(pk),
+        "geometry": pa.array(geoms, type=pa.binary())})).repartition(8)
+    simp = simplify_coverage(ds, tol=1.0)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..geom.triangulate import _signed_area
+        areas, nv = [], []
+        for b in batch["geometry"].to_numpy(zero_copy_only=False):
+            _k, rings = wkb_mod.parse_wkb(b)
+            areas.append(abs(_signed_area(rings[0])))
+            nv.append(len(rings[0]))
+        return pa.table({
+            "id": batch["id"],
+            "area_c": pa.array(_cents(np.asarray(areas))),
+            "n_verts": pa.array(np.asarray(nv, np.int64))})
+
+    return simp.map_batches(f, batch_format="pyarrow")
+
+
+SQL_SIMPLIFY_COVERAGE = """
+SELECT p_partkey AS id,
+       CAST((8 + ((p_partkey // 8) % 3)) * 1000 AS BIGINT) AS area_c,
+       CAST(5 AS BIGINT) AS n_verts
+FROM part WHERE p_partkey <= 300
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2898,6 +3045,9 @@ QUERIES = {
     "delaunay_mesh": (q_delaunay_mesh, SQL_DELAUNAY_MESH),
     "concave_hull": (q_concave_hull, SQL_CONCAVE_HULL),
     "wrap_dateline": (q_wrap_dateline, SQL_WRAP_DATELINE),
+    "check_coverage": (q_check_coverage, SQL_CHECK_COVERAGE),
+    "clean_coverage": (q_clean_coverage, SQL_CLEAN_COVERAGE),
+    "simplify_coverage": (q_simplify_coverage, SQL_SIMPLIFY_COVERAGE),
     "rasterize_tiles": (q_rasterize_tiles, sql_rasterize()),
     "rasterize_polygons": (q_rasterize_polygons, sql_rasterize_polygons()),
     "rasterize_lines": (q_rasterize_lines, sql_rasterize_lines()),
