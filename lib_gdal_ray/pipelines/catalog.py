@@ -2571,7 +2571,7 @@ def q_grid_idw(sf_dir):
     sk = sup["s_suppkey"].to_numpy().astype(np.int64)
     slon, slat = derive.site_lonlat(sk)
     sv = sup["s_acctbal"].to_numpy().astype(np.float64)
-    px = pixel_window(3, 992, 992, 64, 64)
+    px = pixel_window(3, 300, 1300, 64, 64)
     out = grid_idw(px, slon, slat, sv, 3, mode="all")
 
     def f(batch: pa.Table) -> pa.Table:
@@ -2584,7 +2584,7 @@ def q_grid_idw(sf_dir):
 
 
 SQL_GRID_IDW = f"""
-WITH px AS (SELECT (992 + (i % 64)) AS gpx, (992 + i // 64) AS gpy
+WITH px AS (SELECT (300 + (i % 64)) AS gpx, (1300 + i // 64) AS gpy
             FROM range(0, 4096) t(i)),
 pc2 AS (SELECT gpx, gpy,
         (gpx + 0.5) / 2048 * 360.0 - 180.0 AS lon,
@@ -3009,6 +3009,153 @@ FROM part WHERE p_partkey <= 300
 """
 
 
+def q_grid_metrics(sf_dir):
+    """gdal_grid data metrics + nearest (`alg/gdalgrid.cpp:879,966-1507`)
+    over a 64×64 z3 pixel window: count / min / max / range / average /
+    nearest / average-distance / average-pairwise-distance of supplier
+    sites within a 40-degree search radius; < 1 site -> nodata (row
+    drops). Cents-exact where the value is a 2-dp decimal, round(3)
+    where a float divide is involved (same parity technique as
+    grid_idw)."""
+    from .gridding import grid_metrics, pixel_window
+
+    sup = tables.read_table_arrow(
+        sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    slon, slat = derive.site_lonlat(sk[order])
+    sv = sup["s_acctbal"].to_numpy().astype(np.float64)[order]
+    px = pixel_window(3, 300, 1300, 64, 64)
+    out = grid_metrics(
+        px, slon, slat, sv, 3, radius=40.0, min_points=1,
+        metrics=["count", "minimum", "maximum", "range", "average",
+                 "nearest", "average_distance", "average_distance_pts"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "gpx": batch["gpx"], "gpy": batch["gpy"],
+            "n_sites": batch["count"],
+            "min_c": pa.array(_cents(
+                batch["minimum"].to_numpy(zero_copy_only=False))),
+            "max_c": pa.array(_cents(
+                batch["maximum"].to_numpy(zero_copy_only=False))),
+            "range_c": pa.array(_cents(
+                batch["range"].to_numpy(zero_copy_only=False))),
+            "nearest_c": pa.array(_cents(
+                batch["nearest"].to_numpy(zero_copy_only=False))),
+            "avg_r": pc.round(batch["average"], ndigits=3),
+            "avgdist_r": pc.round(batch["average_distance"], ndigits=3),
+            "avgpts_r": pc.round(batch["average_distance_pts"], ndigits=3),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GRID_METRICS = f"""
+WITH px AS (SELECT (300 + (i % 64)) AS gpx, (1300 + i // 64) AS gpy
+            FROM range(0, 4096) t(i)),
+pc2 AS (SELECT gpx, gpy,
+        (gpx + 0.5) / 2048 * 360.0 - 180.0 AS lon,
+        degrees(2*atan(exp(pi()*(1.0 - 2.0*(gpy + 0.5)/2048))) - pi()/2) AS lat
+        FROM px),
+s AS (SELECT s_suppkey AS sk, {derive.SQL_SITE_LON} AS slon,
+             {derive.SQL_SITE_LAT} AS slat, s_acctbal AS v FROM supplier),
+w AS (SELECT gpx, gpy, sk, slon, slat, v,
+             (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) AS d2,
+             row_number() OVER (
+               PARTITION BY gpx, gpy
+               ORDER BY (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat), sk)
+               AS rn
+      FROM pc2, s
+      WHERE (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) <= 1600.0),
+agg AS (SELECT gpx, gpy, count(*) AS n_sites,
+               CAST(floor(min(v)*100.0 + 0.5) AS BIGINT) AS min_c,
+               CAST(floor(max(v)*100.0 + 0.5) AS BIGINT) AS max_c,
+               CAST(floor((max(v)-min(v))*100.0 + 0.5) AS BIGINT) AS range_c,
+               round(avg(v), 3) AS avg_r,
+               round(avg(sqrt(d2)), 3) AS avgdist_r
+        FROM w GROUP BY gpx, gpy),
+nr AS (SELECT gpx, gpy,
+              CAST(floor(v*100.0 + 0.5) AS BIGINT) AS nearest_c
+       FROM w WHERE rn = 1),
+pr AS (SELECT a.gpx AS gpx, a.gpy AS gpy,
+              sum(sqrt((a.slon-b.slon)*(a.slon-b.slon)
+                       + (a.slat-b.slat)*(a.slat-b.slat))) AS psum,
+              count(*) AS pn
+       FROM w a JOIN w b ON a.gpx = b.gpx AND a.gpy = b.gpy
+                         AND a.sk <> b.sk
+       GROUP BY a.gpx, a.gpy)
+SELECT agg.gpx, agg.gpy, n_sites, min_c, max_c, range_c, nearest_c,
+       avg_r, avgdist_r,
+       round(coalesce(pr.psum / pr.pn, 0.0), 3) AS avgpts_r
+FROM agg
+JOIN nr ON nr.gpx = agg.gpx AND nr.gpy = agg.gpy
+LEFT JOIN pr ON pr.gpx = agg.gpx AND pr.gpy = agg.gpy
+"""
+
+
+def q_grid_invdistnn(sf_dir):
+    """gdal_grid invdistnn with per-quadrant selection
+    (`alg/gdalgrid.cpp:629-753`): power-2 IDW over the ≤3 nearest
+    in-radius sites per quadrant around each node; a node with an
+    empty quadrant is nodata (row drops). Sites are event points with
+    a fast-wrapping lon multiplier and a quadratic lat hash (two
+    *linear* congruential streams form a sparse 2-D lattice whose
+    voids empty whole quadrants; the supplier site curve is even
+    worse, pre-wrap linear at small sf); an 8-degree radius leaves
+    some nodes short a quadrant, exercising the nodata path."""
+    from .gridding import grid_invdistnn, pixel_window
+
+    ev = tables.read_table_arrow(sf_dir, "events", columns=["event_id"])
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    eid = np.sort(eid[eid <= 3000])
+    slon = ((eid * 999983) % 36_000_000) / 1e5 - 180.0
+    slat = ((eid * eid * 7919 + eid * 104729) % 17_000_000) / 1e5 - 85.0
+    sv = (eid % 1000).astype(np.float64)
+    px = pixel_window(3, 300, 1300, 64, 64)
+    out = grid_invdistnn(px, slon, slat, sv, 3, power=2.0, radius=8.0,
+                         max_per_quadrant=3, min_per_quadrant=1)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "gpx": batch["gpx"], "gpy": batch["gpy"],
+            "idwnn": pc.round(batch["burn"], ndigits=3),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GRID_INVDISTNN = f"""
+WITH px AS (SELECT (300 + (i % 64)) AS gpx, (1300 + i // 64) AS gpy
+            FROM range(0, 4096) t(i)),
+pc2 AS (SELECT gpx, gpy,
+        (gpx + 0.5) / 2048 * 360.0 - 180.0 AS lon,
+        degrees(2*atan(exp(pi()*(1.0 - 2.0*(gpy + 0.5)/2048))) - pi()/2) AS lat
+        FROM px),
+s AS (SELECT event_id AS sk,
+             ((event_id * 999983) % 36000000) / 100000.0 - 180.0 AS slon,
+             ((event_id * event_id * 7919 + event_id * 104729)
+              % 17000000) / 100000.0 - 85.0 AS slat,
+             CAST(event_id % 1000 AS DOUBLE) AS v
+      FROM events WHERE event_id <= 3000),
+j AS (SELECT gpx, gpy, sk, v,
+             (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) AS d2,
+             (CASE WHEN slon > lon THEN 1 ELSE 0 END
+              + CASE WHEN slat > lat THEN 2 ELSE 0 END) AS quad
+      FROM pc2, s
+      WHERE (lon-slon)*(lon-slon) + (lat-slat)*(lat-slat) <= 64.0),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY gpx, gpy, quad ORDER BY d2, sk) AS rn FROM j),
+full4 AS (SELECT gpx, gpy FROM j GROUP BY gpx, gpy
+          HAVING count(DISTINCT quad) = 4)
+SELECT r.gpx, r.gpy,
+       round(sum(v / (d2 + 1e-12)) / sum(1.0 / (d2 + 1e-12)), 3) AS idwnn
+FROM r JOIN full4 ON full4.gpx = r.gpx AND full4.gpy = r.gpy
+WHERE rn <= 3
+GROUP BY r.gpx, r.gpy
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3070,6 +3217,8 @@ QUERIES = {
     "hillshade": (q_hillshade, sql_hillshade()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "grid_linear": (q_grid_linear, sql_grid_linear()),
+    "grid_metrics": (q_grid_metrics, SQL_GRID_METRICS),
+    "grid_invdistnn": (q_grid_invdistnn, SQL_GRID_INVDISTNN),
     "contour": (q_contour, sql_contour()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),

@@ -17,7 +17,7 @@ search (`:2688-2728`). Here:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import pyarrow as pa
@@ -231,3 +231,187 @@ def grid_linear(queries: ray.data.Dataset, site_x: np.ndarray,
         return j(batch)
 
     return queries.map_batches(stage, batch_format="pyarrow")
+
+
+class _MetricStage:
+    """gdal_grid data-metric / nearest kernels over the broadcast site
+    table. Reference: `alg/gdalgrid.cpp` GDALGridNearestNeighbor
+    (`:879`), GDALGridDataMetric{Minimum,Maximum,Range,Count,
+    AverageDistance,AverageDistancePts} (`:966-1507`). Circular search
+    radius (the radius1==radius2 ellipse case); a pixel with fewer than
+    `min_points` in-radius sites is nodata (dropped), matching the
+    reference's nodata emission. All metrics compute in one pass over
+    one (batch × sites) distance matrix; `average_distance_pts` uses
+    the site-site distance matrix built once per worker."""
+
+    METRICS = ("count", "minimum", "maximum", "range", "average",
+               "nearest", "average_distance", "average_distance_pts")
+
+    def __init__(self, wrapped, z, tile_size, metrics, radius, min_points):
+        data = ray.get(wrapped["ref"])
+        self.sx = data["x"]
+        self.sy = data["y"]
+        self.sv = data["v"]
+        self.z, self.tile_size = z, tile_size
+        self.metrics = list(metrics)
+        self.r2 = float(radius) * float(radius)
+        self.min_points = max(int(min_points), 1)
+        if "average_distance_pts" in self.metrics:
+            ddx = self.sx[:, None] - self.sx[None, :]
+            ddy = self.sy[:, None] - self.sy[None, :]
+            self.site_d = np.sqrt(ddx * ddx + ddy * ddy)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gpx = batch["gpx"].to_numpy(zero_copy_only=False)
+        gpy = batch["gpy"].to_numpy(zero_copy_only=False)
+        lon, lat = pixel_centers_lonlat(gpx, gpy, self.z, self.tile_size)
+        dx = self.sx[None, :] - lon[:, None]
+        dy = self.sy[None, :] - lat[:, None]
+        d2 = dx * dx + dy * dy
+        within = d2 <= self.r2
+        m = within.sum(axis=1)
+        keep = m >= self.min_points
+        out = {}
+        for metric in self.metrics:
+            if metric == "count":
+                out["count"] = m.astype(np.int64)
+                continue
+            if metric == "nearest":
+                d2m = np.where(within, d2, np.inf)
+                # stable argmin -> lowest site index wins ties
+                out["nearest"] = self.sv[np.argmin(d2m, axis=1)]
+                continue
+            if metric == "average_distance":
+                s = np.where(within, np.sqrt(d2), 0.0).sum(axis=1)
+                out["average_distance"] = s / np.maximum(m, 1)
+                continue
+            if metric == "average_distance_pts":
+                w = within.astype(np.float64)
+                pair_sum = ((w @ self.site_d) * w).sum(axis=1)
+                pairs = m * (m - 1)
+                out["average_distance_pts"] = np.where(
+                    pairs > 0, pair_sum / np.maximum(pairs, 1), 0.0)
+                continue
+            vm = np.where(within, self.sv[None, :], np.nan)
+            with np.errstate(invalid="ignore"):
+                if metric == "minimum":
+                    out["minimum"] = np.where(m > 0, np.nanmin(vm, axis=1), 0)
+                elif metric == "maximum":
+                    out["maximum"] = np.where(m > 0, np.nanmax(vm, axis=1), 0)
+                elif metric == "range":
+                    out["range"] = np.where(
+                        m > 0,
+                        np.nanmax(vm, axis=1) - np.nanmin(vm, axis=1), 0)
+                elif metric == "average":
+                    out["average"] = (np.where(within, self.sv[None, :], 0.0)
+                                      .sum(axis=1) / np.maximum(m, 1))
+                else:
+                    raise ValueError(f"unknown metric {metric!r}")
+        res = batch
+        for name, col in out.items():
+            res = res.append_column(name, pa.array(col))
+        return res.filter(pa.array(keep))
+
+
+def grid_metrics(pixels: ray.data.Dataset, site_x: np.ndarray,
+                 site_y: np.ndarray, site_v: np.ndarray, z: int,
+                 metrics: Sequence[str] = ("count",), radius: float = 1.0,
+                 min_points: int = 1,
+                 tile_size: int = 256) -> ray.data.Dataset:
+    """gdal_grid data metrics / nearest over output pixel rows: one
+    column per requested metric; pixels with < min_points in-radius
+    sites drop (nodata). Broadcast sites (`ray.put` once, worker-cached
+    stage); the 100-TB path swaps the broadcast for the SiteIndex
+    cell-ring search exactly as grid_idw mode='knn'."""
+    ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
+                   "y": np.asarray(site_y, dtype=np.float64),
+                   "v": np.asarray(site_v, dtype=np.float64)})
+    key = ref.hex() + ":met:" + ",".join(metrics)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _MetricStage(
+            {"ref": ref}, z, tile_size, metrics, radius, min_points))
+        return j(batch)
+
+    return pixels.map_batches(stage, batch_format="pyarrow")
+
+
+class _InvDistNNStage:
+    """Per-quadrant inverse-distance-to-a-power nearest-neighbor
+    (`alg/gdalgrid.cpp:629-753` GDALGridInverseDistanceToAPower
+    NearestNeighbor with MinPointsPerQuadrant/MaxPointsPerQuadrant):
+    quadrants are taken around the grid node (sign of site-minus-node
+    deltas); each quadrant contributes its `max_per_quadrant` nearest
+    in-radius sites (ties -> lowest site index, stable argsort); a node
+    missing `min_per_quadrant` sites in ANY quadrant is nodata."""
+
+    def __init__(self, wrapped, z, tile_size, power, radius,
+                 max_per_quadrant, min_per_quadrant):
+        data = ray.get(wrapped["ref"])
+        self.sx = data["x"]
+        self.sy = data["y"]
+        self.sv = data["v"]
+        self.z, self.tile_size = z, tile_size
+        self.power = float(power)
+        self.r2 = float(radius) * float(radius)
+        self.maxq = int(max_per_quadrant)
+        self.minq = int(min_per_quadrant)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gpx = batch["gpx"].to_numpy(zero_copy_only=False)
+        gpy = batch["gpy"].to_numpy(zero_copy_only=False)
+        lon, lat = pixel_centers_lonlat(gpx, gpy, self.z, self.tile_size)
+        dx = self.sx[None, :] - lon[:, None]
+        dy = self.sy[None, :] - lat[:, None]
+        d2 = dx * dx + dy * dy
+        within = d2 <= self.r2
+        quad = (dx > 0).astype(np.int8) + 2 * (dy > 0).astype(np.int8)
+        n = len(lon)
+        sel = np.zeros_like(within)
+        ok = np.ones(n, dtype=bool)
+        for q in range(4):
+            inq = within & (quad == q)
+            cq = inq.sum(axis=1)
+            ok &= cq >= self.minq
+            d2q = np.where(inq, d2, np.inf)
+            kq = min(self.maxq, d2q.shape[1])
+            idx = np.argsort(d2q, axis=1, kind="stable")[:, :kq]
+            rows = np.repeat(np.arange(n), kq)
+            cols = idx.ravel()
+            chosen = inq[rows, cols]
+            sel[rows[chosen], cols[chosen]] = True
+        if self.power == 2:
+            w = np.where(sel, 1.0 / (d2 + EPS), 0.0)
+        else:
+            w = np.where(
+                sel, 1.0 / (np.power(d2, self.power / 2.0) + EPS), 0.0)
+        wsum = w.sum(axis=1)
+        ok &= wsum > 0
+        val = (w * self.sv[None, :]).sum(axis=1) / np.maximum(wsum, EPS)
+        return (batch.append_column("burn", pa.array(val))
+                .filter(pa.array(ok)))
+
+
+def grid_invdistnn(pixels: ray.data.Dataset, site_x: np.ndarray,
+                   site_y: np.ndarray, site_v: np.ndarray, z: int,
+                   power: float = 2.0, radius: float = 1.0,
+                   max_per_quadrant: int = 3, min_per_quadrant: int = 0,
+                   tile_size: int = 256) -> ray.data.Dataset:
+    """Per-quadrant invdistnn IDW onto output pixel rows (`burn` col);
+    nodata pixels drop. Same broadcast/worker-cache shape as grid_idw."""
+    ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
+                   "y": np.asarray(site_y, dtype=np.float64),
+                   "v": np.asarray(site_v, dtype=np.float64)})
+    key = ref.hex() + f":nnq:{power}:{radius}:{max_per_quadrant}:{min_per_quadrant}"
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _InvDistNNStage(
+            {"ref": ref}, z, tile_size, power, radius,
+            max_per_quadrant, min_per_quadrant))
+        return j(batch)
+
+    return pixels.map_batches(stage, batch_format="pyarrow")
