@@ -3156,6 +3156,90 @@ GROUP BY r.gpx, r.gpy
 """
 
 
+def q_gopher_repetition(sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021 A1.1)
+    over the documents table: per-doc word n-gram counts — most-common
+    2-/3-gram occurrences, duplicate-5-gram occurrences — plus the
+    integer-exact keep flag (top2<=0.20, top3<=0.18, dup5<=0.30).
+    All counts are integers, so the oracle is bit-exact."""
+    from .repetition import repetition_stats
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+SQL_GOPHER_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+base AS (SELECT doc_id, len(arr) AS n_tok FROM toks),
+g2i AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-1)) AS i FROM toks),
+c2 AS (SELECT doc_id, array_to_string(list_slice(arr, i, i+1), ' ') AS g,
+              count(*) AS c
+       FROM g2i GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, max(c) AS top2_cnt, sum(c) AS n2 FROM c2 GROUP BY doc_id),
+g3i AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-2)) AS i FROM toks),
+c3 AS (SELECT doc_id, array_to_string(list_slice(arr, i, i+2), ' ') AS g,
+              count(*) AS c
+       FROM g3i GROUP BY doc_id, g),
+s3 AS (SELECT doc_id, max(c) AS top3_cnt, sum(c) AS n3 FROM c3 GROUP BY doc_id),
+g5i AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-4)) AS i FROM toks),
+c5 AS (SELECT doc_id, array_to_string(list_slice(arr, i, i+4), ' ') AS g,
+              count(*) AS c
+       FROM g5i GROUP BY doc_id, g),
+s5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5_cnt,
+              sum(c) AS n5
+       FROM c5 GROUP BY doc_id)
+SELECT base.doc_id, n_tok,
+       coalesce(n2, 0) AS n2, coalesce(top2_cnt, 0) AS top2_cnt,
+       coalesce(n3, 0) AS n3, coalesce(top3_cnt, 0) AS top3_cnt,
+       coalesce(n5, 0) AS n5, coalesce(dup5_cnt, 0) AS dup5_cnt,
+       CASE WHEN coalesce(top2_cnt, 0) * 5 <= coalesce(n2, 0) * 1
+             AND coalesce(top3_cnt, 0) * 50 <= coalesce(n3, 0) * 9
+             AND coalesce(dup5_cnt, 0) * 10 <= coalesce(n5, 0) * 3
+            THEN 1 ELSE 0 END AS keep
+FROM base
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+LEFT JOIN s5 USING (doc_id)
+"""
+
+
+def q_decontaminate(sf_dir):
+    """Train/test n-gram decontamination: docs with doc_id % 23 == 0
+    form the held-out test split; every other doc is flagged if it
+    shares any word 4-gram with the test set. The test gram set is
+    broadcast (ray.put once) — the train side streams with no
+    shuffle."""
+    from .repetition import decontaminate
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_test):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 23 == 0) if want_test else (ids % 23 != 0)
+            return batch.filter(pa.array(m))
+        return f
+
+    test = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, test, n=4)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+gi AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-3)) AS i FROM toks),
+g AS (SELECT doc_id, array_to_string(list_slice(arr, i, i+3), ' ') AS g FROM gi),
+test AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0),
+hits AS (SELECT t.doc_id, count(te.g) AS n_hit
+         FROM (SELECT doc_id, g FROM g WHERE doc_id % 23 <> 0) t
+         LEFT JOIN test te USING (g) GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3219,6 +3303,8 @@ QUERIES = {
     "grid_linear": (q_grid_linear, sql_grid_linear()),
     "grid_metrics": (q_grid_metrics, SQL_GRID_METRICS),
     "grid_invdistnn": (q_grid_invdistnn, SQL_GRID_INVDISTNN),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "contour": (q_contour, sql_contour()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
