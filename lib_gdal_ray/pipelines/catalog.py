@@ -3240,6 +3240,45 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_hash_sample(sf_dir):
+    """Deterministic keyed downsampling: keep the ~37% of documents
+    whose Knuth-multiplicative key hash lands under the cut. Pure
+    row-local integer math (no RNG, no shuffle) — identical selection
+    at any cluster shape, exactly mirrored in SQL."""
+    from .sampling import hash_sample
+
+    docs = tables.read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    return hash_sample(docs, "doc_id", 37)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 37
+"""
+
+
+def q_source_quota(sf_dir):
+    """Per-source quota capping (corpus mixing): keep at most 12 docs
+    per source, lowest doc_id first. In-batch prune to local top-12 per
+    source before the groupby shuffle, then per-group take — the
+    exchange is bounded at k x sources x blocks rows."""
+    from .sampling import per_group_quota
+
+    docs = tables.read_table(
+        sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return per_group_quota(docs, "source", "doc_id", 12)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3305,6 +3344,8 @@ QUERIES = {
     "grid_invdistnn": (q_grid_invdistnn, SQL_GRID_INVDISTNN),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
