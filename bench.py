@@ -83,7 +83,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-2 additions
                      "rasterize_polygons", "reproject_utm", "shuffle_join",
                      "lang_stopword_quality", "buffer_zones", "swq_functions",
-                     "embedding_near_dup"]
+                     "embedding_near_dup",
+                     # round-3 additions
+                     "gopher_repetition", "decontaminate", "hash_sample",
+                     "source_quota", "grid_metrics", "proximity_dist",
+                     "contour"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

@@ -2194,10 +2194,18 @@ def q_proximity(sf_dir):
     from .proximity import proximity
 
     pts = events_points(sf_dir, cols=("event_id", "event_type"))
+    # z6 pixel keyspace is bounded (<= touched pixels), so the
+    # post-combiner shuffle runs with few partitions (documented
+    # bounded-keyspace opt-in, see rasterize_pixels docstring)
     clicks = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count")
+        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count",
+        shuffle_partitions=8)
+    # target side: only the pixel point SET matters for distances, so
+    # skip the cross-block combine entirely (duplicate target pixels
+    # across blocks leave every min-distance unchanged)
     errors = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count")
+        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count",
+        combine=False)
     out = proximity(clicks, errors, maxdist=128.0)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -2235,10 +2243,18 @@ def q_proximity_shuffle(sf_dir):
     from .proximity import proximity_shuffle
 
     pts = events_points(sf_dir, cols=("event_id", "event_type"))
+    # z6 pixel keyspace is bounded (<= touched pixels), so the
+    # post-combiner shuffle runs with few partitions (documented
+    # bounded-keyspace opt-in, see rasterize_pixels docstring)
     clicks = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count")
+        attribute_filter(pts, "event_type = 'click'"), 6, merge_alg="count",
+        shuffle_partitions=8)
+    # target side: only the pixel point SET matters for distances, so
+    # skip the cross-block combine entirely (duplicate target pixels
+    # across blocks leave every min-distance unchanged)
     errors = rast.rasterize_pixels(
-        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count")
+        attribute_filter(pts, "event_type = 'error'"), 6, merge_alg="count",
+        combine=False)
     out = proximity_shuffle(clicks, errors, maxdist=128.0, tile=128)
 
     def f(batch: pa.Table) -> pa.Table:

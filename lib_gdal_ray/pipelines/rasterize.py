@@ -112,14 +112,20 @@ def rasterize_pixels(points: ray.data.Dataset, z: int,
                      value_col: Optional[str] = None,
                      merge_alg: str = "add",
                      tile_size: int = 256,
-                     shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
+                     shuffle_partitions: Optional[int] = None,
+                     combine: bool = True) -> ray.data.Dataset:
     """Points → finalized sparse pixel rows (pix_id, burn) at zoom z.
 
     One narrow single-key hash shuffle after in-batch combining.
     shuffle_partitions: coalesce the (small, pre-combined) partials and
     bound the reduce fan-out — Ray's sort shuffle costs
     O(blocks × partitions) block slices, so small post-combiner shuffles
-    should run with few of both; leave None for large outputs."""
+    should run with few of both; leave None for large outputs.
+    combine=False skips the cross-block merge entirely and returns the
+    per-block partials (a pixel may appear once per input block):
+    correct whenever the consumer only needs the pixel point SET, not
+    exact per-pixel values — e.g. a proximity target side — and saves
+    the whole shuffle."""
     if merge_alg not in _PA_AGG:
         raise ValueError(f"merge_alg must be one of {sorted(_PA_AGG)}")
     if z > 29 - int(np.log2(tile_size)):
@@ -140,6 +146,8 @@ def rasterize_pixels(points: ray.data.Dataset, z: int,
         return out.rename_columns(["pix_id", "burn"])
 
     partials = points.map_batches(partial, batch_format="pyarrow")
+    if not combine:
+        return partials
     return combine_pixel_partials(partials, pa_agg, shuffle_partitions)
 
 
