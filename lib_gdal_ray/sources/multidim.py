@@ -175,6 +175,59 @@ def reduce_dim(ds: ray.data.Dataset, shape: Sequence[int],
     return partials.groupby("chunk_id").map_groups(combine, batch_format="pandas")
 
 
+def transpose(ds: ray.data.Dataset, shape: Sequence[int],
+              chunk_shape: Sequence[int],
+              axes: Sequence[int]) -> ray.data.Dataset:
+    """GDALMDArray::Transpose (`gcore/gdalmdarray.cpp` Transpose view):
+    permute dimensions. The chunk grid permutes 1:1 — each chunk row
+    transposes its payload locally and remaps its chunk index; a pure
+    stateless ``map_batches``, no shuffle, no materialization. The
+    result is a valid chunk-row dataset for the permuted
+    ``shape``/``chunk_shape``."""
+    k = len(shape)
+    axes = list(axes)
+    if sorted(axes) != list(range(k)):
+        raise ValueError(f"axes must permute 0..{k-1}")
+
+    def stage(batch: pa.Table) -> pa.Table:
+        key = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = unpack_chunks(key, k)
+        new_idx = idx[:, axes]
+        datas = []
+        for r in range(len(key)):
+            ci = idx[r]
+            dims = [min((int(ci[d]) + 1) * chunk_shape[d], shape[d])
+                    - int(ci[d]) * chunk_shape[d] for d in range(k)]
+            arr = np.frombuffer(batch["data"][r].as_py(),
+                                dtype="<f8").reshape(dims)
+            datas.append(np.ascontiguousarray(
+                np.transpose(arr, axes)).tobytes())
+        cols = {"chunk_id": pa.array(pack_chunks(new_idx)),
+                "data": pa.array(datas, type=pa.binary())}
+        for d in range(k):
+            cols[f"i{d}"] = pa.array(new_idx[:, d].astype(np.int32))
+        return pa.table(cols)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def unscale(ds: ray.data.Dataset, scale: float = 1.0,
+            offset: float = 0.0) -> ray.data.Dataset:
+    """GDALMDArray::GetUnscaled: value*scale + offset over every chunk
+    payload (stateless, vectorized, schema-preserving)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        datas = [
+            (np.frombuffer(b.as_py(), dtype="<f8") * scale + offset)
+            .astype("<f8").tobytes()
+            for b in batch["data"]]
+        pos = batch.column_names.index("data")
+        return batch.set_column(pos, "data",
+                                pa.array(datas, type=pa.binary()))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def to_numpy(ds: ray.data.Dataset, shape: Sequence[int],
              chunk_shape: Sequence[int]) -> np.ndarray:
     """Assemble chunk rows → dense array (tests / small results)."""

@@ -63,3 +63,25 @@ def test_reduce_dim(axis, op):
     o = dense_oracle()
     want = o.sum(axis=axis) if op == "sum" else o.max(axis=axis)
     np.testing.assert_allclose(got, want)
+
+
+@pytest.mark.parametrize("axes", [(2, 0, 1), (1, 0, 2), (2, 1, 0)])
+def test_transpose(axes):
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    out = md.transpose(ds, SHAPE, CHUNKS, axes)
+    new_shape = tuple(SHAPE[a] for a in axes)
+    new_chunks = tuple(CHUNKS[a] for a in axes)
+    got = md.to_numpy(out, new_shape, new_chunks)
+    np.testing.assert_array_equal(got, np.transpose(dense_oracle(), axes))
+
+
+def test_transpose_bad_axes():
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    with pytest.raises(ValueError):
+        md.transpose(ds, SHAPE, CHUNKS, (0, 0, 1))
+
+
+def test_unscale():
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    got = md.to_numpy(md.unscale(ds, scale=2.5, offset=-3.0), SHAPE, CHUNKS)
+    np.testing.assert_allclose(got, dense_oracle() * 2.5 - 3.0)
