@@ -1,0 +1,184 @@
+"""PNG codec in pure numpy + stdlib zlib (W3C PNG spec / RFC 2083).
+
+Real, spec-conformant subset: 8-bit samples, color types 0 (gray),
+2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters on both
+encode and decode; CRC-32 verified per chunk; interlace 0 (Adam7 is
+rejected with a clear error). This is the engine-facing contract GDAL's
+PNG driver provides (reference `frmts/png/pngdataset.cpp` — band
+decode + RasterIO), re-derived from the public spec with no libpng.
+
+Performance notes (100-TB framing): filters 0/2 unfilter fully
+vectorized (row add), filter 1 (Sub) via per-lane `np.add.accumulate`
+(wrapping uint8 prefix sum), filters 3/4 need the spec's sequential
+left-neighbor recurrence — a per-pixel loop across the row, kept off
+the hot path by encoding with filters 0-2 by default. The adaptive
+encoder (minimum sum of absolute differences heuristic, as in libpng)
+is available via filter_type='adaptive'.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> color type
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+
+def _filter_rows(raw: np.ndarray, bpp: int, filter_type) -> bytes:
+    """raw: (H, W*bpp) uint8. Returns filter-byte-prefixed scanlines.
+
+    On encode the filter references ORIGINAL bytes of the current and
+    prior scanline (identical to reconstructed bytes), so every filter
+    vectorizes across the whole image.
+    """
+    h, stride = raw.shape
+    prev = np.zeros((h, stride), dtype=np.uint8)
+    prev[1:] = raw[:-1]
+    left = np.zeros((h, stride), dtype=np.uint8)
+    left[:, bpp:] = raw[:, :-bpp]
+    upleft = np.zeros((h, stride), dtype=np.uint8)
+    upleft[1:, bpp:] = raw[:-1, :-bpp]
+
+    def paeth_pred():
+        a = left.astype(np.int16)
+        b = prev.astype(np.int16)
+        c = upleft.astype(np.int16)
+        p = a + b - c
+        pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+        return pred.astype(np.uint8)
+
+    candidates = {
+        0: lambda: raw,
+        1: lambda: raw - left,
+        2: lambda: raw - prev,
+        3: lambda: raw - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8),
+        4: lambda: raw - paeth_pred(),
+    }
+    if filter_type == "adaptive":
+        # libpng MSAD heuristic: per row, pick the filter minimizing the
+        # sum of bytes interpreted as signed magnitudes
+        filt_all = np.stack([candidates[f]() for f in range(5)])  # (5,H,stride)
+        mag = filt_all.astype(np.int16)
+        mag = np.where(mag > 127, 256 - mag, mag)
+        scores = mag.sum(axis=2)            # (5, H)
+        pick = np.argmin(scores, axis=0)    # (H,)
+        filtered = filt_all[pick, np.arange(h)]
+        fbytes = pick.astype(np.uint8)
+    else:
+        filtered = candidates[int(filter_type)]()
+        fbytes = np.full(h, int(filter_type), dtype=np.uint8)
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = fbytes
+    out[:, 1:] = filtered
+    return out.tobytes()
+
+
+def encode_png(arr: np.ndarray, filter_type=0, compress_level: int = 6) -> bytes:
+    """Encode (H, W) or (H, W, C∈{1,2,3,4}) uint8 -> PNG bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c}")
+    raw = arr.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
+    idat = zlib.compress(_filter_rows(raw, c, filter_type), compress_level)
+    return b"".join([_SIG, _chunk(b"IHDR", ihdr), _chunk(b"IDAT", idat),
+                     _chunk(b"IEND", b"")])
+
+
+def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """scan: (H, 1+stride) filter-byte-prefixed rows -> (H, stride) recon."""
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(scan[y, 0])
+        row = scan[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane wrapping prefix sum
+            lanes = row.reshape(-1, bpp)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average — sequential left dependence
+            n = stride // bpp
+            r = row.reshape(n, bpp).astype(np.int16)
+            p = prev.reshape(n, bpp).astype(np.int16)
+            acc = np.zeros(bpp, dtype=np.int16)
+            for x in range(n):
+                acc = (r[x] + ((acc + p[x]) >> 1)) & 0xFF
+                r[x] = acc
+            row = r.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth — sequential left dependence
+            n = stride // bpp
+            r = row.reshape(n, bpp).astype(np.int16)
+            p = prev.reshape(n, bpp).astype(np.int16)
+            a = np.zeros(bpp, dtype=np.int16)   # left recon
+            c = np.zeros(bpp, dtype=np.int16)   # upleft recon
+            for x in range(n):
+                b = p[x]
+                pp = a + b - c
+                pa_, pb, pc_ = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                                np.where(pb <= pc_, b, c))
+                a = (r[x] + pred) & 0xFF
+                r[x] = a
+                c = b
+            row = r.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter {f} on row {y}")
+        recon[y] = row
+        prev = recon[y]
+    return recon
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Decode PNG bytes -> (H, W) or (H, W, C) uint8. CRC-checked."""
+    if buf[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    c = _CHANNELS[ctype]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = _unfilter(scan, h, stride, c)
+    arr = recon.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr

@@ -2655,6 +2655,121 @@ def q_media_features(sf_dir):
     return out.select_columns(["doc_id", "span_idx", "kind", "media_ref"])
 
 
+_SQL_MEDIA_SPANS = """
+    WITH ids AS (
+      SELECT unnest(generate_series(0,
+             (SELECT count(*) FROM documents) - 1)) AS d
+    ), sp AS (
+      SELECT d, unnest(generate_series(0, d % 6)) AS s FROM ids
+    ), k AS (
+      SELECT d, s,
+        ['text','image','audio','text','text','video'][(d + s) % 6 + 1] AS kind
+      FROM sp
+    ), media AS (SELECT d, s, kind FROM k WHERE kind <> 'text')
+"""
+
+
+def sql_media_decode():
+    """Mirrors the REAL codec pipeline in closed form: the synthetic
+    payloads are PNG/WAV/RWV encodings of modular-arithmetic content
+    (stages/media.py synth_image/audio/video_frames), so the decoded
+    value statistics are exactly expressible — any encoder/decoder bug
+    (filtering, zlib framing, CRC, sample layout) breaks the sums."""
+    return _SQL_MEDIA_SPANS + """
+    , img AS (
+      SELECT d, s, 'image' AS kind, CAST((8 + d % 8) * (8 + (d + s) % 5) AS BIGINT) AS n_values,
+             CAST(sum((x + 3*y + d + 7*s) % 256) AS BIGINT) AS val_sum,
+             CAST(min((x + 3*y + d + 7*s) % 256) AS INTEGER) AS val_min,
+             CAST(max((x + 3*y + d + 7*s) % 256) AS INTEGER) AS val_max
+      FROM media,
+           LATERAL unnest(generate_series(0, 8 + d % 8 - 1)) tx(x),
+           LATERAL unnest(generate_series(0, 8 + (d + s) % 5 - 1)) ty(y)
+      WHERE media.kind = 'image' GROUP BY d, s
+    ), aud AS (
+      SELECT d, s, 'audio' AS kind, CAST(64 + (d % 16) * 8 AS BIGINT) AS n_values,
+             CAST(sum((i * (1 + d % 13) + 5*s) % 509 - 254) AS BIGINT) AS val_sum,
+             CAST(min((i * (1 + d % 13) + 5*s) % 509 - 254) AS INTEGER) AS val_min,
+             CAST(max((i * (1 + d % 13) + 5*s) % 509 - 254) AS INTEGER) AS val_max
+      FROM media,
+           LATERAL unnest(generate_series(0, 64 + (d % 16) * 8 - 1)) ti(i)
+      WHERE media.kind = 'audio' GROUP BY d, s
+    ), vid AS (
+      SELECT d, s, 'video' AS kind, CAST((2 + d % 4) * 64 AS BIGINT) AS n_values,
+             CAST(sum((x + 3*y + d + 7*s + 11*f) % 256) AS BIGINT) AS val_sum,
+             CAST(min((x + 3*y + d + 7*s + 11*f) % 256) AS INTEGER) AS val_min,
+             CAST(max((x + 3*y + d + 7*s + 11*f) % 256) AS INTEGER) AS val_max
+      FROM media,
+           LATERAL unnest(generate_series(0, 2 + d % 4 - 1)) tf(f),
+           LATERAL unnest(generate_series(0, 7)) tx(x),
+           LATERAL unnest(generate_series(0, 7)) ty(y)
+      WHERE media.kind = 'video' GROUP BY d, s
+    ), allk AS (
+      SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+    )
+    SELECT 'doc-' || lpad(CAST(d AS VARCHAR), 9, '0') AS doc_id,
+           CAST(s AS INTEGER) AS span_idx, kind, n_values, val_sum,
+           val_min, val_max
+    FROM allk
+    """
+
+
+def q_media_decode(sf_dir):
+    """Multimodal with REAL codecs: fetch generates genuine PNG / WAV /
+    RWV(PNG-frame) payloads, decode runs the pure-numpy spec codecs
+    (lib_gdal_ray/codecs — GDAL frmts/png,bmp analog), stats computed
+    from the decoded pixels/samples."""
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import interleaved_docs
+    from ..stages.media import media_decode_stats
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = media_decode_stats(interleaved_docs(n))
+    return out.select_columns(["doc_id", "span_idx", "kind", "n_values",
+                               "val_sum", "val_min", "val_max"])
+
+
+def sql_media_resize():
+    """Nearest-neighbor resize has a closed pixel-center form:
+    src = floor((t + 0.5) * src_dim / 4). The Ray side PNG-encodes the
+    resized image and decodes it AGAIN, so this oracle pins two full
+    encoder round-trips plus the resize indexing."""
+    return _SQL_MEDIA_SPANS + """
+    , img AS (
+      SELECT d, s, 8 + d % 8 AS w, 8 + (d + s) % 5 AS h
+      FROM media WHERE kind = 'image'
+    ), px AS (
+      SELECT d, s,
+        (CAST(floor((tx.x + 0.5) * w / 4.0) AS BIGINT)
+         + 3 * CAST(floor((ty.y + 0.5) * h / 4.0) AS BIGINT)
+         + d + 7*s) % 256 AS v
+      FROM img, LATERAL unnest(generate_series(0, 3)) tx(x),
+                LATERAL unnest(generate_series(0, 3)) ty(y)
+    )
+    SELECT 'doc-' || lpad(CAST(d AS VARCHAR), 9, '0') AS doc_id,
+           CAST(s AS INTEGER) AS span_idx,
+           CAST(16 AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS val_sum,
+           CAST(min(v) AS INTEGER) AS val_min,
+           CAST(max(v) AS INTEGER) AS val_max
+    FROM px GROUP BY d, s
+    """
+
+
+def q_media_resize(sf_dir):
+    """Image spans through the real resize path: PNG decode → 4×4
+    nearest resize → PNG re-encode → second decode → stats."""
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import interleaved_docs
+    from ..stages.media import media_resize_stats
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = media_resize_stats(interleaved_docs(n), target_w=4, target_h=4)
+    return out.select_columns(["doc_id", "span_idx", "n_values",
+                               "val_sum", "val_min", "val_max"])
+
+
 def q_embedding_near_dup(sf_dir):
     """Banded multi-table hyperplane LSH near-dup pairs, emitted with
     integer-cents similarities. SQL-checkable at oracle scale: the
@@ -3386,4 +3501,6 @@ QUERIES = {
     "fingerprint": (q_fingerprint, sql_fingerprint()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
     "media_features": (q_media_features, sql_media_features()),
+    "media_decode": (q_media_decode, sql_media_decode()),
+    "media_resize": (q_media_resize, sql_media_resize()),
 }

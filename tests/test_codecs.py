@@ -1,0 +1,164 @@
+"""Real media codecs: PNG/BMP/WAV/RWV roundtrips + real decode stages.
+
+The codecs are spec re-derivations (W3C PNG, BITMAPINFOHEADER, RIFF
+PCM) in pure numpy + stdlib zlib — reference parity target is GDAL's
+frmts/png + frmts/bmp + RasterIO band contract.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lib_gdal_ray.codecs import decode_media, sniff
+from lib_gdal_ray.codecs.bmp import decode_bmp, encode_bmp
+from lib_gdal_ray.codecs.container import decode_frames, encode_frames
+from lib_gdal_ray.codecs.png import decode_png, encode_png
+from lib_gdal_ray.codecs.wav import decode_wav, encode_wav
+
+
+class TestPng:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "adaptive"])
+    def test_roundtrip_all_filters(self, channels, filter_type):
+        rng = np.random.default_rng(channels * 10 + hash(str(filter_type)) % 97)
+        a = rng.integers(0, 256, (11, 23, channels), dtype=np.uint8)
+        if channels == 1:
+            a = a[:, :, 0]
+        out = decode_png(encode_png(a, filter_type=filter_type))
+        np.testing.assert_array_equal(out, a)
+
+    def test_gradient_and_flat(self):
+        y, x = np.mgrid[0:17, 0:31]
+        grad = ((x + 3 * y) % 256).astype(np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(grad, "adaptive")), grad)
+        flat = np.full((5, 5), 200, np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(flat)), flat)
+
+    def test_crc_is_checked(self):
+        buf = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+        buf[40] ^= 0xFF  # corrupt inside IDAT
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(buf))
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            decode_png(b"GIF89a" + b"\x00" * 20)
+
+    def test_single_pixel_and_single_row(self):
+        one = np.array([[137]], dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(one, 4)), one)
+        row = np.arange(256, dtype=np.uint8)[None, :]
+        np.testing.assert_array_equal(decode_png(encode_png(row, 1)), row)
+
+
+class TestBmp:
+    def test_roundtrip_gray_with_odd_width(self):
+        rng = np.random.default_rng(1)
+        for w in (5, 6, 7, 8):  # exercise all 4-byte paddings
+            a = rng.integers(0, 256, (9, w), dtype=np.uint8)
+            np.testing.assert_array_equal(decode_bmp(encode_bmp(a)), a)
+
+    def test_roundtrip_rgb(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(a)), a)
+
+
+class TestWav:
+    def test_roundtrip_int16_mono_stereo(self):
+        rng = np.random.default_rng(3)
+        mono = rng.integers(-32768, 32768, 777).astype(np.int16)
+        d, rate = decode_wav(encode_wav(mono, 22050))
+        assert rate == 22050
+        np.testing.assert_array_equal(d, mono)
+        stereo = rng.integers(-32768, 32768, (400, 2)).astype(np.int16)
+        d2, _ = decode_wav(encode_wav(stereo))
+        np.testing.assert_array_equal(d2, stereo)
+
+    def test_roundtrip_uint8(self):
+        a = np.arange(256, dtype=np.uint8)
+        d, _ = decode_wav(encode_wav(a))
+        np.testing.assert_array_equal(d, a)
+
+    def test_odd_length_data_chunk_is_word_aligned(self):
+        a = np.array([1, 2, 3], dtype=np.uint8)  # 3-byte data chunk
+        d, _ = decode_wav(encode_wav(a))
+        np.testing.assert_array_equal(d, a)
+
+
+class TestContainerAndSniff:
+    def test_frames_roundtrip(self):
+        rng = np.random.default_rng(4)
+        frames = [rng.integers(0, 256, (8, 8), dtype=np.uint8) for _ in range(5)]
+        out = decode_frames(encode_frames(frames))
+        assert len(out) == 5
+        for a, b in zip(frames, out):
+            np.testing.assert_array_equal(a, b)
+
+    def test_sniff_dispatch(self):
+        g = np.zeros((4, 4), np.uint8)
+        assert sniff(encode_png(g)) == "png"
+        assert sniff(encode_bmp(g)) == "bmp"
+        assert sniff(encode_wav(np.zeros(4, np.int16))) == "wav"
+        assert sniff(encode_frames([g])) == "rwv"
+        assert sniff(b"nonsense") == "unknown"
+        kind, arr, meta = decode_media(encode_bmp(g))
+        assert kind == "image" and meta["width"] == 4
+
+
+class TestRealStages:
+    def test_decode_stats_match_closed_form(self, ray_session):
+        from lib_gdal_ray.sources.synth import interleaved_docs
+        from lib_gdal_ray.stages.media import (media_decode_stats,
+                                               synth_audio, synth_image,
+                                               synth_video_frames)
+
+        out = media_decode_stats(interleaved_docs(40)).to_pandas()
+        assert len(out) > 0
+        for _, r in out.iterrows():
+            d = int(r["doc_id"].split("-")[1])
+            s = int(r["span_idx"])
+            if r["kind"] == "image":
+                vals = synth_image(d, s).astype(np.int64)
+            elif r["kind"] == "audio":
+                vals = synth_audio(d, s).astype(np.int64)
+            else:
+                vals = np.stack(synth_video_frames(d, s)).astype(np.int64)
+            assert r["n_values"] == vals.size
+            assert r["val_sum"] == vals.sum()
+            assert r["val_min"] == vals.min()
+            assert r["val_max"] == vals.max()
+
+    def test_resize_nearest_and_bilinear_kernels(self):
+        from lib_gdal_ray.stages.media import resize_bilinear, resize_nearest
+
+        y, x = np.mgrid[0:8, 0:8]
+        img = ((x + y) % 256).astype(np.uint8)
+        # identity resize
+        np.testing.assert_array_equal(resize_nearest(img, 8, 8), img)
+        np.testing.assert_array_equal(resize_bilinear(img, 8, 8), img)
+        # 2x downscale nearest picks pixel centers: src = floor((t+.5)*2)
+        down = resize_nearest(img, 4, 4)
+        np.testing.assert_array_equal(down, img[1::2, 1::2])
+        # bilinear on a linear ramp stays linear (interior, integer grid)
+        ramp = (np.arange(16, dtype=np.uint8) * 4)[None, :].repeat(4, axis=0)
+        up = resize_bilinear(ramp, 32, 4).astype(np.int32)
+        diffs = np.diff(up[0, 2:-2])
+        assert diffs.min() >= 1 and diffs.max() <= 3  # ~2/step on a 4/step ramp
+
+    def test_frame_sample_real(self, ray_session):
+        import ray.data
+
+        from lib_gdal_ray.codecs.png import decode_png as dec
+        from lib_gdal_ray.stages.media import FrameSampleStage, synth_video_frames
+
+        frames = synth_video_frames(7, 1)
+        t = pa.table({"media_ref": pa.array(["s3://media/video/007/7_1.bin"]),
+                      "payload": pa.array([encode_frames(frames)], type=pa.binary())})
+        out = (ray.data.from_arrow(t)
+               .map_batches(FrameSampleStage(every_n=2, real=True),
+                            batch_format="pyarrow").to_pandas())
+        assert list(out["frame_idx"]) == list(range(0, len(frames), 2))
+        for _, r in out.iterrows():
+            np.testing.assert_array_equal(dec(r["frame"]), frames[r["frame_idx"]])
+            assert r["frame_sum"] == frames[r["frame_idx"]].astype(np.int64).sum()

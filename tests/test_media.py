@@ -36,12 +36,14 @@ def test_features_deterministic_and_typed():
     np.testing.assert_allclose(f1.sum(axis=1), 1.0, atol=1e-5)
 
 
-def test_real_mode_raises():
+def test_real_mode_seams():
+    # remote-filesystem fetch is still the documented seam
     t = pa.table({"media_ref": pa.array(["s3://x/y.bin"])})
     with pytest.raises(NotImplementedError):
         MediaFetchStage(real=True)(t)
+    # real decode now RUNS (codecs are real); unknown magic is an error
     t2 = pa.table({"payload": pa.array([b"abc"], type=pa.binary())})
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         MediaDecodeStage(real=True)(t2)
 
 
