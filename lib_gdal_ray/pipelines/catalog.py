@@ -2655,6 +2655,110 @@ def q_media_features(sf_dir):
     return out.select_columns(["doc_id", "span_idx", "kind", "media_ref"])
 
 
+def q_geojson_roundtrip(sf_dir):
+    """Vector driver surface: events → WKB point layer → GeoJSONSeq
+    write (RFC 8142, one Feature per line, one file per block) → stream
+    read back (`read_text` + vectorized parse) → coordinates recovered
+    from the parsed WKB. Exercises the full OGR-driver analog
+    (`sources/vector_formats.py`; reference ogr/ogrsf_frmts/geojson)."""
+    import os
+
+    from ..geom import wkb as wkb_mod
+    from ..sources import vector_formats as vf
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.event_lonlat(eid)
+        geoms = wkb_mod.points_to_wkb(lon, lat)
+        return pa.table({"event_id": batch["event_id"],
+                         "geometry": pa.array(list(geoms), type=pa.binary())})
+
+    layer = ev.map_batches(to_layer, batch_format="pyarrow")
+    out_dir = f"/tmp/lib_gdal_ray_geojson_{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    vf.write_geojson_seq(layer, out_dir)
+    back = vf.read_geojson_seq(out_dir, properties=["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        lon, lat = wkb_mod.wkb_to_points(
+            _np.asarray(batch["geometry"].to_pylist(), dtype=object))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
+SQL_GEOJSON_ROUNDTRIP = f"""
+SELECT event_id,
+       CAST(floor(({derive.SQL_EVENT_LON}) * 1e6 + 0.5) AS BIGINT) AS lon_c,
+       CAST(floor(({derive.SQL_EVENT_LAT}) * 1e6 + 0.5) AS BIGINT) AS lat_c
+FROM events
+"""
+
+
+def q_csv_wkt_roundtrip(sf_dir):
+    """CSV-with-WKT driver surface: nation zone polygons → WKT text
+    column → CSV write → CSV read + WKT parse → exact integer vertex
+    checksum of the parsed rings (OGR CSV GEOM_POSSIBLE_NAMES analog,
+    `sources/vector_formats.py` + `geom/wkt.py`)."""
+    import os
+    import shutil
+
+    from ..geom import wkb as wkb_mod
+    from ..sources import vector_formats as vf
+
+    na = tables.read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        nk = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xmin, ymin, xmax, ymax = derive.zone_boxes(nk)
+        geoms = [wkb_mod.box_to_wkb(float(a), float(b), float(c), float(d))
+                 for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+        return pa.table({"zone_id": pa.array(nk),
+                         "geometry": pa.array(geoms, type=pa.binary())})
+
+    layer = na.map_batches(to_layer, batch_format="pyarrow")
+    out_dir = f"/tmp/lib_gdal_ray_csvwkt_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    vf.write_csv_wkt(layer, out_dir)
+    back = vf.read_csv_wkt(out_dir)
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        sums = []
+        for g in batch["geometry"].to_pylist():
+            rings = wkb_mod.wkb_rings(g)
+            s = 0.0
+            for ring in rings[0]:
+                a = np.asarray(ring, dtype=np.float64)
+                s += float(np.abs(a).sum())
+            sums.append(int(np.floor(s * 100 + 0.5)))
+        return pa.table({"zone_id": pc.cast(batch["zone_id"], pa.int64()),
+                         "vertex_sum_c": pa.array(np.asarray(sums, np.int64))})
+
+    return back.map_batches(checksum, batch_format="pyarrow")
+
+
+SQL_CSV_WKT_ROUNDTRIP = f"""
+WITH z AS (
+  SELECT n_nationkey AS zone_id,
+         {derive.SQL_ZONE_XMIN} AS xmin, {derive.SQL_ZONE_XMAX} AS xmax,
+         {derive.SQL_ZONE_YMIN} AS ymin, {derive.SQL_ZONE_YMAX} AS ymax
+  FROM nation)
+SELECT zone_id,
+  CAST(floor((2*abs(xmin) + 2*abs(xmax) + 2*abs(ymin) + 2*abs(ymax)
+              + abs(xmin) + abs(ymin)) * 100 + 0.5) AS BIGINT) AS vertex_sum_c
+FROM z
+"""
+
+
 _SQL_MEDIA_SPANS = """
     WITH ids AS (
       SELECT unnest(generate_series(0,
@@ -3503,4 +3607,6 @@ QUERIES = {
     "media_features": (q_media_features, sql_media_features()),
     "media_decode": (q_media_decode, sql_media_decode()),
     "media_resize": (q_media_resize, sql_media_resize()),
+    "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
 }

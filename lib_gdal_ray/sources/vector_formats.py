@@ -1,0 +1,232 @@
+"""Vector format drivers: GeoJSON / GeoJSONSeq / CSV-with-WKT.
+
+OGR driver parity (reference `ogr/ogrsf_frmts/geojson/*`,
+`ogr/ogrsf_frmts/csv/*`) re-expressed Ray-Data-first: every reader is a
+streaming Dataset source (`read_text` / `read_csv` /
+`read_binary_files`) followed by a vectorized `map_batches` parse that
+lands geometry as WKB binary — the engine's canonical geometry carrier
+— plus flattened property columns. Writers are the inverse
+`map_batches` + `write_json`/`write_csv`.
+
+Scale notes: GeoJSONSeq (RFC 8142, one Feature per line) is the
+scalable path — `read_text` splits by line across blocks, so a 100-TB
+feature log streams. A classic FeatureCollection file must be parsed
+whole (the JSON array wraps everything), so `read_geojson` parallelizes
+per FILE (read_binary_files) and is documented for many-small-files
+layouts, not one giant file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..geom import wkb as wkb_mod
+from ..geom import wkt as wkt_mod
+
+
+def geojson_geom_to_wkb(g: Optional[dict]) -> Optional[bytes]:
+    """GeoJSON geometry object -> WKB bytes (null geometry -> None)."""
+    if g is None:
+        return None
+    t = g["type"]
+    c = g.get("coordinates")
+    if t == "Point":
+        if len(c) >= 3:
+            return wkb_mod.point_z_to_wkb(c[0], c[1], c[2])
+        return wkb_mod.points_to_wkb(np.array([c[0]]), np.array([c[1]]))[0]
+    if t == "LineString":
+        a = np.asarray(c, dtype=np.float64)
+        return (wkb_mod.linestring_z_to_wkb(a) if a.shape[1] >= 3
+                else wkb_mod.linestring_to_wkb(a))
+    if t == "Polygon":
+        return wkb_mod.polygon_to_wkb(
+            [np.asarray(r, dtype=np.float64)[:, :2] for r in c])
+    if t == "MultiPoint":
+        return wkb_mod.multipoint_to_wkb(np.asarray(c, dtype=np.float64)[:, :2])
+    if t == "MultiLineString":
+        return wkb_mod.multilinestring_to_wkb(
+            [np.asarray(l, dtype=np.float64)[:, :2] for l in c])
+    if t == "MultiPolygon":
+        return wkb_mod.multipolygon_to_wkb(
+            [[np.asarray(r, dtype=np.float64)[:, :2] for r in poly] for poly in c])
+    if t == "GeometryCollection":
+        return wkb_mod.geometrycollection_to_wkb(
+            [geojson_geom_to_wkb(m) for m in g["geometries"]])
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+def wkb_to_geojson_geom(buf: Optional[bytes]) -> Optional[dict]:
+    """WKB bytes -> GeoJSON geometry object (2-D, OGR-flatten)."""
+    if buf is None:
+        return None
+    kind, payload = wkb_mod.parse_wkb(buf)
+    return _parsed_to_geojson(kind, payload)
+
+
+def _parsed_to_geojson(kind: str, payload) -> dict:
+    if kind == "point":
+        a = np.asarray(payload, dtype=np.float64)
+        return {"type": "Point", "coordinates": list(a[0])}
+    if kind == "linestring":
+        return {"type": "LineString",
+                "coordinates": np.asarray(payload, dtype=np.float64).tolist()}
+    if kind == "polygon":
+        return {"type": "Polygon",
+                "coordinates": [np.asarray(r).tolist() for r in payload]}
+    if kind == "multipoint":
+        return {"type": "MultiPoint",
+                "coordinates": np.asarray(payload, dtype=np.float64).tolist()}
+    if kind == "multilinestring":
+        return {"type": "MultiLineString",
+                "coordinates": [np.asarray(l).tolist() for l in payload]}
+    if kind == "multipolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[np.asarray(r).tolist() for r in poly]
+                                for poly in payload]}
+    if kind == "geometrycollection":
+        return {"type": "GeometryCollection",
+                "geometries": [_parsed_to_geojson(k, p) for k, p in payload]}
+    raise ValueError(f"cannot export geometry kind {kind!r}")
+
+
+def _features_to_table(features: List[dict],
+                       properties: Optional[Sequence[str]]) -> pa.Table:
+    if properties is None:
+        seen = {}
+        for f in features:
+            for k in (f.get("properties") or {}):
+                seen.setdefault(k, None)
+        properties = list(seen)
+    cols: dict = {p: [] for p in properties}
+    geoms = []
+    for f in features:
+        props = f.get("properties") or {}
+        for p in properties:
+            cols[p].append(props.get(p))
+        geoms.append(geojson_geom_to_wkb(f.get("geometry")))
+    out = {p: pa.array(v) for p, v in cols.items()}
+    out["geometry"] = pa.array(geoms, type=pa.binary())
+    return pa.table(out)
+
+
+def read_geojson_seq(paths: Union[str, List[str]],
+                     properties: Optional[Sequence[str]] = None,
+                     **kwargs) -> ray.data.Dataset:
+    """RFC 8142 GeoJSONSeq / NDJSON features -> Dataset with WKB
+    `geometry` + property columns. Line-splittable: scales to arbitrary
+    file sizes. Pass `properties` for a stable schema across blocks
+    (else each block infers the union of its own lines — fine for
+    homogeneous feature logs)."""
+    text = ray.data.read_text(paths, **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        feats = [json.loads(line.lstrip("\x1e")) for line
+                 in batch["text"].to_pylist() if line.strip()]
+        return _features_to_table(feats, properties)
+
+    return text.map_batches(parse, batch_format="pyarrow")
+
+
+def read_geojson(paths: Union[str, List[str]],
+                 properties: Optional[Sequence[str]] = None,
+                 **kwargs) -> ray.data.Dataset:
+    """Classic GeoJSON FeatureCollection file(s) -> Dataset.
+    Parallelizes per file (whole-file JSON parse)."""
+    raw = ray.data.read_binary_files(paths, **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        feats: List[dict] = []
+        for buf in batch["bytes"].to_pylist():
+            doc = json.loads(buf)
+            if doc.get("type") == "FeatureCollection":
+                feats.extend(doc["features"])
+            elif doc.get("type") == "Feature":
+                feats.append(doc)
+            else:  # bare geometry
+                feats.append({"geometry": doc, "properties": {}})
+        return _features_to_table(feats, properties)
+
+    return raw.map_batches(parse, batch_format="pyarrow")
+
+
+class _TextLineDatasink:
+    """Lazy import holder — ray.data.datasource at module import time
+    would pay the full datasource import in every worker."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            from ray.data.datasource import BlockBasedFileDatasink
+
+            class TextLines(BlockBasedFileDatasink):
+                def __init__(self, path, column="text", **kw):
+                    super().__init__(path, file_format="geojsonl", **kw)
+                    self.column = column
+
+                def write_block_to_file(self, block, file):
+                    col = block.to_arrow().column(self.column)
+                    for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+                        for v in chunk.to_pylist():
+                            file.write((v + "\n").encode())
+
+            cls._cls = TextLines
+        return cls._cls
+
+
+def write_geojson_seq(ds: ray.data.Dataset, path: str,
+                      geometry_col: str = "geometry") -> None:
+    """Dataset (WKB geometry + property columns) -> GeoJSONSeq files
+    (one Feature per line, one file per block — resumable layout)."""
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        names = [c for c in batch.column_names if c != geometry_col]
+        cols = {c: batch[c].to_pylist() for c in names}
+        geoms = batch[geometry_col].to_pylist()
+        lines = []
+        for i, g in enumerate(geoms):
+            feat = {"type": "Feature",
+                    "geometry": wkb_to_geojson_geom(g),
+                    "properties": {c: cols[c][i] for c in names}}
+            lines.append(json.dumps(feat, separators=(",", ":")))
+        return pa.table({"text": pa.array(lines)})
+
+    sink = _TextLineDatasink.get()(path)
+    ds.map_batches(to_lines, batch_format="pyarrow").write_datasink(sink)
+
+
+def read_csv_wkt(paths: Union[str, List[str]], wkt_col: str = "wkt",
+                 keep_wkt: bool = False, **kwargs) -> ray.data.Dataset:
+    """CSV with a WKT geometry column (OGR CSV driver GEOM_POSSIBLE_NAMES
+    analog) -> Dataset with WKB `geometry`."""
+    ds = ray.data.read_csv(paths, **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        wkts = batch[wkt_col].to_pylist()
+        geoms = pa.array([None if w is None else wkt_mod.wkt_to_wkb(w)
+                          for w in wkts], type=pa.binary())
+        if not keep_wkt:
+            batch = batch.drop_columns([wkt_col])
+        return batch.append_column("geometry", geoms)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_csv_wkt(ds: ray.data.Dataset, path: str,
+                  geometry_col: str = "geometry",
+                  wkt_col: str = "wkt") -> None:
+    """Dataset with WKB geometry -> CSV files with a WKT column."""
+
+    def to_wkt(batch: pa.Table) -> pa.Table:
+        geoms = batch[geometry_col].to_pylist()
+        wkts = pa.array([None if g is None else wkt_mod.wkb_to_wkt(g)
+                         for g in geoms])
+        return batch.drop_columns([geometry_col]).append_column(wkt_col, wkts)
+
+    ds.map_batches(to_wkt, batch_format="pyarrow").write_csv(path)

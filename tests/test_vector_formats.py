@@ -1,0 +1,130 @@
+"""Vector format drivers: WKT codec, GeoJSON(/Seq), CSV-WKT roundtrips.
+
+Reference parity: OGR geojson + csv drivers and
+OGRGeometryFactory::createFromWkt / exportToWkt
+(ogr/ogrsf_frmts/geojson, ogr/ogrsf_frmts/csv, ogr/ogrgeometryfactory.cpp).
+"""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.geom import wkb as W
+from lib_gdal_ray.geom import wkt as T
+from lib_gdal_ray.sources import vector_formats as vf
+
+
+def _sample_geoms():
+    return [
+        W.points_to_wkb(np.array([1.5]), np.array([-2.25]))[0],
+        W.linestring_to_wkb(np.array([[0, 0], [1, 1], [2, 0.5]], float)),
+        W.polygon_to_wkb([
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+            np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)]),
+        W.multipoint_to_wkb(np.array([[0, 1], [2, 3.5]])),
+        W.multilinestring_to_wkb([np.array([[0, 0], [1, 0]], float),
+                                  np.array([[2, 2], [3, 3]], float)]),
+        W.multipolygon_to_wkb([[np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)],
+                               [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)]]),
+        W.geometrycollection_to_wkb([
+            W.points_to_wkb(np.array([1.0]), np.array([2.0]))[0],
+            W.linestring_to_wkb(np.array([[0, 0], [1, 1]], float))]),
+    ]
+
+
+class TestWkt:
+    def test_wkb_wkt_roundtrip_all_types(self):
+        for buf in _sample_geoms():
+            s = T.wkb_to_wkt(buf)
+            assert T.wkb_to_wkt(T.wkt_to_wkb(s)) == s
+
+    @pytest.mark.parametrize("text,norm", [
+        ("POINT (30 10)", "POINT (30 10)"),
+        ("POINT Z (1 2 3)", "POINT Z (1 2 3)"),
+        ("MULTIPOINT (10 40, 40 30)", "MULTIPOINT ((10 40), (40 30))"),
+        ("MULTIPOINT ((10 40), (40 30))", "MULTIPOINT ((10 40), (40 30))"),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 0))", "POLYGON ((0 0, 10 0, 10 10, 0 0))"),
+        ("POLYGON EMPTY", "POLYGON EMPTY"),
+        ("GEOMETRYCOLLECTION EMPTY", "GEOMETRYCOLLECTION EMPTY"),
+        ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+         "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"),
+        ("LINESTRING (-1.5 2e3, 0.25 -0.125)", "LINESTRING (-1.5 2000, 0.25 -0.125)"),
+    ])
+    def test_external_forms_normalize(self, text, norm):
+        assert T.wkb_to_wkt(T.wkt_to_wkb(text)) == norm
+
+    def test_float_exactness(self):
+        # repr shortest-roundtrip: parse(format(x)) bit-exact
+        vals = np.array([0.1, 1 / 3, -177.123456789, 1e-12])
+        buf = W.linestring_to_wkb(np.stack([vals, vals * 2], axis=1))
+        back = T.wkt_to_wkb(T.wkb_to_wkt(buf))
+        assert back == buf
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            T.wkt_to_wkb("CIRCLE (0 0, 1)")
+        with pytest.raises(ValueError):
+            T.wkt_to_wkb("POINT (1 2) trailing")
+
+
+class TestGeoJsonGeom:
+    def test_geom_dict_roundtrip(self):
+        for buf in _sample_geoms():
+            g = vf.wkb_to_geojson_geom(buf)
+            back = vf.geojson_geom_to_wkb(g)
+            assert T.wkb_to_wkt(back) == T.wkb_to_wkt(buf)
+
+    def test_null_geometry(self):
+        assert vf.geojson_geom_to_wkb(None) is None
+        assert vf.wkb_to_geojson_geom(None) is None
+
+
+class TestDatasetRoundtrips:
+    def _layer(self):
+        geoms = _sample_geoms()
+        return ray.data.from_arrow(pa.table({
+            "fid": pa.array(range(len(geoms))),
+            "name": pa.array([f"f{i}" for i in range(len(geoms))]),
+            "geometry": pa.array(geoms, type=pa.binary()),
+        }))
+
+    def test_geojson_seq(self, ray_session, tmp_path):
+        out = str(tmp_path / "seq")
+        vf.write_geojson_seq(self._layer(), out)
+        # every line is valid JSON Feature
+        lines = []
+        for f in os.listdir(out):
+            lines += [json.loads(l) for l in open(os.path.join(out, f))
+                      if l.strip()]
+        assert all(l["type"] == "Feature" for l in lines)
+        back = (vf.read_geojson_seq(out, properties=["fid", "name"])
+                .to_pandas().sort_values("fid").reset_index(drop=True))
+        want = [T.wkb_to_wkt(g) for g in _sample_geoms()]
+        assert [T.wkb_to_wkt(g) for g in back["geometry"]] == want
+        assert list(back["name"]) == [f"f{i}" for i in range(len(want))]
+
+    def test_csv_wkt(self, ray_session, tmp_path):
+        out = str(tmp_path / "csv")
+        vf.write_csv_wkt(self._layer(), out)
+        back = (vf.read_csv_wkt(out).to_pandas()
+                .sort_values("fid").reset_index(drop=True))
+        want = [T.wkb_to_wkt(g) for g in _sample_geoms()]
+        assert [T.wkb_to_wkt(g) for g in back["geometry"]] == want
+
+    def test_feature_collection(self, ray_session, tmp_path):
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"a": 1}},
+            {"type": "Feature", "geometry": None, "properties": {"a": 2}},
+        ]}
+        p = tmp_path / "fc.geojson"
+        p.write_text(json.dumps(fc))
+        out = vf.read_geojson(str(p)).to_pandas().sort_values("a")
+        assert list(out["a"]) == [1, 2]
+        assert T.wkb_to_wkt(out["geometry"].iloc[0]) == "POINT (1 2)"
+        assert out["geometry"].iloc[1] is None
