@@ -1,0 +1,272 @@
+"""GeoTIFF codec in pure numpy + stdlib zlib (TIFF 6.0 + GeoTIFF 1.1).
+
+GDAL's flagship format, re-derived from the public specs (Adobe TIFF
+6.0; OGC GeoTIFF 1.1) — the engine-facing subset of the reference's
+GTiff driver (`frmts/gtiff/geotiff.cpp`): little-endian classic TIFF,
+stripped OR tiled layout, None/Deflate(8) compression, sample types
+uint8/uint16/int16/int32/uint32/float32/float64, contiguous multi-band
+(PlanarConfig=1), georeferencing via ModelPixelScale + ModelTiepoint +
+GeoKeyDirectory (geographic EPSG:4326 or projected CS codes, e.g.
+EPSG:3857). Out of scope (documented): BigTIFF, predictors, JPEG/LZW
+compression, PlanarConfig=2, overviews-in-file (the engine's pyramid
+lives in the tile table, `pipelines/tiles.py`).
+
+Encode/decode are lossless, so pixel parity is bit-exact — the
+`geotiff_roundtrip` catalog query pins the full write→read path against
+a closed-form SQL oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+# TIFF tag ids
+_IMAGEWIDTH, _IMAGELENGTH = 256, 257
+_BITSPERSAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
+_STRIPOFFSETS, _SAMPLESPERPIXEL, _ROWSPERSTRIP, _STRIPBYTECOUNTS = 273, 277, 278, 279
+_PLANARCONFIG, _SAMPLEFORMAT = 284, 339
+_TILEWIDTH, _TILELENGTH, _TILEOFFSETS, _TILEBYTECOUNTS = 322, 323, 324, 325
+_MODELPIXELSCALE, _MODELTIEPOINT, _GEOKEYDIRECTORY = 33550, 33922, 34735
+
+# TIFF field types
+_T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
+_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
+
+# numpy dtype -> (bits, sample_format)  (1=uint, 2=int, 3=float)
+_DTYPES = {
+    np.dtype(np.uint8): (8, 1), np.dtype(np.uint16): (16, 1),
+    np.dtype(np.int16): (16, 2), np.dtype(np.uint32): (32, 1),
+    np.dtype(np.int32): (32, 2), np.dtype(np.float32): (32, 3),
+    np.dtype(np.float64): (64, 3),
+}
+_BACK = {(bits, sf): dt for dt, (bits, sf) in _DTYPES.items()}
+
+
+def _geokeys(epsg: Optional[int]):
+    if epsg is None:
+        return None
+    if epsg == 4326:
+        keys = [(1024, 0, 1, 2), (1025, 0, 1, 1), (2048, 0, 1, 4326)]
+    else:  # projected CS code
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1), (3072, 0, 1, epsg)]
+    head = [1, 1, 0, len(keys)]
+    flat = head + [v for k in keys for v in k]
+    return np.asarray(flat, dtype=np.uint16)
+
+
+def encode_geotiff(arr: np.ndarray,
+                   transform: Optional[Tuple[float, ...]] = None,
+                   epsg: Optional[int] = None,
+                   compression: str = "deflate",
+                   tile_size: Optional[int] = None,
+                   compress_level: int = 6) -> bytes:
+    """(H, W) or (H, W, B) array -> GeoTIFF bytes.
+
+    transform: GDAL-style (x0, px_w, rot, y0, rot, -px_h) affine; only
+    north-up (zero rotation) encodes, as ModelPixelScale + tiepoint.
+    tile_size: None -> stripped (one strip per 64 rows); else square
+    TIFF tiles (must be a multiple of 16 per spec).
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype not in _DTYPES:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, bands = arr.shape
+    bits, sf = _DTYPES[arr.dtype]
+    comp_code = {"none": 1, "deflate": 8}[compression]
+
+    def compress(block: np.ndarray) -> bytes:
+        raw = block.tobytes()
+        return zlib.compress(raw, compress_level) if comp_code == 8 else raw
+
+    blocks = []
+    if tile_size:
+        if tile_size % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        tw = th = tile_size
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                tile = np.zeros((th, tw, bands), dtype=arr.dtype)
+                sub = arr[ty:ty + th, tx:tx + tw]
+                tile[:sub.shape[0], :sub.shape[1]] = sub
+                blocks.append(compress(tile))
+    else:
+        rows_per_strip = min(64, h)
+        for y0 in range(0, h, rows_per_strip):
+            blocks.append(compress(arr[y0:y0 + rows_per_strip]))
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def add(tag, typ, values):
+        vals = np.atleast_1d(np.asarray(values))
+        entries.append((tag, typ, len(vals), vals))
+
+    add(_IMAGEWIDTH, _T_LONG, w)
+    add(_IMAGELENGTH, _T_LONG, h)
+    add(_BITSPERSAMPLE, _T_SHORT, [bits] * bands)
+    add(_COMPRESSION, _T_SHORT, comp_code)
+    add(_PHOTOMETRIC, _T_SHORT, 1)  # BlackIsZero
+    add(_SAMPLESPERPIXEL, _T_SHORT, bands)
+    add(_PLANARCONFIG, _T_SHORT, 1)
+    add(_SAMPLEFORMAT, _T_SHORT, [sf] * bands)
+    if tile_size:
+        add(_TILEWIDTH, _T_SHORT, tile_size)
+        add(_TILELENGTH, _T_SHORT, tile_size)
+        add(_TILEOFFSETS, _T_LONG, [0] * len(blocks))      # patched below
+        add(_TILEBYTECOUNTS, _T_LONG, [len(b) for b in blocks])
+    else:
+        add(_ROWSPERSTRIP, _T_LONG, min(64, h))
+        add(_STRIPOFFSETS, _T_LONG, [0] * len(blocks))     # patched below
+        add(_STRIPBYTECOUNTS, _T_LONG, [len(b) for b in blocks])
+    if transform is not None:
+        x0, pxw, _r0, y0t, _r1, neg_pxh = transform
+        add(_MODELPIXELSCALE, _T_DOUBLE, [pxw, -neg_pxh, 0.0])
+        add(_MODELTIEPOINT, _T_DOUBLE, [0.0, 0.0, 0.0, x0, y0t, 0.0])
+    gk = _geokeys(epsg)
+    if gk is not None:
+        add(_GEOKEYDIRECTORY, _T_SHORT, gk)
+
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header (8) | IFD | overflow values | block data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = b""
+    packed = []
+    np_types = {_T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8"}
+    for tag, typ, count, vals in entries:
+        size = _TYPE_SIZE[typ] * count
+        raw = np.asarray(vals).astype(np_types[typ]).tobytes()
+        if size <= 4:
+            packed.append((tag, typ, count, raw.ljust(4, b"\0"), None))
+        else:
+            packed.append((tag, typ, count,
+                           struct.pack("<I", overflow_off + len(overflow)), tag))
+            overflow += raw
+    data_off = overflow_off + len(overflow)
+
+    # patch strip/tile offsets now that data_off is known
+    offsets = []
+    pos = data_off
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    off_tag = _TILEOFFSETS if tile_size else _STRIPOFFSETS
+    out_entries = []
+    ov = bytearray(overflow)
+    for tag, typ, count, val4, ov_tag in packed:
+        if tag == off_tag:
+            raw = np.asarray(offsets, dtype="<u4").tobytes()
+            if len(raw) <= 4:
+                val4 = raw.ljust(4, b"\0")
+            else:
+                (at,) = struct.unpack("<I", val4)
+                ov[at - overflow_off:at - overflow_off + len(raw)] = raw
+        out_entries.append(struct.pack("<HHI", tag, typ, count) + val4)
+
+    header = b"II" + struct.pack("<HI", 42, ifd_off)
+    ifd = struct.pack("<H", len(entries)) + b"".join(out_entries) + struct.pack("<I", 0)
+    return header + ifd + bytes(ov) + b"".join(blocks)
+
+
+def decode_geotiff(buf: bytes):
+    """GeoTIFF bytes -> (array, meta).
+
+    array: (H, W) or (H, W, B); meta: {width, height, bands, transform
+    (GDAL 6-tuple or None), epsg (int or None), compression}.
+    """
+    if buf[:2] == b"II":
+        fmt = "<"
+    elif buf[:2] == b"MM":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack_from(fmt + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic} (BigTIFF unsupported)")
+    (n_entries,) = struct.unpack_from(fmt + "H", buf, ifd_off)
+    tags = {}
+    np_types = {1: "u1", _T_SHORT: "u2", _T_LONG: "u4", _T_DOUBLE: "f8",
+                2: "u1", 6: "i1", 8: "i2", 9: "i4", 11: "f4"}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(fmt + "HHI", buf, off)
+        if typ not in np_types:
+            continue
+        size = np.dtype(np_types[typ]).itemsize * count
+        if size <= 4:
+            vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
+                                 offset=off + 8)
+        else:
+            (voff,) = struct.unpack_from(fmt + "I", buf, off + 8)
+            vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
+                                 offset=voff)
+        tags[tag] = vals
+
+    w = int(tags[_IMAGEWIDTH][0])
+    h = int(tags[_IMAGELENGTH][0])
+    bands = int(tags.get(_SAMPLESPERPIXEL, [1])[0])
+    bits = int(tags[_BITSPERSAMPLE][0]) if _BITSPERSAMPLE in tags else 8
+    sf = int(tags.get(_SAMPLEFORMAT, [1])[0])
+    comp = int(tags.get(_COMPRESSION, [1])[0])
+    planar = int(tags.get(_PLANARCONFIG, [1])[0])
+    if planar != 1:
+        raise ValueError("PlanarConfig=2 unsupported")
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    dt = _BACK.get((bits, sf))
+    if dt is None:
+        raise ValueError(f"unsupported sample type bits={bits} fmt={sf}")
+    dt = np.dtype(dt).newbyteorder(fmt)
+
+    def decomp(off, cnt):
+        raw = buf[off:off + cnt]
+        return zlib.decompress(raw) if comp == 8 else raw
+
+    out = np.zeros((h, w, bands), dtype=dt)
+    if _TILEOFFSETS in tags:
+        tw = int(tags[_TILEWIDTH][0])
+        th = int(tags[_TILELENGTH][0])
+        offs = tags[_TILEOFFSETS]
+        cnts = tags[_TILEBYTECOUNTS]
+        tiles_across = (w + tw - 1) // tw
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            tile = np.frombuffer(decomp(int(o), int(c)), dtype=dt).reshape(th, tw, bands)
+            ty, tx = (ti // tiles_across) * th, (ti % tiles_across) * tw
+            out[ty:ty + th, tx:tx + tw] = tile[:min(th, h - ty), :min(tw, w - tx)]
+    else:
+        rps = int(tags.get(_ROWSPERSTRIP, [h])[0])
+        offs = tags[_STRIPOFFSETS]
+        cnts = tags[_STRIPBYTECOUNTS]
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            y0 = si * rps
+            nrows = min(rps, h - y0)
+            strip = np.frombuffer(decomp(int(o), int(c)), dtype=dt)
+            out[y0:y0 + nrows] = strip.reshape(nrows, w, bands)
+
+    transform = None
+    if _MODELPIXELSCALE in tags and _MODELTIEPOINT in tags:
+        sx, sy = float(tags[_MODELPIXELSCALE][0]), float(tags[_MODELPIXELSCALE][1])
+        tp = tags[_MODELTIEPOINT]
+        # tiepoint maps raster (i,j) -> model (x,y): x0 = x - i*sx
+        x0 = float(tp[3]) - float(tp[0]) * sx
+        y0 = float(tp[4]) + float(tp[1]) * sy
+        transform = (x0, sx, 0.0, y0, 0.0, -sy)
+    epsg = None
+    if _GEOKEYDIRECTORY in tags:
+        gk = tags[_GEOKEYDIRECTORY]
+        nkeys = int(gk[3])
+        for k in range(nkeys):
+            kid, loc, cnt, val = (int(v) for v in gk[4 + 4 * k:8 + 4 * k])
+            if kid in (2048, 3072) and loc == 0:
+                epsg = val
+    arr = out[:, :, 0] if bands == 1 else out
+    meta = {"width": w, "height": h, "bands": bands, "transform": transform,
+            "epsg": epsg, "compression": "deflate" if comp == 8 else "none"}
+    return np.ascontiguousarray(arr), meta

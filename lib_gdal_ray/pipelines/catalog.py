@@ -2655,6 +2655,61 @@ def q_media_features(sf_dir):
     return out.select_columns(["doc_id", "span_idx", "kind", "media_ref"])
 
 
+def q_geotiff_roundtrip(sf_dir):
+    """Raster driver surface: rasterize events at z4 → ONE GeoTIFF per
+    XYZ tile (real TIFF 6.0 + GeoTIFF keys, Deflate, pure-numpy codec
+    `codecs/tiff.py`; atomic per-tile commit) → stream the .tif files
+    back (`read_geotiff_pixels`) → per-tile pixel count + burn sum.
+    Reference parity: frmts/gtiff/geotiff.cpp write→read cycle."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources.geotiff import read_geotiff_pixels, write_geotiff_tiles
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 4, merge_alg="count", shuffle_partitions=8)
+    out_dir = f"/tmp/lib_gdal_ray_gtiff_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # the manifest Dataset carries the writes — materialize to commit
+    write_geotiff_tiles(pix, out_dir, tile_size=256).materialize()
+    back = read_geotiff_pixels(out_dir)
+
+    def tile_cols(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "tile_x": pa.array((gpx // 256).astype(np.int64)),
+            "tile_y": pa.array((gpy // 256).astype(np.int64)),
+            "burn": batch["burn"],
+        })
+
+    keyed = back.map_batches(tile_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["tile_x", "tile_y"],
+        [("count", "burn", "n_pixels"), ("sum", "burn", "burn_sum_f")],
+        shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "burn_sum": pc.cast(pc.round(batch["burn_sum_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_geotiff_roundtrip():
+    gx, gy = _tile_sql(4 + 8)  # global pixel index at z=4, 256px tiles
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy FROM {_POINTS_SQL} p),
+    agg AS (SELECT gpx, gpy, count(*) AS burn FROM px GROUP BY 1, 2)
+    SELECT gpx // 256 AS tile_x, gpy // 256 AS tile_y,
+           count(*) AS n_pixels, CAST(sum(burn) AS BIGINT) AS burn_sum
+    FROM agg GROUP BY 1, 2
+    """
+
+
 def q_geojson_roundtrip(sf_dir):
     """Vector driver surface: events → WKB point layer → GeoJSONSeq
     write (RFC 8142, one Feature per line, one file per block) → stream
@@ -3609,4 +3664,5 @@ QUERIES = {
     "media_resize": (q_media_resize, sql_media_resize()),
     "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
+    "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),
 }

@@ -1,0 +1,120 @@
+"""GeoTIFF codec + tile sink/source.
+
+Spec re-derivation (TIFF 6.0 + OGC GeoTIFF 1.1) — reference parity
+target `frmts/gtiff/geotiff.cpp` (driver contract, not code).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lib_gdal_ray.codecs.tiff import decode_geotiff, encode_geotiff
+from lib_gdal_ray.sources.geotiff import (read_geotiff_pixels,
+                                          tile_transform_3857,
+                                          write_geotiff_tiles)
+
+
+class TestCodec:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16,
+                                       np.int32, np.uint32, np.float32,
+                                       np.float64])
+    @pytest.mark.parametrize("compression", ["none", "deflate"])
+    def test_roundtrip_dtypes(self, dtype, compression):
+        rng = np.random.default_rng(7)
+        a = (rng.random((37, 53)) * 100).astype(dtype)
+        back, meta = decode_geotiff(encode_geotiff(a, compression=compression))
+        np.testing.assert_array_equal(back, a)
+        assert meta["compression"] == compression
+
+    @pytest.mark.parametrize("tile_size", [16, 32, 64])
+    def test_roundtrip_tiled(self, tile_size):
+        rng = np.random.default_rng(8)
+        a = (rng.random((50, 70)) * 1000).astype(np.float32)
+        back, _ = decode_geotiff(encode_geotiff(a, tile_size=tile_size))
+        np.testing.assert_array_equal(back, a)
+
+    def test_multiband(self):
+        rng = np.random.default_rng(9)
+        a = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+        back, meta = decode_geotiff(encode_geotiff(a, tile_size=16))
+        np.testing.assert_array_equal(back, a)
+        assert meta["bands"] == 3
+
+    def test_georeferencing_tags(self):
+        tf = (-20037508.342789244, 152.87405657, 0.0,
+              20037508.342789244, 0.0, -152.87405657)
+        buf = encode_geotiff(np.zeros((8, 8), np.uint8), transform=tf, epsg=3857)
+        _, meta = decode_geotiff(buf)
+        np.testing.assert_allclose(meta["transform"], tf, rtol=1e-12)
+        assert meta["epsg"] == 3857
+        buf2 = encode_geotiff(np.zeros((8, 8), np.uint8),
+                              transform=(-180, 0.1, 0, 85, 0, -0.1), epsg=4326)
+        _, meta2 = decode_geotiff(buf2)
+        assert meta2["epsg"] == 4326
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError):
+            decode_geotiff(b"not a tiff at all")
+        with pytest.raises(ValueError):
+            encode_geotiff(np.zeros((4, 4), np.uint8), tile_size=20)  # not %16
+        with pytest.raises(ValueError):
+            encode_geotiff(np.zeros((4, 4), np.complex64))
+
+    def test_tile_transform(self):
+        # z0 single tile spans the whole 3857 world
+        x0, pxw, _, y0, _, pxh = tile_transform_3857(0, 0, 0)
+        assert x0 == -20037508.342789244 and y0 == 20037508.342789244
+        np.testing.assert_allclose(pxw * 256, 2 * 20037508.342789244)
+        assert pxh == -pxw
+
+
+class TestTileSinkSource:
+    def _pixels(self, n=400, z=3):
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+        rng = np.random.default_rng(11)
+        npx = (1 << z) * 256
+        gx = rng.integers(0, npx, n).astype(np.int64)
+        gy = rng.integers(0, npx, n).astype(np.int64)
+        # dedupe pixel ids; keep strictly positive burns (sparse-zero
+        # ambiguity is inherent to dense raster roundtrip)
+        pix = pack_pixel(z, gx, gy)
+        pix, idx = np.unique(pix, return_index=True)
+        burn = (rng.random(len(pix)) * 99 + 1).round(3)
+        return pa.table({"pix_id": pa.array(pix),
+                         "burn": pa.array(burn.astype(np.float64))})
+
+    def test_roundtrip_and_layout(self, ray_session, tmp_path):
+        t = self._pixels()
+        out = str(tmp_path / "tiles")
+        ds = ray.data.from_arrow(t)
+        manifest = write_geotiff_tiles(ds, out, tile_size=256,
+                                       dtype=np.float64).to_pandas()
+        assert manifest["n_pixels"].sum() == len(t)
+        # XYZ directory layout {z}/{tx}/{ty}.tif
+        for p in manifest["path"]:
+            assert p.endswith(".tif") and os.path.exists(p)
+            z, tx, ty = p[len(out) + 1:-4].split(os.sep)
+            int(z), int(tx), int(ty)
+        back = (read_geotiff_pixels(out).to_pandas()
+                .sort_values("pix_id").reset_index(drop=True))
+        orig = t.to_pandas().sort_values("pix_id").reset_index(drop=True)
+        np.testing.assert_array_equal(back["pix_id"], orig["pix_id"])
+        np.testing.assert_array_equal(back["burn"], orig["burn"])
+
+    def test_float32_quantization_documented(self, ray_session, tmp_path):
+        # with dtype=float32 the sink quantizes: read-back equals the
+        # f32 cast of the burn, not the f64 original
+        t = self._pixels(50)
+        out = str(tmp_path / "t32")
+        write_geotiff_tiles(ray.data.from_arrow(t), out,
+                            dtype=np.float32).materialize()
+        back = (read_geotiff_pixels(out).to_pandas()
+                .sort_values("pix_id").reset_index(drop=True))
+        orig = t.to_pandas().sort_values("pix_id").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            back["burn"].to_numpy(),
+            orig["burn"].to_numpy().astype(np.float32).astype(np.float64))
