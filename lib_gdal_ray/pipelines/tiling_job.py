@@ -40,10 +40,14 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                    z: int, lineage: str, n_bands: int = 8,
                    lon_col: str = "lon", lat_col: str = "lat",
                    value_col: Optional[str] = None, merge_alg: str = "add",
-                   fail_on_band: Optional[int] = None) -> dict:
+                   fail_on_band: Optional[int] = None,
+                   output_format: str = "parquet") -> dict:
     """Run (or resume) the tiling job. Returns {"ran": [...],
     "skipped": [...], "counters": {...}}.
 
+    output_format: "parquet" (pixel-table parts) or "geotiff" (one real
+    GeoTIFF per XYZ tile via codecs/tiff.py, `gdal raster tile` output
+    parity). Both commit per band atomically and resume identically.
     fail_on_band injects a crash before that band (tests only).
     """
     man = Manifest(out_dir)
@@ -77,21 +81,45 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
             return batch.filter(pa.array(keep))
 
         banded = src.map_batches(band_filter, batch_format="pyarrow")
-        pixels = with_tile_cols(rasterize_pixels(
+        raw_pixels = rasterize_pixels(
             banded, z, lon_col=lon_col, lat_col=lat_col,
-            value_col=value_col, merge_alg=merge_alg))
-
-        def add_band(batch: pa.Table) -> pa.Table:
-            _z, _tx, ty = cells.unpack_tile(
-                batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
-            return batch.append_column(
-                "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+            value_col=value_col, merge_alg=merge_alg)
 
         tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
-        pixels.map_batches(add_band, batch_format="pyarrow").write_parquet(
-            tmp, partition_cols=["band"])
-        import pyarrow.parquet as pq
+        if output_format == "geotiff":
+            from ..sources.geotiff import write_geotiff_tiles
+
+            manifest = write_geotiff_tiles(
+                raw_pixels, tmp, dtype=np.float64,
+                subdir_fn=lambda _zi, _tx, ty:
+                    f"band={band_of_tile_y(np.asarray([ty]), z, n_bands)[0]}"
+            ).to_pandas()  # small: one row per tile
+            band_pixels = manifest.assign(
+                band=[int(p[len(tmp) + 1:].split(os.sep)[0].split("=")[1])
+                      for p in manifest["path"]]
+            ).groupby("band")["n_pixels"].sum().to_dict()
+
+            def band_count(final: str) -> float:
+                return float(band_pixels.get(
+                    int(os.path.basename(final).split("=")[1]), 0.0))
+        else:
+            pixels = with_tile_cols(raw_pixels)
+
+            def add_band(batch: pa.Table) -> pa.Table:
+                _z, _tx, ty = cells.unpack_tile(
+                    batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                return batch.append_column(
+                    "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+
+            pixels.map_batches(add_band, batch_format="pyarrow").write_parquet(
+                tmp, partition_cols=["band"])
+            import pyarrow.parquet as pq
+
+            def band_count(final: str) -> float:
+                return float(sum(
+                    pq.read_metadata(os.path.join(final, f)).num_rows
+                    for f in os.listdir(final) if f.endswith(".parquet")))
 
         for band in pending:
             if fail_on_band is not None and band == fail_on_band:
@@ -102,9 +130,7 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                 shutil.rmtree(final)  # uncommitted output from a crashed run
             os.makedirs(src_dir, exist_ok=True)  # empty band still commits
             os.replace(src_dir, final)
-            n_pixels = sum(pq.read_metadata(os.path.join(final, f)).num_rows
-                           for f in os.listdir(final) if f.endswith(".parquet"))
-            man.commit(str(band), lineage, {"pixels": float(n_pixels)})
+            man.commit(str(band), lineage, {"pixels": band_count(final)})
             ran.append(band)
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -45,7 +45,8 @@ def write_geotiff_tiles(pixels: ray.data.Dataset, out_dir: str,
                         tile_size: int = 256,
                         dtype=np.float32,
                         compression: str = "deflate",
-                        inner_tiled: bool = False) -> ray.data.Dataset:
+                        inner_tiled: bool = False,
+                        subdir_fn=None) -> ray.data.Dataset:
     """Sparse pixel rows -> {out_dir}/{z}/{tx}/{ty}.tif, one GeoTIFF
     per XYZ tile (EPSG:3857 georeferencing), returning the manifest
     Dataset (z, tx, ty, path, n_pixels, checksum). The groupby is the
@@ -75,7 +76,8 @@ def write_geotiff_tiles(pixels: ray.data.Dataset, out_dir: str,
                              epsg=3857, compression=compression,
                              tile_size=(tile_size if inner_tiled and
                                         tile_size % 16 == 0 else None))
-        path = os.path.join(out_dir, str(zi), str(tx), f"{ty}.tif")
+        sub = subdir_fn(zi, tx, ty) if subdir_fn else ""
+        path = os.path.join(out_dir, sub, str(zi), str(tx), f"{ty}.tif")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -101,6 +103,7 @@ def read_geotiff_pixels(paths: Union[str, List[str]],
     its own raster."""
     from ..pipelines.rasterize import pack_pixel
 
+    kwargs.setdefault("file_extensions", ["tif", "tiff"])
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -120,7 +123,8 @@ def read_geotiff_pixels(paths: Union[str, List[str]],
                 gy, gx = gy.ravel(), gx.ravel()
             vals = arr[gy, gx].astype(np.float64)
             pix_out.append(pack_pixel(z, tx * ts + gx.astype(np.int64),
-                                      ty * ts + gy.astype(np.int64)))
+                                      ty * ts + gy.astype(np.int64))
+                           .astype(np.int64))
             burn_out.append(vals)
         if not pix_out:
             return pa.table({"pix_id": pa.array([], pa.int64()),

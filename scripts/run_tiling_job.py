@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--fail-on-band", type=int, default=None,
                     help="inject a crash before this band (resume demo)")
+    ap.add_argument("--format", choices=["parquet", "geotiff"],
+                    default="parquet",
+                    help="tile output: parquet pixel parts or one real "
+                         "GeoTIFF per XYZ tile")
     args = ap.parse_args()
 
     import ray
@@ -48,7 +52,7 @@ def main() -> int:
     from lib_gdal_ray.sources.synth import interleaved_docs
 
     lineage = hashlib.blake2b(
-        f"interleaved_docs:n={args.n_docs}:z={args.zoom}".encode(),
+        f"interleaved_docs:n={args.n_docs}:z={args.zoom}:fmt={args.format}".encode(),
         digest_size=8).hexdigest()
 
     def source():
@@ -58,7 +62,8 @@ def main() -> int:
     t0 = time.perf_counter()
     res = run_tiling_job(source, args.out, z=args.zoom, lineage=lineage,
                          n_bands=args.bands, value_col="value",
-                         fail_on_band=args.fail_on_band)
+                         fail_on_band=args.fail_on_band,
+                         output_format=args.format)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "ran": res["ran"], "skipped": res["skipped"],

@@ -53,3 +53,21 @@ def test_lineage_change_recomputes(tmp_path):
     run_tiling_job(source, out, z=4, lineage="A", n_bands=2, value_col="v")
     res = run_tiling_job(source, out, z=4, lineage="B", n_bands=2, value_col="v")
     assert sorted(res["ran"]) == [0, 1]
+
+
+def test_geotiff_output_crash_resume(tmp_path):
+    from lib_gdal_ray.sources.geotiff import read_geotiff_pixels
+
+    out = str(tmp_path / "gt")
+    with pytest.raises(RuntimeError):
+        run_tiling_job(source, out, z=5, lineage="G1", n_bands=4,
+                       value_col="v", fail_on_band=2,
+                       output_format="geotiff")
+    res = run_tiling_job(source, out, z=5, lineage="G1", n_bands=4,
+                         value_col="v", output_format="geotiff")
+    assert set(res["ran"]) | set(res["skipped"]) == set(range(4))
+    assert res["skipped"]  # some bands survived the crash
+    # read the real .tif tiles back; parity vs a direct rasterize
+    back = pixel_frame(read_geotiff_pixels(out))
+    want = pixel_frame(rasterize_pixels(source(), 5, value_col="v"))
+    pd.testing.assert_frame_equal(back, want)
