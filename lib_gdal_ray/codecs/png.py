@@ -2,8 +2,10 @@
 
 Real, spec-conformant subset: 8-bit samples, color types 0 (gray),
 2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters on both
-encode and decode; CRC-32 verified per chunk; interlace 0 (Adam7 is
-rejected with a clear error). This is the engine-facing contract GDAL's
+encode and decode; CRC-32 verified per chunk; progressive Adam7
+interlace on both encode and decode (each of the 7 passes is its own
+filtered sub-image in the shared zlib stream, scattered back by
+stride slicing). This is the engine-facing contract GDAL's
 PNG driver provides (reference `frmts/png/pngdataset.cpp` — band
 decode + RasterIO), re-derived from the public spec with no libpng.
 
@@ -84,7 +86,13 @@ def _filter_rows(raw: np.ndarray, bpp: int, filter_type) -> bytes:
     return out.tobytes()
 
 
-def encode_png(arr: np.ndarray, filter_type=0, compress_level: int = 6) -> bytes:
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def encode_png(arr: np.ndarray, filter_type=0, compress_level: int = 6,
+               interlace: bool = False) -> bytes:
     """Encode (H, W) or (H, W, C∈{1,2,3,4}) uint8 -> PNG bytes."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
@@ -92,9 +100,21 @@ def encode_png(arr: np.ndarray, filter_type=0, compress_level: int = 6) -> bytes
     h, w, c = arr.shape
     if c not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {c}")
-    raw = arr.reshape(h, w * c)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
-    idat = zlib.compress(_filter_rows(raw, c, filter_type), compress_level)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.append(_filter_rows(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                c, filter_type))
+        payload = b"".join(parts)
+    else:
+        payload = _filter_rows(arr.reshape(h, w * c), c, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0,
+                       1 if interlace else 0)
+    idat = zlib.compress(payload, compress_level)
     return b"".join([_SIG, _chunk(b"IHDR", ihdr), _chunk(b"IDAT", idat),
                      _chunk(b"IEND", b"")])
 
@@ -171,11 +191,28 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
     if ctype not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace {interlace}")
     c = _CHANNELS[ctype]
-    stride = w * c
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        arr = np.zeros((h, w, c), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:
+                continue
+            stride = pw * c
+            nbytes = ph * (stride + 1)
+            scan = np.frombuffer(raw, dtype=np.uint8, count=nbytes,
+                                 offset=pos).reshape(ph, stride + 1)
+            pos += nbytes
+            arr[y0::dy, x0::dx] = _unfilter(scan, ph, stride, c).reshape(ph, pw, c)
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 stream size mismatch")
+        return arr[:, :, 0] if c == 1 else arr
+    stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)

@@ -7,9 +7,12 @@ stripped OR tiled layout, None/Deflate(8) compression, sample types
 uint8/uint16/int16/int32/uint32/float32/float64, contiguous multi-band
 (PlanarConfig=1), georeferencing via ModelPixelScale + ModelTiepoint +
 GeoKeyDirectory (geographic EPSG:4326 or projected CS codes, e.g.
-EPSG:3857). Out of scope (documented): BigTIFF, predictors, JPEG/LZW
-compression, PlanarConfig=2, overviews-in-file (the engine's pyramid
-lives in the tile table, `pipelines/tiles.py`).
+EPSG:3857). Decode additionally accepts the common externally-produced
+variants: LZW(5) and PackBits(32773) compression and the horizontal-
+differencing Predictor(2) — the GDAL-default "COMPRESS=LZW
+PREDICTOR=2" combination reads correctly. Out of scope (documented):
+BigTIFF, JPEG-in-TIFF, PlanarConfig=2, overviews-in-file (the engine's
+pyramid lives in the tile table, `pipelines/tiles.py`).
 
 Encode/decode are lossless, so pixel parity is bit-exact — the
 `geotiff_roundtrip` catalog query pins the full write→read path against
@@ -24,11 +27,135 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, 9→12 bit
+    widths with the spec's early-change increment, ClearCode=256,
+    EOI=257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, bitpos, total = 9, 0, len(data) * 8
+    old: Optional[bytes] = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total:
+            return EOI
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0:b0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            del table[258:]
+            width, old = 9, None
+            continue
+        if old is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = old + old[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            table.append(old + entry[:1])
+            # early change, one entry sooner than the encoder: the
+            # decoder's table lags by exactly one (the just-read code's
+            # continuation isn't known yet — the code==len(table) case)
+            if len(table) + 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        old = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (symmetric early-change convention)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+        # 128: noop
+    return bytes(out)
+
+
+def _undo_predictor2(raw: np.ndarray, rows: int, w: int, bands: int) -> np.ndarray:
+    """Horizontal differencing (Predictor=2): per-row per-band
+    wrapping prefix sum (vectorized np.add.accumulate per lane)."""
+    kind = raw.dtype
+    u = raw.view(np.dtype(f"u{kind.itemsize}")).reshape(rows, w, bands)
+    np.add.accumulate(u, axis=1, dtype=u.dtype, out=u)
+    return u.reshape(-1).view(kind)
+
+
+def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
+    """arr (rows, w, bands) -> horizontally-differenced copy."""
+    u = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+    d = u.copy()
+    d[:, 1:, :] = u[:, 1:, :] - u[:, :-1, :]
+    return d.view(arr.dtype)
+
+
 # TIFF tag ids
 _IMAGEWIDTH, _IMAGELENGTH = 256, 257
 _BITSPERSAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIPOFFSETS, _SAMPLESPERPIXEL, _ROWSPERSTRIP, _STRIPBYTECOUNTS = 273, 277, 278, 279
 _PLANARCONFIG, _SAMPLEFORMAT = 284, 339
+_PREDICTOR = 317
 _TILEWIDTH, _TILELENGTH, _TILEOFFSETS, _TILEBYTECOUNTS = 322, 323, 324, 325
 _MODELPIXELSCALE, _MODELTIEPOINT, _GEOKEYDIRECTORY = 33550, 33922, 34735
 
@@ -63,7 +190,8 @@ def encode_geotiff(arr: np.ndarray,
                    epsg: Optional[int] = None,
                    compression: str = "deflate",
                    tile_size: Optional[int] = None,
-                   compress_level: int = 6) -> bytes:
+                   compress_level: int = 6,
+                   predictor: int = 1) -> bytes:
     """(H, W) or (H, W, B) array -> GeoTIFF bytes.
 
     transform: GDAL-style (x0, px_w, rot, y0, rot, -px_h) affine; only
@@ -78,11 +206,30 @@ def encode_geotiff(arr: np.ndarray,
         arr = arr[:, :, None]
     h, w, bands = arr.shape
     bits, sf = _DTYPES[arr.dtype]
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    if predictor == 2 and sf == 3:
+        raise ValueError("Predictor=2 is integer-only (TIFF 6.0 §14)")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
 
     def compress(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = _apply_predictor2(block.reshape(block.shape[0], -1, bands))
         raw = block.tobytes()
-        return zlib.compress(raw, compress_level) if comp_code == 8 else raw
+        if comp_code == 8:
+            return zlib.compress(raw, compress_level)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        if comp_code == 32773:
+            # literal-chunk PackBits (valid, run-collapsing left to
+            # readers; decode handles both forms)
+            out = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i:i + 128]
+                out.append(len(chunk) - 1)
+                out += chunk
+            return bytes(out)
+        return raw
 
     blocks = []
     if tile_size:
@@ -114,6 +261,8 @@ def encode_geotiff(arr: np.ndarray,
     add(_SAMPLESPERPIXEL, _T_SHORT, bands)
     add(_PLANARCONFIG, _T_SHORT, 1)
     add(_SAMPLEFORMAT, _T_SHORT, [sf] * bands)
+    if predictor == 2:
+        add(_PREDICTOR, _T_SHORT, 2)
     if tile_size:
         add(_TILEWIDTH, _T_SHORT, tile_size)
         add(_TILELENGTH, _T_SHORT, tile_size)
@@ -216,10 +365,13 @@ def decode_geotiff(buf: bytes):
     sf = int(tags.get(_SAMPLEFORMAT, [1])[0])
     comp = int(tags.get(_COMPRESSION, [1])[0])
     planar = int(tags.get(_PLANARCONFIG, [1])[0])
+    pred = int(tags.get(_PREDICTOR, [1])[0])
     if planar != 1:
         raise ValueError("PlanarConfig=2 unsupported")
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {pred}")
     dt = _BACK.get((bits, sf))
     if dt is None:
         raise ValueError(f"unsupported sample type bits={bits} fmt={sf}")
@@ -227,7 +379,21 @@ def decode_geotiff(buf: bytes):
 
     def decomp(off, cnt):
         raw = buf[off:off + cnt]
-        return zlib.decompress(raw) if comp == 8 else raw
+        if comp == 8:
+            return zlib.decompress(raw)
+        if comp == 5:
+            return _lzw_decode(raw)
+        if comp == 32773:
+            return _packbits_decode(raw)
+        return raw
+
+    def block_array(off, cnt, rows, width):
+        a = np.frombuffer(decomp(int(off), int(cnt)), dtype=dt,
+                          count=rows * width * bands).copy()
+        if pred == 2:
+            a = _undo_predictor2(a.astype(a.dtype.newbyteorder("=")),
+                                 rows, width, bands)
+        return a.reshape(rows, width, bands)
 
     out = np.zeros((h, w, bands), dtype=dt)
     if _TILEOFFSETS in tags:
@@ -237,7 +403,7 @@ def decode_geotiff(buf: bytes):
         cnts = tags[_TILEBYTECOUNTS]
         tiles_across = (w + tw - 1) // tw
         for ti, (o, c) in enumerate(zip(offs, cnts)):
-            tile = np.frombuffer(decomp(int(o), int(c)), dtype=dt).reshape(th, tw, bands)
+            tile = block_array(o, c, th, tw)
             ty, tx = (ti // tiles_across) * th, (ti % tiles_across) * tw
             out[ty:ty + th, tx:tx + tw] = tile[:min(th, h - ty), :min(tw, w - tx)]
     else:
@@ -247,8 +413,7 @@ def decode_geotiff(buf: bytes):
         for si, (o, c) in enumerate(zip(offs, cnts)):
             y0 = si * rps
             nrows = min(rps, h - y0)
-            strip = np.frombuffer(decomp(int(o), int(c)), dtype=dt)
-            out[y0:y0 + nrows] = strip.reshape(nrows, w, bands)
+            out[y0:y0 + nrows] = block_array(o, c, nrows, w)
 
     transform = None
     if _MODELPIXELSCALE in tags and _MODELTIEPOINT in tags:

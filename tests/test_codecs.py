@@ -162,3 +162,22 @@ class TestRealStages:
         for _, r in out.iterrows():
             np.testing.assert_array_equal(dec(r["frame"]), frames[r["frame_idx"]])
             assert r["frame_sum"] == frames[r["frame_idx"]].astype(np.int64).sum()
+
+
+class TestAdam7:
+    @pytest.mark.parametrize("shape", [(13, 17), (8, 8), (1, 1), (7, 3),
+                                       (33, 47, 3), (9, 9, 4), (16, 1)])
+    @pytest.mark.parametrize("filter_type", [0, 2, 4, "adaptive"])
+    def test_interlaced_roundtrip(self, shape, filter_type):
+        rng = np.random.default_rng(hash(shape) % 1000)
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(a, filter_type=filter_type, interlace=True))
+        np.testing.assert_array_equal(out, a)
+
+    def test_interlaced_differs_then_matches(self):
+        # interlaced file is a different byte stream but same pixels
+        a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        plain = encode_png(a)
+        inter = encode_png(a, interlace=True)
+        assert plain != inter
+        np.testing.assert_array_equal(decode_png(inter), decode_png(plain))

@@ -118,3 +118,45 @@ class TestTileSinkSource:
         np.testing.assert_array_equal(
             back["burn"].to_numpy(),
             orig["burn"].to_numpy().astype(np.float32).astype(np.float64))
+
+
+class TestCompressionVariants:
+    """LZW / PackBits / Predictor=2 — the common externally-produced
+    TIFF variants (GDAL default COMPRESS=LZW PREDICTOR=2)."""
+
+    @pytest.mark.parametrize("compression", ["lzw", "packbits"])
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16])
+    @pytest.mark.parametrize("predictor", [1, 2])
+    def test_roundtrip(self, compression, dtype, predictor):
+        rng = np.random.default_rng(3)
+        a = (rng.random((40, 60)) * 500).astype(dtype)
+        back, _ = decode_geotiff(encode_geotiff(a, compression=compression,
+                                                predictor=predictor))
+        np.testing.assert_array_equal(back, a)
+
+    def test_lzw_width_growth_and_clear(self):
+        # low-entropy data grows the LZW table past 4094 -> Clear path
+        from lib_gdal_ray.codecs.tiff import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(4)
+        data = rng.integers(0, 4, 200_000, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert len(_lzw_encode(data)) < len(data)  # actually compresses
+
+    def test_packbits_run_form(self):
+        from lib_gdal_ray.codecs.tiff import _packbits_decode
+
+        # spec run form (257-n repeats) + literal + noop
+        assert _packbits_decode(bytes([0xFE, ord("a"), 2]) + b"xyz"
+                                + bytes([128])) == b"aaaxyz"
+
+    def test_predictor_tiled_multiband(self):
+        rng = np.random.default_rng(5)
+        a = (rng.random((33, 47, 3)) * 255).astype(np.uint8)
+        back, _ = decode_geotiff(encode_geotiff(a, compression="lzw",
+                                                tile_size=16, predictor=2))
+        np.testing.assert_array_equal(back, a)
+
+    def test_predictor_rejects_float(self):
+        with pytest.raises(ValueError, match="integer-only"):
+            encode_geotiff(np.zeros((4, 4), np.float32), predictor=2)
