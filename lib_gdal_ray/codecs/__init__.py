@@ -17,18 +17,23 @@ as batch codec kernels behind Ray Data actor-pool stages.
 from .png import encode_png, decode_png
 from .bmp import encode_bmp, decode_bmp
 from .wav import encode_wav, decode_wav
+from .jpeg import encode_jpeg, decode_jpeg
 from .container import encode_frames, decode_frames
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
 RWV_MAGIC = b"RWV0"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def sniff(payload: bytes) -> str:
-    """Magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'rwv' | 'unknown'."""
+    """Magic-byte format sniff:
+    'png' | 'jpeg' | 'bmp' | 'wav' | 'rwv' | 'unknown'."""
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == JPEG_MAGIC:
+        return "jpeg"
     if payload[:2] == BMP_MAGIC:
         return "bmp"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -49,8 +54,8 @@ def decode_media(payload: bytes):
     skip or fail the row).
     """
     fmt = sniff(payload)
-    if fmt == "png":
-        arr = decode_png(payload)
+    if fmt in ("png", "jpeg"):
+        arr = decode_png(payload) if fmt == "png" else decode_jpeg(payload)
         h, w = arr.shape[:2]
         c = 1 if arr.ndim == 2 else arr.shape[2]
         return "image", arr, {"width": w, "height": h, "channels": c}

@@ -10,6 +10,7 @@ import pyarrow as pa
 import pytest
 
 from lib_gdal_ray.codecs import decode_media, sniff
+from lib_gdal_ray.codecs.jpeg import decode_jpeg, encode_jpeg
 from lib_gdal_ray.codecs.bmp import decode_bmp, encode_bmp
 from lib_gdal_ray.codecs.container import decode_frames, encode_frames
 from lib_gdal_ray.codecs.png import decode_png, encode_png
@@ -181,3 +182,67 @@ class TestAdam7:
         inter = encode_png(a, interlace=True)
         assert plain != inter
         np.testing.assert_array_equal(decode_png(inter), decode_png(plain))
+
+
+class TestJpeg:
+    """Baseline JPEG (ITU-T T.81) — lossy, so parity is bounded-error,
+    unlike the bit-exact codecs."""
+
+    def _smooth(self, h=32, w=48):
+        y, x = np.mgrid[0:h, 0:w]
+        return (127 + 100 * np.sin(x / 8.0) * np.cos(y / 9.0)).astype(np.uint8)
+
+    def test_flat_is_exact(self):
+        a = np.full((16, 16), 128, np.uint8)
+        out = decode_jpeg(encode_jpeg(a, 90))
+        np.testing.assert_array_equal(out, a)
+
+    def test_smooth_gray_bounded_error(self):
+        img = self._smooth()
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 4 and err.mean() < 1.0
+
+    @pytest.mark.parametrize("subsample", ["444", "420"])
+    def test_rgb_roundtrip(self, subsample):
+        img = self._smooth()
+        rgb = np.stack([img, np.flipud(img), np.fliplr(img)], axis=-1)
+        out = decode_jpeg(encode_jpeg(rgb, 90, subsample=subsample))
+        assert out.shape == rgb.shape
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.mean() < (1.5 if subsample == "444" else 4.0)
+
+    def test_odd_dimensions(self):
+        img = self._smooth(17, 23)
+        assert decode_jpeg(encode_jpeg(img, 95)).shape == (17, 23)
+        rgb = np.stack([img] * 3, axis=-1)
+        assert decode_jpeg(encode_jpeg(rgb, 90, subsample="420")).shape \
+            == (17, 23, 3)
+
+    def test_restart_markers(self):
+        img = self._smooth()
+        out = decode_jpeg(encode_jpeg(img, 90, restart_interval=2))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 4
+
+    def test_quality_monotonic_size(self):
+        img = self._smooth()
+        sizes = [len(encode_jpeg(img, q)) for q in (30, 60, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_sniff_and_dispatch(self):
+        img = self._smooth(8, 8)
+        buf = encode_jpeg(img, 90)
+        assert sniff(buf) == "jpeg"
+        kind, arr, meta = decode_media(buf)
+        assert kind == "image" and meta["width"] == 8
+
+    def test_rejects_progressive_and_garbage(self):
+        buf = bytearray(encode_jpeg(self._smooth(8, 8)))
+        i = buf.find(bytes([0xFF, 0xC0]))
+        buf[i + 1] = 0xC2  # pretend SOF2 progressive
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(buf))
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"garbage")
