@@ -2655,6 +2655,72 @@ def q_media_features(sf_dir):
     return out.select_columns(["doc_id", "span_idx", "kind", "media_ref"])
 
 
+def q_pii_scrub(sf_dir):
+    """PII redaction (C4/Dolma-style scrub) — emails/IPv4/phones
+    replaced by tokens with per-doc match counts, pure Arrow RE2
+    kernels. The synthetic corpus has no PII, so both sides inject the
+    SAME deterministic patterns first; Arrow and DuckDB share RE2, so
+    counts and scrubbed text mirror exactly (`pipelines/text.py
+    pii_scrub`)."""
+    from .text import pii_scrub
+
+    ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        dm = lambda m: pc.cast(pc.subtract(d, pc.multiply(
+            pc.divide(d, m), m)), pa.string())  # d % m as string
+        txt = pc.binary_join_element_wise(
+            batch["text"], " contact user", dm(97), "@mail", dm(7),
+            ".com ip 10.", dm(251), ".0.", dm(100),
+            " tel 555-123-4567", "")
+        return pa.table({"doc_id": d, "text": txt})
+
+    out = pii_scrub(ds.map_batches(augment, batch_format="pyarrow"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_email": batch["n_email"], "n_ipv4": batch["n_ipv4"],
+            "n_phone": batch["n_phone"],
+            "out_len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            # last 40 codepoints: slice takes scalar offsets only, so
+            # reverse → head-slice → reverse
+            "tail": pc.utf8_reverse(pc.utf8_slice_codeunits(
+                pc.utf8_reverse(batch["text"]), 0, 40)),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_pii_scrub():
+    from .text import PII_PATTERNS
+
+    em, ip, ph = (p[1] for p in PII_PATTERNS)
+    aug = ("text || ' contact user' || (doc_id % 97) || '@mail' || "
+           "(doc_id % 7) || '.com ip 10.' || (doc_id % 251) || '.0.' || "
+           "(doc_id % 100) || ' tel 555-123-4567'")
+    scrub = (f"regexp_replace(regexp_replace(regexp_replace(a, '{em}', "
+             f"'<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', "
+             f"'<PHONE>', 'g')")
+    return f"""
+    WITH b AS (SELECT doc_id, {aug} AS a FROM documents),
+    s AS (SELECT doc_id,
+        len(regexp_extract_all(a, '{em}')) AS n_email,
+        len(regexp_extract_all(regexp_replace(a, '{em}', '<EMAIL>', 'g'),
+            '{ip}')) AS n_ipv4,
+        len(regexp_extract_all(regexp_replace(regexp_replace(a, '{em}',
+            '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}')) AS n_phone,
+        {scrub} AS out FROM b)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(length(out) AS BIGINT) AS out_len,
+           substr(out, length(out) - 39, 40) AS tail
+    FROM s
+    """
+
+
 def q_geotiff_roundtrip(sf_dir):
     """Raster driver surface: rasterize events at z4 → ONE GeoTIFF per
     XYZ tile (real TIFF 6.0 + GeoTIFF keys, Deflate, pure-numpy codec
@@ -3665,4 +3731,5 @@ QUERIES = {
     "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),
+    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
 }

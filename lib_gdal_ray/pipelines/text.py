@@ -350,3 +350,34 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
         return batch.append_column("fingerprint", pa.array(out))
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data pipeline stage: C4/Dolma-style scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2 syntax — Arrow and DuckDB share RE2, so the SQL oracle applies the
+# IDENTICAL patterns in the IDENTICAL order (substitution order matters:
+# emails first so their digit runs can't be re-matched as phones).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Redact emails / IPv4s / phone-shaped numbers, fully vectorized
+    (Arrow RE2 kernels; zero Python per row). Adds per-doc match counts
+    and replaces `text_col` with the scrubbed text."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        for name, pat, repl in PII_PATTERNS:
+            n = pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+            batch = batch.append_column(f"n_{name}", n)
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        idx = batch.column_names.index(text_col)
+        return batch.set_column(idx, text_col, txt)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
