@@ -87,7 +87,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-3 additions
                      "gopher_repetition", "decontaminate", "hash_sample",
                      "source_quota", "grid_metrics", "proximity_dist",
-                     "contour"]
+                     "contour",
+                     # round-3 real codecs / drivers / scrub
+                     "media_decode", "geotiff_roundtrip", "pii_scrub"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

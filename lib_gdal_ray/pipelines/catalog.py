@@ -2995,6 +2995,77 @@ def q_media_resize(sf_dir):
                                "val_sum", "val_min", "val_max"])
 
 
+def q_audio_features(sf_dir):
+    """Real DSP over really-decoded WAV spans: integer-exact energy
+    (sum of squares) and zero-crossing count, both mirrored closed-form
+    in SQL over the synthetic wave; the rfft spectral centroid is
+    pytest-pinned (tests/test_codecs.py) and excluded here."""
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import interleaved_docs
+    from ..stages.media import media_dsp_features
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = media_dsp_features(interleaved_docs(n), "audio")
+    return out.select_columns(["doc_id", "span_idx", "energy",
+                               "zero_crossings"])
+
+
+def sql_audio_features():
+    return _SQL_MEDIA_SPANS + """
+    , aud AS (SELECT d, s, 64 + (d % 16) * 8 AS n
+              FROM media WHERE kind = 'audio'),
+    v AS (SELECT d, s, i.i,
+          (i.i * (1 + d % 13) + 5*s) % 509 - 254 AS v
+          FROM aud, LATERAL unnest(generate_series(0, n - 1)) i(i)),
+    sgn AS (SELECT d, s, i, v,
+            CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg FROM v),
+    lagged AS (SELECT d, s, v, sg,
+               lag(sg) OVER (PARTITION BY d, s ORDER BY i) AS prev_sg
+               FROM sgn)
+    SELECT 'doc-' || lpad(CAST(d AS VARCHAR), 9, '0') AS doc_id,
+           CAST(s AS INTEGER) AS span_idx,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY d, s
+    """
+
+
+def q_image_features(sf_dir):
+    """Image-quality statistics over really-decoded PNG spans:
+    integer-exact pixel moments + horizontal edge count (threshold 32),
+    SQL-mirrored; the Sobel gradient mean is pytest-pinned."""
+    import pyarrow.parquet as pq
+
+    from ..sources.synth import interleaved_docs
+    from ..stages.media import media_dsp_features
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = media_dsp_features(interleaved_docs(n), "image")
+    return out.select_columns(["doc_id", "span_idx", "pixel_sum",
+                               "pixel_sq_sum", "edge_count"])
+
+
+def sql_image_features():
+    return _SQL_MEDIA_SPANS + """
+    , img AS (SELECT d, s, 8 + d % 8 AS w, 8 + (d + s) % 5 AS h
+              FROM media WHERE kind = 'image'),
+    px AS (SELECT d, s, w, x.x, y.y,
+           (x.x + 3*y.y + d + 7*s) % 256 AS v
+           FROM img, LATERAL unnest(generate_series(0, w - 1)) x(x),
+                     LATERAL unnest(generate_series(0, h - 1)) y(y))
+    SELECT 'doc-' || lpad(CAST(d AS VARCHAR), 9, '0') AS doc_id,
+           CAST(s AS INTEGER) AS span_idx,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum(v * v) AS BIGINT) AS pixel_sq_sum,
+           CAST(sum(CASE WHEN x < w - 1 AND
+                abs(((x + 1 + 3*y + d + 7*s) % 256) - v) > 32
+                THEN 1 ELSE 0 END) AS BIGINT) AS edge_count
+    FROM px GROUP BY d, s
+    """
+
+
 def q_embedding_near_dup(sf_dir):
     """Banded multi-table hyperplane LSH near-dup pairs, emitted with
     integer-cents similarities. SQL-checkable at oracle scale: the
@@ -3732,4 +3803,6 @@ QUERIES = {
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "audio_features": (q_audio_features, sql_audio_features()),
+    "image_features": (q_image_features, sql_image_features()),
 }

@@ -246,3 +246,47 @@ class TestJpeg:
             decode_jpeg(bytes(buf))
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"garbage")
+
+
+class TestDspFeatures:
+    def test_audio_features_vs_reference(self, ray_session):
+        from lib_gdal_ray.sources.synth import interleaved_docs
+        from lib_gdal_ray.stages.media import media_dsp_features, synth_audio
+
+        out = media_dsp_features(interleaved_docs(30), "audio").to_pandas()
+        assert len(out) > 0
+        for _, r in out.head(20).iterrows():
+            d = int(r["doc_id"].split("-")[1])
+            s = int(synth_audio(d, int(r["span_idx"]))[0] * 0 + r["span_idx"])
+            v = synth_audio(d, s).astype(np.int64)
+            assert r["energy"] == int((v * v).sum())
+            sign = np.where(v >= 0, 1, -1)
+            assert r["zero_crossings"] == int((sign[1:] != sign[:-1]).sum())
+            mag = np.abs(np.fft.rfft(v.astype(np.float64)))
+            want = (np.arange(len(mag)) * mag).sum() / mag.sum()
+            np.testing.assert_allclose(r["spectral_centroid"], want, rtol=1e-12)
+
+    def test_image_features_sobel_reference(self, ray_session):
+        from lib_gdal_ray.sources.synth import interleaved_docs
+        from lib_gdal_ray.stages.media import media_dsp_features, synth_image
+
+        out = media_dsp_features(interleaved_docs(30), "image").to_pandas()
+        assert len(out) > 0
+        for _, r in out.head(10).iterrows():
+            d = int(r["doc_id"].split("-")[1])
+            v = synth_image(d, int(r["span_idx"])).astype(np.float64)
+            gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]
+                  - v[:-2, :-2] - 2 * v[1:-1, :-2] - v[2:, :-2])
+            gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]
+                  - v[:-2, :-2] - 2 * v[:-2, 1:-1] - v[:-2, 2:])
+            want = np.sqrt(gx * gx + gy * gy).mean()
+            np.testing.assert_allclose(r["sobel_mean"], want, rtol=1e-12)
+
+    def test_wrong_kind_rejected(self):
+        from lib_gdal_ray.codecs.png import encode_png
+        from lib_gdal_ray.stages.media import AudioFeatureStage
+
+        t = pa.table({"payload": pa.array(
+            [encode_png(np.zeros((4, 4), np.uint8))], type=pa.binary())})
+        with pytest.raises(ValueError, match="image payload"):
+            AudioFeatureStage()(t)
