@@ -933,6 +933,44 @@ def q_overview_gauss(sf_dir):
     return _q_overview(sf_dir, "gauss")
 
 
+def q_overview_cubicspline(sf_dir):
+    return _q_overview(sf_dir, "cubicspline")
+
+
+def sql_overview_cubicspline():
+    # mirror of the engine's 4-tap-per-axis B-spline scatter with the
+    # exact integer weights {1,27,121,235} (the /384 cancels in the
+    # weighted mean); parity picks the tap offsets
+    def taps(c, d):
+        return f"""
+      SELECT gx, gy, {c} // 2 + CASE WHEN {c} % 2 = 0 THEN -2 ELSE -1 END AS {d},
+             CASE WHEN {c} % 2 = 0 THEN 1.0 ELSE 27.0 END AS w{d} FROM c7
+      UNION ALL
+      SELECT gx, gy, {c} // 2 + CASE WHEN {c} % 2 = 0 THEN -1 ELSE 0 END,
+             CASE WHEN {c} % 2 = 0 THEN 121.0 ELSE 235.0 END FROM c7
+      UNION ALL
+      SELECT gx, gy, {c} // 2 + CASE WHEN {c} % 2 = 0 THEN 0 ELSE 1 END,
+             CASE WHEN {c} % 2 = 0 THEN 235.0 ELSE 121.0 END FROM c7
+      UNION ALL
+      SELECT gx, gy, {c} // 2 + CASE WHEN {c} % 2 = 0 THEN 1 ELSE 2 END,
+             CASE WHEN {c} % 2 = 0 THEN 27.0 ELSE 1.0 END FROM c7
+        """
+
+    return f"""
+    WITH {_sql_c7()}, xo AS (
+      SELECT * FROM ({taps('gx', 'dx')}) WHERE dx >= 0
+    ), yo AS (
+      SELECT * FROM ({taps('gy', 'dy')}) WHERE dy >= 0
+    )
+    SELECT x.dx AS gpx, y.dy AS gpy,
+           sum(x.wdx * y.wdy * c.v) / sum(x.wdx * y.wdy) AS val
+    FROM c7 c
+    JOIN xo x ON x.gx = c.gx AND x.gy = c.gy
+    JOIN yo y ON y.gx = c.gx AND y.gy = c.gy
+    GROUP BY 1, 2
+    """
+
+
 def _sql_c7():
     gx, gy = _tile_sql(15)  # z7 global pixels
     return f"""c7 AS (
@@ -3753,6 +3791,7 @@ QUERIES = {
     "overview_rms": (q_overview_rms, sql_overview_rms()),
     "overview_mode": (q_overview_mode, sql_overview_mode()),
     "overview_gauss": (q_overview_gauss, sql_overview_gauss()),
+    "overview_cubicspline": (q_overview_cubicspline, sql_overview_cubicspline()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "zonal_weighted": (q_zonal_weighted, sql_zonal_weighted()),
     "zone_geometry": (q_zone_geometry, SQL_ZONE_GEOM),

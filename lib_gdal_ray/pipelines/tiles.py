@@ -38,13 +38,19 @@ def overview_pixels(pixels: ray.data.Dataset, how: str = "sum",
     present children), "mode" (most frequent child value, ties → the
     smallest value; GDAL's tie is hash-order — documented divergence),
     "gauss" (3×3 [1 2 1]⊗[1 2 1] kernel centered on source pixel
-    (2x+1, 2y+1), weights renormalized over present pixels)."""
+    (2x+1, 2y+1), weights renormalized over present pixels),
+    "cubicspline" (4×4 B-3 spline convolution at 2× reduction —
+    exact integer weights {1,27,121,235}/384 per axis, renormalized
+    over present pixels; parents left of the grid are dropped, the
+    positive edge is unclamped in sparse space — densify clamps)."""
     if how == "average":
         return _overview_weighted(pixels, mode="average")
     if how == "rms":
         return _overview_weighted(pixels, mode="rms")
     if how == "gauss":
         return _overview_weighted(pixels, mode="gauss")
+    if how == "cubicspline":
+        return _overview_weighted(pixels, mode="cubicspline")
     if how == "mode":
         return _overview_mode(pixels)
     if how not in ("sum", "max", "mean4"):
@@ -95,21 +101,40 @@ def _overview_weighted(pixels: ray.data.Dataset, mode: str) -> ray.data.Dataset:
             wv = v * v if mode == "rms" else v
             t = pa.table({"pix_id": pa.array(parent), "wv": pa.array(wv),
                           "w": pa.array(np.ones(len(v)))})
-        else:  # gauss: x-contribs (dx, wx): even sx -> (sx/2, 1) and
-            # (sx/2-1, 1); odd sx -> ((sx-1)/2, 2); same for y
-            def axis(c):
-                even = (c & 1) == 0
-                d_a = c >> 1
-                w_a = np.where(even, 1.0, 2.0)
-                d_b = np.where(even, (c >> 1) - 1, d_a)
-                keep_b = even & (d_b >= 0)
-                return d_a, w_a, d_b, keep_b
+        else:
+            if mode == "gauss":
+                # x-contribs (dx, wx): even sx -> (sx/2, 1) and
+                # (sx/2-1, 1); odd sx -> ((sx-1)/2, 2); same for y
+                def axis(c):
+                    even = (c & 1) == 0
+                    contribs = [(c >> 1, np.where(even, 1.0, 2.0), None)]
+                    d_b = np.where(even, (c >> 1) - 1, c >> 1)
+                    contribs.append((d_b, np.ones(len(c)),
+                                     even & (d_b >= 0)))
+                    return contribs
+            else:  # cubicspline: B-3 spline at 2x reduction — the
+                # kernel samples land on t ∈ {±0.25, ±0.75, ±1.25,
+                # ±1.75} whose weights are EXACTLY {235,121,27,1}/384;
+                # the /384 normalization cancels in wv/w, so integer
+                # weights keep every sum bit-exact (same parity scheme
+                # as the SQL oracle). Ref gcore/overview.cpp
+                # GDALResampleChunk_Convolution + GWKCubicSpline.
+                def axis(c):
+                    x0 = c >> 1
+                    odd = (c & 1) == 1
+                    contribs = []
+                    # (offset from x0, weight) for even r=0 / odd r=1
+                    for off_e, w_e, off_o, w_o in (
+                            (-2, 1.0, -1, 27.0), (-1, 121.0, 0, 235.0),
+                            (0, 235.0, 1, 121.0), (1, 27.0, 2, 1.0)):
+                        d = np.where(odd, x0 + off_o, x0 + off_e)
+                        w = np.where(odd, w_o, w_e)
+                        contribs.append((d, w, d >= 0))
+                    return contribs
 
-            dxa, wxa, dxb, kxb = axis(gpx)
-            dya, wya, dyb, kyb = axis(gpy)
             parts = []
-            for dx, wx, kx in ((dxa, wxa, None), (dxb, np.ones(len(v)), kxb)):
-                for dy, wy, ky in ((dya, wya, None), (dyb, np.ones(len(v)), kyb)):
+            for dx, wx, kx in axis(gpx):
+                for dy, wy, ky in axis(gpy):
                     m = np.ones(len(v), dtype=bool)
                     if kx is not None:
                         m &= kx

@@ -432,3 +432,47 @@ class TestTileGoldens:
         got = sorted((int(r.tile_x), int(r.tile_y), int(r.checksum), float(r.total))
                      for r in t.itertuples())
         assert got == self.GOLDEN
+
+
+class TestCubicsplineOverview:
+    def test_constant_raster_interior_preserved(self, ray_session):
+        """B-spline weights form a partition of unity: a constant
+        dense raster must reduce to the same constant everywhere
+        (renormalization handles the dropped negative-edge taps)."""
+        import pyarrow as pa
+
+        from lib_gdal_ray.pipelines import tiles as tiles_mod
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+        n = 16
+        gy, gx = np.mgrid[0:n, 0:n]
+        t = pa.table({
+            "pix_id": pa.array(pack_pixel(5, gx.ravel().astype(np.int64),
+                                          gy.ravel().astype(np.int64))
+                               .astype(np.int64)),
+            "burn": pa.array(np.full(n * n, 7.0)),
+        })
+        out = tiles_mod.overview_pixels(
+            ray.data.from_arrow(t), how="cubicspline").to_pandas()
+        np.testing.assert_allclose(out["burn"], 7.0, rtol=1e-12)
+
+    def test_weights_sum_to_384_per_axis(self):
+        # the exact dyadic-rational identity the implementation relies on
+        assert 1 + 121 + 235 + 27 == 384
+
+    def test_single_pixel_spreads_bspline(self, ray_session):
+        import pyarrow as pa
+
+        from lib_gdal_ray.pipelines import tiles as tiles_mod
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel, unpack_pixel
+
+        t = pa.table({"pix_id": pa.array(pack_pixel(
+            5, np.array([10]), np.array([11])).astype(np.int64)),
+            "burn": pa.array([384.0])})
+        out = tiles_mod.overview_pixels(
+            ray.data.from_arrow(t), how="cubicspline").to_pandas()
+        # even x=10 -> parents {3,4,5,6}; odd y=11 -> parents {4,5,6,7}
+        _z, px, py = unpack_pixel(out["pix_id"].to_numpy())
+        assert set(px) == {3, 4, 5, 6} and set(py) == {4, 5, 6, 7}
+        # weighted mean of a single source is the source value
+        np.testing.assert_allclose(out["burn"], 384.0)
