@@ -1,0 +1,113 @@
+"""Unified raster driver registry: format-sniffing read/write dispatch.
+
+The GDAL driver-registry analog (`gcore/gdaldrivermanager.cpp`,
+GDALOpen's driver probe loop) over this repo's real codecs: each
+driver is (sniff-by-magic, decode, encode) and `open_raster` probes
+them in order, exactly like GDALOpen asks each driver's Identify().
+Drivers present: GeoTIFF (georeferenced, all sample types), PNG, BMP,
+baseline JPEG. All pure numpy — no GDAL/libpng/libjpeg binaries.
+
+`read_raster_pixels` is the Dataset-level source: any mix of
+.tif/.png/.bmp/.jpg files streams per file into sparse pixel rows
+keyed by (path, band, y, x) — the format-agnostic ingestion the
+reference's RasterIO contract provides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..codecs import sniff
+from ..codecs.bmp import decode_bmp, encode_bmp
+from ..codecs.jpeg import decode_jpeg, encode_jpeg
+from ..codecs.png import decode_png, encode_png
+from ..codecs.tiff import decode_geotiff, encode_geotiff
+
+# name -> (extensions, decode(buf)->(arr, meta), encode(arr, **kw)->buf)
+DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
+    "GTiff": ((".tif", ".tiff"),
+              decode_geotiff,
+              lambda a, **kw: encode_geotiff(a, **kw)),
+    "PNG": ((".png",),
+            lambda b: (decode_png(b), {}),
+            lambda a, **kw: encode_png(a, **kw)),
+    "BMP": ((".bmp",),
+            lambda b: (decode_bmp(b), {}),
+            lambda a, **kw: encode_bmp(a)),
+    "JPEG": ((".jpg", ".jpeg"),
+             lambda b: (decode_jpeg(b), {}),
+             lambda a, **kw: encode_jpeg(a, **kw)),
+}
+
+_SNIFF_TO_DRIVER = {"png": "PNG", "bmp": "BMP", "jpeg": "JPEG"}
+
+
+def identify(buf: bytes) -> Optional[str]:
+    """GDALIdentify analog: driver name for a payload, or None."""
+    if buf[:2] in (b"II", b"MM") and len(buf) > 3 and buf[2:3] in (b"*", b"\x00"):
+        return "GTiff"
+    return _SNIFF_TO_DRIVER.get(sniff(buf))
+
+
+def open_raster(buf: bytes):
+    """GDALOpen analog: probe drivers, decode with the matching one.
+
+    Returns (driver_name, array, meta) — meta carries georeferencing
+    for GTiff, {} for the image formats."""
+    name = identify(buf)
+    if name is None:
+        raise ValueError("no raster driver recognizes this payload")
+    arr, meta = DRIVERS[name][1](buf)
+    return name, arr, meta
+
+
+def write_raster(arr: np.ndarray, driver: str, **kwargs) -> bytes:
+    if driver not in DRIVERS:
+        raise ValueError(f"unknown raster driver {driver!r} "
+                         f"(have {sorted(DRIVERS)})")
+    return DRIVERS[driver][2](arr, **kwargs)
+
+
+def read_raster_pixels(paths: Union[str, List[str]],
+                       drop_zero: bool = False, **kwargs) -> ray.data.Dataset:
+    """Raster file(s) of ANY registered format -> pixel rows
+    (path, band, y, x, value). Streams per file; each decode touches
+    only its own raster (scale unit = one file)."""
+    exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
+    kwargs.setdefault("file_extensions", exts)
+    raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {"path": [], "band": [], "y": [], "x": [], "value": []}
+        for path, buf in zip(batch["path"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            _name, arr, _meta = open_raster(buf)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w, bands = arr.shape
+            for b in range(bands):
+                plane = arr[:, :, b]
+                if drop_zero:
+                    yy, xx = np.nonzero(plane)
+                else:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    yy, xx = yy.ravel(), xx.ravel()
+                n = len(yy)
+                cols["path"].append(np.full(n, path, dtype=object))
+                cols["band"].append(np.full(n, b, dtype=np.int32))
+                cols["y"].append(yy.astype(np.int32))
+                cols["x"].append(xx.astype(np.int32))
+                cols["value"].append(plane[yy, xx].astype(np.float64))
+        if not cols["path"]:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "band": pa.array([], pa.int32()),
+                             "y": pa.array([], pa.int32()),
+                             "x": pa.array([], pa.int32()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in cols.items()})
+
+    return raw.map_batches(explode, batch_format="pyarrow")

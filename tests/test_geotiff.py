@@ -160,3 +160,46 @@ class TestCompressionVariants:
     def test_predictor_rejects_float(self):
         with pytest.raises(ValueError, match="integer-only"):
             encode_geotiff(np.zeros((4, 4), np.float32), predictor=2)
+
+
+class TestDriverRegistry:
+    """GDALOpen/driver-registry analog: sniffing dispatch over the real
+    codecs (gcore/gdaldrivermanager.cpp contract)."""
+
+    def test_identify_and_open_all_drivers(self):
+        from lib_gdal_ray.sources.rasters import identify, open_raster, write_raster
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+        for driver, lossless in [("GTiff", True), ("PNG", True),
+                                 ("BMP", True), ("JPEG", False)]:
+            buf = write_raster(img, driver)
+            assert identify(buf) == driver
+            name, arr, _meta = open_raster(buf)
+            assert name == driver
+            if lossless:
+                np.testing.assert_array_equal(arr, img)
+            else:
+                assert arr.shape == img.shape
+        assert identify(b"not a raster") is None
+        with pytest.raises(ValueError, match="no raster driver"):
+            open_raster(b"junk")
+        with pytest.raises(ValueError, match="unknown raster driver"):
+            write_raster(img, "NITF")
+
+    def test_read_raster_pixels_mixed_formats(self, ray_session, tmp_path):
+        from lib_gdal_ray.sources.rasters import read_raster_pixels, write_raster
+
+        rng = np.random.default_rng(22)
+        a = rng.integers(1, 256, (4, 5), dtype=np.uint8)
+        b = rng.integers(1, 256, (3, 3, 3), dtype=np.uint8)
+        (tmp_path / "a.png").write_bytes(write_raster(a, "PNG"))
+        (tmp_path / "b.tif").write_bytes(write_raster(b, "GTiff"))
+        (tmp_path / "ignore.txt").write_text("not a raster")
+        out = read_raster_pixels(str(tmp_path)).to_pandas()
+        assert len(out) == a.size + b.size
+        pa_rows = out[out.path.str.endswith("a.png")]
+        got = np.zeros_like(a)
+        got[pa_rows.y, pa_rows.x] = pa_rows.value.astype(np.uint8)
+        np.testing.assert_array_equal(got, a)
+        assert set(out[out.path.str.endswith("b.tif")]["band"]) == {0, 1, 2}
