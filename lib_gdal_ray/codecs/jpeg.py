@@ -20,7 +20,7 @@ unlike the bit-exact PNG/BMP/WAV/GeoTIFF codecs in this package.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ per file) and explodes each raster back to sparse pixel rows.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 import pyarrow as pa
