@@ -128,6 +128,62 @@ def _write_parquet(ds, *, path, partition_cols=None):
     return ds
 
 
+@register_op("pii_scrub")
+def _pii_scrub(ds, *, text_col="text"):
+    from .text import pii_scrub
+
+    return pii_scrub(ds, text_col=text_col)
+
+
+@register_op("read_geojson_seq")
+def _read_geojson_seq(ds, *, path, properties=None):
+    from ..sources.vector_formats import read_geojson_seq
+
+    return read_geojson_seq(path, properties=properties)
+
+
+@register_op("write_geojson_seq")
+def _write_geojson_seq(ds, *, path, geometry_col="geometry"):
+    from ..sources.vector_formats import write_geojson_seq
+
+    write_geojson_seq(ds, path, geometry_col=geometry_col)
+    return ds
+
+
+@register_op("read_raster")
+def _read_raster(ds, *, path, drop_zero=False):
+    from ..sources.rasters import read_raster_pixels
+
+    return read_raster_pixels(path, drop_zero=drop_zero)
+
+
+@register_op("write_geotiff_tiles")
+def _write_geotiff_tiles(ds, *, path, tile_size=256, dtype="float64",
+                         compression="deflate"):
+    import numpy as _np
+
+    from ..sources.geotiff import write_geotiff_tiles
+
+    return write_geotiff_tiles(ds, path, tile_size=tile_size,
+                               dtype=_np.dtype(dtype),
+                               compression=compression)
+
+
+@register_op("media_decode")
+def _media_decode(ds, *, batch_size=256):
+    from ..stages.media import MediaDecodeStage
+
+    return ds.map_batches(MediaDecodeStage(real=True),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+@register_op("overview")
+def _overview(ds, *, how="sum"):
+    from .tiles import overview_pixels
+
+    return overview_pixels(ds, how=how)
+
+
 def run_pipeline(spec: Any) -> Optional[ray.data.Dataset]:
     """Run a spec (dict, JSON string, or path to a .json file)."""
     if isinstance(spec, str):

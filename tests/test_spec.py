@@ -83,3 +83,40 @@ def test_partitioned_sink_hive_nulls(tmp_path):
     assert f"k={HIVE_NULL}" in dirs and "k=a" in dirs and "k=b" in dirs
     back = ray.data.read_parquet(out).to_pandas()
     assert back["v"].sum() == 6
+
+
+def test_spec_raster_and_scrub_ops(ray_session, tmp_path):
+    """New registry ops compose end-to-end from a JSON spec: rasterize
+    -> GeoTIFF tile write, then a raster read + overview; and a text
+    scrub step."""
+    import json as _json
+
+    import numpy as np
+
+    from lib_gdal_ray.pipelines.spec import run_pipeline
+
+    out = str(tmp_path / "tiles")
+    spec = {"steps": [
+        {"op": "read_parquet", "path": "/root/testdata/sf0.001/events.parquet",
+         "columns": ["event_id"]},
+        {"op": "derive_points", "key": "event_id"},
+        {"op": "rasterize", "z": 3, "merge_alg": "count"},
+        {"op": "write_geotiff_tiles", "path": out},
+    ]}
+    manifest = run_pipeline(_json.dumps(spec)).to_pandas()
+    assert manifest["n_pixels"].sum() > 0
+    assert all(p.endswith(".tif") for p in manifest["path"])
+
+    back = run_pipeline({"steps": [
+        {"op": "read_raster", "path": out, "drop_zero": True},
+    ]}).to_pandas()
+    assert len(back) == manifest["n_pixels"].sum()
+
+    scrub = run_pipeline({"steps": [
+        {"op": "read_parquet",
+         "path": "/root/testdata/sf0.001/documents.parquet",
+         "columns": ["doc_id", "text"]},
+        {"op": "pii_scrub"},
+        {"op": "limit", "n": 5},
+    ]}).to_pandas()
+    assert {"n_email", "n_ipv4", "n_phone"} <= set(scrub.columns)
