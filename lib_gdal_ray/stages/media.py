@@ -122,8 +122,14 @@ class MediaFetchStage:
         return rng.integers(0, 256, self.payload_size, dtype=np.uint8).tobytes()
 
     def _codec_payload(self, kind: str, d: int, s: int) -> bytes:
-        """A REAL encoded file (PNG/WAV/RWV) with closed-form content."""
+        """A REAL encoded file (PNG/BMP/WAV/RWV) with closed-form
+        content. Every third image span is a BMP — decode stats are
+        content-based, so the SQL oracle pins BOTH image codecs."""
         if kind == "image":
+            if d % 3 == 0:
+                from ..codecs.bmp import encode_bmp
+
+                return encode_bmp(synth_image(d, s))
             return encode_png(synth_image(d, s), filter_type="adaptive")
         if kind == "audio":
             return encode_wav(synth_audio(d, s), sample_rate=16000)
@@ -315,8 +321,12 @@ class MediaResizeStage:
     def _resize_batch(self, batch: pa.Table) -> pa.Table:
         kernel = resize_nearest if self.method == "nearest" else resize_bilinear
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
-        out = [encode_png(kernel(decode_png(p), self.target_w, self.target_h))
-               for p in payloads]
+        out = []
+        for p in payloads:
+            kind, arr, _meta = decode_media(p)  # sniffing: PNG or BMP
+            if kind != "image":
+                raise ValueError(f"MediaResizeStage got {kind} payload")
+            out.append(encode_png(kernel(arr, self.target_w, self.target_h)))
         batch = batch.drop_columns(["payload"]).append_column(
             "payload", pa.array(out, type=pa.binary()))
         batch = batch.append_column(
