@@ -324,7 +324,14 @@ def encode_geotiff(arr: np.ndarray,
     return header + ifd + bytes(ov) + b"".join(blocks)
 
 
-def decode_geotiff(buf: bytes):
+def decode_geotiff_meta(buf: bytes) -> dict:
+    """Header-only decode: the IFD tags without touching pixel blocks
+    (gdalinfo/gdaltindex contract — O(header) per file, not O(pixels))."""
+    arr_meta = decode_geotiff(buf, meta_only=True)
+    return arr_meta[1]
+
+
+def decode_geotiff(buf: bytes, meta_only: bool = False):
     """GeoTIFF bytes -> (array, meta).
 
     array: (H, W) or (H, W, B); meta: {width, height, bands, transform
@@ -395,8 +402,11 @@ def decode_geotiff(buf: bytes):
                                  rows, width, bands)
         return a.reshape(rows, width, bands)
 
-    out = np.zeros((h, w, bands), dtype=dt)
-    if _TILEOFFSETS in tags:
+    out = np.zeros((h, w, bands) if not meta_only else (0, 0, bands),
+                   dtype=dt)
+    if meta_only:
+        pass  # skip pixel blocks — tags only (gdalinfo contract)
+    elif _TILEOFFSETS in tags:
         tw = int(tags[_TILEWIDTH][0])
         th = int(tags[_TILELENGTH][0])
         offs = tags[_TILEOFFSETS]
@@ -433,5 +443,8 @@ def decode_geotiff(buf: bytes):
                 epsg = val
     arr = out[:, :, 0] if bands == 1 else out
     meta = {"width": w, "height": h, "bands": bands, "transform": transform,
-            "epsg": epsg, "compression": "deflate" if comp == 8 else "none"}
+            "epsg": epsg,
+            "compression": {1: "none", 5: "lzw", 8: "deflate",
+                            32773: "packbits"}[comp],
+            "dtype": str(np.dtype(dt).newbyteorder("="))}
     return np.ascontiguousarray(arr), meta

@@ -201,3 +201,91 @@ def run_pipeline(spec: Any) -> Optional[ray.data.Dataset]:
                              f"known: {sorted(_OPS)}")
         ds = _OPS[op](ds, **step)
     return ds
+
+
+@register_op("raster_index")
+def _raster_index(ds, *, path):
+    from ..sources.rasters import raster_index
+
+    return raster_index(path)
+
+
+@register_op("concat")
+def _concat(ds, *, paths, columns=None):
+    """Multi-source union (gdalalg_vector_concat analog)."""
+    import ray.data as _rd
+
+    parts = [_rd.read_parquet(p, columns=columns) for p in paths]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out if ds is None else ds.union(out)
+
+
+@register_op("materialize")
+def _materialize(ds):
+    """Checkpoint the intermediate (gdalalg_materialize.cpp:34)."""
+    return ds.materialize()
+
+
+@register_op("tee")
+def _tee(ds, *, path, partition_cols=None):
+    """Fork the pipeline: write a side copy, keep streaming the main
+    branch (generic `tee` step)."""
+    from ..sources.sinks import write_partitioned
+
+    side = ds.materialize()  # one upstream execution feeds both branches
+    write_partitioned(side, path, partition_cols)
+    return side
+
+
+@register_op("cast_column")
+def _cast_column(ds, *, column, to):
+    """set-field-type / astype analog."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def cast(batch):
+        idx = batch.column_names.index(column)
+        return batch.set_column(idx, column,
+                                _pc.cast(batch[column], _pa.type_for_alias(to)))
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+@register_op("info")
+def _info(ds, *, geometry_col=None):
+    """Schema/stats report (vector `info` analog): one summary row —
+    row count, column list, and the layer extent when a WKB geometry
+    column is named. Streaming: per-batch partial bbox + count, one
+    tiny aggregate."""
+    import pyarrow as _pa
+
+    from ..geom import wkb as _wkb
+
+    def partial(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+        cols = {"n": _pa.array([len(batch)], _pa.int64()),
+                "schema": _pa.array([",".join(batch.column_names)])}
+        if geometry_col is not None:
+            bb = _wkb.wkb_bbox(_np.asarray(
+                batch[geometry_col].to_pylist(), dtype=object))
+            cols.update({
+                "xmin": _pa.array([float(bb[:, 0].min())] if len(bb) else [float("inf")]),
+                "ymin": _pa.array([float(bb[:, 1].min())] if len(bb) else [float("inf")]),
+                "xmax": _pa.array([float(bb[:, 2].max())] if len(bb) else [float("-inf")]),
+                "ymax": _pa.array([float(bb[:, 3].max())] if len(bb) else [float("-inf")]),
+            })
+        return _pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = {"n_rows": int(parts["n"].sum()),
+           "schema": parts["schema"].iloc[0] if len(parts) else ""}
+    if geometry_col is not None and len(parts):
+        out.update({"xmin": float(parts["xmin"].min()),
+                    "ymin": float(parts["ymin"].min()),
+                    "xmax": float(parts["xmax"].max()),
+                    "ymax": float(parts["ymax"].max())})
+    import pandas as _pd
+
+    return _pd.DataFrame([out])

@@ -111,3 +111,70 @@ def read_raster_pixels(paths: Union[str, List[str]],
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in cols.items()})
 
     return raw.map_batches(explode, batch_format="pyarrow")
+
+
+def raster_index(paths: Union[str, List[str]], **kwargs) -> ray.data.Dataset:
+    """gdaltindex analog: one row per raster file with georeferenced
+    bounds — header-only for GeoTIFF (tags parsed, pixel blocks never
+    decompressed), full decode for headerless formats. The index table
+    is what a 100-TB mosaic plans reads against (which files intersect
+    this tile) without touching pixel data."""
+    from ..codecs.tiff import decode_geotiff_meta
+
+    exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
+    kwargs.setdefault("file_extensions", exts)
+    raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def describe(batch: pa.Table) -> pa.Table:
+        rows = {"path": [], "driver": [], "width": [], "height": [],
+                "bands": [], "dtype": [], "epsg": [],
+                "xmin": [], "ymin": [], "xmax": [], "ymax": []}
+        for path, buf in zip(batch["path"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            name = identify(buf)
+            if name is None:
+                continue
+            if name == "GTiff":
+                meta = decode_geotiff_meta(buf)
+                arr_shape = (meta["height"], meta["width"])
+                bands, dtype = meta["bands"], meta["dtype"]
+            else:
+                _n, arr, meta = open_raster(buf)
+                arr_shape = arr.shape[:2]
+                bands = 1 if arr.ndim == 2 else arr.shape[2]
+                dtype = str(arr.dtype)
+                meta = dict(meta, transform=None, epsg=None)
+            h, w = arr_shape
+            tf = meta.get("transform")
+            if tf is not None:
+                x0, pxw, _r0, y0, _r1, pxh = tf
+                xmin, xmax = x0, x0 + pxw * w
+                ymax, ymin = y0, y0 + pxh * h
+            else:  # pixel space
+                xmin, ymin, xmax, ymax = 0.0, 0.0, float(w), float(h)
+            rows["path"].append(path)
+            rows["driver"].append(name)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["bands"].append(bands)
+            rows["dtype"].append(dtype)
+            rows["epsg"].append(meta.get("epsg"))
+            rows["xmin"].append(xmin)
+            rows["ymin"].append(ymin)
+            rows["xmax"].append(xmax)
+            rows["ymax"].append(ymax)
+        return pa.table({
+            "path": pa.array(rows["path"], pa.string()),
+            "driver": pa.array(rows["driver"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "bands": pa.array(rows["bands"], pa.int32()),
+            "dtype": pa.array(rows["dtype"], pa.string()),
+            "epsg": pa.array(rows["epsg"], pa.int32()),
+            "xmin": pa.array(rows["xmin"], pa.float64()),
+            "ymin": pa.array(rows["ymin"], pa.float64()),
+            "xmax": pa.array(rows["xmax"], pa.float64()),
+            "ymax": pa.array(rows["ymax"], pa.float64()),
+        })
+
+    return raw.map_batches(describe, batch_format="pyarrow")

@@ -120,3 +120,61 @@ def test_spec_raster_and_scrub_ops(ray_session, tmp_path):
         {"op": "limit", "n": 5},
     ]}).to_pandas()
     assert {"n_email", "n_ipv4", "n_phone"} <= set(scrub.columns)
+
+
+def test_spec_generic_steps(ray_session, tmp_path):
+    """tee / materialize / concat / cast_column / info / raster_index."""
+    import json as _json
+
+    import numpy as np
+
+    from lib_gdal_ray.pipelines.spec import run_pipeline
+    from lib_gdal_ray.sources.rasters import write_raster
+
+    side = str(tmp_path / "side")
+    out = run_pipeline({"steps": [
+        {"op": "read_parquet", "path": "/root/testdata/sf0.001/events.parquet",
+         "columns": ["event_id", "value"]},
+        {"op": "filter", "where": "value > 5"},
+        {"op": "tee", "path": side},
+        {"op": "cast_column", "column": "event_id", "to": "int32"},
+        {"op": "materialize"},
+        {"op": "limit", "n": 10},
+    ]}).to_pandas()
+    assert len(out) == 10 and str(out["event_id"].dtype) == "int32"
+    import ray.data as rd
+    assert rd.read_parquet(side).count() > 0  # side branch written
+
+    # concat of two sources doubles the rows
+    both = run_pipeline({"steps": [{
+        "op": "concat",
+        "paths": ["/root/testdata/sf0.001/events.parquet",
+                  "/root/testdata/sf0.001/events.parquet"],
+        "columns": ["event_id"]}]})
+    assert both.count() == 2 * rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet").count()
+
+    # info over a geometry layer
+    from lib_gdal_ray.geom import wkb as W
+    import pyarrow as pa
+    geoms = [W.box_to_wkb(0, 0, 2, 3), W.box_to_wkb(-1, -5, 1, 1)]
+    layer = str(tmp_path / "layer")
+    rd.from_arrow(pa.table({"geometry": pa.array(geoms, type=pa.binary())})
+                  ).write_parquet(layer)
+    info = run_pipeline({"steps": [
+        {"op": "read_parquet", "path": layer},
+        {"op": "info", "geometry_col": "geometry"}]})
+    r = info.iloc[0]
+    assert r["n_rows"] == 2 and (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) \
+        == (-1.0, -5.0, 2.0, 3.0)
+
+    # raster_index over header-only GeoTIFF metadata
+    tifs = tmp_path / "tifs"
+    tifs.mkdir()
+    (tifs / "a.tif").write_bytes(write_raster(
+        np.ones((16, 20), np.uint8), "GTiff",
+        transform=(-180, 0.5, 0, 85, 0, -0.5), epsg=4326, compression="lzw"))
+    idx = run_pipeline({"steps": [
+        {"op": "raster_index", "path": str(tifs)}]}).to_pandas()
+    assert list(idx["driver"]) == ["GTiff"]
+    assert idx["xmax"].iloc[0] == -170.0 and idx["ymin"].iloc[0] == 77.0
