@@ -1467,6 +1467,114 @@ def sql_hillshade():
 
 
 # ---------------------------------------------------------------------------
+# gdaldem color-relief / compositing
+# ---------------------------------------------------------------------------
+
+# Integer slopes on every segment → np.interp lands on exact integers
+# for integer inputs, so floor(lerp + 0.5) == lerp and the SQL mirror is
+# bit-safe (no float rounding at .5 boundaries).
+_RELIEF_RAMP = [
+    (1, 0, 0, 64),
+    (2, 50, 100, 64),
+    (4, 200, 40, 0),
+    (8, 252, 40, 200),
+]
+
+
+def q_color_relief(sf_dir):
+    """gdaldem color-relief over the z7 count raster: piecewise-linear
+    RGB ramp lookup with end clamping (apps/gdaldem_lib.cpp
+    GDALColorReliefGetRGBA, linear interpolation mode)."""
+    from . import raster_calc as rc
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
+    out = rc.color_relief(counts, _RELIEF_RAMP)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "r": batch["r"], "g": batch["g"], "b": batch["b"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def _ramp_case_sql(expr: str, chan: int) -> str:
+    """CASE mirror of np.interp over _RELIEF_RAMP for channel chan
+    (1=r 2=g 3=b): clamp below first / above last stop, slope-form lerp
+    between stops, floor(x+0.5) half-up to INTEGER."""
+    xs = [s[0] for s in _RELIEF_RAMP]
+    ys = [s[chan] for s in _RELIEF_RAMP]
+    parts = [f"WHEN ({expr}) <= {xs[0]} THEN {ys[0]}.0"]
+    for i in range(len(xs) - 1):
+        lerp = (f"(({ys[i + 1]}.0 - {ys[i]}.0) / ({xs[i + 1]}.0 - {xs[i]}.0))"
+                f" * (({expr}) - {xs[i]}.0) + {ys[i]}.0")
+        parts.append(f"WHEN ({expr}) <= {xs[i + 1]} THEN {lerp}")
+    body = " ".join(parts)
+    return f"CAST(floor((CASE {body} ELSE {ys[-1]}.0 END) + 0.5) AS INTEGER)"
+
+
+def sql_color_relief():
+    gx, gy = _pixel_sql(7)
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                FROM {_POINTS_SQL} p GROUP BY 1, 2)
+    SELECT gpx, gpy,
+           {_ramp_case_sql('c', 1)} AS r,
+           {_ramp_case_sql('c', 2)} AS g,
+           {_ramp_case_sql('c', 3)} AS b
+    FROM px
+    """
+
+
+def q_raster_blend(sf_dir):
+    """Alpha-composite (alpha=96) of the even-event count raster OVER
+    the odd-event count raster at z7 — integer-exact
+    (a*96 + b*159 + 127) // 255 with nodata passthrough on either side
+    (GDAL warp blend semantics)."""
+    from . import raster_calc as rc
+
+    pts = events_points(sf_dir)
+
+    def side(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(eid % 2 == parity))
+        return fn
+
+    a = rast.rasterize_pixels(pts.map_batches(side(0), batch_format="pyarrow"),
+                              7, merge_alg="count", shuffle_partitions=8)
+    b = rast.rasterize_pixels(pts.map_batches(side(1), batch_format="pyarrow"),
+                              7, merge_alg="count", shuffle_partitions=8)
+    out = rc.blend(a, b, 96)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "burn": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_raster_blend():
+    gx, gy = _pixel_sql(7)
+    return f"""
+    WITH ea AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                FROM {_POINTS_SQL} p WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         eb AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                FROM {_POINTS_SQL} p WHERE event_id % 2 = 1 GROUP BY 1, 2)
+    SELECT COALESCE(a.gpx, b.gpx) AS gpx, COALESCE(a.gpy, b.gpy) AS gpy,
+           CAST(CASE
+             WHEN a.c IS NOT NULL AND b.c IS NOT NULL
+               THEN (a.c * 96 + b.c * 159 + 127) // 255
+             WHEN a.c IS NOT NULL THEN a.c
+             ELSE b.c
+           END AS DOUBLE) AS burn
+    FROM ea a FULL OUTER JOIN eb b ON a.gpx = b.gpx AND a.gpy = b.gpy
+    """
+
+
+# ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
 
@@ -3821,6 +3929,8 @@ QUERIES = {
     "erase_overlay": (q_erase_overlay, sql_erase_overlay()),
     "union_overlay": (q_union_overlay, sql_union_overlay()),
     "mosaic_warp": (q_mosaic_warp, sql_mosaic_warp()),
+    "color_relief": (q_color_relief, sql_color_relief()),
+    "raster_blend": (q_raster_blend, sql_raster_blend()),
     "proximity_dist": (q_proximity, sql_proximity()),
     "proximity_shuffle": (q_proximity_shuffle, sql_proximity()),
     # documents / embeddings

@@ -381,3 +381,72 @@ def pixel_stats(pixels: ray.data.Dataset, round_to: Optional[int] = None) -> ray
         ("mean", "burn", "mean_v"),
         ("std_pop", "burn", "std_v"),
     ], round_to=round_to)
+
+
+def color_relief(pixels: ray.data.Dataset, ramp,
+                 value_col: str = "burn") -> ray.data.Dataset:
+    """gdaldem color-relief: piecewise-linear RGB ramp lookup.
+
+    ramp: sorted [(value, r, g, b), ...]. Per-channel linear
+    interpolation between adjacent stops, clamped at the ends —
+    `apps/gdaldem_lib.cpp` GDALColorReliefGetRGBA (linear mode).
+    Vectorized np.interp per channel; half-up integer rounding so a SQL
+    oracle mirrors exactly (floor(lerp + 0.5))."""
+    ramp = sorted(ramp)
+    xs = np.asarray([r[0] for r in ramp], dtype=np.float64)
+    chans = {c: np.asarray([r[i + 1] for r in ramp], dtype=np.float64)
+             for i, c in enumerate("rgb")}
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        for c, ys in chans.items():
+            out = np.floor(np.interp(v, xs, ys) + 0.5).astype(np.int32)
+            batch = batch.append_column(c, pa.array(out))
+        return batch
+
+    return pixels.map_batches(kernel, batch_format="pyarrow")
+
+
+def blend(a: ray.data.Dataset, b: ray.data.Dataset, alpha: int,
+          key_col: str = "pix_id", value_col: str = "burn",
+          shuffle_partitions=None) -> ray.data.Dataset:
+    """Alpha-composite raster a OVER raster b with constant alpha
+    0..255: out = (a*alpha + b*(255-alpha) + 127) // 255 — integer
+    exact (one co-partition join on the pixel key, reusing pixel_calc's
+    exchange). Missing pixels on either side pass the other through
+    (GDAL blend semantics with nodata passthrough)."""
+    from ray.data.aggregate import Sum
+
+    if not 0 <= alpha <= 255:
+        raise ValueError("alpha must be 0..255")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            zero = np.zeros_like(v)
+            one = np.ones_like(v)
+            return pa.table({
+                key_col: batch[key_col],
+                "va": pa.array(v if side == 0 else zero),
+                "vb": pa.array(zero if side == 0 else v),
+                "na": pa.array(one if side == 0 else zero),
+                "nb": pa.array(zero if side == 0 else one),
+            })
+        return fn
+
+    both = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+    merged = both.groupby(key_col).aggregate(
+        Sum("va", alias_name="va"), Sum("vb", alias_name="vb"),
+        Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        va = batch["va"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = batch["vb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch["na"].to_numpy(zero_copy_only=False) > 0
+        nb = batch["nb"].to_numpy(zero_copy_only=False) > 0
+        comp = (va * alpha + vb * (255 - alpha) + 127) // 255
+        out = np.where(na & nb, comp, np.where(na, va, vb)).astype(np.float64)
+        return pa.table({key_col: batch[key_col], value_col: pa.array(out)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

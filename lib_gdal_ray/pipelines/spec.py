@@ -184,6 +184,13 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("color_relief")
+def _color_relief(ds, *, ramp, value_col="burn"):
+    from .raster_calc import color_relief
+
+    return color_relief(ds, [tuple(r) for r in ramp], value_col=value_col)
+
+
 def run_pipeline(spec: Any) -> Optional[ray.data.Dataset]:
     """Run a spec (dict, JSON string, or path to a .json file)."""
     if isinstance(spec, str):

@@ -185,3 +185,52 @@ class TestNearblack:
         out = rc.nearblack_collar(pixels_from_grid(grid), (0, 0, 10, 10),
                                   tolerance=0.5).to_pandas()
         assert len(out) == 0
+
+
+class TestColorRelief:
+    RAMP = [(0, 0, 0, 255), (10, 100, 255, 0), (20, 255, 50, 30)]
+
+    def test_vs_np_interp(self):
+        rng = np.random.default_rng(3)
+        grid = rng.integers(1, 25, (16, 16)).astype(float)
+        out = rc.color_relief(pixels_from_grid(grid), self.RAMP).to_pandas()
+        zz, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        v = grid[gy, gx]
+        xs = np.array([r[0] for r in self.RAMP], dtype=float)
+        for i, c in enumerate("rgb"):
+            ys = np.array([r[i + 1] for r in self.RAMP], dtype=float)
+            want = np.floor(np.interp(v, xs, ys) + 0.5).astype(np.int32)
+            np.testing.assert_array_equal(out[c].to_numpy(), want)
+
+    def test_clamps_at_ends(self):
+        ds = ray.data.from_arrow(pa.table({
+            "pix_id": pa.array(pack_pixel(2, np.array([0, 1]), np.array([0, 0]))),
+            "burn": pa.array([-5.0, 99.0])}))
+        out = rc.color_relief(ds, self.RAMP).to_pandas().sort_values("burn")
+        assert list(out["r"]) == [0, 255]
+        assert list(out["b"]) == [255, 30]
+
+
+class TestBlend:
+    def test_overlap_and_passthrough(self):
+        a = np.zeros((8, 8)); a[:4, :] = 100.0          # top half only
+        b = np.zeros((8, 8)); b[2:6, :] = 60.0          # middle band
+        out = rc.blend(pixels_from_grid(a), pixels_from_grid(b), 96)
+        got = grid_from_pixels(out, (8, 8))
+        want = np.zeros((8, 8))
+        want[:2, :] = 100.0                              # a only: passthrough
+        want[2:4, :] = (100 * 96 + 60 * 159 + 127) // 255  # both: composite
+        want[4:6, :] = 60.0                              # b only: passthrough
+        np.testing.assert_array_equal(got, want)
+
+    def test_alpha_extremes(self):
+        a = np.full((4, 4), 9.0)
+        b = np.full((4, 4), 3.0)
+        full = grid_from_pixels(rc.blend(pixels_from_grid(a), pixels_from_grid(b), 255), (4, 4))
+        none = grid_from_pixels(rc.blend(pixels_from_grid(a), pixels_from_grid(b), 0), (4, 4))
+        np.testing.assert_array_equal(full, a)
+        np.testing.assert_array_equal(none, b)
+
+    def test_alpha_range_check(self):
+        with pytest.raises(ValueError):
+            rc.blend(pixels_from_grid(np.ones((2, 2))), pixels_from_grid(np.ones((2, 2))), 300)
