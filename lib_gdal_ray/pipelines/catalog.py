@@ -3852,6 +3852,69 @@ WHERE rn <= 12
 """
 
 
+def q_chunk_documents(sf_dir):
+    """Token-window chunking with overlap (W=40 tokens, stride 32) —
+    the standard LLM training-data prep step. Embarrassingly parallel:
+    each batch chunks independently, no shuffle."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_mod.chunk_documents(docs, window=40, stride=32)
+
+
+def sql_chunk_documents(window: int = 40, stride: int = 32) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+         g AS (SELECT doc_id, tk, n,
+                      unnest(generate_series(0, ((n - 1) // {stride}) * {stride},
+                                             {stride})) AS start
+               FROM t)
+    SELECT doc_id, start // {stride} AS chunk_id,
+           least({window}, n - start) AS n_tokens,
+           array_to_string(tk[start + 1 : start + least({window}, n - start)],
+                           ' ') AS chunk_text
+    FROM g
+    """
+
+
+def q_chunk_dedup(sf_dir):
+    """Chunk-level exact dedup (Dolma/RefinedWeb paragraph-unit dedup,
+    word-soup analog: W=8 non-overlapping token windows). Chunks map
+    embarrassingly parallel, then the winner-per-content groupby ships
+    only a 128-bit digest + packed (doc_id, chunk_id) id — never text."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = text_mod.chunk_documents(docs, window=8, stride=8)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        gid = (batch["doc_id"].to_numpy(zero_copy_only=False) * 65536
+               + batch["chunk_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gid": pa.array(gid), "chunk_text": batch["chunk_text"]})
+
+    chunks = chunks.map_batches(pack, batch_format="pyarrow")
+    out = dd.exact_dedup(chunks, "chunk_text", "gid", hash_key=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"chunk_gid": batch["gid"], "dup_count": batch["dup_count"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_chunk_dedup() -> str:
+    return """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+         g AS (SELECT doc_id, tk, n,
+                      unnest(generate_series(0, ((n - 1) // 8) * 8, 8)) AS start
+               FROM t),
+         c AS (SELECT doc_id * 65536 + start // 8 AS gid,
+                      array_to_string(tk[start + 1 : start + least(8, n - start)],
+                                      ' ') AS ct
+               FROM g)
+    SELECT min(gid) AS chunk_gid, count(*) AS dup_count FROM c GROUP BY ct
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3935,6 +3998,8 @@ QUERIES = {
     "proximity_shuffle": (q_proximity_shuffle, sql_proximity()),
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
+    "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
+    "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "ann_topk": (q_ann_topk, SQL_ANN),

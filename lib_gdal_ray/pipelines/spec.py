@@ -184,6 +184,14 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("chunk")
+def _chunk(ds, *, window, stride, text_col="text", id_col="doc_id"):
+    from .text import chunk_documents
+
+    return chunk_documents(ds, window=window, stride=stride,
+                           text_col=text_col, id_col=id_col)
+
+
 @register_op("color_relief")
 def _color_relief(ds, *, ramp, value_col="burn"):
     from .raster_calc import color_relief

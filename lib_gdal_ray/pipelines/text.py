@@ -381,3 +381,62 @@ def pii_scrub(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
         return batch.set_column(idx, text_col, txt)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def chunk_documents(ds: ray.data.Dataset, window: int, stride: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Token-window document chunking with overlap (the standard
+    training-data prep step: W-token chunks every S tokens).
+
+    Tokens are split-on-single-space (`string_split(text, ' ')`
+    semantics, same contract as token_stats). A doc with n tokens
+    emits chunks at starts 0, S, 2S, … while start < n; the last chunk
+    may be shorter than W. Split semantics mean every doc has ≥1 token
+    (the empty string is one empty token, exactly like DuckDB
+    string_split), so every doc emits ≥1 chunk.
+
+    Output rows: (id_col, chunk_id:int64, n_tokens:int64,
+    chunk_text:string). Fully vectorized — ragged starts via
+    repeat/arange index math, one pc.take gather of the flat token
+    array per batch, list-join for the chunk text; no Python per row.
+    Each batch chunks independently (embarrassingly parallel, no
+    shuffle; a 100-TB corpus streams through map_batches)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        n = offs[1:] - offs[:-1]                     # tokens per doc
+        n_chunks = np.where(n > 0, (np.maximum(n, 1) - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+        cum = np.zeros(len(n), np.int64)
+        np.cumsum(n_chunks[:-1], out=cum[1:])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        start = chunk_id * stride
+        clen = np.minimum(window, n[doc_idx] - start)
+        # gather indices: doc token base + start + within-chunk arange
+        coffs = np.zeros(total + 1, np.int64)
+        np.cumsum(clen, out=coffs[1:])
+        within = np.arange(int(coffs[-1]), dtype=np.int64) - np.repeat(coffs[:-1], clen)
+        gather = offs[:-1][doc_idx].repeat(clen) + start.repeat(clen) + within
+        taken = pc.take(flat, pa.array(gather))
+        lst = pa.ListArray.from_arrays(pa.array(coffs, pa.int32()), taken)
+        text = pc.binary_join(lst, " ")
+        return pa.table({
+            id_col: pc.take(batch[id_col], pa.array(doc_idx)),
+            "chunk_id": pa.array(chunk_id),
+            "n_tokens": pa.array(clen),
+            "chunk_text": text,
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -383,3 +383,42 @@ class TestIvf:
             a = list(ivf[ivf.query_id == q].sort_values("rank")["vec_id"])
             b = list(brute[brute.query_id == q].sort_values("rank")["vec_id"])
             assert a == b  # probing every list == exact
+
+
+class TestChunking:
+    def _chunks(self, texts, window, stride):
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts}))
+        return (text_mod.chunk_documents(ds, window=window, stride=stride)
+                .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+    def test_vs_python_reference(self):
+        texts = ["a b c d e f g h i", "one two", "", "x " * 500 + "end"]
+        window, stride = 4, 3
+        out = self._chunks(texts, window, stride)
+        want = []
+        for d, t in enumerate(texts):
+            toks = t.split(" ")
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                sel = toks[start:start + window]
+                want.append((d, ci, len(sel), " ".join(sel)))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == want
+
+    def test_non_overlapping_partition_reassembles(self):
+        # stride == window: chunks partition the token stream exactly
+        texts = ["alpha beta gamma delta epsilon zeta eta"]
+        out = self._chunks(texts, 3, 3)
+        assert " ".join(out["chunk_text"]) == texts[0]
+        assert out["n_tokens"].sum() == 7
+
+    def test_window_one(self):
+        out = self._chunks(["p q r"], 1, 1)
+        assert list(out["chunk_text"]) == ["p", "q", "r"]
+        assert list(out["n_tokens"]) == [1, 1, 1]
+
+    def test_bad_params(self):
+        with pytest.raises(ValueError):
+            text_mod.chunk_documents(ray.data.range(1), window=0, stride=1)
+        with pytest.raises(ValueError):
+            text_mod.chunk_documents(ray.data.range(1), window=4, stride=0)
