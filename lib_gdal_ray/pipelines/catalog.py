@@ -1460,7 +1460,7 @@ def sql_hillshade():
       LEAST(GREATEST(round(254.0 * (
           cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
           + sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
-            * cos(radians(315.0) - pi()/2.0 - atan2(dzdy, -dzdx)))) + 1.0,
+            * cos(radians(315.0) - pi()/2.0 - atan2(-dzdy, -dzdx)))) + 1.0,
           1.0), 255.0) AS shade
     FROM d
     """
@@ -1571,6 +1571,120 @@ def sql_raster_blend():
              ELSE b.c
            END AS DOUBLE) AS burn
     FROM ea a FULL OUTER JOIN eb b ON a.gpx = b.gpx AND a.gpy = b.gpy
+    """
+
+
+def _analytic_dem(n: int = 128, z: int = 6):
+    """Deterministic analytic DEM shared by the focal-kernel queries."""
+    from . import raster_calc as rc  # noqa: F401
+
+    def dem_batch(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = idx % n, idx // n
+        val = 100.0 + 10.0 * np.sin(gx / 7.0) + 8.0 * np.cos(gy / 9.0)
+        return pa.table({"pix_id": pa.array(rast.pack_pixel(z, gx, gy)),
+                         "burn": pa.array(val)})
+
+    return ray.data.range(n * n).map_batches(dem_batch, batch_format="pyarrow")
+
+
+_DEM_V = "(100.0 + 10.0*sin((gx+({dx}))/7.0) + 8.0*cos((gy+({dy}))/9.0))"
+
+
+def _dem_sql_gradients(alg: str = "horn"):
+    """(dzdx, dzdy) SQL closed forms over the analytic DEM, mirroring
+    focal()'s Horn / Zevenbergen-Thorne stencils expression-by-expression."""
+    def vv(dx, dy):
+        return _DEM_V.format(dx=dx, dy=dy)
+
+    if alg == "zevenbergen":
+        dzdx = f"((({vv(1,0)}) - ({vv(-1,0)})) / 2.0)"
+        dzdy = f"((({vv(0,1)}) - ({vv(0,-1)})) / 2.0)"
+    else:
+        dzdx = (f"((({vv(1,-1)}) + 2*({vv(1,0)}) + ({vv(1,1)}))"
+                f" - (({vv(-1,-1)}) + 2*({vv(-1,0)}) + ({vv(-1,1)}))) / 8.0")
+        dzdy = (f"((({vv(-1,1)}) + 2*({vv(0,1)}) + ({vv(1,1)}))"
+                f" - (({vv(-1,-1)}) + 2*({vv(0,-1)}) + ({vv(1,-1)}))) / 8.0")
+    return dzdx, dzdy
+
+
+def q_hillshade_md(sf_dir):
+    """gdaldem hillshade -multidirectional over the analytic DEM
+    (USGS OFR 92-422 4-azimuth weighted shade,
+    apps/gdaldem_lib.cpp:1238-1295)."""
+    from . import raster_calc as rc
+
+    out = rc.focal(_analytic_dem(), "hillshade_md")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "shade": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_hillshade_md():
+    dzdx, dzdy = _dem_sql_gradients("horn")
+    shades = []
+    for az in ("225.0", "270.0", "315.0", "360.0"):
+        shades.append(
+            "GREATEST(0.0, cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))"
+            " + sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))"
+            f" * cos(radians({az}) - pi()/2.0 - atan2(-dzdy, -dzdx)))")
+    comp = ("0.5 * (((0.5*xxyy - dzdx*dzdy)/xxyy) * s225"
+            " + (dzdx*dzdx/xxyy) * s270"
+            " + ((0.5*xxyy + dzdx*dzdy)/xxyy) * s315"
+            " + (dzdy*dzdy/xxyy) * s360)")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, {dzdx} AS dzdx, {dzdy} AS dzdy FROM g
+    ), e AS (
+      SELECT gx, gy, dzdx, dzdy, dzdx*dzdx + dzdy*dzdy AS xxyy,
+             {shades[0]} AS s225, {shades[1]} AS s270,
+             {shades[2]} AS s315, {shades[3]} AS s360
+      FROM d
+    )
+    SELECT gx AS gpx, gy AS gpy,
+           LEAST(GREATEST(round(254.0 * ({comp})) + 1.0, 1.0), 255.0) AS shade
+    FROM e
+    """
+
+
+def q_slope_zt(sf_dir):
+    """gdaldem slope -alg ZevenbergenThorne over the analytic DEM
+    (apps/gdaldem_lib.cpp:793-801,1368-1383); degrees, rounded to 4
+    decimals on both sides (ULP guard for the raw-float output)."""
+    from . import raster_calc as rc
+
+    out = rc.focal(_analytic_dem(), "slope", alg="zevenbergen")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "slope_deg": pa.array(np.round(
+                             batch["burn"].to_numpy(zero_copy_only=False), 4))})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_slope_zt():
+    dzdx, dzdy = _dem_sql_gradients("zevenbergen")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, {dzdx} AS dzdx, {dzdy} AS dzdy FROM g
+    )
+    SELECT gx AS gpx, gy AS gpy,
+           round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 4) AS slope_deg
+    FROM d
     """
 
 
@@ -3975,6 +4089,8 @@ QUERIES = {
     "pixel_histogram": (q_pixel_histogram, sql_pixel_histogram()),
     "polygonize_regions": (q_polygonize_regions, sql_polygonize_regions()),
     "hillshade": (q_hillshade, sql_hillshade()),
+    "hillshade_multidirectional": (q_hillshade_md, sql_hillshade_md()),
+    "slope_zevenbergen": (q_slope_zt, sql_slope_zt()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "grid_linear": (q_grid_linear, sql_grid_linear()),
     "grid_metrics": (q_grid_metrics, SQL_GRID_METRICS),

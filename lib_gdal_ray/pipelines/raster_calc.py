@@ -172,36 +172,73 @@ def _gather_stencil(pixels: ray.data.Dataset) -> ray.data.Dataset:
 def focal(pixels: ray.data.Dataset, kernel: str,
           cellsize: float = 1.0, z_factor: float = 1.0,
           altitude: float = 45.0, azimuth: float = 315.0,
-          full_only: bool = True) -> ray.data.Dataset:
+          full_only: bool = True, alg: str = "horn") -> ray.data.Dataset:
     """3×3 focal kernel over sparse pixels.
 
-    kernel: slope | aspect | hillshade | tri | tpi | roughness | mean.
-    Formulas per gdaldem (Horn 1981 gradients, `apps/gdaldem_lib.cpp`):
-      dz/dx = ((s2+2*s5+s8) - (s0+2*s3+s6)) / (8*cellsize)
-      dz/dy = ((s6+2*s7+s8) - (s0+2*s1+s2)) / (8*cellsize)
+    kernel: slope | aspect | hillshade | hillshade_md | tri | tpi |
+    roughness | mean.
+    Gradients per gdaldem (`apps/gdaldem_lib.cpp:778-801`), alg selects:
+      horn:  dz/dx = ((s2+2*s5+s8) - (s0+2*s3+s6)) / (8*cellsize)
+             dz/dy = ((s6+2*s7+s8) - (s0+2*s1+s2)) / (8*cellsize)
+      zevenbergen (Zevenbergen-Thorne):
+             dz/dx = (s5 - s3) / (2*cellsize)
+             dz/dy = (s7 - s1) / (2*cellsize)
+    hillshade_md is gdaldem's -multidirectional (USGS OFR 92-422,
+    `apps/gdaldem_lib.cpp:1238-1295`): shades from azimuths
+    225/270/315/360 weighted by sin²(aspect − az), halved; flat cells
+    shade to sin(altitude).
     full_only: emit only pixels whose whole 3×3 stencil is present
     (sparse-edge semantics; GDAL's edge replication is a dense-edge
     concept)."""
+    if alg not in ("horn", "zevenbergen"):
+        raise ValueError("alg must be 'horn' or 'zevenbergen'")
     st = _gather_stencil(pixels)
 
     def compute(batch: pa.Table) -> pa.Table:
         s = [batch[f"s{i}"].to_numpy(zero_copy_only=False) for i in range(9)]
         npres = batch["n_present"].to_numpy(zero_copy_only=False)
-        dzdx = ((s[2] + 2 * s[5] + s[8]) - (s[0] + 2 * s[3] + s[6])) / (8.0 * cellsize)
-        dzdy = ((s[6] + 2 * s[7] + s[8]) - (s[0] + 2 * s[1] + s[2])) / (8.0 * cellsize)
+        if alg == "zevenbergen":
+            dzdx = (s[5] - s[3]) / (2.0 * cellsize)
+            dzdy = (s[7] - s[1]) / (2.0 * cellsize)
+        else:
+            dzdx = ((s[2] + 2 * s[5] + s[8]) - (s[0] + 2 * s[3] + s[6])) / (8.0 * cellsize)
+            dzdy = ((s[6] + 2 * s[7] + s[8]) - (s[0] + 2 * s[1] + s[2])) / (8.0 * cellsize)
         if kernel == "slope":
             out = np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
         elif kernel == "aspect":
-            out = np.degrees(np.arctan2(dzdy, -dzdx))
+            out = np.degrees(np.arctan2(-dzdy, -dzdx))
             out = np.where(out < 0, 90.0 - out, np.where(out > 90.0, 360.0 - out + 90.0, 90.0 - out))
         elif kernel == "hillshade":
             zen = np.radians(90.0 - altitude)
             az = np.radians(azimuth)
             slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))
-            aspect_r = np.arctan2(dzdy, -dzdx)
+            aspect_r = np.arctan2(-dzdy, -dzdx)
             shade = (np.cos(zen) * np.cos(slope_r)
                      + np.sin(zen) * np.sin(slope_r) * np.cos(az - np.pi / 2.0 - aspect_r))
             out = np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+        elif kernel == "hillshade_md":
+            zen = np.radians(90.0 - altitude)
+            slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+            aspect_r = np.arctan2(-dzdy, -dzdx)
+            xx_yy = dzdx * dzdx + dzdy * dzdy
+            safe = np.where(xx_yy == 0.0, 1.0, xx_yy)
+
+            def shade_at(az_deg: float) -> np.ndarray:
+                v = (np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r)
+                     * np.cos(np.radians(az_deg) - np.pi / 2.0 - aspect_r))
+                return np.maximum(v, 0.0)
+
+            # sin²(aspect − az) weights, written in gradient terms
+            # (apps/gdaldem_lib.cpp:1283-1287)
+            w225 = (0.5 * xx_yy - dzdx * dzdy) / safe
+            w270 = dzdx * dzdx / safe
+            w315 = (0.5 * xx_yy + dzdx * dzdy) / safe
+            w360 = dzdy * dzdy / safe
+            comp = 0.5 * (w225 * shade_at(225.0) + w270 * shade_at(270.0)
+                          + w315 * shade_at(315.0) + w360 * shade_at(360.0))
+            comp = np.where(xx_yy == 0.0, np.cos(zen), comp)
+            out = np.clip(np.round(254.0 * comp) + 1.0, 1.0, 255.0)
         elif kernel == "tri":
             c = s[4]
             out = sum(np.abs(s[i] - c) for i in range(9) if i != 4) / 8.0

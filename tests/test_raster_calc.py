@@ -234,3 +234,65 @@ class TestBlend:
     def test_alpha_range_check(self):
         with pytest.raises(ValueError):
             rc.blend(pixels_from_grid(np.ones((2, 2))), pixels_from_grid(np.ones((2, 2))), 300)
+
+
+class TestFocalVariants:
+    def _dem(self, n=24, seed=5):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(50, 150, (n, n))
+
+    def test_zevenbergen_slope_vs_dense(self):
+        grid = self._dem()
+        out = rc.focal(pixels_from_grid(grid), "slope", alg="zevenbergen").to_pandas()
+        zz, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        dzdx = (grid[gy, gx + 1] - grid[gy, gx - 1]) / 2.0
+        dzdy = (grid[gy + 1, gx] - grid[gy - 1, gx]) / 2.0
+        want = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        np.testing.assert_allclose(out["burn"].to_numpy(), want, rtol=1e-12)
+
+    def test_bad_alg(self):
+        with pytest.raises(ValueError):
+            rc.focal(pixels_from_grid(self._dem()), "slope", alg="nope")
+
+    def test_multidirectional_flat_is_sin_alt(self):
+        grid = np.full((8, 8), 77.0)
+        out = rc.focal(pixels_from_grid(grid), "hillshade_md", altitude=30.0).to_pandas()
+        want = np.round(254.0 * np.sin(np.radians(30.0))) + 1.0
+        assert (out["burn"] == want).all()
+
+    def test_multidirectional_vs_reference_formula(self):
+        grid = self._dem(seed=9)
+        out = rc.focal(pixels_from_grid(grid), "hillshade_md").to_pandas()
+        zz, gx, gy = unpack_pixel(out["pix_id"].to_numpy().astype(np.uint64))
+        # independent dense re-derivation straight from USGS OFR 92-422
+        # / apps/gdaldem_lib.cpp:1238-1295 (explicit sin² weights)
+        w = grid
+        dzdx = ((w[gy-1, gx+1] + 2*w[gy, gx+1] + w[gy+1, gx+1])
+                - (w[gy-1, gx-1] + 2*w[gy, gx-1] + w[gy+1, gx-1])) / 8.0
+        dzdy = ((w[gy+1, gx-1] + 2*w[gy+1, gx] + w[gy+1, gx+1])
+                - (w[gy-1, gx-1] + 2*w[gy-1, gx] + w[gy-1, gx+1])) / 8.0
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(-dzdy, -dzdx)
+        zen = np.radians(45.0)
+        acc = np.zeros_like(slope)
+        for az in (225.0, 270.0, 315.0, 360.0):
+            sh = np.maximum(0.0, np.cos(zen)*np.cos(slope)
+                            + np.sin(zen)*np.sin(slope)
+                            * np.cos(np.radians(az) - np.pi/2 - aspect))
+            # weight aspect is GDAL's atan2(y, x) gradient convention
+            # (both components sign-flipped vs the shading aspect)
+            wt = np.sin(np.arctan2(-dzdy, -dzdx) - np.radians(az)) ** 2
+            acc += wt * sh
+        want = np.clip(np.round(254.0 * 0.5 * acc) + 1.0, 1.0, 255.0)
+        np.testing.assert_array_equal(out["burn"].to_numpy(), want)
+
+    def test_multidirectional_brightest_for_nw_facing(self):
+        # plane dipping to the SE: NW-facing slope should be brighter
+        # than the SE-facing mirror (dominant 315° azimuth)
+        n = 12
+        ix = np.arange(n)
+        nw = pixels_from_grid(np.add.outer(ix, ix) * 2.0 + 1.0)       # high at SE
+        se = pixels_from_grid((np.add.outer(-ix, -ix) + 2 * n) * 2.0 + 1.0)
+        bnw = rc.focal(nw, "hillshade_md").to_pandas()["burn"].mean()
+        bse = rc.focal(se, "hillshade_md").to_pandas()["burn"].mean()
+        assert bnw > bse + 50
