@@ -1655,6 +1655,87 @@ def sql_hillshade_md():
     """
 
 
+def _dem_grid_sql(inner: str) -> str:
+    """Wrap a per-(gx,gy) SELECT expression over the interior of the
+    analytic DEM grid."""
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    )
+    SELECT gx AS gpx, gy AS gpy, {inner}
+    FROM g
+    """
+
+
+def _dem_stencil_sql():
+    """s0..s8 closed forms in focal()'s row-major stencil order."""
+    def vv(dx, dy):
+        return "(" + _DEM_V.format(dx=dx, dy=dy) + ")"
+
+    return [vv(i % 3 - 1, i // 3 - 1) for i in range(9)]
+
+
+def _q_dem_kernel(kernel: str, out_col: str, round_to=None):
+    from . import raster_calc as rc
+
+    def q(sf_dir):
+        out = rc.focal(_analytic_dem(), kernel)
+
+        def f(batch: pa.Table) -> pa.Table:
+            z, gpx, gpy = rast.unpack_pixel(
+                batch["pix_id"].to_numpy(zero_copy_only=False))
+            v = batch["burn"].to_numpy(zero_copy_only=False)
+            if round_to is not None:
+                v = np.round(v, round_to)
+            return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                             out_col: pa.array(v)})
+
+        return out.map_batches(f, batch_format="pyarrow")
+
+    return q
+
+
+def sql_aspect():
+    """gdaldem aspect (azimuth form): degrees(atan2(-dzdy, -dzdx)) then
+    the >90 ? 450-a : 90-a azimuth transform (apps/gdaldem_lib.cpp
+    GDALAspectAlg with bAngleAsAzimuth); rounded to 4 decimals both
+    sides (ULP guard)."""
+    dzdx, dzdy = _dem_sql_gradients("horn")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, degrees(atan2(-({dzdy}), -({dzdx}))) AS a FROM g
+    )
+    SELECT gx AS gpx, gy AS gpy,
+           round(CASE WHEN a > 90.0 THEN 450.0 - a ELSE 90.0 - a END, 4)
+             AS aspect_deg
+    FROM d
+    """
+
+
+def sql_tri():
+    s = _dem_stencil_sql()
+    acc = " + ".join(f"abs({s[i]} - {s[4]})" for i in range(9) if i != 4)
+    return _dem_grid_sql(f"({acc}) / 8.0 AS tri")
+
+
+def sql_tpi():
+    s = _dem_stencil_sql()
+    acc = " + ".join(s[i] for i in range(9) if i != 4)
+    return _dem_grid_sql(f"{s[4]} - (({acc}) / 8.0) AS tpi")
+
+
+def sql_roughness():
+    s = _dem_stencil_sql()
+    return _dem_grid_sql(
+        f"GREATEST({', '.join(s)}) - LEAST({', '.join(s)}) AS roughness")
+
+
 def q_slope_zt(sf_dir):
     """gdaldem slope -alg ZevenbergenThorne over the analytic DEM
     (apps/gdaldem_lib.cpp:793-801,1368-1383); degrees, rounded to 4
@@ -4091,6 +4172,10 @@ QUERIES = {
     "hillshade": (q_hillshade, sql_hillshade()),
     "hillshade_multidirectional": (q_hillshade_md, sql_hillshade_md()),
     "slope_zevenbergen": (q_slope_zt, sql_slope_zt()),
+    "aspect_azimuth": (_q_dem_kernel("aspect", "aspect_deg", round_to=4), sql_aspect()),
+    "dem_tri": (_q_dem_kernel("tri", "tri"), sql_tri()),
+    "dem_tpi": (_q_dem_kernel("tpi", "tpi"), sql_tpi()),
+    "dem_roughness": (_q_dem_kernel("roughness", "roughness"), sql_roughness()),
     "grid_idw": (q_grid_idw, SQL_GRID_IDW),
     "grid_linear": (q_grid_linear, sql_grid_linear()),
     "grid_metrics": (q_grid_metrics, SQL_GRID_METRICS),
