@@ -62,6 +62,54 @@ def headline_pipeline(sf_dir: str, n_docs: int):
     return n_docs, n_tiles
 
 
+def gpkg_translate_bench() -> float:
+    """The reference's flagship vector benchmark config: 50,000 point
+    features x 21 fields, GPKG → GPKG translate
+    (autotest/benchmark/test_ogr2ogr.py:26-58). Source layer synthesis
+    is excluded from the timing; the measured span is read (parallel
+    rowid splits) → write (partitioned atomic shards)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lib_gdal_ray.geom import wkb as wkb_mod
+    from lib_gdal_ray.sources import gpkg as gpkg_mod
+
+    n = 50_000
+    src, dst = "/tmp/bench_gpkg_src", "/tmp/bench_gpkg_dst"
+
+    def synth(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (i * 733) % 36000 / 100.0 - 180.0
+        lat = (i * 547) % 17000 / 100.0 - 85.0
+        cols = {"fid_src": pa.array(i)}
+        for f in range(10):
+            cols[f"int_f{f}"] = pa.array((i * (f + 3)) % 100_000)
+        for f in range(5):
+            cols[f"real_f{f}"] = pa.array((i * (f + 1)) % 977 / 9.77)
+        for f in range(5):
+            cols[f"str_f{f}"] = pa.array([f"v{f}_{x % 1000}" for x in i])
+        cols["geometry"] = pa.array(list(wkb_mod.points_to_wkb(lon, lat)),
+                                    type=pa.binary())
+        return pa.table(cols)
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    layer = ray.data.range(n, override_num_blocks=8).map_batches(
+        synth, batch_format="pyarrow")
+    gpkg_mod.write_gpkg(layer, src, layer="pts", geometry_type="POINT")
+
+    t0 = time.perf_counter()
+    gpkg_mod.write_gpkg(gpkg_mod.read_gpkg(src), dst, layer="pts",
+                        geometry_type="POINT")
+    dt = time.perf_counter() - t0
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    return dt
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     from lib_gdal_ray.pipelines.catalog import QUERIES
@@ -89,7 +137,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "source_quota", "grid_metrics", "proximity_dist",
                      "contour",
                      # round-3 real codecs / drivers / scrub
-                     "media_decode", "geotiff_roundtrip", "pii_scrub"]
+                     "media_decode", "geotiff_roundtrip", "pii_scrub",
+                     # round-3 second half
+                     "chunk_documents", "chunk_dedup", "gpkg_roundtrip",
+                     "color_relief", "hillshade_multidirectional"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
@@ -97,6 +148,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if hasattr(out, "count"):
             out.count()  # execute; small results only
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # the reference's flagship ogr2ogr benchmark shape (50k x 21 fields)
+    timings["gpkg_translate_50k_21f"] = round(gpkg_translate_bench(), 3)
 
     return {
         "metric": "spatial_join_tiling_headline",

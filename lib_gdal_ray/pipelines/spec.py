@@ -184,6 +184,21 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("read_gpkg")
+def _read_gpkg(ds, *, path, layer=None, columns=None):
+    from ..sources.gpkg import read_gpkg
+
+    return read_gpkg(path, layer=layer, columns=columns)
+
+
+@register_op("write_gpkg")
+def _write_gpkg(ds, *, path, layer="layer", geometry_type="GEOMETRY"):
+    from ..sources.gpkg import write_gpkg
+
+    write_gpkg(ds, path, layer=layer, geometry_type=geometry_type)
+    return None
+
+
 @register_op("chunk")
 def _chunk(ds, *, window, stride, text_col="text", id_col="doc_id"):
     from .text import chunk_documents

@@ -128,3 +128,104 @@ class TestDatasetRoundtrips:
         assert list(out["a"]) == [1, 2]
         assert T.wkb_to_wkt(out["geometry"].iloc[0]) == "POINT (1 2)"
         assert out["geometry"].iloc[1] is None
+
+
+class TestGpkg:
+    """GeoPackage driver (sources/gpkg.py; reference ogr/ogrsf_frmts/gpkg)."""
+
+    def _layer(self, n=200):
+        lon = np.linspace(-10, 10, n)
+        lat = np.linspace(40, 50, n)
+        geoms = [W.points_to_wkb(np.array([x]), np.array([y]))[0]
+                 for x, y in zip(lon, lat)]
+        return pa.table({
+            "pid": pa.array(np.arange(n)),
+            "name": pa.array([f"f{i}" for i in range(n)]),
+            "score": pa.array(lon * 1.5),
+            "flag": pa.array([i % 2 == 0 for i in range(n)]),
+            "geometry": pa.array(geoms, type=pa.binary()),
+        })
+
+    def test_roundtrip_partitioned(self, tmp_path):
+        from lib_gdal_ray.sources import gpkg
+
+        t = self._layer()
+        out = str(tmp_path / "parts")
+        gpkg.write_gpkg(ray.data.from_arrow(t).repartition(3), out, layer="pts",
+                        geometry_type="POINT")
+        assert len([f for f in os.listdir(out) if f.endswith(".gpkg")]) == 3
+        back = gpkg.read_gpkg(out).to_pandas().sort_values("pid").reset_index(drop=True)
+        assert len(back) == 200
+        assert list(back["pid"]) == list(range(200))
+        assert back["name"].iloc[5] == "f5"
+        np.testing.assert_allclose(back["score"].to_numpy(),
+                                   np.linspace(-10, 10, 200) * 1.5)
+        # booleans ride as sqlite INTEGER
+        assert set(back["flag"].unique()) == {0, 1}
+        glon, glat = W.wkb_to_points(np.asarray(back["geometry"].to_list(),
+                                                dtype=object))
+        np.testing.assert_allclose(glon, np.linspace(-10, 10, 200))
+
+    def test_rowid_split_single_file(self, tmp_path):
+        from lib_gdal_ray.sources import gpkg
+
+        t = self._layer(500)
+        out = str(tmp_path / "parts")
+        gpkg.write_gpkg(ray.data.from_arrow(t).repartition(1), out, layer="pts")
+        f = [os.path.join(out, x) for x in os.listdir(out)][0]
+        ds = gpkg.read_gpkg(f, rows_per_task=120)
+        # 500 rows / 120 per task -> 5 splits, all rows exactly once
+        df = ds.to_pandas()
+        assert sorted(df["pid"]) == list(range(500))
+
+    def test_column_pruning_and_geom_types(self, tmp_path):
+        from lib_gdal_ray.sources import gpkg
+
+        geoms = _sample_geoms()
+        t = pa.table({"gid": pa.array(range(len(geoms))),
+                      "geometry": pa.array(geoms, type=pa.binary())})
+        out = str(tmp_path / "g")
+        gpkg.write_gpkg(ray.data.from_arrow(t), out, layer="mixed")
+        back = gpkg.read_gpkg(out).to_pandas().sort_values("gid")
+        assert [bytes(b) for b in back["geometry"]] == geoms  # WKB byte-exact
+        only = gpkg.read_gpkg(out, columns=["gid"]).to_pandas()
+        assert list(only.columns) == ["gid"]
+
+    def test_merge_single_file(self, tmp_path):
+        from lib_gdal_ray.sources import gpkg
+
+        t = self._layer(90)
+        out = str(tmp_path / "parts")
+        gpkg.write_gpkg(ray.data.from_arrow(t).repartition(3), out, layer="pts")
+        total = gpkg.merge_gpkg_dir(out, str(tmp_path / "one.gpkg"), layer="pts")
+        assert total == 90
+        back = gpkg.read_gpkg(str(tmp_path / "one.gpkg")).to_pandas()
+        assert sorted(back["pid"]) == list(range(90))
+
+    def test_blob_codec_envelopes(self):
+        from lib_gdal_ray.sources.gpkg import gpkg_blob_to_wkb, wkb_to_gpkg_blob
+        import struct as _s
+
+        wkb = W.points_to_wkb(np.array([3.0]), np.array([4.0]))[0]
+        blob = wkb_to_gpkg_blob(wkb)
+        assert blob[:2] == b"GP" and gpkg_blob_to_wkb(blob) == wkb
+        # envelope indicator 1 (xy): 4 doubles between header and WKB
+        env = b"GP\x00" + bytes([0x01 | (1 << 1)]) + _s.pack("<i", 4326) \
+            + _s.pack("<4d", 0, 1, 0, 1) + wkb
+        assert gpkg_blob_to_wkb(env) == wkb
+        assert gpkg_blob_to_wkb(None) is None
+        with pytest.raises(ValueError):
+            gpkg_blob_to_wkb(b"XX" + blob[2:])
+
+    def test_nulls_and_empty_layer_name_guard(self, tmp_path):
+        from lib_gdal_ray.sources import gpkg
+
+        t = pa.table({"gid": pa.array([1, 2]),
+                      "geometry": pa.array([_sample_geoms()[0], None],
+                                           type=pa.binary())})
+        out = str(tmp_path / "n")
+        gpkg.write_gpkg(ray.data.from_arrow(t), out, layer="pts")
+        back = gpkg.read_gpkg(out).to_pandas().sort_values("gid")
+        assert back["geometry"].iloc[1] is None
+        with pytest.raises(ValueError):
+            gpkg.read_gpkg(out, layer="missing").count()
