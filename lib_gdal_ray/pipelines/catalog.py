@@ -3218,6 +3218,48 @@ FROM events
 """
 
 
+def q_shapefile_roundtrip(sf_dir):
+    """Shapefile driver surface: events → point layer w/ integer + text
+    attrs → partitioned .shp/.shx/.dbf write → shx-planned record-range
+    read-back. Exercises the shape codec, dBASE attribute codec and the
+    split planner (`sources/shapefile.py`; reference
+    ogr/ogrsf_frmts/shape)."""
+    import os
+    import shutil
+
+    from ..geom import wkb as wkb_mod
+    from ..sources import shapefile as shp_mod
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.event_lonlat(eid)
+        geoms = wkb_mod.points_to_wkb(lon, lat)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "geometry": pa.array(list(geoms), type=pa.binary())})
+
+    layer = ev.map_batches(to_layer, batch_format="pyarrow")
+    out_dir = f"/tmp/lib_gdal_ray_shp_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shp_mod.write_shapefile(layer, out_dir)
+    back = shp_mod.read_shapefile(out_dir)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        lon, lat = wkb_mod.wkb_to_points(
+            _np.asarray(batch["geometry"].to_pylist(), dtype=object))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 def q_csv_wkt_roundtrip(sf_dir):
     """CSV-with-WKT driver surface: nation zone polygons → WKT text
     column → CSV write → CSV read + WKT parse → exact integer vertex
@@ -4268,6 +4310,7 @@ QUERIES = {
     "media_resize": (q_media_resize, sql_media_resize()),
     "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),
+    "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_GPKG_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),

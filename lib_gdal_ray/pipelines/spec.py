@@ -199,6 +199,21 @@ def _write_gpkg(ds, *, path, layer="layer", geometry_type="GEOMETRY"):
     return None
 
 
+@register_op("read_shapefile")
+def _read_shapefile(ds, *, path, columns=None):
+    from ..sources.shapefile import read_shapefile
+
+    return read_shapefile(path, columns=columns)
+
+
+@register_op("write_shapefile")
+def _write_shapefile(ds, *, path):
+    from ..sources.shapefile import write_shapefile
+
+    write_shapefile(ds, path)
+    return None
+
+
 @register_op("chunk")
 def _chunk(ds, *, window, stride, text_col="text", id_col="doc_id"):
     from .text import chunk_documents

@@ -229,3 +229,100 @@ class TestGpkg:
         assert back["geometry"].iloc[1] is None
         with pytest.raises(ValueError):
             gpkg.read_gpkg(out, layer="missing").count()
+
+
+class TestShapefile:
+    """ESRI Shapefile driver (sources/shapefile.py; reference
+    ogr/ogrsf_frmts/shape + ESRI TD 1998)."""
+
+    def test_roundtrip_points_attrs(self, tmp_path):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        n = 300
+        lon = np.linspace(-10, 10, n)
+        lat = np.linspace(40, 50, n)
+        geoms = [W.points_to_wkb(np.array([x]), np.array([y]))[0]
+                 for x, y in zip(lon, lat)]
+        t = pa.table({"pid": pa.array(np.arange(n)),
+                      "name": pa.array([f"n{i}" for i in range(n)]),
+                      "flag": pa.array([i % 3 == 0 for i in range(n)]),
+                      "geometry": pa.array(geoms, type=pa.binary())})
+        out = str(tmp_path / "pts")
+        shp.write_shapefile(ray.data.from_arrow(t).repartition(3), out)
+        files = os.listdir(out)
+        assert len([f for f in files if f.endswith(".shp")]) == 3
+        assert len([f for f in files if f.endswith(".dbf")]) == 3
+        back = shp.read_shapefile(out).to_pandas().sort_values("pid").reset_index(drop=True)
+        assert list(back["pid"]) == list(range(n))
+        assert back["name"].iloc[7] == "n7"
+        assert bool(back["flag"].iloc[0]) and not bool(back["flag"].iloc[1])
+        blon, blat = W.wkb_to_points(np.asarray(back["geometry"].to_list(), dtype=object))
+        np.testing.assert_allclose(blon, lon)
+
+    def test_record_range_splits(self, tmp_path):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        n = 500
+        geoms = [W.points_to_wkb(np.array([float(i)]), np.array([0.0]))[0]
+                 for i in range(n)]
+        t = pa.table({"pid": pa.array(np.arange(n)),
+                      "geometry": pa.array(geoms, type=pa.binary())})
+        out = str(tmp_path / "one")
+        shp.write_shapefile(ray.data.from_arrow(t).repartition(1), out)
+        f = [os.path.join(out, x) for x in os.listdir(out) if x.endswith(".shp")][0]
+        df = shp.read_shapefile(f, rows_per_task=120).to_pandas()
+        assert sorted(df["pid"]) == list(range(n))
+
+    @pytest.mark.parametrize("idx", [1, 2, 3, 4, 5])
+    def test_geometry_types_roundtrip(self, idx):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        g = _sample_geoms()[idx]
+        st, content = shp.wkb_to_shp_record(g)
+        back = shp.shp_record_to_wkb(content)
+        k1, p1 = W.parse_wkb(g)
+        k2, p2 = W.parse_wkb(back)
+        assert k1 == k2
+        # area/length-preserving (ring orientation may be normalized)
+        if k1 in ("polygon", "multipolygon"):
+            def area(polys):
+                if k1 == "polygon":
+                    polys = [polys]
+                tot = 0.0
+                for rings in polys:
+                    for i, r in enumerate(rings):
+                        a = abs(0.5 * np.sum(
+                            r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+                        tot += a if i == 0 else -a
+                return tot
+            np.testing.assert_allclose(area(p2), area(p1))
+
+    def test_hole_assignment_two_shells(self):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        # two disjoint shells, hole inside the SECOND one
+        mp = W.multipolygon_to_wkb([
+            [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)],
+            [np.array([[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]], float),
+             np.array([[12, 12], [14, 12], [14, 14], [12, 14], [12, 12]], float)],
+        ])
+        st, content = shp.wkb_to_shp_record(mp)
+        k, polys = W.parse_wkb(shp.shp_record_to_wkb(content))
+        assert k == "multipolygon"
+        with_hole = [p for p in polys if len(p) == 2]
+        assert len(with_hole) == 1
+        assert with_hole[0][0][:, 0].max() == 20.0  # hole on the big shell
+
+    def test_null_geometry(self):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        st, content = shp.wkb_to_shp_record(None)
+        assert shp.shp_record_to_wkb(content) is None
+
+    def test_mixed_types_rejected(self, tmp_path):
+        from lib_gdal_ray.sources import shapefile as shp
+
+        t = pa.table({"gid": pa.array([1, 2]), "geometry": pa.array(
+            [_sample_geoms()[0], _sample_geoms()[1]], type=pa.binary())})
+        with pytest.raises(Exception):
+            shp.write_shapefile(ray.data.from_arrow(t), str(tmp_path / "m"))
