@@ -366,6 +366,89 @@ class _PolyEraseJoiner:
         return out.append_column("remaining_area", pa.array(out_area))
 
 
+class _PolyOverlayJoiner:
+    """Fused Intersection + Erase in ONE pass over the input (the
+    one-partitioning-pass pattern): each input polygon is clipped
+    against its candidate method polygons, emitting every intersection
+    fragment AND the erase residual from the same candidate walk —
+    layer_union's first two parts without a second input scan
+    (`ogrlayer.cpp:5622` computes them feature-by-feature the same
+    way)."""
+
+    def __init__(self, wrapped_ref, res, poly_cols, emit_intersections=True):
+        from ..geom.boolean import polygon_difference
+        from ..geom.triangulate import intersect_simple_polygons
+
+        self._isect = intersect_simple_polygons
+        self._diff = polygon_difference
+        self.table = ray.get(wrapped_ref["ref"])
+        self.index = PolygonCellIndex(self.table, "geometry", res)
+        self.bbox = self.index.bbox
+        self.method_bufs = self.table["geometry"].to_numpy(zero_copy_only=False)
+        self.poly_cols = poly_cols
+        self.emit_intersections = emit_intersections
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.geom_ops import wkb_centroid_area
+
+        bufs = batch["geometry"].to_numpy(zero_copy_only=False)
+        in_bbox = wkb.wkb_bbox(bufs)
+        cands_all = self.index.batch_candidates(in_bbox)
+        rows, mids, geoms, srcs = [], [], [], []
+        for i, b in enumerate(bufs):
+            xmin, ymin, xmax, ymax = in_bbox[i]
+            cur = b
+            for mi in cands_all[i]:
+                mxmin, mymin, mxmax, mymax = self.bbox[mi]
+                if xmax < mxmin or xmin > mxmax or ymax < mymin or ymin > mymax:
+                    continue
+                if self.emit_intersections:
+                    clipped = self._isect(b, self.method_bufs[mi])
+                    if clipped is not None:
+                        _cx, _cy, area = wkb_centroid_area(clipped)
+                        if area > 1e-12:
+                            rows.append(i)
+                            mids.append(mi)
+                            geoms.append(clipped)
+                            srcs.append("intersection")
+                if cur is not None:
+                    cur = self._diff(cur, self.method_bufs[mi])
+            if cur is not None:
+                rows.append(i)
+                mids.append(None)
+                geoms.append(cur)
+                srcs.append("input_only")
+        out = batch.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        out = out.drop_columns(["geometry"])
+        out = out.append_column("geometry", pa.array(geoms, type=pa.binary()))
+        out = out.append_column("src", pa.array(srcs, type=pa.string()))
+        take_m = pa.array(mids, type=pa.int64())   # None -> null on take
+        for c in self.poly_cols:
+            out = out.append_column(c, self.table[c].take(take_m))
+        return out
+
+
+def broadcast_overlay_pass(polys: ray.data.Dataset, method,
+                           method_cols: Sequence[str], res: float = 5.0,
+                           emit_intersections: bool = True,
+                           ) -> ray.data.Dataset:
+    """One fused input pass -> tagged input_only + intersection rows
+    (method cols null on input_only rows)."""
+    ref = method if isinstance(method, ray.ObjectRef) else ray.put(method)
+    key = ref.hex()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(
+            key + f":overlay:{emit_intersections}",
+            lambda: _PolyOverlayJoiner({"ref": ref}, res, list(method_cols),
+                                       emit_intersections))
+        return j(batch)
+
+    return polys.map_batches(stage, batch_format="pyarrow")
+
+
 def broadcast_polygon_erase(polys: ray.data.Dataset, method,
                             res: float = 5.0,
                             concurrency: Union[int, Tuple[int, int]] = (1, 8),
@@ -436,23 +519,12 @@ def layer_union(polys: ray.data.Dataset, method: pa.Table,
     own columns (nulls on rows from the other side)."""
     import ray.data as _rd
 
-    a_only = broadcast_polygon_erase(polys, method, res=res, concurrency=concurrency)
-
-    def tag(src):
-        def fn(batch: pa.Table) -> pa.Table:
-            drop = [c for c in ("remaining_area", "intersection_area")
-                    if c in batch.column_names]
-            batch = batch.drop_columns(drop)
-            return batch.append_column(
-                "src", pa.array(np.full(len(batch), src), type=pa.string()))
-        return fn
-
-    parts = [a_only.map_batches(tag("input_only"), batch_format="pyarrow")]
     method_cols = [c for c in method.column_names if c != "geometry"]
-    if include_intersections:
-        inter = broadcast_polygon_intersection(polys, method, method_cols,
-                                               res=res, concurrency=concurrency)
-        parts.append(inter.map_batches(tag("intersection"), batch_format="pyarrow"))
+    # ONE fused input pass computes input_only residuals AND
+    # intersection fragments from the same candidate walk (two scans
+    # before round 3; _PolyOverlayJoiner)
+    parts = [broadcast_overlay_pass(polys, method, method_cols, res=res,
+                                    emit_intersections=include_intersections)]
     # method-only parts: method minus the union of all input polygons —
     # cell-partitioned (shuffle_polygon_erase): (M ∖ A) ∩ cell ==
     # (M ∩ cell) ∖ (A ∩ cell), so NEITHER side is ever materialized in
