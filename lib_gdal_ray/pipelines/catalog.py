@@ -4141,6 +4141,31 @@ WHERE rn <= 12
 """
 
 
+def q_tfidf_top_terms(sf_dir):
+    """Per-doc top-3 TF-IDF keywords: two-pass distributed DF build
+    (in-batch partials → one tiny groupby → ray.put broadcast) then
+    in-batch scoring + vectorized per-doc top-k."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    return text_mod.tfidf_top_terms(docs, n_docs=n, k=3)
+
+
+SQL_TFIDF = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+     n AS (SELECT count(*) AS n FROM documents),
+     s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1e9
+                             + 0.5) AS BIGINT) AS score_c
+           FROM tf, df, n WHERE tf.term = df.term),
+     r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_c DESC, term ASC) AS rnk FROM s)
+SELECT doc_id, rnk AS rank, term, tf, df, score_c FROM r WHERE rnk <= 3
+"""
+
+
 def q_chunk_documents(sf_dir):
     """Token-window chunking with overlap (W=40 tokens, stride 32) —
     the standard LLM training-data prep step. Embarrassingly parallel:
@@ -4294,6 +4319,7 @@ QUERIES = {
     # documents / embeddings
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),

@@ -440,3 +440,83 @@ def chunk_documents(ds: ray.data.Dataset, window: int, stride: int,
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, n_docs: int, k: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms (keyword extraction for corpus
+    filtering/topic routing). score = tf * ln(N / df).
+
+    Two-pass Ray shape:
+      1. DF pass — per-batch (term, partial-df) from an in-batch Arrow
+         group_by (docs never span batches, so batch-local distinct
+         (doc, term) partials are exact), then one groupby(term) sum;
+         the resulting vocabulary table broadcasts once via ray.put
+         (vocab-bounded — for an open vocabulary swap the broadcast for
+         a hash join on term).
+      2. Score pass — per-batch term counts again, score against the
+         broadcast DF dict, per-doc top-k by (score desc, term asc)
+         with a vectorized lexsort.
+
+    Scores ship as score_c = floor(score * 1e9 + 0.5) (SQL-mirrorable
+    integers; rank ties impossible across distinct (tf, df) pairs after
+    rounding because the tie-break includes the term)."""
+    from ray.data.aggregate import Sum
+
+    def term_counts(batch: pa.Table):
+        toks = pc.split_pattern(batch[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nper = offs[1:] - offs[:-1]
+        ids = pc.take(batch[id_col], pa.array(np.repeat(np.arange(len(nper)), nper)))
+        t = pa.table({id_col: ids, "term": toks.values})
+        tf = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+        return tf.rename_columns([id_col, "term", "tf"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = term_counts(batch)
+        df = tf.group_by(["term"]).aggregate([([], "count_all")])
+        return df.rename_columns(["term", "df"])
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+    df_tab = df_ds.to_arrow_refs()
+    import ray as _ray
+
+    vocab = pa.concat_tables([_ray.get(r) for r in df_tab])
+    terms = np.asarray(vocab["term"].to_pylist(), dtype=object)
+    dfs = vocab["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(terms, kind="stable")
+    df_ref = _ray.put((terms[order], dfs[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        vterms, vdfs = get_or_build("tfidf:" + df_ref.hex(),
+                                    lambda: _ray.get(df_ref))
+        tf = term_counts(batch)
+        t_arr = np.asarray(tf["term"].to_pylist(), dtype=object)
+        pos = np.searchsorted(vterms, t_arr)
+        tfv = tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = tfv * np.log(float(n_docs) / vdfs[pos])
+        score_c = np.floor(sc * 1e9 + 0.5).astype(np.int64)
+        ids = tf[id_col].to_numpy(zero_copy_only=False)
+        # per-doc top-k: lexsort by (id, -score, term)
+        o = np.lexsort((t_arr, -score_c, ids))
+        ids_s = ids[o]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], ids_s[1:] != ids_s[:-1]]))
+        rank = np.arange(len(ids_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ids_s)))) + 1
+        keep = o[rank <= k]
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "rank": pa.array(rank[rank <= k]),
+            "term": pa.array(t_arr[keep].tolist(), type=pa.string()),
+            "tf": pc.cast(tf["tf"].take(pa.array(keep)), pa.int64()),
+            "df": pa.array(vdfs[pos[keep]].astype(np.int64)),
+            "score_c": pa.array(score_c[keep]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -422,3 +422,34 @@ class TestChunking:
             text_mod.chunk_documents(ray.data.range(1), window=0, stride=1)
         with pytest.raises(ValueError):
             text_mod.chunk_documents(ray.data.range(1), window=4, stride=0)
+
+
+class TestTfidf:
+    def test_vs_hand_computed(self):
+        texts = ["cat dog cat", "dog fish", "cat cat cat bird"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [0, 1, 2], "text": texts}))
+        out = (text_mod.tfidf_top_terms(ds, n_docs=3, k=2)
+               .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        import math
+        def score(tf, df):
+            return math.floor(tf * math.log(3.0 / df) * 1e9 + 0.5)
+        # doc0: cat tf2 df2, dog tf1 df2 -> top: cat, dog
+        r0 = out[out.doc_id == 0]
+        assert list(r0["term"]) == ["cat", "dog"]
+        assert r0["score_c"].iloc[0] == score(2, 2)
+        # doc1: dog tf1 df2, fish tf1 df1 -> fish scores higher (rarer)
+        r1 = out[out.doc_id == 1]
+        assert list(r1["term"]) == ["fish", "dog"]
+        # doc2: cat tf3 df2 vs bird tf1 df1: 3*ln(1.5) > 1*ln(3)
+        r2 = out[out.doc_id == 2]
+        assert list(r2["term"]) == ["cat", "bird"]
+        assert list(r2["rank"]) == [1, 2]
+
+    def test_tie_break_by_term(self):
+        # two terms with identical (tf, df) -> alphabetical order
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [0, 1], "text": ["zebra apple", "zebra apple"]}))
+        out = (text_mod.tfidf_top_terms(ds, n_docs=2, k=2)
+               .to_pandas().sort_values(["doc_id", "rank"]))
+        assert list(out[out.doc_id == 0]["term"]) == ["apple", "zebra"]
