@@ -1736,6 +1736,31 @@ def sql_roughness():
         f"GREATEST({', '.join(s)}) - LEAST({', '.join(s)}) AS roughness")
 
 
+def sql_hillshade_combined():
+    dzdx, dzdy = _dem_sql_gradients("horn")
+    shade = ("cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))"
+             " + sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))"
+             " * cos(radians(315.0) - pi()/2.0 - atan2(-dzdy, -dzdx))")
+    comp = ("1.0 - acos(GREATEST(LEAST(" + shade + ", 1.0), -1.0))"
+            " * atan(sqrt(dzdx*dzdx + dzdy*dzdy)) * (4.0 / (pi()*pi()))")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, {dzdx} AS dzdx, {dzdy} AS dzdy FROM g
+    ), e AS (
+      SELECT gx, gy, {comp} AS comp FROM d
+    )
+    SELECT gx AS gpx, gy AS gpy,
+           CASE WHEN comp <= 0.0 THEN 1.0
+                ELSE LEAST(GREATEST(round(254.0 * comp) + 1.0, 1.0), 255.0)
+           END AS shade
+    FROM e
+    """
+
+
 def q_slope_zt(sf_dir):
     """gdaldem slope -alg ZevenbergenThorne over the analytic DEM
     (apps/gdaldem_lib.cpp:793-801,1368-1383); degrees, rounded to 4
@@ -4291,6 +4316,8 @@ QUERIES = {
     "hillshade": (q_hillshade, sql_hillshade()),
     "hillshade_multidirectional": (q_hillshade_md, sql_hillshade_md()),
     "slope_zevenbergen": (q_slope_zt, sql_slope_zt()),
+    "hillshade_combined": (_q_dem_kernel("hillshade_combined", "shade"),
+                           sql_hillshade_combined()),
     "aspect_azimuth": (_q_dem_kernel("aspect", "aspect_deg", round_to=4), sql_aspect()),
     "dem_tri": (_q_dem_kernel("tri", "tri"), sql_tri()),
     "dem_tpi": (_q_dem_kernel("tpi", "tpi"), sql_tpi()),

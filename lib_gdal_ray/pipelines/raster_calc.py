@@ -216,6 +216,21 @@ def focal(pixels: ray.data.Dataset, kernel: str,
             shade = (np.cos(zen) * np.cos(slope_r)
                      + np.sin(zen) * np.sin(slope_r) * np.cos(az - np.pi / 2.0 - aspect_r))
             out = np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+        elif kernel == "hillshade_combined":
+            # gdaldem hillshade -combined (apps/gdaldem_lib.cpp
+            # GDALHillshadeCombinedAlg): oblique shade attenuated by
+            # slope, comp = 1 - acos(shade) * slope_r * 4/pi^2
+            zen = np.radians(90.0 - altitude)
+            az = np.radians(azimuth)
+            slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+            aspect_r = np.arctan2(-dzdy, -dzdx)
+            shade = (np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r)
+                     * np.cos(az - np.pi / 2.0 - aspect_r))
+            comp = (1.0 - np.arccos(np.clip(shade, -1.0, 1.0)) * slope_r
+                    * (4.0 / (np.pi * np.pi)))
+            out = np.where(comp <= 0.0, 1.0,
+                           np.clip(np.round(254.0 * comp) + 1.0, 1.0, 255.0))
         elif kernel == "hillshade_md":
             zen = np.radians(90.0 - altitude)
             slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))

@@ -296,3 +296,15 @@ class TestFocalVariants:
         bnw = rc.focal(nw, "hillshade_md").to_pandas()["burn"].mean()
         bse = rc.focal(se, "hillshade_md").to_pandas()["burn"].mean()
         assert bnw > bse + 50
+
+    def test_combined_attenuates_flat_to_254(self):
+        # flat surface: slope 0 -> comp = 1 -> 254*1 + 1 = 255
+        grid = np.full((6, 6), 10.0)
+        out = rc.focal(pixels_from_grid(grid), "hillshade_combined").to_pandas()
+        assert (out["burn"] == 255.0).all()
+
+    def test_combined_range(self):
+        rng = np.random.default_rng(11)
+        grid = rng.uniform(0, 400, (16, 16))
+        v = rc.focal(pixels_from_grid(grid), "hillshade_combined").to_pandas()["burn"]
+        assert v.min() >= 1.0 and v.max() <= 255.0
