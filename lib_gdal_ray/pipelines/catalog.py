@@ -1410,6 +1410,69 @@ def sql_polygonize_regions():
     """
 
 
+def q_isobands(sf_dir):
+    """gdal_contour -p analog (polygon isobands): bin the z6 count
+    raster into fixed levels (reclassify), then polygonize the binned
+    raster — filled contour polygons as connected components per level
+    (`apps/gdal_contour_bin.cpp` -p / marching isobands expressed as
+    the reclassify ∘ polygonize composition)."""
+    from . import raster_calc as rc
+    from .polygonize import polygonize
+
+    pts = events_points(sf_dir)
+    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
+    binned = rc.reclassify(counts, [1.0, 2.0, 4.0, 8.0, 1e18],
+                           [1.0, 2.0, 3.0, 4.0])
+    out = polygonize(binned)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_id": pc.cast(batch["region_id"], pa.int64()),
+            "level": pc.cast(batch["value"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "gpx_min": pc.cast(batch["gpx_min"], pa.int64()),
+            "gpy_min": pc.cast(batch["gpy_min"], pa.int64()),
+            "gpx_max": pc.cast(batch["gpx_max"], pa.int64()),
+            "gpy_max": pc.cast(batch["gpy_max"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_isobands():
+    gx, gy = _tile_sql(14)  # z6 global pixels
+    return f"""
+    WITH RECURSIVE pxl AS (
+      SELECT gx, gy, bin,
+             (gx * 4294967296) + gy AS pid
+      FROM (SELECT gx, gy,
+                   CASE WHEN cnt < 2 THEN 1 WHEN cnt < 4 THEN 2
+                        WHEN cnt < 8 THEN 3 ELSE 4 END AS bin
+            FROM (SELECT {gx} AS gx, {gy} AS gy, count(*) AS cnt
+                  FROM {_POINTS_SQL} p GROUP BY 1, 2))
+    ), edges AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM pxl a JOIN pxl b ON a.bin = b.bin
+        AND ((abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+             OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1))
+    ), reach(pid, lbl) AS (
+      SELECT pid, pid FROM pxl
+      UNION
+      SELECT e.pa, r.lbl FROM reach r JOIN edges e ON e.pb = r.pid
+      WHERE r.lbl < e.pa
+    ), lab AS (
+      SELECT pid, min(lbl) AS region_id FROM reach GROUP BY 1
+    )
+    SELECT l.region_id,
+           min(p.bin) AS level,
+           count(*) AS n_pixels,
+           min(p.gx) AS gpx_min, min(p.gy) AS gpy_min,
+           max(p.gx) AS gpx_max, max(p.gy) AS gpy_max
+    FROM lab l JOIN pxl p ON p.pid = l.pid
+    GROUP BY 1
+    """
+
+
 def q_hillshade(sf_dir):
     """DEM hillshade over a deterministic 128×128 analytic surface
     (rows-only; the kernel's dense oracle is tests/test_raster_calc.py —
@@ -1758,6 +1821,38 @@ def sql_hillshade_combined():
                 ELSE LEAST(GREATEST(round(254.0 * comp) + 1.0, 1.0), 255.0)
            END AS shade
     FROM e
+    """
+
+
+def sql_hillshade_igor():
+    """Igor-style shading mirror (az=315): array-space aspect, floored
+    2pi normalization, rounded to 4 decimals both sides."""
+    dzdx, dzdy = _dem_sql_gradients("horn")
+    return f"""
+    WITH g AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(generate_series(1, 126)) AS gx) a,
+           (SELECT unnest(generate_series(1, 126)) AS gy) b
+    ), d AS (
+      SELECT gx, gy, {dzdx} AS dzdx, {dzdy} AS dzdy FROM g
+    ), e AS (
+      SELECT gx, gy,
+             degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))) AS slope_deg,
+             atan2(dzdy, -dzdx)
+               - 2*pi()*floor(atan2(dzdy, -dzdx) / (2*pi())) AS na,
+             (3.0*pi()/2.0 - radians(315.0))
+               - 2*pi()*floor((3.0*pi()/2.0 - radians(315.0)) / (2*pi())) AS nb
+      FROM d
+    ), f AS (
+      SELECT gx, gy, slope_deg,
+             CASE WHEN abs(na - nb) > pi() THEN 2*pi() - abs(na - nb)
+                  ELSE abs(na - nb) END AS diff
+      FROM e
+    )
+    SELECT gx AS gpx, gy AS gpy,
+           round(255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - diff / pi())), 4)
+             AS shade
+    FROM f
     """
 
 
@@ -4318,6 +4413,8 @@ QUERIES = {
     "slope_zevenbergen": (q_slope_zt, sql_slope_zt()),
     "hillshade_combined": (_q_dem_kernel("hillshade_combined", "shade"),
                            sql_hillshade_combined()),
+    "hillshade_igor": (_q_dem_kernel("hillshade_igor", "shade", round_to=4),
+                       sql_hillshade_igor()),
     "aspect_azimuth": (_q_dem_kernel("aspect", "aspect_deg", round_to=4), sql_aspect()),
     "dem_tri": (_q_dem_kernel("tri", "tri"), sql_tri()),
     "dem_tpi": (_q_dem_kernel("tpi", "tpi"), sql_tpi()),
@@ -4331,6 +4428,7 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
+    "isobands": (q_isobands, sql_isobands()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),

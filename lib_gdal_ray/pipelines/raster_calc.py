@@ -216,6 +216,22 @@ def focal(pixels: ray.data.Dataset, kernel: str,
             shade = (np.cos(zen) * np.cos(slope_r)
                      + np.sin(zen) * np.sin(slope_r) * np.cos(az - np.pi / 2.0 - aspect_r))
             out = np.clip(np.round(254.0 * shade) + 1.0, 1.0, 255.0)
+        elif kernel == "hillshade_igor":
+            # gdaldem hillshade -igor (apps/gdaldem_lib.cpp
+            # GDALHillshadeIgorAlg): shadowness = 1 - slopeStrength *
+            # aspectStrength; aspect here is array-space atan2(dzdy,
+            # -dzdx) (Igor ignores the geotransform sign), azimuth
+            # compared against 3pi/2 - az.
+            twopi = 2.0 * np.pi
+            slope_deg = np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
+            aspect_r = np.arctan2(dzdy, -dzdx)
+            na = aspect_r - twopi * np.floor(aspect_r / twopi)
+            b = 3.0 * np.pi / 2.0 - np.radians(azimuth)
+            nb = b - twopi * np.floor(b / twopi)
+            diff = np.abs(na - nb)
+            diff = np.where(diff > np.pi, twopi - diff, diff)
+            shadow = 1.0 - (slope_deg / 90.0) * (1.0 - diff / np.pi)
+            out = 255.0 * shadow
         elif kernel == "hillshade_combined":
             # gdaldem hillshade -combined (apps/gdaldem_lib.cpp
             # GDALHillshadeCombinedAlg): oblique shade attenuated by

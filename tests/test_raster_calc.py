@@ -308,3 +308,16 @@ class TestFocalVariants:
         grid = rng.uniform(0, 400, (16, 16))
         v = rc.focal(pixels_from_grid(grid), "hillshade_combined").to_pandas()["burn"]
         assert v.min() >= 1.0 and v.max() <= 255.0
+
+    def test_igor_flat_is_255_and_direction(self):
+        grid = np.full((6, 6), 42.0)
+        out = rc.focal(pixels_from_grid(grid), "hillshade_igor").to_pandas()
+        assert (out["burn"] == 255.0).all()
+        # NE-facing vs SW-facing plane under 315-az light differ
+        n = 10
+        ix = np.arange(n)
+        a = rc.focal(pixels_from_grid(np.add.outer(ix, ix) * 3.0 + 1),
+                     "hillshade_igor").to_pandas()["burn"].mean()
+        b = rc.focal(pixels_from_grid((np.add.outer(-ix, -ix) + 2 * n) * 3.0 + 1),
+                     "hillshade_igor").to_pandas()["burn"].mean()
+        assert abs(a - b) > 20
