@@ -1410,6 +1410,63 @@ def sql_polygonize_regions():
     """
 
 
+_MDIM_SHAPE = (40, 30, 20)
+_MDIM_CHUNK = (16, 16, 16)
+
+
+def q_mdim_reduce(sf_dir):
+    """GDALMDArray analog (§1.3): deterministic 3-D chunked array,
+    sum-reduce over axis 2 (per-chunk partial + one groupby over the
+    projected chunk key), exploded back to (i, j, total) element rows.
+    Values v = (i*7 + j*3 + k) % 11 are integer-exact in float64."""
+    from ..sources import multidim as md
+
+    def fv(i, j, k):
+        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
+
+    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    red = md.reduce_dim(arr, _MDIM_SHAPE, _MDIM_CHUNK, axis=2, op="sum")
+    c0, c1 = _MDIM_CHUNK[0], _MDIM_CHUNK[1]
+    n0, n1 = _MDIM_SHAPE[0], _MDIM_SHAPE[1]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = md.unpack_chunks(keys, 2)
+        ii, jj, vv = [], [], []
+        for r in range(len(keys)):
+            a0, a1 = int(idx[r, 0]) * c0, int(idx[r, 1]) * c1
+            d0, d1 = min(a0 + c0, n0) - a0, min(a1 + c1, n1) - a1
+            arr2 = np.frombuffer(batch["data"][r].as_py(),
+                                 dtype="<f8").reshape(d0, d1)
+            gi, gj = np.meshgrid(np.arange(a0, a0 + d0),
+                                 np.arange(a1, a1 + d1), indexing="ij")
+            ii.append(gi.ravel())
+            jj.append(gj.ravel())
+            vv.append(arr2.ravel())
+        return pa.table({
+            "i": pa.array(np.concatenate(ii) if ii else np.empty(0, np.int64)),
+            "j": pa.array(np.concatenate(jj) if jj else np.empty(0, np.int64)),
+            "total": pa.array((np.concatenate(vv) if vv
+                               else np.empty(0)).astype(np.int64)),
+        })
+
+    return red.map_batches(explode, batch_format="pyarrow")
+
+
+def sql_mdim_reduce():
+    n0, n1, n2 = _MDIM_SHAPE
+    return f"""
+    WITH g AS (
+      SELECT a.i, b.j, c.k
+      FROM (SELECT unnest(generate_series(0, {n0 - 1})) AS i) a,
+           (SELECT unnest(generate_series(0, {n1 - 1})) AS j) b,
+           (SELECT unnest(generate_series(0, {n2 - 1})) AS k) c
+    )
+    SELECT i, j, CAST(sum((i*7 + j*3 + k) % 11) AS BIGINT) AS total
+    FROM g GROUP BY 1, 2
+    """
+
+
 def q_isobands(sf_dir):
     """gdal_contour -p analog (polygon isobands): bin the z6 count
     raster into fixed levels (reclassify), then polygonize the binned
@@ -4429,6 +4486,7 @@ QUERIES = {
     "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
     "isobands": (q_isobands, sql_isobands()),
+    "mdim_reduce": (q_mdim_reduce, sql_mdim_reduce()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
