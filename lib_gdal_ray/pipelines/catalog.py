@@ -4343,6 +4343,54 @@ SELECT doc_id, rnk AS rank, term, tf, df, score_c FROM r WHERE rnk <= 3
 """
 
 
+def _sql_layers(sf_dir):
+    return {t: (lambda t=t: tables.read_table(sf_dir, t))
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents")}
+
+
+def q_ogrsql_report(sf_dir):
+    """OGR SQL ExecuteSQL surface (`functions/ogrsql.py`): the same
+    statement string runs on the engine and (verbatim) on DuckDB —
+    parser, planner, grouped aggregation, HAVING and ORDER BY all
+    exercised through one SQL text."""
+    from ..functions.ogrsql import execute_sql
+
+    return execute_sql(
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "COUNT(DISTINCT c_nationkey) AS nk, MIN(c_acctbal) AS min_bal, "
+        "MAX(c_acctbal) AS max_bal FROM customer WHERE c_acctbal > 100 "
+        "GROUP BY c_mktsegment HAVING n > 10 ORDER BY c_mktsegment",
+        _sql_layers(sf_dir))
+
+
+SQL_OGRSQL_REPORT = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       COUNT(DISTINCT c_nationkey) AS nk, MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal FROM customer WHERE c_acctbal > 100
+GROUP BY c_mktsegment HAVING COUNT(*) > 10 ORDER BY c_mktsegment
+"""
+
+
+def q_ogrsql_join_topk(sf_dir):
+    """ExecuteSQL with a secondary-table LEFT JOIN + ORDER BY/LIMIT
+    (ogr_gensql.cpp secondary-table join model → broadcast hash join)."""
+    from ..functions.ogrsql import execute_sql
+
+    return execute_sql(
+        "SELECT n_name, COUNT(*) AS n FROM customer "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n DESC, n_name ASC LIMIT 5",
+        _sql_layers(sf_dir))
+
+
+SQL_OGRSQL_JOIN = """
+SELECT n_name, COUNT(*) AS n FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n DESC, n_name ASC LIMIT 5
+"""
+
+
 def q_chunk_documents(sf_dir):
     """Token-window chunking with overlap (W=40 tokens, stride 32) —
     the standard LLM training-data prep step. Embarrassingly parallel:
@@ -4503,6 +4551,8 @@ QUERIES = {
     "dedup_documents": (q_dedup_documents, SQL_DEDUP),
     "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "ogrsql_report": (q_ogrsql_report, SQL_OGRSQL_REPORT),
+    "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
