@@ -184,6 +184,21 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("sql")
+def _sql(ds, *, statement, layers=None, layer_name="input"):
+    """OGR SQL over the pipeline stream (`ogrinfo -sql` analog): the
+    incoming dataset is visible as `layer_name`; extra parquet layers
+    may be declared as {name: path}."""
+    from ..functions.ogrsql import execute_sql
+
+    lyrs = {}
+    if ds is not None:
+        lyrs[layer_name] = ds
+    for name, path in (layers or {}).items():
+        lyrs[name] = (lambda p=path: ray.data.read_parquet(p))
+    return execute_sql(statement, lyrs)
+
+
 @register_op("read_gpkg")
 def _read_gpkg(ds, *, path, layer=None, columns=None):
     from ..sources.gpkg import read_gpkg
