@@ -140,7 +140,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "media_decode", "geotiff_roundtrip", "pii_scrub",
                      # round-3 second half
                      "chunk_documents", "chunk_dedup", "gpkg_roundtrip",
-                     "color_relief", "hillshade_multidirectional"]
+                     "color_relief", "hillshade_multidirectional",
+                     "shapefile_roundtrip", "tfidf_top_terms",
+                     "ogrsql_report", "isobands"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
