@@ -4391,6 +4391,40 @@ GROUP BY n_name ORDER BY n DESC, n_name ASC LIMIT 5
 """
 
 
+def q_corpus_stats(sf_dir):
+    """Corpus report (per-source × lang rollup): n_docs, total tokens,
+    total chars, distinct langs — the one-pass summary every
+    training-data pipeline starts from. token_stats (vectorized Arrow)
+    → one grouped_agg."""
+    docs = tables.read_table(sf_dir, "documents",
+                             columns=["doc_id", "text", "lang", "source"])
+    stats = text_mod.token_stats(docs)
+
+    out = rel.grouped_agg(stats, ["source", "lang"], [
+        ("count", "doc_id", "n_docs"),
+        ("sum", "n_tokens", "total_tokens"),
+        ("sum", "n_chars_calc", "total_chars"),
+    ])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"], "lang": batch["lang"],
+            "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+            "total_tokens": pc.cast(batch["total_tokens"], pa.int64()),
+            "total_chars": pc.cast(batch["total_chars"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CORPUS_STATS = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_chunk_documents(sf_dir):
     """Token-window chunking with overlap (W=40 tokens, stride 32) —
     the standard LLM training-data prep step. Embarrassingly parallel:
@@ -4552,6 +4586,7 @@ QUERIES = {
     "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "ogrsql_report": (q_ogrsql_report, SQL_OGRSQL_REPORT),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),

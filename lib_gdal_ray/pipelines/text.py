@@ -520,3 +520,56 @@ def tfidf_top_terms(ds: ray.data.Dataset, n_docs: int, k: int = 3,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_top_terms_join(ds: ray.data.Dataset, n_docs: int, k: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Open-vocabulary TF-IDF top-k: the 100-TB path when the term
+    dictionary does NOT fit one broadcast object. Same math as
+    tfidf_top_terms; the DF table stays distributed and joins back onto
+    the per-doc term counts with a hash-partitioned join on `term`,
+    then a per-doc groupby picks the top-k (one extra shuffle, zero
+    driver-side vocabulary materialization)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nper = offs[1:] - offs[:-1]
+        ids = pc.take(batch[id_col], pa.array(np.repeat(np.arange(len(nper)), nper)))
+        t = pa.table({id_col: ids, "term": toks.values})
+        tf = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+        return tf.rename_columns([id_col, "term", "tf"])
+
+    tf_ds = ds.map_batches(term_counts, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        d = batch.group_by(["term"]).aggregate([([], "count_all")])
+        return d.rename_columns(["term", "df"])
+
+    df_ds = (tf_ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+    scored = hash_join(tf_ds, df_ds, on="term")
+
+    def topk_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy().astype(np.float64)
+        dfv = df["df"].to_numpy().astype(np.float64)
+        score_c = np.floor(tfv * np.log(float(n_docs) / dfv) * 1e9
+                           + 0.5).astype(np.int64)
+        terms = df["term"].to_numpy()
+        o = np.lexsort((terms, -score_c))[:k]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[o],
+            "rank": np.arange(1, len(o) + 1),
+            "term": terms[o],
+            "tf": df["tf"].to_numpy()[o].astype(np.int64),
+            "df": df["df"].to_numpy()[o].astype(np.int64),
+            "score_c": score_c[o],
+        })
+
+    return scored.groupby(id_col).map_groups(topk_per_doc, batch_format="pandas")

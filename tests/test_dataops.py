@@ -453,3 +453,14 @@ class TestTfidf:
         out = (text_mod.tfidf_top_terms(ds, n_docs=2, k=2)
                .to_pandas().sort_values(["doc_id", "rank"]))
         assert list(out[out.doc_id == 0]["term"]) == ["apple", "zebra"]
+
+    def test_join_path_equals_broadcast_path(self):
+        texts = ["cat dog cat", "dog fish", "cat cat cat bird", "fish fish zz"]
+        ds = ray.data.from_arrow(pa.table({"doc_id": list(range(4)), "text": texts}))
+        a = (text_mod.tfidf_top_terms(ds, n_docs=4, k=2)
+             .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        ds2 = ray.data.from_arrow(pa.table({"doc_id": list(range(4)), "text": texts}))
+        b = (text_mod.tfidf_top_terms_join(ds2, n_docs=4, k=2)
+             .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        sc = sorted(a.columns)
+        assert a[sc].equals(b[sc].astype(a[sc].dtypes.to_dict()))
