@@ -484,3 +484,75 @@ def wrap_dateline_wkb(buf: bytes, offset: float = 10.0):
 def _point_wkb(x: float, y: float) -> bytes:
     import struct
     return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _rebuild_wkb(kind: str, payload):
+    """(kind, payload) from parse_wkb -> ISO WKB bytes."""
+    from . import wkb as W
+
+    if kind == "point":
+        return W.points_to_wkb(np.asarray([payload[0, 0]]),
+                               np.asarray([payload[0, 1]]))[0]
+    if kind == "linestring":
+        return W.linestring_to_wkb(np.asarray(payload, dtype=np.float64))
+    if kind == "polygon":
+        return W.polygon_to_wkb([np.asarray(r, dtype=np.float64)
+                                 for r in payload])
+    if kind == "multipoint":
+        return W.multipoint_to_wkb(np.asarray(payload, dtype=np.float64))
+    if kind == "multilinestring":
+        return W.multilinestring_to_wkb(
+            [np.asarray(p, dtype=np.float64) for p in payload])
+    if kind == "multipolygon":
+        return W.multipolygon_to_wkb(
+            [[np.asarray(r, dtype=np.float64) for r in poly]
+             for poly in payload])
+    if kind == "geometrycollection":
+        return W.geometrycollection_to_wkb(
+            [_rebuild_wkb(k, p) for k, p in payload])
+    raise ValueError(f"cannot rebuild {kind}")
+
+
+def _swap_payload(kind: str, payload):
+    if kind in ("point", "linestring", "multipoint"):
+        return np.asarray(payload, dtype=np.float64)[:, ::-1]
+    if kind in ("polygon", "multilinestring"):
+        return [np.asarray(p, dtype=np.float64)[:, ::-1] for p in payload]
+    if kind == "multipolygon":
+        return [[np.asarray(r, dtype=np.float64)[:, ::-1] for r in poly]
+                for poly in payload]
+    if kind == "geometrycollection":
+        return [(k, _swap_payload(k, p)) for k, p in payload]
+    raise ValueError(f"cannot swap {kind}")
+
+
+def swap_xy_wkb(buf: bytes) -> bytes:
+    """gdal vector swap-xy (`apps/gdalalg_vector_swap_xy.cpp`): swap
+    the coordinate order of every vertex."""
+    from . import wkb as W
+
+    kind, payload = W.parse_wkb(buf)
+    return _rebuild_wkb(kind, _swap_payload(kind, payload))
+
+
+def explode_collection_wkb(buf: bytes):
+    """gdal vector explode-collections
+    (`apps/gdalalg_vector_explode_collections.cpp`): multi-geometries
+    and collections -> list of single-part WKBs (single parts pass
+    through as [buf])."""
+    from . import wkb as W
+
+    kind, payload = W.parse_wkb(buf)
+    if kind == "multipoint":
+        pts = np.asarray(payload, dtype=np.float64)
+        return [_rebuild_wkb("point", pts[i:i + 1]) for i in range(len(pts))]
+    if kind == "multilinestring":
+        return [_rebuild_wkb("linestring", p) for p in payload]
+    if kind == "multipolygon":
+        return [_rebuild_wkb("polygon", poly) for poly in payload]
+    if kind == "geometrycollection":
+        out = []
+        for k, p in payload:
+            out.extend(explode_collection_wkb(_rebuild_wkb(k, p)))
+        return out
+    return [buf]

@@ -4391,6 +4391,37 @@ GROUP BY n_name ORDER BY n DESC, n_name ASC LIMIT 5
 """
 
 
+def q_swap_xy(sf_dir):
+    """make-point + swap-xy chain (gdalalg_vector_make_point /
+    _swap_xy): derive lon/lat fields, build WKB points, swap axes,
+    recover coordinates — lat lands in x and lon in y."""
+    from ..geom import wkb as wkb_mod
+    from ..stages.geom_ops import make_point, swap_xy_geometry
+
+    pts = events_points(sf_dir)
+    layer = make_point(pts, "lon", "lat")
+    swapped = swap_xy_geometry(layer, "geometry")
+
+    def coords(batch: pa.Table) -> pa.Table:
+        x, y = wkb_mod.wkb_to_points(
+            np.asarray(batch["geometry"].to_pylist(), dtype=object))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "x_c": pa.array(np.floor(x * 1e6 + 0.5).astype(np.int64)),
+            "y_c": pa.array(np.floor(y * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return swapped.map_batches(coords, batch_format="pyarrow")
+
+
+SQL_SWAP_XY = f"""
+SELECT event_id,
+       CAST(floor(({derive.SQL_EVENT_LAT}) * 1e6 + 0.5) AS BIGINT) AS x_c,
+       CAST(floor(({derive.SQL_EVENT_LON}) * 1e6 + 0.5) AS BIGINT) AS y_c
+FROM events
+"""
+
+
 def q_corpus_stats(sf_dir):
     """Corpus report (per-source × lang rollup): n_docs, total tokens,
     total chars, distinct langs — the one-pass summary every
@@ -4587,6 +4618,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "ogrsql_report": (q_ogrsql_report, SQL_OGRSQL_REPORT),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "swap_xy_points": (q_swap_xy, SQL_SWAP_XY),
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),

@@ -184,6 +184,27 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("swap_xy")
+def _swap_xy(ds, *, wkb_col="geometry"):
+    from ..stages.geom_ops import swap_xy_geometry
+
+    return swap_xy_geometry(ds, wkb_col)
+
+
+@register_op("explode_collections")
+def _explode_collections(ds, *, wkb_col="geometry"):
+    from ..stages.geom_ops import explode_collections
+
+    return explode_collections(ds, wkb_col)
+
+
+@register_op("make_point")
+def _make_point(ds, *, x_col, y_col, wkb_col="geometry"):
+    from ..stages.geom_ops import make_point
+
+    return make_point(ds, x_col, y_col, wkb_col)
+
+
 @register_op("sql")
 def _sql(ds, *, statement, layers=None, layer_name="input"):
     """OGR SQL over the pipeline stream (`ogrinfo -sql` analog): the

@@ -209,3 +209,52 @@ def wrap_dateline_geometry(ds: ray.data.Dataset, offset: float = 10.0,
 
     return _map_wkb_column(ds, wkb_col,
                            lambda b: wrap_dateline_wkb(b, offset), False)
+
+
+def swap_xy_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
+                     ) -> ray.data.Dataset:
+    """gdal vector swap-xy."""
+    from ..geom.unary import swap_xy_wkb
+
+    return _map_wkb_column(ds, wkb_col, swap_xy_wkb, False)
+
+
+def explode_collections(ds: ray.data.Dataset, wkb_col: str = "geometry"
+                        ) -> ray.data.Dataset:
+    """gdal vector explode-collections: one output row per single-part
+    geometry; other columns replicate (flat_map expressed as a
+    vectorized in-batch explode)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geom.unary import explode_collection_wkb
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bufs = batch[wkb_col].to_pylist()
+        parts, reps = [], []
+        for b in bufs:
+            p = explode_collection_wkb(b) if b is not None else [None]
+            parts.extend(p)
+            reps.append(len(p))
+        idx = pa.array(np.repeat(np.arange(len(bufs)), reps))
+        out = batch.drop_columns([wkb_col]).take(idx)
+        return out.append_column(wkb_col, pa.array(parts, type=pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def make_point(ds: ray.data.Dataset, x_col: str, y_col: str,
+               wkb_col: str = "geometry") -> ray.data.Dataset:
+    """gdal vector make-point (`apps/gdalalg_vector_make_point.cpp`):
+    two numeric fields -> WKB point geometry column."""
+    import pyarrow as pa
+
+    from ..geom import wkb as W
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            wkb_col, pa.array(list(W.points_to_wkb(x, y)), type=pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

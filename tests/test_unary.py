@@ -218,3 +218,45 @@ class TestWrapDateline:
         out = unary.wrap_dateline_wkb(buf)
         kind, payload = wkb_mod.parse_wkb(out)
         assert kind == "point" and payload[0][0] == -170.0
+
+
+class TestSwapExplode:
+    def test_swap_roundtrip(self):
+        import numpy as np
+        from lib_gdal_ray.geom import wkb as W
+        from lib_gdal_ray.geom.unary import swap_xy_wkb
+
+        g = W.polygon_to_wkb([
+            np.array([[0, 1], [4, 1], [4, 5], [0, 1]], float),
+            np.array([[1, 2], [2, 2], [2, 3], [1, 2]], float)])
+        assert swap_xy_wkb(swap_xy_wkb(g)) == g
+        k, p = W.parse_wkb(swap_xy_wkb(g))
+        assert p[0][0][0] == 1.0 and p[0][0][1] == 0.0
+
+    def test_explode_all_types(self):
+        import numpy as np
+        from lib_gdal_ray.geom import wkb as W
+        from lib_gdal_ray.geom.unary import explode_collection_wkb
+
+        mp = W.multipoint_to_wkb(np.array([[0, 1], [2, 3]], float))
+        assert [W.parse_wkb(x)[0] for x in explode_collection_wkb(mp)] == \
+            ["point", "point"]
+        single = W.points_to_wkb(np.array([9.0]), np.array([9.0]))[0]
+        assert explode_collection_wkb(single) == [single]
+        gc = W.geometrycollection_to_wkb([single, mp])
+        assert len(explode_collection_wkb(gc)) == 3
+
+    def test_explode_stage_replicates_attrs(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from lib_gdal_ray.geom import wkb as W
+        from lib_gdal_ray.stages.geom_ops import explode_collections
+
+        mp = W.multipoint_to_wkb(np.array([[0, 1], [2, 3], [4, 5]], float))
+        single = W.points_to_wkb(np.array([7.0]), np.array([8.0]))[0]
+        ds = ray.data.from_arrow(pa.table({
+            "fid": pa.array([10, 20]),
+            "geometry": pa.array([mp, single], type=pa.binary())}))
+        out = explode_collections(ds).to_pandas().sort_values("fid")
+        assert list(out["fid"]) == [10, 10, 10, 20]
