@@ -4422,6 +4422,55 @@ FROM events
 """
 
 
+def q_raster_compare(sf_dir):
+    """gdal raster compare analog: parity report between the full z7
+    count raster and the raster of events with event_id % 97 != 0 —
+    pixels containing a %97 event differ or drop."""
+    from . import raster_calc as rc
+
+    pts = events_points(sf_dir)
+    a = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
+
+    def drop97(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(eid % 97 != 0))
+
+    b = rast.rasterize_pixels(pts.map_batches(drop97, batch_format="pyarrow"),
+                              7, merge_alg="count", shuffle_partitions=8)
+    out = rc.raster_compare(a, b)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_only_a": batch["n_only_a"], "n_only_b": batch["n_only_b"],
+            "n_common": batch["n_common"], "n_differ": batch["n_differ"],
+            "max_abs_diff": pc.cast(batch["max_abs_diff"], pa.int64()),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_raster_compare():
+    gx, gy = _pixel_sql(7)
+    return f"""
+    WITH pa_ AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                 FROM {_POINTS_SQL} p GROUP BY 1, 2),
+         pb_ AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS c
+                 FROM {_POINTS_SQL} p WHERE event_id % 97 != 0 GROUP BY 1, 2),
+         j AS (SELECT a.c AS ca, b.c AS cb
+               FROM pa_ a FULL OUTER JOIN pb_ b
+               ON a.gpx = b.gpx AND a.gpy = b.gpy)
+    SELECT count(*) FILTER (ca IS NOT NULL AND cb IS NULL) AS n_only_a,
+           count(*) FILTER (cb IS NOT NULL AND ca IS NULL) AS n_only_b,
+           count(*) FILTER (ca IS NOT NULL AND cb IS NOT NULL) AS n_common,
+           count(*) FILTER (ca IS NOT NULL AND cb IS NOT NULL
+                            AND ca != cb) AS n_differ,
+           COALESCE(max(abs(ca - cb)) FILTER (ca IS NOT NULL
+                                              AND cb IS NOT NULL), 0)
+             AS max_abs_diff
+    FROM j
+    """
+
+
 def q_corpus_stats(sf_dir):
     """Corpus report (per-source × lang rollup): n_docs, total tokens,
     total chars, distinct langs — the one-pass summary every
@@ -4619,6 +4668,7 @@ QUERIES = {
     "ogrsql_report": (q_ogrsql_report, SQL_OGRSQL_REPORT),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "swap_xy_points": (q_swap_xy, SQL_SWAP_XY),
+    "raster_compare": (q_raster_compare, sql_raster_compare()),
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),

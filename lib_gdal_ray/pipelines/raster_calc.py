@@ -518,3 +518,67 @@ def blend(a: ray.data.Dataset, b: ray.data.Dataset, alpha: int,
         return pa.table({key_col: batch[key_col], value_col: pa.array(out)})
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def raster_compare(a: ray.data.Dataset, b: ray.data.Dataset,
+                   tol: float = 0.0, key_col: str = "pix_id",
+                   value_col: str = "burn") -> ray.data.Dataset:
+    """gdal raster compare analog (`apps/gdalalg_raster_compare.cpp`):
+    one-row parity report between two sparse rasters —
+    (n_only_a, n_only_b, n_common, n_differ, max_abs_diff).
+
+    Same tag-union + one groupby(pix) co-partition as pixel_calc, then
+    a tiny global partial-sum reduce; no side is ever materialized."""
+    from ray.data.aggregate import Max, Sum
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            zero = np.zeros_like(v)
+            one = np.ones_like(v)
+            return pa.table({
+                key_col: batch[key_col],
+                "va": pa.array(v if side == 0 else zero),
+                "vb": pa.array(zero if side == 0 else v),
+                "na": pa.array(one if side == 0 else zero),
+                "nb": pa.array(zero if side == 0 else one),
+            })
+        return fn
+
+    both = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+    merged = both.groupby(key_col).aggregate(
+        Sum("va", alias_name="va"), Sum("vb", alias_name="vb"),
+        Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        va = batch["va"].to_numpy(zero_copy_only=False)
+        vb = batch["vb"].to_numpy(zero_copy_only=False)
+        ina = batch["na"].to_numpy(zero_copy_only=False) > 0
+        inb = batch["nb"].to_numpy(zero_copy_only=False) > 0
+        common = ina & inb
+        diff = np.abs(va - vb)
+        differ = common & (diff > tol)
+        return pa.table({
+            "n_only_a": pa.array([int((ina & ~inb).sum())]),
+            "n_only_b": pa.array([int((inb & ~ina).sum())]),
+            "n_common": pa.array([int(common.sum())]),
+            "n_differ": pa.array([int(differ.sum())]),
+            "max_abs_diff": pa.array([float(diff[common].max())
+                                      if common.any() else 0.0]),
+        })
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__k", pa.array(np.zeros(len(batch), dtype=np.int64)))
+
+    parts = merged.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(keyed, batch_format="pyarrow")
+    out = parts.groupby("__k").aggregate(
+        Sum("n_only_a", alias_name="n_only_a"),
+        Sum("n_only_b", alias_name="n_only_b"),
+        Sum("n_common", alias_name="n_common"),
+        Sum("n_differ", alias_name="n_differ"),
+        Max("max_abs_diff", alias_name="max_abs_diff"))
+    return out.map_batches(lambda b: b.drop_columns(["__k"]),
+                           batch_format="pyarrow")

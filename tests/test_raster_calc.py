@@ -321,3 +321,22 @@ class TestFocalVariants:
         b = rc.focal(pixels_from_grid((np.add.outer(-ix, -ix) + 2 * n) * 3.0 + 1),
                      "hillshade_igor").to_pandas()["burn"].mean()
         assert abs(a - b) > 20
+
+
+class TestRasterCompare:
+    def test_report(self):
+        a = np.zeros((8, 8)); a[:4, :] = 3.0; a[0, 0] = 9.0
+        b = np.zeros((8, 8)); b[2:6, :] = 3.0; b[2, 0] = 4.0
+        out = rc.raster_compare(pixels_from_grid(a), pixels_from_grid(b)).to_pandas()
+        r = out.iloc[0]
+        # a rows 0-1 only (16 px), b rows 4-5 only (16 px), common rows 2-3
+        assert r["n_only_a"] == 16 and r["n_only_b"] == 16
+        assert r["n_common"] == 16
+        assert r["n_differ"] == 1            # (2,0): 3 vs 4
+        assert r["max_abs_diff"] == 1.0
+
+    def test_identical(self):
+        g = np.arange(36, dtype=float).reshape(6, 6) + 1
+        out = rc.raster_compare(pixels_from_grid(g), pixels_from_grid(g)).to_pandas()
+        r = out.iloc[0]
+        assert r["n_only_a"] == 0 and r["n_only_b"] == 0 and r["n_differ"] == 0
