@@ -184,6 +184,13 @@ def _overview(ds, *, how="sum"):
     return overview_pixels(ds, how=how)
 
 
+@register_op("check_geometry")
+def _check_geometry(ds, *, wkb_col="geometry"):
+    from ..stages.geom_ops import check_geometry
+
+    return check_geometry(ds, wkb_col)
+
+
 @register_op("swap_xy")
 def _swap_xy(ds, *, wkb_col="geometry"):
     from ..stages.geom_ops import swap_xy_geometry

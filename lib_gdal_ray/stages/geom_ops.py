@@ -258,3 +258,67 @@ def make_point(ds: ray.data.Dataset, x_col: str, y_col: str,
             wkb_col, pa.array(list(W.points_to_wkb(x, y)), type=pa.binary()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _check_one_geometry(buf):
+    """-> (is_valid, reason) per OGRGeometry::IsValid checks:
+    ring closure, minimum point counts, self-intersection of rings
+    (apps/gdalalg_vector_check_geometry.cpp surface)."""
+    import numpy as np
+
+    from ..geom import wkb as W
+
+    if buf is None:
+        return False, "null geometry"
+    kind, payload = W.parse_wkb(buf)
+    if kind == "point":
+        return True, ""
+    if kind in ("linestring", "multilinestring"):
+        lines = [payload] if kind == "linestring" else payload
+        for ln in lines:
+            if len(ln) < 2:
+                return False, "linestring with < 2 points"
+        return True, ""
+    if kind in ("polygon", "multipolygon"):
+        polys = [payload] if kind == "polygon" else payload
+        for rings in polys:
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if len(r) < 4:
+                    return False, "ring with < 4 points"
+                if not np.array_equal(r[0], r[-1]):
+                    return False, "unclosed ring"
+                # O(k^2) proper self-intersection test per ring
+                # (bounded: validity checks run on single features)
+                n = len(r) - 1
+                for i in range(n):
+                    a, b = r[i], r[i + 1]
+                    for j in range(i + 2, n):
+                        if i == 0 and j == n - 1:
+                            continue
+                        c, d = r[j], r[j + 1]
+                        d1 = np.cross(b - a, c - a)
+                        d2 = np.cross(b - a, d - a)
+                        d3 = np.cross(d - c, a - c)
+                        d4 = np.cross(d - c, b - c)
+                        if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                            return False, "ring self-intersection"
+        return True, ""
+    if kind in ("multipoint", "geometrycollection"):
+        return True, ""
+    return False, f"unknown type {kind}"
+
+
+def check_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
+                   ) -> ray.data.Dataset:
+    """gdal vector check-geometry: adds is_valid + invalid_reason."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        res = [_check_one_geometry(b) for b in batch[wkb_col].to_pylist()]
+        batch = batch.append_column(
+            "is_valid", pa.array([v for v, _ in res], type=pa.bool_()))
+        return batch.append_column(
+            "invalid_reason", pa.array([r for _, r in res], type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

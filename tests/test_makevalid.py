@@ -101,3 +101,29 @@ def test_stage_wrapper():
     assert len(out) == 1
     np.testing.assert_allclose(wkb_centroid_area(out["geometry"][0])[2], 8.0,
                                rtol=1e-6)
+
+
+class TestCheckGeometry:
+    def test_flags(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.geom import wkb as W
+        from lib_gdal_ray.stages.geom_ops import check_geometry
+
+        ok = W.polygon_to_wkb([np.array([[0, 0], [4, 0], [4, 4], [0, 0]], float)])
+        bowtie = W.polygon_to_wkb([np.array(
+            [[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)])
+        unclosed = W.polygon_to_wkb([np.array(
+            [[0, 0], [4, 0], [4, 4], [1, 1]], float)])
+        pt = W.points_to_wkb(np.array([1.0]), np.array([2.0]))[0]
+        ds = ray.data.from_arrow(pa.table({
+            "fid": pa.array([0, 1, 2, 3, 4]),
+            "geometry": pa.array([ok, bowtie, unclosed, pt, None],
+                                 type=pa.binary())}))
+        out = check_geometry(ds).to_pandas().sort_values("fid")
+        assert list(out["is_valid"]) == [True, False, False, True, False]
+        assert out["invalid_reason"].iloc[1] == "ring self-intersection"
+        assert out["invalid_reason"].iloc[2] == "unclosed ring"
+        assert out["invalid_reason"].iloc[4] == "null geometry"
