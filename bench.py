@@ -55,9 +55,12 @@ def headline_pipeline(sf_dir: str, n_docs: int):
     # block): bound slices = blocks x partitions (see rasterize_pixels)
     base = rast.rasterize_pixels(joined, 8, value_col="value", merge_alg="add",
                                  shuffle_partitions=16)
-    levels = tiles_mod.overview_pyramid(base, 8, 5, how="sum",
-                                        shuffle_partitions=16)
-    tiles_z5 = rast.tile_summary(levels[5], shuffle_partitions=8).to_pandas()
+    # only z5 is consumed and "sum" is distributive -> ONE shuffle
+    # straight to the ancestor level (overview_to_level) instead of the
+    # 3 chained per-level groupbys
+    z5 = tiles_mod.overview_to_level(base, 8, 5, how="sum",
+                                     shuffle_partitions=16)
+    tiles_z5 = rast.tile_summary(z5, shuffle_partitions=8).to_pandas()
     n_tiles = len(tiles_z5)
     return n_docs, n_tiles
 

@@ -216,6 +216,50 @@ def overview_pyramid(pixels: ray.data.Dataset, z_base: int, z_min: int,
     return levels
 
 
+def overview_to_level(pixels: ray.data.Dataset, z_base: int, z_target: int,
+                      how: str = "sum",
+                      shuffle_partitions=None) -> ray.data.Dataset:
+    """Direct z_base → z_target reduction in ONE shuffle.
+
+    Valid for the DISTRIBUTIVE reducers (sum, max, mean4 = sum/4^L):
+    grouping straight to the 2^L×2^L ancestor equals the chained
+    per-level reduction, so when only one coarse level is consumed the
+    L-1 intermediate groupby barriers of overview_pyramid are pure
+    overhead. Non-distributive reducers (average-over-present, rms,
+    gauss, mode, cubicspline) MUST use the per-level chain."""
+    if how not in ("sum", "max", "mean4"):
+        raise ValueError("overview_to_level requires a distributive reducer")
+    levels = z_base - z_target
+    if levels < 0:
+        raise ValueError("z_target must be <= z_base")
+    if levels == 0:
+        return pixels
+    pa_agg = {"sum": "sum", "mean4": "sum", "max": "max"}[how]
+
+    from .rasterize import combine_pixel_partials, pack_pixel, unpack_pixel
+
+    def to_ancestor(batch: pa.Table) -> pa.Table:
+        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
+        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z, gpx, gpy = unpack_pixel(pix)
+        anc = pack_pixel(z_target, gpx >> levels, gpy >> levels)
+        t = pa.table({"pix_id": pa.array(anc), "burn": pa.array(burn)})
+        out = t.group_by(["pix_id"]).aggregate([("burn", pa_agg)])
+        return out.rename_columns(["pix_id", "burn"])
+
+    partials = pixels.map_batches(to_ancestor, batch_format="pyarrow")
+    out = combine_pixel_partials(partials, pa_agg, shuffle_partitions)
+    if how == "mean4":
+        scale = float(4 ** levels)
+
+        def div(batch: pa.Table) -> pa.Table:
+            b = batch["burn"].to_numpy(zero_copy_only=False) / scale
+            return batch.drop_columns(["burn"]).append_column("burn", pa.array(b))
+
+        out = out.map_batches(div, batch_format="pyarrow")
+    return out
+
+
 def tile_stats(tiles: ray.data.Dataset) -> ray.data.Dataset:
     """Pyramid-level summary from tile-summary rows."""
     from .relational import global_agg

@@ -476,3 +476,40 @@ class TestCubicsplineOverview:
         assert set(px) == {3, 4, 5, 6} and set(py) == {4, 5, 6, 7}
         # weighted mean of a single source is the source value
         np.testing.assert_allclose(out["burn"], 384.0)
+
+
+class TestOverviewToLevel:
+    @pytest.mark.parametrize("how", ["sum", "max", "mean4"])
+    def test_equals_chained(self, how):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from lib_gdal_ray.pipelines import tiles as tiles_mod
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+        rng = np.random.default_rng(4)
+        n = 3000
+        gx = rng.integers(0, 1 << 10, n)
+        gy = rng.integers(0, 1 << 10, n)
+        v = rng.uniform(1, 9, n)
+        t = pa.table({"pix_id": pa.array(pack_pixel(8, gx, gy)),
+                      "burn": pa.array(v)})
+        # dedupe pixel keys (rasterize output has unique pixels)
+        t = t.group_by(["pix_id"]).aggregate([("burn", "sum")]) \
+             .rename_columns(["pix_id", "burn"])
+        base1 = ray.data.from_arrow(t)
+        base2 = ray.data.from_arrow(t)
+        chained = tiles_mod.overview_pyramid(base1, 8, 5, how=how)[5].to_pandas()
+        direct = tiles_mod.overview_to_level(base2, 8, 5, how=how).to_pandas()
+        a = chained.sort_values("pix_id").reset_index(drop=True)
+        b = direct.sort_values("pix_id").reset_index(drop=True)
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a["pix_id"].to_numpy(), b["pix_id"].to_numpy())
+        np.testing.assert_allclose(a["burn"].to_numpy(), b["burn"].to_numpy(),
+                                   rtol=1e-12)
+
+    def test_rejects_nondistributive(self):
+        from lib_gdal_ray.pipelines import tiles as tiles_mod
+
+        with pytest.raises(ValueError):
+            tiles_mod.overview_to_level(None, 8, 5, how="gauss")
