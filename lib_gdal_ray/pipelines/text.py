@@ -484,7 +484,9 @@ def tfidf_top_terms(ds: ray.data.Dataset, n_docs: int, k: int = 3,
     df_tab = df_ds.to_arrow_refs()
     import ray as _ray
 
-    vocab = pa.concat_tables([_ray.get(r) for r in df_tab])
+    tabs = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in _ray.get(df_tab)]
+    vocab = pa.concat_tables([t for t in tabs if t.num_columns > 0])
     terms = np.asarray(vocab["term"].to_pylist(), dtype=object)
     dfs = vocab["df"].to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(terms, kind="stable")
