@@ -265,22 +265,37 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
 
     relabel_ref = _uf_task.remote(*pair_blocks)
 
-    class Relabel:
-        def __init__(self, wrapped):
-            self.map = ray.get(wrapped["ref"])
+    # Task-pool relabel with a per-worker-process cache (not an actor
+    # pool: the stage is short and pool cold-start dominates — NOTES
+    # perf lesson 21). The root map is fetched once per worker and
+    # compiled to sorted key/value arrays for vectorized searchsorted
+    # lookup; labels absent from the map keep their tile-local label.
+    def _compile_map(m: dict):
+        if not m:
+            return None
+        keys = np.fromiter(m.keys(), dtype=np.uint64, count=len(m))
+        vals = np.fromiter(m.values(), dtype=np.uint64, count=len(m))
+        order = np.argsort(keys)
+        return keys[order], vals[order]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            if self.map:
-                out = np.asarray([self.map.get(int(x), int(x)) for x in lab],
-                                 dtype=np.uint64)
-            else:
-                out = lab
-            return batch.drop_columns(["label"]).append_column("region_id", pa.array(out))
+    def relabel(batch: pa.Table, *, _ref=relabel_ref) -> pa.Table:
+        from ..state.worker_cache import get_or_build
 
-    return labeled.map_batches(Relabel, batch_format="pyarrow",
-                               fn_constructor_args=({"ref": relabel_ref},),
-                               concurrency=(1, 8))
+        compiled = get_or_build("ccroot:" + _ref.hex(),
+                                lambda: _compile_map(ray.get(_ref)))
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if compiled is None or len(lab) == 0:
+            out = lab
+        else:
+            keys, vals = compiled
+            idx = np.searchsorted(keys, lab)
+            idx[idx >= len(keys)] = 0
+            hit = keys[idx] == lab
+            out = np.where(hit, vals[idx], lab)
+        return batch.drop_columns(["label"]).append_column(
+            "region_id", pa.array(out))
+
+    return labeled.map_batches(relabel, batch_format="pyarrow")
 
 
 def _cc_root_map(pairs: ray.data.Dataset, max_rounds: int = 30
