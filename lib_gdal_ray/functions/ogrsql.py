@@ -24,8 +24,12 @@ Subset notes (documented deviations):
   resolved from the schemas at execution; OGR requires the secondary
   table to fit the lookup model too, `ogr_gensql.cpp` secondary-table
   joins are row-wise lookups);
-* COUNT(DISTINCT col) is supported (distinct + grouped count); other
-  aggregates are COUNT/SUM/MIN/MAX/AVG;
+* COUNT(DISTINCT col) is supported — a single distinct item next to
+  decomposable aggregates under GROUP BY lowers to fused two-level
+  aggregation (groupby(keys+col) partials, then a tiny groupby(keys)
+  re-aggregate: one pass over the base table); other combinations take
+  the general distinct-branch + join-back plan. Aggregates are
+  COUNT/SUM/MIN/MAX/AVG;
 * LIKE is case-insensitive (OGR semantics — mirror with ILIKE in ANSI
   engines).
 """
@@ -258,6 +262,53 @@ def execute_sql(sql: str,
         prepped = ds.map_batches(prep, batch_format="pyarrow")
         fixed_specs = [(op, ("__one" if c == "__one" or not keys and op == "count"
                              else c), al) for op, c, al in specs]
+        # Fused COUNT(DISTINCT): when there is exactly one distinct item
+        # alongside decomposable aggregates and a GROUP BY, rewrite as
+        # two-level aggregation — groupby(keys + cd_col) computes the
+        # partials in ONE pass over the base table, then a tiny
+        # groupby(keys) re-aggregates (count→sum, sum→sum, min→min,
+        # max→max, mean→sum/sum) and counts rows for the distinct
+        # cardinality. This replaces the naive plan's second full scan
+        # (distinct branch) and its broadcast join-back.
+        if (len(cd_items) == 1 and keys and fixed_specs
+                and all(op in ("count", "sum", "min", "max", "mean")
+                        for op, _, _ in fixed_specs)):
+            cd_col, cd_alias = cd_items[0]
+            l1, l2, mean_fix = [], [], []
+            for i, (op, c, al) in enumerate(fixed_specs):
+                if op == "count":
+                    l1.append(("count", c, f"__c{i}"))
+                    l2.append(("sum", f"__c{i}", al))
+                elif op in ("sum", "min", "max"):
+                    l1.append((op, c, f"__p{i}"))
+                    l2.append((op if op != "sum" else "sum", f"__p{i}", al))
+                else:  # mean = sum/count across both levels
+                    l1.append(("sum", c, f"__ms{i}"))
+                    l1.append(("count", c, f"__mc{i}"))
+                    l2.append(("sum", f"__ms{i}", f"__MS{i}"))
+                    l2.append(("sum", f"__mc{i}", f"__MC{i}"))
+                    mean_fix.append((al, i))
+            l2.append(("count", cd_col, cd_alias))
+            level1 = rel.grouped_agg(prepped, keys + [cd_col], l1)
+            out = rel.grouped_agg(level1, keys, l2)
+            if mean_fix:
+                def fix_means(batch: pa.Table, _fx=tuple(mean_fix)) -> pa.Table:
+                    for al, i in _fx:
+                        v = pc.divide(
+                            pc.cast(batch[f"__MS{i}"], pa.float64()),
+                            pc.cast(batch[f"__MC{i}"], pa.float64()))
+                        batch = batch.append_column(al, v).drop_columns(
+                            [f"__MS{i}", f"__MC{i}"])
+                    return batch
+
+                out = out.map_batches(fix_means, batch_format="pyarrow")
+            ds = out
+            want = keys + [it["alias"] for it in plan["items"]
+                           if it["kind"] == "agg"]
+            ds = ds.map_batches(
+                lambda b, _w=tuple(want): b.select(list(_w)),
+                batch_format="pyarrow")
+            return _finish_select(ds, plan)
         parts = []
         if fixed_specs:
             if keys:
@@ -298,6 +349,14 @@ def execute_sql(sql: str,
         if plan["distinct"]:
             names = ds.schema().names
             ds = rel.distinct(ds, names)
+
+    return _finish_select(ds, plan)
+
+
+def _finish_select(ds: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
+    """Shared SELECT tail: HAVING filter, ORDER BY (topk under LIMIT),
+    LIMIT."""
+    from ..pipelines import relational as rel
 
     if plan["having"] is not None:
         ds = _filter(ds, plan["having"])

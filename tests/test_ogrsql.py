@@ -67,6 +67,30 @@ class TestExecute:
             "FROM t", _layers()).to_pandas()
         assert out.iloc[0].to_dict() == {"n": 6, "g": 3, "mx": 100.0}
 
+    def test_grouped_count_distinct_fused(self):
+        # GROUP BY + single COUNT(DISTINCT) + decomposable aggregates
+        # takes the fused two-level-aggregation path (one base pass);
+        # AVG exercises the sum/sum mean fixup.
+        out = (execute_sql(
+            "SELECT grp, COUNT(*) AS n, COUNT(DISTINCT name) AS d, "
+            "SUM(id) AS s, MIN(val) AS lo, MAX(val) AS hi, AVG(val) AS m "
+            "FROM t GROUP BY grp ORDER BY grp", _layers()).to_pandas())
+        assert list(out["grp"]) == ["a", "b", "c"]
+        assert list(out["n"]) == [2, 3, 1]
+        assert list(out["d"]) == [2, 3, 1]
+        assert list(out["s"]) == [3, 12, 6]
+        np.testing.assert_allclose(out["lo"], [10.0, 5.0, 100.0])
+        np.testing.assert_allclose(out["hi"], [20.0, 25.0, 100.0])
+        np.testing.assert_allclose(out["m"], [15.0, 15.0, 100.0])
+
+    def test_grouped_count_distinct_repeated_values(self):
+        # distinct over a column with duplicates per group
+        out = (execute_sql(
+            "SELECT grp, COUNT(DISTINCT grp) AS g, COUNT(*) AS n "
+            "FROM t GROUP BY grp ORDER BY grp", _layers()).to_pandas())
+        assert list(out["g"]) == [1, 1, 1]
+        assert list(out["n"]) == [2, 3, 1]
+
     def test_join(self):
         out = (execute_sql(
             "SELECT label, COUNT(*) AS n FROM t "
