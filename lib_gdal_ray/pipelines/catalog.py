@@ -1473,14 +1473,14 @@ def q_isobands(sf_dir):
     raster — filled contour polygons as connected components per level
     (`apps/gdal_contour_bin.cpp` -p / marching isobands expressed as
     the reclassify ∘ polygonize composition)."""
-    from . import raster_calc as rc
-    from .polygonize import polygonize
+    from .polygonize import label_binned_counts, regions_from_labels
 
     pts = events_points(sf_dir)
-    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
-    binned = rc.reclassify(counts, [1.0, 2.0, 4.0, 8.0, 1e18],
-                           [1.0, 2.0, 3.0, 4.0])
-    out = polygonize(binned)
+    partials = rast.rasterize_pixels(pts, 6, merge_alg="count",
+                                     combine=False)
+    labeled = label_binned_counts(partials, [1.0, 2.0, 4.0, 8.0, 1e18],
+                                  [1.0, 2.0, 3.0, 4.0])
+    out = regions_from_labels(labeled)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({

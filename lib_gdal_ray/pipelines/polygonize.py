@@ -135,7 +135,70 @@ def label_connected_components(pixels: ray.data.Dataset, connectivity: int = 4,
         })
 
     labeled = tiled.groupby("tile_id").map_groups(label_tile, batch_format="pandas")
+    return merge_tile_labels(labeled, connectivity, tile_size, cc_mode)
 
+
+def label_binned_counts(partials: ray.data.Dataset,
+                        bounds, values,
+                        connectivity: int = 4, tile_size: int = 256,
+                        cc_mode: str = "auto") -> ray.data.Dataset:
+    """Fused rasterize-count ∘ reclassify ∘ tile-label over per-block
+    pixel partials (pix_id, burn) — ONE shuffle instead of three.
+
+    The unfused composition (`rasterize_pixels(combine=True)` →
+    `reclassify` → `label_connected_components`) shuffles the full
+    pixel set twice (pixel-combine groupby, then tile groupby). Keying
+    the FIRST shuffle by tile co-locates every partial of a pixel with
+    its tile group, so the group function can sum the partials,
+    bin the totals (reclassify semantics: value in
+    [bounds[i], bounds[i+1]) → values[i]) and run the tile-local
+    union-find in one pass; only the border machinery (border rows ≪
+    pixels) shuffles again. Same output as the composition."""
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    bounds_a = np.asarray(bounds, dtype=np.float64)
+    values_a = np.asarray(values, dtype=np.float64)
+    if len(values_a) != len(bounds_a) - 1:
+        raise ValueError("need len(values) == len(bounds) - 1")
+
+    tiled = with_tile_cols(partials, tile_size)
+
+    def combine_bin_label(df: pd.DataFrame) -> pd.DataFrame:
+        pix = df["pix_id"].to_numpy().astype(np.uint64)
+        cnt = df["burn"].to_numpy().astype(np.float64)
+        order = np.argsort(pix, kind="stable")
+        spix, scnt = pix[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, spix[1:] != spix[:-1]])
+        upix = spix[starts]
+        totals = np.add.reduceat(scnt, starts)
+        idx = np.clip(np.searchsorted(bounds_a, totals, side="right") - 1,
+                      0, len(values_a) - 1)
+        val = values_a[idx]
+        z, gpx, gpy = unpack_pixel(upix)
+        labels = _label_pixels(gpx, gpy, val, connectivity)
+        return pd.DataFrame({
+            "z": z, "gpx": gpx, "gpy": gpy, "value": val,
+            "label": labels.astype(np.int64).view(np.uint64),
+        })
+
+    labeled = tiled.groupby("tile_id").map_groups(combine_bin_label,
+                                                  batch_format="pandas")
+    return merge_tile_labels(labeled, connectivity, tile_size, cc_mode)
+
+
+def merge_tile_labels(labeled: ray.data.Dataset, connectivity: int = 4,
+                      tile_size: int = 256,
+                      cc_mode: str = "auto") -> ray.data.Dataset:
+    """Cross-tile label merge over tile-labeled pixel rows
+    (z, gpx, gpy, value, label) → (…, region_id). Stage 2+3 of
+    label_connected_components; shared by the fused entry points."""
+    # Two consumers read `labeled` (the border branch and the final
+    # relabel pass). Without pinning, Ray re-executes the tile-groupby
+    # lineage once per consumer — the widest shuffle in the operator,
+    # twice. Materialize pins the labeled blocks in the object store
+    # (spillable), which is the multi-consumer branching pattern, not a
+    # driver-side collection.
+    labeled = labeled.materialize()
     # Border adjacency pairs: boundary pixels meet under a shared edge key.
     def border_rows(batch: pa.Table) -> pa.Table:
         gpx = batch["gpx"].to_numpy(zero_copy_only=False)
@@ -394,7 +457,12 @@ def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
     """Sparse pixel rows (pix_id, burn) → region rows
     (region_id, value, n_pixels, gpx_min, gpy_min, gpx_max, gpy_max)."""
     relabeled = label_connected_components(pixels, connectivity, tile_size)
+    return regions_from_labels(relabeled)
 
+
+def regions_from_labels(relabeled: ray.data.Dataset) -> ray.data.Dataset:
+    """Labeled pixel rows → one region row per component
+    (region_id, value, n_pixels, global-pixel bbox)."""
     from ray.data.aggregate import Count, Max, Min
 
     return (relabeled.groupby("region_id").aggregate(
