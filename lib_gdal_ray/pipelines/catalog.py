@@ -1467,6 +1467,99 @@ def sql_mdim_reduce():
     """
 
 
+def q_mdim_stats(sf_dir):
+    """GDALMDArray::ComputeStatistics analog over the deterministic 3-D
+    array: global (n, vmin, vmax, mean, std_pop) via per-batch moment
+    partials + one single-key groupby (`sources/multidim.py`
+    statistics). All moments are integer-exact in float64, so mean and
+    std match the SQL bit-for-bit."""
+    from ..sources import multidim as md
+
+    def fv(i, j, k):
+        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
+
+    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    return md.statistics(arr)
+
+
+def sql_mdim_stats():
+    n0, n1, n2 = _MDIM_SHAPE
+    return f"""
+    WITH g AS (
+      SELECT (i*7 + j*3 + k) % 11 AS v
+      FROM (SELECT unnest(generate_series(0, {n0 - 1})) AS i) a,
+           (SELECT unnest(generate_series(0, {n1 - 1})) AS j) b,
+           (SELECT unnest(generate_series(0, {n2 - 1})) AS k) c
+    )
+    SELECT count(*) AS n, CAST(min(v) AS DOUBLE) AS vmin,
+           CAST(max(v) AS DOUBLE) AS vmax,
+           sum(CAST(v AS DOUBLE)) / count(*) AS mean,
+           sqrt(sum(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)) / count(*)
+                - (sum(CAST(v AS DOUBLE)) / count(*))
+                  * (sum(CAST(v AS DOUBLE)) / count(*))) AS std_pop
+    FROM g
+    """
+
+
+def q_mdim_classic_tpi(sf_dir):
+    """Multidim → raster bridge (GDALMDArray::AsClassicDataset): the
+    3-D array mean-reduced over axis 2 becomes a 40×30 2-D slab, viewed
+    as sparse z6 pixel rows, then fed to the focal TPI kernel — the
+    multidim surface composing with the DEM operator family. Mean and
+    TPI are pure arithmetic over integer-exact sums, so the SQL mirror
+    is bit-exact (interior full-stencil pixels only)."""
+    from ..sources import multidim as md
+    from . import raster_calc as rc
+
+    def fv(i, j, k):
+        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
+
+    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    mean2d = md.reduce_dim(arr, _MDIM_SHAPE, _MDIM_CHUNK, axis=2, op="mean")
+    shape2 = (_MDIM_SHAPE[0], _MDIM_SHAPE[1])
+    chunk2 = (_MDIM_CHUNK[0], _MDIM_CHUNK[1])
+    pixels = md.as_classic(mean2d, shape2, chunk2, z=6)
+    out = rc.focal(pixels, "tpi")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "tpi": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_mdim_classic_tpi():
+    n0, n1, n2 = _MDIM_SHAPE
+    # v(i, j) = sum_k((i*7+j*3+k)%11) / n2, exactly as reduce_dim(mean)
+    # computes it (integer-exact sum, one divide). TPI mirrors focal's
+    # tpi expression: center - (s0+s1+s2+s3+s5+s6+s7+s8)/8 with the
+    # stencil in row-major (dy, dx) order; gpx=j, gpy=i (as_classic
+    # x_dim=1, y_dim=0). Interior pixels only (full 3x3 stencil).
+    return f"""
+    WITH m AS (
+      SELECT i, j, sum(CAST((i*7 + j*3 + k) % 11 AS DOUBLE)) / {n2}.0 AS v
+      FROM (SELECT unnest(generate_series(0, {n0 - 1})) AS i) a,
+           (SELECT unnest(generate_series(0, {n1 - 1})) AS j) b,
+           (SELECT unnest(generate_series(0, {n2 - 1})) AS k) c
+      GROUP BY 1, 2
+    )
+    SELECT c.j AS gpx, c.i AS gpy,
+           c.v - ((s0.v + s1.v + s2.v + s3.v + s5.v + s6.v + s7.v + s8.v)
+                  / 8.0) AS tpi
+    FROM m c
+    JOIN m s0 ON s0.i = c.i - 1 AND s0.j = c.j - 1
+    JOIN m s1 ON s1.i = c.i - 1 AND s1.j = c.j
+    JOIN m s2 ON s2.i = c.i - 1 AND s2.j = c.j + 1
+    JOIN m s3 ON s3.i = c.i AND s3.j = c.j - 1
+    JOIN m s5 ON s5.i = c.i AND s5.j = c.j + 1
+    JOIN m s6 ON s6.i = c.i + 1 AND s6.j = c.j - 1
+    JOIN m s7 ON s7.i = c.i + 1 AND s7.j = c.j
+    JOIN m s8 ON s8.i = c.i + 1 AND s8.j = c.j + 1
+    """
+
+
 def q_isobands(sf_dir):
     """gdal_contour -p analog (polygon isobands): bin the z6 count
     raster into fixed levels (reclassify), then polygonize the binned
@@ -4649,6 +4742,8 @@ QUERIES = {
     "contour": (q_contour, sql_contour()),
     "isobands": (q_isobands, sql_isobands()),
     "mdim_reduce": (q_mdim_reduce, sql_mdim_reduce()),
+    "mdim_stats": (q_mdim_stats, sql_mdim_stats()),
+    "mdim_classic_tpi": (q_mdim_classic_tpi, sql_mdim_classic_tpi()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),

@@ -137,10 +137,14 @@ def slice_view(ds: ray.data.Dataset, shape: Sequence[int],
 def reduce_dim(ds: ray.data.Dataset, shape: Sequence[int],
                chunk_shape: Sequence[int], axis: int,
                op: str = "sum") -> ray.data.Dataset:
-    """Reduce one dimension (sum|max): per-chunk partial along `axis`,
-    then one groupby over the projected chunk key."""
-    if op not in ("sum", "max"):
-        raise ValueError("op must be sum|max")
+    """Reduce one dimension (sum|max|min|mean): per-chunk partial along
+    `axis`, then one groupby over the projected chunk key. mean runs
+    the sum plan and divides by shape[axis] at finalize (every output
+    element aggregates exactly shape[axis] inputs)."""
+    if op not in ("sum", "max", "min", "mean"):
+        raise ValueError("op must be sum|max|min|mean")
+    part_op = "sum" if op == "mean" else op
+    red_np = {"sum": np.sum, "max": np.max, "min": np.min}[part_op]
     k = len(shape)
     keep_dims = [d for d in range(k) if d != axis]
 
@@ -153,7 +157,7 @@ def reduce_dim(ds: ray.data.Dataset, shape: Sequence[int],
             dims = [min((int(ci[d]) + 1) * chunk_shape[d], shape[d])
                     - int(ci[d]) * chunk_shape[d] for d in range(k)]
             arr = np.frombuffer(batch["data"][r].as_py(), dtype="<f8").reshape(dims)
-            red = arr.sum(axis=axis) if op == "sum" else arr.max(axis=axis)
+            red = red_np(arr, axis=axis)
             datas.append(red.astype("<f8").tobytes())
             new_keys.append([int(ci[d]) for d in keep_dims])
         nk = pack_chunks(np.asarray(new_keys, dtype=np.int64).reshape(len(key), k - 1)) \
@@ -164,15 +168,106 @@ def reduce_dim(ds: ray.data.Dataset, shape: Sequence[int],
     import pandas as pd
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    denom = float(shape[axis]) if op == "mean" else None
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         arrs = [np.frombuffer(b, dtype="<f8") for b in df["data"]]
         stack = np.stack(arrs)
-        red = stack.sum(axis=0) if op == "sum" else stack.max(axis=0)
+        red = red_np(stack, axis=0)
+        if denom is not None:
+            red = red / denom
         return pd.DataFrame({"chunk_id": [np.uint64(df["chunk_id"].iloc[0])],
                              "data": [red.astype("<f8").tobytes()]})
 
     return partials.groupby("chunk_id").map_groups(combine, batch_format="pandas")
+
+
+def statistics(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """GDALMDArray::ComputeStatistics analog
+    (`gcore/gdalmdarray.cpp` ComputeStatistics): global
+    (n, vmin, vmax, mean, std_pop) over every chunk payload — per-batch
+    moment partials (n, Σv, Σv², min, max), one single-key groupby,
+    closed-form finalize. One streaming pass, no payload shuffle."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        n = s = s2 = 0.0
+        vmin, vmax = np.inf, -np.inf
+        for b in batch["data"]:
+            v = np.frombuffer(b.as_py(), dtype="<f8")
+            if not len(v):
+                continue
+            n += len(v)
+            s += float(v.sum())
+            s2 += float((v * v).sum())
+            vmin = min(vmin, float(v.min()))
+            vmax = max(vmax, float(v.max()))
+        return pa.table({"__g": pa.array([0], pa.int8()),
+                         "n": pa.array([n]), "s": pa.array([s]),
+                         "s2": pa.array([s2]), "vmin": pa.array([vmin]),
+                         "vmax": pa.array([vmax])})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("__g")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("s2", alias_name="s2"),
+                      Min("vmin", alias_name="vmin"),
+                      Max("vmax", alias_name="vmax")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        return pa.table({
+            "n": pa.array(n.astype(np.int64)),
+            "vmin": batch["vmin"], "vmax": batch["vmax"],
+            "mean": pa.array(mean), "std_pop": pa.array(np.sqrt(var)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def as_classic(ds: ray.data.Dataset, shape: Sequence[int],
+               chunk_shape: Sequence[int], z: int,
+               x_dim: int = 1, y_dim: int = 0) -> ray.data.Dataset:
+    """GDALMDArray::AsClassicDataset analog
+    (`gcore/gdalmdarray.cpp` AsClassicDataset): view a 2-D chunked
+    array as sparse raster pixel rows (pix_id, burn) at zoom ``z`` —
+    the bridge from the multidim surface into every raster operator
+    (focal kernels, polygonize, tiling, zonal). Pure per-chunk explode
+    (meshgrid of the chunk's global offsets), no shuffle."""
+    if len(shape) != 2:
+        raise ValueError("as_classic needs a 2-D array (slice/reduce first)")
+    if {x_dim, y_dim} != {0, 1}:
+        raise ValueError("x_dim/y_dim must be a permutation of (0, 1)")
+    from ..pipelines.rasterize import pack_pixel
+
+    def explode(batch: pa.Table) -> pa.Table:
+        key = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = unpack_chunks(key, 2)
+        gxs, gys, vals = [], [], []
+        for r in range(len(key)):
+            ci = idx[r]
+            lohi = [_chunk_extent(ci, d, chunk_shape, shape) for d in (0, 1)]
+            dims = [hi - lo for lo, hi in lohi]
+            arr = np.frombuffer(batch["data"][r].as_py(),
+                                dtype="<f8").reshape(dims)
+            g0, g1 = np.meshgrid(np.arange(lohi[0][0], lohi[0][1]),
+                                 np.arange(lohi[1][0], lohi[1][1]),
+                                 indexing="ij")
+            gxs.append((g1 if x_dim == 1 else g0).ravel())
+            gys.append((g0 if y_dim == 0 else g1).ravel())
+            vals.append(arr.ravel())
+        gx = np.concatenate(gxs) if gxs else np.empty(0, np.int64)
+        gy = np.concatenate(gys) if gys else np.empty(0, np.int64)
+        v = np.concatenate(vals) if vals else np.empty(0)
+        return pa.table({"pix_id": pa.array(pack_pixel(z, gx, gy)),
+                         "burn": pa.array(v)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def transpose(ds: ray.data.Dataset, shape: Sequence[int],

@@ -53,7 +53,8 @@ def test_slice_view():
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("axis,op", [(0, "sum"), (1, "sum"), (2, "max")])
+@pytest.mark.parametrize("axis,op", [(0, "sum"), (1, "sum"), (2, "max"),
+                                     (1, "min"), (2, "mean"), (0, "mean")])
 def test_reduce_dim(axis, op):
     ds = md.from_function(SHAPE, CHUNKS, fn3)
     red = md.reduce_dim(ds, SHAPE, CHUNKS, axis, op)
@@ -61,8 +62,45 @@ def test_reduce_dim(axis, op):
     new_chunks = tuple(c for d, c in enumerate(CHUNKS) if d != axis)
     got = md.to_numpy(red, new_shape, new_chunks)
     o = dense_oracle()
-    want = o.sum(axis=axis) if op == "sum" else o.max(axis=axis)
+    want = {"sum": np.sum, "max": np.max, "min": np.min,
+            "mean": np.mean}[op](o, axis=axis)
     np.testing.assert_allclose(got, want)
+
+
+def test_statistics():
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    out = ds_to_pandas(md.statistics(ds))
+    o = dense_oracle()
+    assert out["n"].iloc[0] == o.size
+    np.testing.assert_allclose(out["vmin"].iloc[0], o.min())
+    np.testing.assert_allclose(out["vmax"].iloc[0], o.max())
+    np.testing.assert_allclose(out["mean"].iloc[0], o.mean())
+    np.testing.assert_allclose(out["std_pop"].iloc[0], o.std(), rtol=1e-12)
+
+
+def ds_to_pandas(ds):
+    return ds.to_pandas()
+
+
+def test_as_classic():
+    from lib_gdal_ray.pipelines.rasterize import unpack_pixel
+
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    red = md.reduce_dim(ds, SHAPE, CHUNKS, axis=2, op="mean")
+    shape2, chunk2 = SHAPE[:2], CHUNKS[:2]
+    pix = md.as_classic(red, shape2, chunk2, z=6).to_pandas()
+    assert len(pix) == shape2[0] * shape2[1]
+    z, gpx, gpy = unpack_pixel(pix["pix_id"].to_numpy().astype(np.uint64))
+    want = dense_oracle().mean(axis=2)
+    np.testing.assert_allclose(pix["burn"].to_numpy(),
+                               want[gpy, gpx])
+    assert (z == 6).all()
+
+
+def test_as_classic_rejects_3d():
+    ds = md.from_function(SHAPE, CHUNKS, fn3)
+    with pytest.raises(ValueError):
+        md.as_classic(ds, SHAPE, CHUNKS, z=6)
 
 
 @pytest.mark.parametrize("axes", [(2, 0, 1), (1, 0, 2), (2, 1, 0)])
