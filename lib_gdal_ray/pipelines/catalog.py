@@ -4372,6 +4372,39 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_pack_sequences(sf_dir):
+    """Sequence packing (concatenate-and-chop, GPT-style pre-training
+    layout): documents hash into 64 shards (Knuth multiplicative),
+    each shard packs its docs in id order into 2048-token sequences;
+    per-doc placement (offset, first/last sequence, piece count) is an
+    exclusive prefix sum — exactly mirrored by a SQL window frame."""
+    from .packing import pack_sequences
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, seq_len=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS n_tokens,
+         CAST(((doc_id * 2654435761) % 4294967296) % 64 AS BIGINT) AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_off
+  FROM t)
+SELECT doc_id, shard, n_tokens, start_off,
+       start_off // 2048 AS first_seq,
+       (start_off + n_tokens - 1) // 2048 AS last_seq,
+       (start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS n_pieces
+FROM c
+"""
+
+
 def q_hash_sample(sf_dir):
     """Deterministic keyed downsampling: keep the ~37% of documents
     whose Knuth-multiplicative key hash lands under the cut. Pure
@@ -4738,6 +4771,7 @@ QUERIES = {
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
     "isobands": (q_isobands, sql_isobands()),

@@ -135,6 +135,15 @@ def _pii_scrub(ds, *, text_col="text"):
     return pii_scrub(ds, text_col=text_col)
 
 
+@register_op("pack_sequences")
+def _pack_sequences(ds, *, seq_len, id_col="doc_id", text_col="text",
+                    tokens_col=None, n_shards=64):
+    from .packing import pack_sequences
+
+    return pack_sequences(ds, seq_len, id_col=id_col, text_col=text_col,
+                          tokens_col=tokens_col, n_shards=n_shards)
+
+
 @register_op("read_geojson_seq")
 def _read_geojson_seq(ds, *, path, properties=None):
     from ..sources.vector_formats import read_geojson_seq

@@ -88,6 +88,45 @@ class TestText:
             assert row["n_tokens"] == len(row["text"].split(" "))
             assert row["n_chars_calc"] == len(row["text"])
 
+    def test_pack_sequences_brute_force(self):
+        from lib_gdal_ray.pipelines.packing import KNUTH, pack_sequences
+
+        texts = ["a b c", "one", "x " * 9 + "x", "t1 t2 t3 t4", "q"]
+        ids = [3, 11, 7, 20, 5]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)})
+        out = (pack_sequences(ray.data.from_arrow(t), seq_len=4, n_shards=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # brute-force oracle: per shard, id order, chop at 4 tokens
+        rows = {}
+        docs = sorted(zip(ids, texts))
+        fills = {}
+        for did, txt in docs:
+            shard = ((did * KNUTH) % (1 << 32)) % 2
+            n = len(txt.split(" "))
+            start = fills.get(shard, 0)
+            fills[shard] = start + n
+            rows[did] = (shard, n, start, start // 4, (start + n - 1) // 4)
+        for _, r in out.iterrows():
+            shard, n, start, first, last = rows[r["doc_id"]]
+            assert (r["shard"], r["n_tokens"], r["start_off"]) == (shard, n, start)
+            assert (r["first_seq"], r["last_seq"]) == (first, last)
+            assert r["n_pieces"] == last - first + 1
+
+    def test_pack_sequences_precomputed_tokens(self):
+        from lib_gdal_ray.pipelines.packing import pack_sequences
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "n_tok": pa.array([5, 5, 5], pa.int64())})
+        out = (pack_sequences(ray.data.from_arrow(t), seq_len=10,
+                              tokens_col="n_tok", n_shards=1)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["start_off"]) == [0, 5, 10]
+        assert list(out["first_seq"]) == [0, 0, 1]
+        assert list(out["last_seq"]) == [0, 0, 1]
+        # doc 2 straddles seqs 0 and 1? no: tokens 5..9 stay in seq 0
+        assert list(out["n_pieces"]) == [1, 1, 1]
+
     def test_quality_and_langid(self):
         t = pa.table({"text": pa.array([
             "the cat and the dog sat in the garden of the house",
