@@ -4405,6 +4405,37 @@ FROM c
 """
 
 
+def q_token_budget_mix(sf_dir):
+    """Corpus mixing by token budget: weights {src0: .5, src1: .3,
+    src7: .2} over a 2000-token target → per-source caps 1000/600/400;
+    docs taken in id order while the running token total fits the cap
+    (per-source cumulative window, exactly mirrored in SQL)."""
+    from .sampling import token_budget_mix
+
+    docs = tables.read_table(
+        sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return token_budget_mix(
+        docs, {"src0": 0.5, "src1": 0.3, "src7": 0.2}, 2000)
+
+
+SQL_TOKEN_BUDGET_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS n_tokens,
+         CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
+                     ELSE 400 END AS cap
+  FROM documents WHERE source IN ('src0', 'src1', 'src7')),
+c AS (
+  SELECT doc_id, source, n_tokens, cap,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= cap
+"""
+
+
 def q_hash_sample(sf_dir):
     """Deterministic keyed downsampling: keep the ~37% of documents
     whose Knuth-multiplicative key hash lands under the cut. Pure
@@ -4772,6 +4803,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
     "isobands": (q_isobands, sql_isobands()),

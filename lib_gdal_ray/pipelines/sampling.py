@@ -89,3 +89,50 @@ def per_group_quota(ds: ray.data.Dataset, group_col: str, order_col: str,
 
     return pruned.groupby(group_col).map_groups(take_k,
                                                 batch_format="pyarrow")
+
+
+def token_budget_mix(ds: ray.data.Dataset, weights: dict,
+                     total_tokens: int,
+                     source_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     tokens_col: Optional[str] = None) -> ray.data.Dataset:
+    """Corpus mixing by TOKEN budget: each source gets a cap of
+    ``floor(weights[source] * total_tokens)`` tokens; its documents are
+    taken in id order while the running token total stays within the
+    cap (the doc that would cross it, and everything after, is
+    dropped). Sources absent from ``weights`` are dropped entirely.
+
+    → rows (id, source, n_tokens, cum_tokens) for the kept docs — the
+    narrow placement table; join back by id for payloads. Shape: only
+    (id, source, n_tokens) ride the ``groupby(source)`` shuffle (never
+    text); the per-source kernel is a vectorized cumsum. A giant
+    source gathers its narrow rows into one group — at 100 TB
+    pre-prune with `hash_sample` or cap the id range when a single
+    source's (id, count) pairs outgrow a worker."""
+    caps = {s: int(np.floor(w * total_tokens)) for s, w in weights.items()}
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        if tokens_col is not None:
+            n_tok = pc.cast(batch[tokens_col], pa.int64())
+        else:
+            n_tok = pc.cast(pc.add(
+                pc.count_substring(batch[text_col], " "), 1), pa.int64())
+        t = pa.table({id_col: batch[id_col], source_col: batch[source_col],
+                      "n_tokens": n_tok})
+        return t.filter(pc.is_in(t[source_col],
+                                 value_set=pa.array(list(caps))))
+
+    narrow = ds.map_batches(count_tokens, batch_format="pyarrow")
+    import pandas as pd
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        cum = df["n_tokens"].to_numpy(dtype=np.int64).cumsum()
+        cap = caps[df[source_col].iloc[0]]
+        keep = cum <= cap
+        out = df[keep].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return narrow.groupby(source_col).map_groups(fill,
+                                                 batch_format="pandas")

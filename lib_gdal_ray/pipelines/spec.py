@@ -135,6 +135,16 @@ def _pii_scrub(ds, *, text_col="text"):
     return pii_scrub(ds, text_col=text_col)
 
 
+@register_op("token_budget_mix")
+def _token_budget_mix(ds, *, weights, total_tokens, source_col="source",
+                      id_col="doc_id", text_col="text", tokens_col=None):
+    from .sampling import token_budget_mix
+
+    return token_budget_mix(ds, weights, total_tokens,
+                            source_col=source_col, id_col=id_col,
+                            text_col=text_col, tokens_col=tokens_col)
+
+
 @register_op("pack_sequences")
 def _pack_sequences(ds, *, seq_len, id_col="doc_id", text_col="text",
                     tokens_col=None, n_shards=64):

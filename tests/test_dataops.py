@@ -127,6 +127,23 @@ class TestText:
         # doc 2 straddles seqs 0 and 1? no: tokens 5..9 stay in seq 0
         assert list(out["n_pieces"]) == [1, 1, 1]
 
+    def test_token_budget_mix(self):
+        from lib_gdal_ray.pipelines.sampling import token_budget_mix
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "text": pa.array(["x x x", "y y", "z z z z", "p", "q q q",
+                              "r r"]),
+        })
+        out = (token_budget_mix(ray.data.from_arrow(t),
+                                {"a": 0.5, "b": 0.5}, 10)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # caps: a=5, b=5. a: docs 1(3)+2(2)=5 kept, doc3(4) crosses ->
+        # dropped. b: 4(1)+5(3)=4 kept. c: no weight -> dropped.
+        assert list(out["doc_id"]) == [1, 2, 4, 5]
+        assert list(out["cum_tokens"]) == [3, 5, 1, 4]
+
     def test_quality_and_langid(self):
         t = pa.table({"text": pa.array([
             "the cat and the dog sat in the garden of the house",
