@@ -4158,10 +4158,14 @@ def q_grid_metrics(sf_dir):
     slon, slat = derive.site_lonlat(sk[order])
     sv = sup["s_acctbal"].to_numpy().astype(np.float64)[order]
     px = pixel_window(3, 300, 1300, 64, 64)
+    # value_scale/dist_scale: fixed-point accumulation so every summed
+    # metric is order-independent (integer-exact sums) — round(3)
+    # outputs must not wobble with batch splits or SQL GROUP BY order.
     out = grid_metrics(
         px, slon, slat, sv, 3, radius=40.0, min_points=1,
         metrics=["count", "minimum", "maximum", "range", "average",
-                 "nearest", "average_distance", "average_distance_pts"])
+                 "nearest", "average_distance", "average_distance_pts"],
+        value_scale=100, dist_scale=10**6)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -4204,22 +4208,25 @@ agg AS (SELECT gpx, gpy, count(*) AS n_sites,
                CAST(floor(min(v)*100.0 + 0.5) AS BIGINT) AS min_c,
                CAST(floor(max(v)*100.0 + 0.5) AS BIGINT) AS max_c,
                CAST(floor((max(v)-min(v))*100.0 + 0.5) AS BIGINT) AS range_c,
-               round(avg(v), 3) AS avg_r,
-               round(avg(sqrt(d2)), 3) AS avgdist_r
+               round(sum(CAST(floor(v*100.0 + 0.5) AS BIGINT))
+                     / 100.0 / count(*), 3) AS avg_r,
+               round(sum(CAST(floor(sqrt(d2)*1000000.0 + 0.5) AS BIGINT))
+                     / 1000000.0 / count(*), 3) AS avgdist_r
         FROM w GROUP BY gpx, gpy),
 nr AS (SELECT gpx, gpy,
               CAST(floor(v*100.0 + 0.5) AS BIGINT) AS nearest_c
        FROM w WHERE rn = 1),
 pr AS (SELECT a.gpx AS gpx, a.gpy AS gpy,
-              sum(sqrt((a.slon-b.slon)*(a.slon-b.slon)
-                       + (a.slat-b.slat)*(a.slat-b.slat))) AS psum,
+              sum(CAST(floor(sqrt((a.slon-b.slon)*(a.slon-b.slon)
+                                  + (a.slat-b.slat)*(a.slat-b.slat))
+                             * 1000000.0 + 0.5) AS BIGINT)) AS psum,
               count(*) AS pn
        FROM w a JOIN w b ON a.gpx = b.gpx AND a.gpy = b.gpy
                          AND a.sk <> b.sk
        GROUP BY a.gpx, a.gpy)
 SELECT agg.gpx, agg.gpy, n_sites, min_c, max_c, range_c, nearest_c,
        avg_r, avgdist_r,
-       round(coalesce(pr.psum / pr.pn, 0.0), 3) AS avgpts_r
+       round(coalesce(pr.psum / 1000000.0 / pr.pn, 0.0), 3) AS avgpts_r
 FROM agg
 JOIN nr ON nr.gpx = agg.gpx AND nr.gpy = agg.gpy
 LEFT JOIN pr ON pr.gpx = agg.gpx AND pr.gpy = agg.gpy
@@ -4402,6 +4409,47 @@ SELECT doc_id, shard, n_tokens, start_off,
        (start_off + n_tokens - 1) // 2048 AS last_seq,
        (start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS n_pieces
 FROM c
+"""
+
+
+def q_asof_attribution(sf_dir):
+    """As-of join (the classic attribution query): each click event
+    joins the SAME user's latest view event at-or-before its timestamp
+    (backward inclusive). Bounded key-hash buckets → one union shuffle
+    → vectorized merge_asof per bucket (`windows.asof_join`); oracle is
+    DuckDB's native ASOF LEFT JOIN. Unmatched clicks keep sentinel
+    (-1 / epoch) so the value hash covers the left-join rows too."""
+    from .windows import asof_join
+
+    ev = tables.read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+    out = asof_join(clicks, views, "user_id", "ts",
+                    right_cols=["event_id"], right_suffix="_view")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "view_event_id": pc.fill_null(
+                pc.cast(batch["event_id_view"], pa.int64()), -1),
+            "view_ts": pc.fill_null(
+                pc.cast(batch["ts_view"], pa.timestamp("us")),
+                pa.scalar(0, pa.timestamp("us"))),
+        })
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.event_id, -1) AS view_event_id,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
@@ -4804,6 +4852,7 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "source_quota": (q_source_quota, SQL_SOURCE_QUOTA),
     "contour": (q_contour, sql_contour()),
     "isobands": (q_isobands, sql_isobands()),

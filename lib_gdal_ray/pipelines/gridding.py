@@ -247,7 +247,8 @@ class _MetricStage:
     METRICS = ("count", "minimum", "maximum", "range", "average",
                "nearest", "average_distance", "average_distance_pts")
 
-    def __init__(self, wrapped, z, tile_size, metrics, radius, min_points):
+    def __init__(self, wrapped, z, tile_size, metrics, radius, min_points,
+                 value_scale=None, dist_scale=None):
         data = ray.get(wrapped["ref"])
         self.sx = data["x"]
         self.sy = data["y"]
@@ -256,10 +257,21 @@ class _MetricStage:
         self.metrics = list(metrics)
         self.r2 = float(radius) * float(radius)
         self.min_points = max(int(min_points), 1)
+        # Fixed-point accumulation knobs (reproducibility): with a
+        # scale set, each summand is quantized to floor(x*scale + 0.5)
+        # BEFORE accumulation, so the sums are integer-exact in float64
+        # and independent of summation order — batch splits, BLAS
+        # blocking and SQL GROUP BY order all produce the same result.
+        # Without them, a round()ed output can sit on a knife edge and
+        # flip between runs (sum-order noise in the last ulps).
+        self.vscale = float(value_scale) if value_scale else None
+        self.dscale = float(dist_scale) if dist_scale else None
         if "average_distance_pts" in self.metrics:
             ddx = self.sx[:, None] - self.sx[None, :]
             ddy = self.sy[:, None] - self.sy[None, :]
             self.site_d = np.sqrt(ddx * ddx + ddy * ddy)
+            if self.dscale:
+                self.site_d = np.floor(self.site_d * self.dscale + 0.5)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         gpx = batch["gpx"].to_numpy(zero_copy_only=False)
@@ -282,15 +294,32 @@ class _MetricStage:
                 out["nearest"] = self.sv[np.argmin(d2m, axis=1)]
                 continue
             if metric == "average_distance":
-                s = np.where(within, np.sqrt(d2), 0.0).sum(axis=1)
+                d = np.sqrt(d2)
+                if self.dscale:
+                    d = np.floor(d * self.dscale + 0.5)
+                s = np.where(within, d, 0.0).sum(axis=1)
+                if self.dscale:
+                    s = s / self.dscale
                 out["average_distance"] = s / np.maximum(m, 1)
                 continue
             if metric == "average_distance_pts":
+                # with dist_scale the matrix holds integers (exact in
+                # float64), so the GEMM is order-independent; without
+                # it the result can wobble in the last ulps with batch
+                # shape — fine for the engine, set dist_scale when a
+                # rounded output must be reproducible.
                 w = within.astype(np.float64)
                 pair_sum = ((w @ self.site_d) * w).sum(axis=1)
+                if self.dscale:
+                    pair_sum = pair_sum / self.dscale
                 pairs = m * (m - 1)
                 out["average_distance_pts"] = np.where(
                     pairs > 0, pair_sum / np.maximum(pairs, 1), 0.0)
+                continue
+            if metric == "average" and self.vscale:
+                vq = np.floor(self.sv * self.vscale + 0.5)
+                s = np.where(within, vq[None, :], 0.0).sum(axis=1)
+                out["average"] = (s / self.vscale) / np.maximum(m, 1)
                 continue
             vm = np.where(within, self.sv[None, :], np.nan)
             with np.errstate(invalid="ignore"):
@@ -317,7 +346,8 @@ def grid_metrics(pixels: ray.data.Dataset, site_x: np.ndarray,
                  site_y: np.ndarray, site_v: np.ndarray, z: int,
                  metrics: Sequence[str] = ("count",), radius: float = 1.0,
                  min_points: int = 1,
-                 tile_size: int = 256) -> ray.data.Dataset:
+                 tile_size: int = 256,
+                 value_scale=None, dist_scale=None) -> ray.data.Dataset:
     """gdal_grid data metrics / nearest over output pixel rows: one
     column per requested metric; pixels with < min_points in-radius
     sites drop (nodata). Broadcast sites (`ray.put` once, worker-cached
@@ -326,13 +356,15 @@ def grid_metrics(pixels: ray.data.Dataset, site_x: np.ndarray,
     ref = ray.put({"x": np.asarray(site_x, dtype=np.float64),
                    "y": np.asarray(site_y, dtype=np.float64),
                    "v": np.asarray(site_v, dtype=np.float64)})
-    key = ref.hex() + ":met:" + ",".join(metrics)
+    key = (ref.hex() + ":met:" + ",".join(metrics)
+           + f":{value_scale}:{dist_scale}")
 
     def stage(batch: pa.Table) -> pa.Table:
         from ..state.worker_cache import get_or_build
 
         j = get_or_build(key, lambda: _MetricStage(
-            {"ref": ref}, z, tile_size, metrics, radius, min_points))
+            {"ref": ref}, z, tile_size, metrics, radius, min_points,
+            value_scale=value_scale, dist_scale=dist_scale))
         return j(batch)
 
     return pixels.map_batches(stage, batch_format="pyarrow")

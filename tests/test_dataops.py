@@ -127,6 +127,46 @@ class TestText:
         # doc 2 straddles seqs 0 and 1? no: tokens 5..9 stay in seq 0
         assert list(out["n_pieces"]) == [1, 1, 1]
 
+    def test_asof_join_backward_and_forward(self):
+        from lib_gdal_ray.pipelines.windows import asof_join
+
+        left = pa.table({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                         "ts": pa.array([10, 20, 15, 5], pa.int64()),
+                         "lv": pa.array(["a", "b", "c", "d"])})
+        right = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                          "ts": pa.array([8, 18, 15], pa.int64()),
+                          "rv": pa.array([100.0, 200.0, 300.0])})
+        out = (asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), "k", "ts")
+               .to_pandas().sort_values("ts").set_index("lv"))
+        # backward inclusive: a->8, b->18, c->15 (exact), d unmatched
+        assert out.loc["a", "rv"] == 100.0 and out.loc["a", "ts_r"] == 8
+        assert out.loc["b", "rv"] == 200.0
+        assert out.loc["c", "rv"] == 300.0
+        assert pd.isna(out.loc["d", "rv"])
+        fwd = (asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), "k", "ts",
+                         direction="forward")
+               .to_pandas().set_index("lv"))
+        # forward: a(10)->18, b(20) unmatched, c(15)->15, d unmatched
+        assert fwd.loc["a", "rv"] == 200.0
+        assert pd.isna(fwd.loc["b", "rv"])
+        assert fwd.loc["c", "rv"] == 300.0
+
+    def test_asof_join_string_keys(self):
+        from lib_gdal_ray.pipelines.windows import asof_join
+
+        left = pa.table({"k": pa.array(["x", "y"]),
+                         "ts": pa.array([5, 5], pa.int64())})
+        right = pa.table({"k": pa.array(["x", "x", "y"]),
+                          "ts": pa.array([1, 4, 9], pa.int64()),
+                          "rv": pa.array([1.0, 2.0, 3.0])})
+        out = (asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), "k", "ts")
+               .to_pandas().set_index("k"))
+        assert out.loc["x", "rv"] == 2.0
+        assert pd.isna(out.loc["y", "rv"])
+
     def test_token_budget_mix(self):
         from lib_gdal_ray.pipelines.sampling import token_budget_mix
 
