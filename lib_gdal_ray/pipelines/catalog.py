@@ -1168,8 +1168,11 @@ def q_zonal_weighted(sf_dir):
         return (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * m
     zy0 = lat_to_gy(ymax)  # north edge -> smaller gy
     zy1 = lat_to_gy(ymin)
+    # quantize: integer fixed-point contributions so the grouped sums
+    # are order-independent (a round(4) output must not depend on block
+    # splits — see gridding._MetricStage note)
     out = zonal_stats_weighted(counts, nk, (zx0, zy0, zx1, zy1), 7,
-                               shuffle_partitions=8)
+                               shuffle_partitions=8, quantize=10**8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1199,8 +1202,11 @@ def sql_zonal_weighted():
            * least(greatest(least(gpy + 1.0, zy1) - greatest(CAST(gpy AS DOUBLE), zy0), 0.0), 1.0)
              AS cov
            FROM px, zb)
-    SELECT zone_id, round(sum(c * cov), 4) AS weighted_sum,
-           round(sum(cov), 4) AS weight_sum
+    SELECT zone_id,
+           round(sum(CAST(floor(c * cov * 100000000.0 + 0.5) AS BIGINT))
+                 / 100000000.0, 4) AS weighted_sum,
+           round(sum(CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT))
+                 / 100000000.0, 4) AS weight_sum
     FROM pairs WHERE cov > 0 GROUP BY zone_id
     """
 

@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .relational import grouped_agg
@@ -62,13 +63,20 @@ class _WeightedZonal:
 def zonal_stats_weighted(pixels: ray.data.Dataset, zone_id: np.ndarray,
                          zone_px_bounds, z: int,
                          tile_size: int = 256,
-                         shuffle_partitions: Optional[int] = None) -> ray.data.Dataset:
+                         shuffle_partitions: Optional[int] = None,
+                         quantize: Optional[float] = None) -> ray.data.Dataset:
     """Sparse raster × zone boxes with fractional coverage weights.
 
     zone_px_bounds = (zx0, zy0, zx1, zy1) in GLOBAL PIXEL coordinates at
     zoom z (callers project zone geometry; keeping the projection at the
     caller makes the weight arithmetic exactly mirrorable in a SQL
-    oracle). Returns (zone_id, weighted_sum, weight_sum)."""
+    oracle). Returns (zone_id, weighted_sum, weight_sum).
+
+    quantize: fixed-point scale Q — per-pair contributions become
+    floor(x*Q + 0.5) integers before the grouped sum, so the zone sums
+    are order-independent (block splits / reduce order can't wobble a
+    rounded output; same reproducibility knob as
+    gridding._MetricStage). Valid while Q × total ≲ 2^53."""
     import ray as _ray
 
     zx0, zy0, zx1, zy1 = (np.asarray(v, dtype=np.float64) for v in zone_px_bounds)
@@ -83,12 +91,36 @@ def zonal_stats_weighted(pixels: ray.data.Dataset, zone_id: np.ndarray,
         return j(batch)
 
     pairs = pixels.map_batches(stage, batch_format="pyarrow")
+    if quantize:
+        q = float(quantize)
+
+        def quant(batch: pa.Table) -> pa.Table:
+            wv = batch["wv"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            return (batch.set_column(
+                batch.column_names.index("wv"), "wv",
+                pa.array(np.floor(wv * q + 0.5)))
+                .set_column(batch.column_names.index("w"), "w",
+                            pa.array(np.floor(w * q + 0.5))))
+
+        pairs = pairs.map_batches(quant, batch_format="pyarrow")
     from .relational import grouped_agg
 
-    return grouped_agg(pairs, "zone_id", [
+    out = grouped_agg(pairs, "zone_id", [
         ("sum", "wv", "weighted_sum"),
         ("sum", "w", "weight_sum"),
     ], shuffle_partitions=shuffle_partitions)
+    if not quantize:
+        return out
+
+    def unquant(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": batch["zone_id"],
+            "weighted_sum": pc.divide(batch["weighted_sum"], q),
+            "weight_sum": pc.divide(batch["weight_sum"], q),
+        })
+
+    return out.map_batches(unquant, batch_format="pyarrow")
 
 
 def zonal_stats(points: ray.data.Dataset, zones: pa.Table,
