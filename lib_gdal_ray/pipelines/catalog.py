@@ -4780,6 +4780,162 @@ def sql_chunk_dedup() -> str:
 
 
 # ---------------------------------------------------------------------------
+# window functions / grouped top-k / bloom semi-anti / interval join
+# ---------------------------------------------------------------------------
+
+
+def q_orders_window(sf_dir):
+    """SQL window functions: per-customer row_number + running
+    totalprice (fixed-point cents so the running sum is order-exact)."""
+    from .windows import partitioned_window
+
+    o = tables.read_table(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+    return partitioned_window(
+        o, "o_custkey", ["o_orderdate", "o_orderkey"],
+        [{"name": "rn", "kind": "row_number"},
+         {"name": "cum_price_c", "kind": "cum_sum",
+          "col": "o_totalprice", "scale": 100}],
+        keep=["o_orderkey", "o_custkey"])
+
+
+SQL_ORDERS_WINDOW = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum({CENTS.format(x='o_totalprice')}) OVER w AS BIGINT)
+           AS cum_price_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_event_gaps(sf_dir):
+    """LAG(): microseconds since the previous event of the same user
+    (-1 sentinel on each user's first event)."""
+    from .windows import partitioned_window
+
+    ev = tables.read_table(sf_dir, "events",
+                           columns=["event_id", "user_id", "ts"])
+    return partitioned_window(
+        ev, "user_id", ["ts", "event_id"],
+        [{"name": "gap_us", "kind": "lag_diff", "col": "ts", "fill": -1}],
+        keep=["event_id", "user_id"])
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
+def q_topk_per_customer(sf_dir):
+    """Grouped top-k: each customer's 2 priciest orders with rank."""
+    from .windows import grouped_topk
+
+    o = tables.read_table(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    return grouped_topk(o, "o_custkey", "o_totalprice", 2,
+                        descending=True, tiebreak="o_orderkey",
+                        keep=["o_custkey", "o_orderkey"])
+
+
+SQL_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def _big_orders(sf_dir):
+    o = tables.read_table(sf_dir, "orders",
+                          columns=["o_custkey", "o_totalprice"])
+    return o.filter(expr="o_totalprice > 300000.0") \
+        .select_columns(["o_custkey"])
+
+
+def q_semi_join_customers(sf_dir):
+    """EXISTS (Bloom-prefiltered exact semi join): customers with at
+    least one order over 300k."""
+    from .joins import bloom_semi_anti_join
+
+    c = tables.read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_name", "c_acctbal"])
+    return bloom_semi_anti_join(c, _big_orders(sf_dir), "c_custkey",
+                                "o_custkey", anti=False)
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+"""
+
+
+def q_anti_join_customers(sf_dir):
+    """NOT EXISTS (Bloom 'definitely absent' + exact residue verify):
+    customers with NO order over 300k."""
+    from .joins import bloom_semi_anti_join
+
+    c = tables.read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_name", "c_acctbal"])
+    return bloom_semi_anti_join(c, _big_orders(sf_dir), "c_custkey",
+                                "o_custkey", anti=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)
+"""
+
+
+def q_interval_click_purchase(sf_dir):
+    """Interval join: every (click, purchase) pair of the same user
+    with the purchase inside [click_ts, click_ts + 2h)."""
+    from .joins import interval_join
+
+    ev = tables.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                   "event_type"])
+
+    def mk_clicks(batch: pa.Table) -> pa.Table:
+        t0 = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        t1 = t0 + np.timedelta64(2, "h")
+        return pa.table({"click_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "t0": pa.array(t0), "t1": pa.array(t1)})
+
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .map_batches(mk_clicks, batch_format="pyarrow")
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(lambda t: pa.table({"purchase_id": t["event_id"],
+                                         "user_id": t["user_id"],
+                                         "ts": t["ts"]}),
+                     batch_format="pyarrow")
+    return interval_join(clicks, purchases, "t0", "t1", "ts",
+                         key_col="user_id",
+                         interval_cols=["click_id"],
+                         point_cols=["purchase_id"])
+
+
+SQL_INTERVAL_CP = """
+SELECT iv.event_id AS click_id, e.event_id AS purchase_id
+FROM events iv JOIN events e
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.ts AND e.ts < iv.ts + INTERVAL 2 HOUR
+WHERE iv.event_type = 'click' AND e.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4799,6 +4955,12 @@ QUERIES = {
     "events_hourly_window": (q_events_hourly_window, SQL_EVENTS_HOURLY),
     "sliding_window": (q_sliding_window, SQL_SLIDING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "orders_window": (q_orders_window, SQL_ORDERS_WINDOW),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "topk_per_customer": (q_topk_per_customer, SQL_TOPK_PER_CUSTOMER),
+    "semi_join_customers": (q_semi_join_customers, SQL_SEMI_JOIN),
+    "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN),
+    "interval_click_purchase": (q_interval_click_purchase, SQL_INTERVAL_CP),
     "union_names": (q_union_names, SQL_UNION),
     "median_quantity": (q_median_quantity, SQL_MEDIAN),
     "orders_by_year": (q_orders_by_year, SQL_ORDERS_YEAR),

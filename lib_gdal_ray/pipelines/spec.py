@@ -396,3 +396,20 @@ def _info(ds, *, geometry_col=None):
     import pandas as _pd
 
     return _pd.DataFrame([out])
+
+
+@register_op("window")
+def _window(ds, *, part_col, order_cols, specs, keep=None, n_buckets=256):
+    from .windows import partitioned_window
+
+    return partitioned_window(ds, part_col, order_cols, specs, keep=keep,
+                              n_buckets=n_buckets)
+
+
+@register_op("grouped_topk")
+def _grouped_topk(ds, *, part_col, order_col, k, descending=True,
+                  tiebreak=None, keep=None, n_buckets=256):
+    from .windows import grouped_topk
+
+    return grouped_topk(ds, part_col, order_col, k, descending=descending,
+                        tiebreak=tiebreak, keep=keep, n_buckets=n_buckets)

@@ -219,3 +219,171 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return merged.rename(columns=ren)
 
     return both.groupby("__g").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Partitioned window functions (row_number / cumulative sum / lag diff)
+# ---------------------------------------------------------------------------
+
+def _sorted_partitions(tbl: pa.Table, part_col: str, order_cols):
+    """Sort a bucket's rows by (partition, order_cols...) and return
+    (order_idx, starts, grp): the take-order, the sorted-row index where
+    each partition begins, and each sorted row's partition ordinal."""
+    part = tbl[part_col].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(part)  # grouping only; partition order is free
+    okeys = [tbl[c].to_numpy(zero_copy_only=False) for c in order_cols]
+    # np.lexsort: LAST key is primary -> (order_n, ..., order_1, part)
+    order = np.lexsort(tuple(reversed(okeys)) + (codes,))
+    cs = codes[order]
+    new = np.ones(len(cs), dtype=bool)
+    if len(cs) > 1:
+        new[1:] = cs[1:] != cs[:-1]
+    starts = np.flatnonzero(new)
+    grp = np.cumsum(new) - 1
+    return order, starts, grp
+
+
+def partitioned_window(ds: ray.data.Dataset, part_col: str, order_cols,
+                       specs, keep=None,
+                       n_buckets: int = 256) -> ray.data.Dataset:
+    """SQL window functions over PARTITION BY part_col ORDER BY
+    order_cols, keys-not-order (reference has no window functions;
+    this is the training-pipeline surface the north rule asks for —
+    per-document / per-user ordered derivations at corpus scale).
+
+    ``specs`` is a list of dicts, each producing one int64 output column:
+      {"name": n, "kind": "row_number"}
+      {"name": n, "kind": "cum_sum", "col": c, "scale": 100}
+          running fixed-point sum (floor(x*scale+0.5), summed as int64 —
+          exact in any order; mirror the same floor in the SQL oracle)
+      {"name": n, "kind": "lag_diff", "col": c, "fill": None}
+          value - previous value within the partition (int64; timestamps
+          diff in microseconds); NULL on each partition's first row, or
+          ``fill`` if given (an int sentinel keeps the output column
+          non-nullable — simpler to hash-compare).
+
+    ``order_cols`` must be a total order within each partition (include a
+    unique tiebreak column) or row_number/lag are nondeterministic.
+
+    Distributed shape: one narrow shuffle into ``n_buckets`` bounded
+    partition-hash buckets (all rows of a partition co-locate; bounded
+    group count, NOT per-key groups — NOTES lesson 2); the per-bucket
+    kernel is one lexsort + vectorized segment arithmetic for every
+    partition in the bucket at once.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    keep_cols = list(keep) if keep is not None else None
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        kc = keep_cols if keep_cols is not None else [
+            c for c in tbl.column_names if c != "__g"]
+        if len(tbl) == 0:
+            cols = {c: tbl[c] for c in kc}
+            for s in specs:
+                cols[s["name"]] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        order, starts, grp = _sorted_partitions(tbl, part_col, order_cols)
+        idx = pa.array(order)
+        out = {c: tbl[c].take(idx) for c in kc}
+        n = len(order)
+        pos_in_part = np.arange(n, dtype=np.int64) - starts[grp]
+        for s in specs:
+            kind = s["kind"]
+            if kind == "row_number":
+                out[s["name"]] = pa.array(pos_in_part + 1)
+            elif kind == "cum_sum":
+                v = tbl[s["col"]].to_numpy(zero_copy_only=False)[order]
+                scale = s.get("scale")
+                q = (np.floor(v * scale + 0.5).astype(np.int64) if scale
+                     else v.astype(np.int64))
+                cs = np.cumsum(q)
+                base = cs[starts] - q[starts]
+                out[s["name"]] = pa.array(cs - base[grp])
+            elif kind == "lag_diff":
+                v = tbl[s["col"]].to_numpy(zero_copy_only=False)
+                if v.dtype.kind == "M":
+                    v = v.astype("datetime64[us]").astype(np.int64)
+                v = v.astype(np.int64)[order]
+                d = np.zeros(n, dtype=np.int64)
+                if n > 1:
+                    d[1:] = v[1:] - v[:-1]
+                first = np.zeros(n, dtype=bool)
+                first[starts] = True
+                fill = s.get("fill")
+                if fill is not None:
+                    d[first] = fill
+                    out[s["name"]] = pa.array(d)
+                else:
+                    out[s["name"]] = pa.array(d, mask=first)
+            else:
+                raise ValueError(f"unknown window spec kind: {kind}")
+        return pa.table(out)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return _key_bucket(batch, part_col, n_buckets)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__g").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def grouped_topk(ds: ray.data.Dataset, part_col: str, order_col: str, k: int,
+                 descending: bool = True, tiebreak: Optional[str] = None,
+                 keep=None, n_buckets: int = 256) -> ray.data.Dataset:
+    """Top-k rows PER KEY (SQL `QUALIFY row_number() OVER (PARTITION BY
+    part ORDER BY order) <= k`), with the rank as an int64 ``rn`` column.
+
+    Two stages, both vectorized:
+    1. per-batch LOCAL prune — inside every input batch keep at most k
+       rows per key (a batch can never contribute more than k survivors
+       per key), so only ~k × keys_per_batch rows ride the shuffle;
+    2. one bounded key-hash-bucket shuffle + the same kernel per bucket,
+       now emitting the exact global rank.
+
+    ``order_col`` must be numeric/temporal; ties break on ``tiebreak``
+    ascending (include one unless (part, order) is already unique).
+    """
+    keep_cols = list(keep) if keep is not None else None
+    # the shuffle must carry the sort columns even if the caller's
+    # projection drops them; project down only in the final stage
+    carry = None
+    if keep_cols is not None:
+        carry = list(dict.fromkeys(
+            keep_cols + [part_col, order_col]
+            + ([tiebreak] if tiebreak else [])))
+
+    def prune(tbl: pa.Table, final: bool) -> pa.Table:
+        kc = ((keep_cols if final else carry)
+              if keep_cols is not None
+              else [c for c in tbl.column_names if c != "__g"])
+        if len(tbl) == 0:
+            cols = {c: tbl[c] for c in kc}
+            if final:
+                cols["rn"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        v = tbl[order_col].to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "M":
+            v = v.astype("datetime64[us]").astype(np.int64)
+        key = -v if descending else v
+        ocols = [key] if tiebreak is None else [
+            key, tbl[tiebreak].to_numpy(zero_copy_only=False)]
+        part = tbl[part_col].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(part)
+        order = np.lexsort(tuple(reversed(ocols)) + (codes,))
+        cs = codes[order]
+        new = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            new[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        pos = np.arange(len(cs), dtype=np.int64) - starts[grp]
+        sel = order[pos < k]
+        out = {c: tbl[c].take(pa.array(sel)) for c in kc}
+        if final:
+            out["rn"] = pa.array(pos[pos < k] + 1)
+        return pa.table(out)
+
+    local = ds.map_batches(lambda t: prune(t, False), batch_format="pyarrow")
+    bucketed = local.map_batches(
+        lambda t: _key_bucket(t, part_col, n_buckets), batch_format="pyarrow")
+    return bucketed.groupby("__g").map_groups(
+        lambda t: prune(t, True), batch_format="pyarrow")
