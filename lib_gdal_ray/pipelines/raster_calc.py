@@ -122,51 +122,105 @@ def reclassify(pixels: ray.data.Dataset, bounds: Sequence[float],
 
 
 # ---------------------------------------------------------------------------
-# Focal 3×3 kernels (DEM family)
+# Focal kernels (DEM family) — tile-halo co-partition
 # ---------------------------------------------------------------------------
+#
+# Scale shape: instead of scattering every pixel to all (2r+1)² neighbor
+# keys and running a per-pixel groupby (shuffle volume 9× the raster for
+# the 3×3 family), each pixel is tagged with every `tile`-sized block
+# whose halo-expanded window can see it (≤4 replicas while halo < tile,
+# ~1 + 4·halo/tile on average), ONE bounded-keyspace groupby(__blk)
+# co-locates each tile's window, and a dense vectorized kernel computes
+# all stencil slots with array slicing. Output is identical to the
+# scatter/groupby formulation: a row for every in-range pixel within
+# Chebyshev distance `halo` of a present pixel, absent slots = 0.
 
 _SLOTS = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]  # row-major stencil
 
 
-def _gather_stencil(pixels: ray.data.Dataset) -> ray.data.Dataset:
+def _tag_tile_halo(batch: pa.Table, halo: int, tile: int) -> pa.Table:
+    """Replicate each pixel row to every (z, tile-block) key whose
+    halo-expanded window contains it. Block key packs (z << 42 |
+    bx << 21 | by); needs tile >= 256 so bx, by < 2^21."""
+    pix = batch["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+    z, gpx, gpy = unpack_pixel(pix)
+    n = len(pix)
+    if n == 0:
+        return pa.table({"pix_id": pa.array([], pa.uint64()),
+                         "burn": pa.array([], pa.float64()),
+                         "__blk": pa.array([], pa.uint64())})
+    maxb = ((1 << 29) - 1) // tile
+    bx0 = np.maximum((gpx - halo) // tile, 0)
+    bx1 = np.minimum((gpx + halo) // tile, maxb)
+    by0 = np.maximum((gpy - halo) // tile, 0)
+    by1 = np.minimum((gpy + halo) // tile, maxb)
+    ny = (by1 - by0 + 1).astype(np.int64)
+    reps = ((bx1 - bx0 + 1) * ny).astype(np.int64)
+    total = int(reps.sum())
+    idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+    ny_r = np.repeat(ny, reps)
+    bx = np.repeat(bx0, reps) + k // ny_r
+    by = np.repeat(by0, reps) + k % ny_r
+    key = (np.repeat(z, reps).astype(np.uint64) << np.uint64(42)) \
+        | (bx.astype(np.uint64) << np.uint64(21)) | by.astype(np.uint64)
+    return pa.table({"pix_id": pa.array(pix[idx]),
+                     "burn": pa.array(burn[idx]),
+                     "__blk": pa.array(key)})
+
+
+def _unpack_blk(blk: int):
+    return blk >> 42, (blk >> 21) & ((1 << 21) - 1), blk & ((1 << 21) - 1)
+
+
+def _dense_window(tbl: pa.Table, halo: int, tile: int):
+    """Place a tile group's rows into a dense (tile+2·halo)² window.
+    Returns (z, x0, y0, dense, present) with window origin (x0, y0)."""
+    z, bx, by = _unpack_blk(int(tbl["__blk"][0].as_py()))
+    x0, y0 = bx * tile - halo, by * tile - halo
+    w = tile + 2 * halo
+    pix = tbl["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    burn = tbl["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
+    _, gpx, gpy = unpack_pixel(pix)
+    dense = np.zeros((w, w), dtype=np.float64)
+    present = np.zeros((w, w), dtype=bool)
+    ly, lx = gpy - y0, gpx - x0
+    dense[ly, lx] = burn
+    present[ly, lx] = True
+    return z, x0, y0, dense, present
+
+
+def _gather_stencil(pixels: ray.data.Dataset,
+                    tile: int = 256) -> ray.data.Dataset:
     """-> rows (pix_id, s0..s8, n_present) where s_i is the 3×3 stencil
-    value (absent=0) and n_present counts present neighbors."""
+    value (absent=0) and n_present counts present neighbors (self
+    included). One tile-halo shuffle, dense slicing kernel."""
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
-        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
-        z, gpx, gpy = unpack_pixel(pix)
-        n = len(pix)
-        zval = int(z[0]) if n else 0
-        lim = np.int64(1) << np.int64(29)
-        tgt_all, keep_all = [], []
+    def tag(batch: pa.Table) -> pa.Table:
+        return _tag_tile_halo(batch, 1, tile)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        z, x0, y0, dense, present = _dense_window(tbl, 1, tile)
+        slots, npres = [], np.zeros((tile, tile), dtype=np.float64)
         for dx, dy in _SLOTS:
-            tx, ty = gpx + dx, gpy + dy
-            keep_all.append((tx >= 0) & (ty >= 0) & (tx < lim) & (ty < lim))
-            tgt_all.append(pack_pixel(zval, np.clip(tx, 0, lim - 1),
-                                      np.clip(ty, 0, lim - 1)))
-        tgt = np.concatenate(tgt_all) if n else np.empty(0, np.uint64)
-        keep = np.concatenate(keep_all) if n else np.empty(0, bool)
-        cols = {}
+            slots.append(dense[1 + dy:1 + dy + tile, 1 + dx:1 + dx + tile])
+            npres += present[1 + dy:1 + dy + tile, 1 + dx:1 + dx + tile]
+        oy, ox = np.nonzero(npres > 0)
+        gx, gy = x0 + 1 + ox, y0 + 1 + oy
+        lim = np.int64(1) << np.int64(29)
+        if len(gx) and (gx.max() >= lim or gy.max() >= lim):
+            ok = (gx < lim) & (gy < lim)
+            oy, ox, gx, gy = oy[ok], ox[ok], gx[ok], gy[ok]
+        out = {"pix_id": pa.array(pack_pixel(int(z), gx, gy))}
         for si in range(9):
-            c = np.zeros(n * 9, dtype=np.float64)
-            # a pixel scattered at offset (dx,dy) sits at slot (-dx,-dy)
-            # of the TARGET pixel's stencil: slot index 8 - si
-            c[si * n:(si + 1) * n] = burn
-            cols[f"s{8 - si}"] = pa.array(c)
-        present = np.zeros(n * 9, dtype=np.float64)
-        for si in range(9):
-            present[si * n:(si + 1) * n] = 1.0
-        t = pa.table({"pix_id": pa.array(tgt), **cols, "np_": pa.array(present)})
-        return t.filter(pa.array(keep))
+            out[f"s{si}"] = pa.array(slots[si][oy, ox])
+        out["n_present"] = pa.array(npres[oy, ox])
+        return pa.table(out)
 
-    scattered = pixels.map_batches(scatter, batch_format="pyarrow")
-
-    from ray.data.aggregate import Sum
-
-    aggs = [Sum(f"s{i}", alias_name=f"s{i}") for i in range(9)]
-    aggs.append(Sum("np_", alias_name="n_present"))
-    return scattered.groupby("pix_id").aggregate(*aggs)
+    return (pixels.map_batches(tag, batch_format="pyarrow")
+            .groupby("__blk").map_groups(kernel, batch_format="pyarrow"))
 
 
 def focal(pixels: ray.data.Dataset, kernel: str,
@@ -290,61 +344,54 @@ def focal(pixels: ray.data.Dataset, kernel: str,
 
 
 def focal_nxn(pixels: ray.data.Dataset, radius: int = 1, op: str = "mean",
-              full_only: bool = False) -> ray.data.Dataset:
+              full_only: bool = False, tile: int = 256) -> ray.data.Dataset:
     """Generic (2r+1)×(2r+1) neighbor aggregation
-    (`apps/gdalalg_raster_neighbors.cpp`): op in mean|sum|min|max.
-
-    Symmetric aggregations need only ONE value column: each pixel
-    scatters its value to every neighbor position; one `groupby(pix)`
-    reduces. full_only keeps pixels with a complete window."""
+    (`apps/gdalalg_raster_neighbors.cpp`): op in mean|sum|min|max over
+    PRESENT neighbors. Tile-halo co-partition (one bounded groupby,
+    ≤4 replicas per pixel) + dense shift-accumulate kernel.
+    full_only keeps pixels with a complete window."""
     if op not in ("mean", "sum", "min", "max"):
         raise ValueError("op must be mean|sum|min|max")
     side = 2 * radius + 1
+    if radius >= tile:
+        raise ValueError("radius must be < tile")
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        pix = batch["pix_id"].to_numpy(zero_copy_only=False)
-        burn = batch["burn"].to_numpy(zero_copy_only=False).astype(np.float64)
-        z, gpx, gpy = unpack_pixel(pix)
-        n = len(pix)
-        zval = int(z[0]) if n else 0
+    def tag(batch: pa.Table) -> pa.Table:
+        return _tag_tile_halo(batch, radius, tile)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        z, x0, y0, dense, present = _dense_window(tbl, radius, tile)
+        cnt = np.zeros((tile, tile), dtype=np.float64)
+        if op in ("mean", "sum"):
+            acc = np.zeros((tile, tile), dtype=np.float64)
+        else:
+            fill = np.inf if op == "min" else -np.inf
+            acc = np.full((tile, tile), fill, dtype=np.float64)
+        r = radius
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                sl = dense[r + dy:r + dy + tile, r + dx:r + dx + tile]
+                pr = present[r + dy:r + dy + tile, r + dx:r + dx + tile]
+                cnt += pr
+                if op in ("mean", "sum"):
+                    acc += sl
+                elif op == "min":
+                    acc = np.minimum(acc, np.where(pr, sl, np.inf))
+                else:
+                    acc = np.maximum(acc, np.where(pr, sl, -np.inf))
+        hit = cnt >= (side * side if full_only else 1)
+        oy, ox = np.nonzero(hit)
+        out = acc[oy, ox] / cnt[oy, ox] if op == "mean" else acc[oy, ox]
+        gx, gy = x0 + r + ox, y0 + r + oy
         lim = np.int64(1) << np.int64(29)
-        tgt, keep, vals = [], [], []
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                tx, ty = gpx + dx, gpy + dy
-                keep.append((tx >= 0) & (ty >= 0) & (tx < lim) & (ty < lim))
-                tgt.append(pack_pixel(zval, np.clip(tx, 0, lim - 1),
-                                      np.clip(ty, 0, lim - 1)))
-                vals.append(burn)
-        t = pa.table({
-            "pix_id": pa.array(np.concatenate(tgt) if n else np.empty(0, np.uint64)),
-            "v": pa.array(np.concatenate(vals) if n else np.empty(0, np.float64)),
-            "c": pa.array(np.ones(n * side * side)),
-        })
-        return t.filter(pa.array(np.concatenate(keep) if n else np.empty(0, bool)))
+        if len(gx) and (gx.max() >= lim or gy.max() >= lim):
+            ok = (gx < lim) & (gy < lim)
+            gx, gy, out = gx[ok], gy[ok], out[ok]
+        return pa.table({"pix_id": pa.array(pack_pixel(int(z), gx, gy)),
+                         "burn": pa.array(out)})
 
-    scattered = pixels.map_batches(scatter, batch_format="pyarrow")
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    if op in ("mean", "sum"):
-        agg = scattered.groupby("pix_id").aggregate(Sum("v", alias_name="v"),
-                                                    Sum("c", alias_name="c"))
-    else:
-        a = Min if op == "min" else Max
-        agg = scattered.groupby("pix_id").aggregate(a("v", alias_name="v"),
-                                                    Sum("c", alias_name="c"))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        v = batch["v"].to_numpy(zero_copy_only=False)
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        out = v / c if op == "mean" else v
-        t = pa.table({"pix_id": batch["pix_id"], "burn": pa.array(out)})
-        if full_only:
-            t = t.filter(pa.array(c >= side * side))
-        return t
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return (pixels.map_batches(tag, batch_format="pyarrow")
+            .groupby("__blk").map_groups(kernel, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

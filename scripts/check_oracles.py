@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry at a given sf and compare rows/schema/values vs oracle_sql().
 
-Usage: python scripts/check_oracles.py [sf_dir]
+Usage: python scripts/check_oracles.py [sf_dir] [name_substr ...]
+(optional name substrings restrict which queries run)
 """
 import json
 import os
@@ -17,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=()):
     import ray
 
     if not ray.is_initialized():
@@ -39,6 +40,8 @@ def main(sf_dir: str):
 
     results = {}
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.perf_counter()
         try:
             out = fn(sf_dir)
@@ -84,4 +87,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         tuple(sys.argv[2:]))
