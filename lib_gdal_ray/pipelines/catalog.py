@@ -1305,23 +1305,26 @@ ON p.lon >= z.xmin AND p.lon <= z.xmax AND p.lat >= z.ymin AND p.lat <= z.ymax
 
 def q_raster_calc_ratio(sf_dir):
     """Band math: mean value per pixel = (sum-of-cents raster) /
-    (count raster) via pixel_calc 'div' — both sides exact integers."""
+    (count raster), both bands fused into ONE rasterize pass + ONE
+    pixel exchange (rasterize_pixels_multi) — both sides exact ints."""
     from . import raster_calc as rc
 
     pts = events_points(sf_dir, cols=("event_id", "value"))
     pts = add_cents(pts, "value", "value_c")
-    counts = rast.rasterize_pixels(pts, 7, merge_alg="count", shuffle_partitions=8)
-    sums = rast.rasterize_pixels(pts, 7, value_col="value_c", merge_alg="add", shuffle_partitions=8)
-    ratio = rc.pixel_calc(sums, counts, "div", shuffle_partitions=8)
+    both = rast.rasterize_pixels_multi(
+        pts, 7, [("value_c", "add", "s"), (None, "count", "n")],
+        shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         z, gpx, gpy = rast.unpack_pixel(batch["pix_id"].to_numpy(zero_copy_only=False))
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
         return pa.table({
             "gpx": pa.array(gpx), "gpy": pa.array(gpy),
-            "mean_value_c": batch["burn"],
+            "mean_value_c": pa.array(s / n),
         })
 
-    return ratio.map_batches(f, batch_format="pyarrow")
+    return both.map_batches(f, batch_format="pyarrow")
 
 
 def sql_raster_calc_ratio():
@@ -2896,9 +2899,9 @@ def q_intersection_overlay(sf_dir):
                  for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
         return batch.append_column("geometry", pa.array(geoms, type=pa.binary()))
 
-    # spread the per-geometry clip kernels across all cores (a single
-    # parquet file otherwise yields too few blocks to parallelize)
-    polys = parts.repartition(32).map_batches(geo, batch_format="pyarrow")
+    # Ray splits even a single-file read into ~2×CPU blocks (NOTES
+    # lesson 11), so the clip kernels parallelize without a repartition
+    polys = parts.map_batches(geo, batch_format="pyarrow")
     out = broadcast_box_intersection(polys, zone_table(sf_dir), ["zone_id"], res=10.0)
     return out.select_columns(["p_partkey", "zone_id", "intersection_area"])
 

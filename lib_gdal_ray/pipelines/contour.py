@@ -263,9 +263,14 @@ def contour_lines(pixels: ray.data.Dataset, levels: Sequence[float]
                 "ymax": pa.array(np.maximum(y1, y2)),
             })
 
-    labeled = segs.map_batches(Assign, batch_format="pyarrow",
-                               fn_constructor_args=({"ref": ref},),
-                               concurrency=(1, 8))
+    key = ref.hex() + ":contour_assign"
+
+    def assign_stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        return get_or_build(key, lambda: Assign({"ref": ref}))(batch)
+
+    labeled = segs.map_batches(assign_stage, batch_format="pyarrow")
 
     from ray.data.aggregate import Count, Max, Min, Sum
 

@@ -363,9 +363,10 @@ def token_hash64(token: str) -> int:
 
 
 class _SimHashStage:
-    """Per-actor token-hash cache: natural-language batches re-use a
-    small vocabulary, so each distinct token hashes at most once per
-    actor lifetime; the per-doc work is then pure numpy."""
+    """Per-worker token-hash cache (held via worker_cache):
+    natural-language batches re-use a small vocabulary, so each distinct
+    token hashes at most once per worker lifetime; the per-doc work is
+    then pure numpy."""
 
     def __init__(self, text_col):
         import re
@@ -403,8 +404,14 @@ class _SimHashStage:
 
 
 def simhash64(ds: ray.data.Dataset, text_col: str, concurrency=(1, 8)) -> ray.data.Dataset:
-    return ds.map_batches(_SimHashStage, batch_format="pyarrow",
-                          fn_constructor_args=(text_col,), concurrency=concurrency)
+    key = f"simhash64:{text_col}"
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        return get_or_build(key, lambda: _SimHashStage(text_col))(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

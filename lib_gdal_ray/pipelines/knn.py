@@ -341,9 +341,14 @@ def shuffle_knn_join(points: ray.data.Dataset, sites: ray.data.Dataset, k: int,
                 pid = batch[point_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
                 return batch.filter(pa.array(np.isin(pid, self.ids)))
 
-        remaining = points.map_batches(KeepBad, batch_format="pyarrow",
-                                       fn_constructor_args=({"ref": bad_ref},),
-                                       concurrency=(1, 4))
+        kb_key = bad_ref.hex() + ":knn_keepbad"
+
+        def keepbad_stage(batch: pa.Table, _key=kb_key, _ref=bad_ref) -> pa.Table:
+            from ..state.worker_cache import get_or_build
+
+            return get_or_build(_key, lambda: KeepBad({"ref": _ref}))(batch)
+
+        remaining = points.map_batches(keepbad_stage, batch_format="pyarrow")
         r *= 2
 
     out = results[0]

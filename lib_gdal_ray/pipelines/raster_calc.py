@@ -459,9 +459,14 @@ def nearblack_collar(pixels: ray.data.Dataset, window,
                 "burn": sub["value"],
             })
 
-    return labeled.map_batches(KeepCollar, batch_format="pyarrow",
-                               fn_constructor_args=({"ref": ref},),
-                               concurrency=(1, 4))
+    kc_key = ref.hex() + ":nearblack_collar"
+
+    def collar_stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        return get_or_build(kc_key, lambda: KeepCollar({"ref": ref}))(batch)
+
+    return labeled.map_batches(collar_stage, batch_format="pyarrow")
 
 
 def pixel_histogram(pixels: ray.data.Dataset, vmin: float, vmax: float,

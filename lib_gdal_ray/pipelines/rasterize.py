@@ -151,6 +151,57 @@ def rasterize_pixels(points: ray.data.Dataset, z: int,
     return combine_pixel_partials(partials, pa_agg, shuffle_partitions)
 
 
+def rasterize_pixels_multi(points: ray.data.Dataset, z: int,
+                           specs, lon_col: str = "lon", lat_col: str = "lat",
+                           tile_size: int = 256,
+                           shuffle_partitions: Optional[int] = None
+                           ) -> ray.data.Dataset:
+    """Fused multi-band rasterize: ONE input pass + ONE pixel shuffle
+    for several (value_col, merge_alg, out_name) bands over the same
+    points — e.g. a (sum, count) pair for a per-pixel mean needs one
+    exchange instead of two rasterize passes plus a co-align.
+
+    specs: iterable of (value_col | None, merge_alg, out_name);
+    merge_alg per `_PA_AGG` (count partials combine with sum)."""
+    specs = [(vc, alg, out) for vc, alg, out in specs]
+    for _, alg, _ in specs:
+        if alg not in _PA_AGG:
+            raise ValueError(f"merge_alg must be one of {sorted(_PA_AGG)}")
+    if z > 29 - int(np.log2(tile_size)):
+        raise ValueError(f"zoom {z} exceeds single-key pixel packing range")
+    aggs = [(out, _PA_AGG[alg]) for _, alg, out in specs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[lon_col].to_numpy(zero_copy_only=False)
+        y = batch[lat_col].to_numpy(zero_copy_only=False)
+        tx, ty, px, py = cells.tile_pixel(x, y, z, tile_size)
+        pix = pack_pixel(z, tx * tile_size + px, ty * tile_size + py)
+        cols = {"pix_id": pa.array(pix)}
+        for vc, alg, out in specs:
+            if alg == "count" or vc is None:
+                cols[out] = pa.array(np.ones(len(tx), dtype=np.float64))
+            else:
+                cols[out] = pa.array(
+                    batch[vc].to_numpy(zero_copy_only=False).astype(np.float64))
+        t = pa.table(cols)
+        g = t.group_by(["pix_id"]).aggregate([(o, a) for o, a in aggs])
+        return g.rename_columns(["pix_id"] + [o for o, _ in aggs])
+
+    partials = points.map_batches(partial, batch_format="pyarrow")
+    if shuffle_partitions:
+        def combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["pix_id"]).aggregate([(o, a) for o, a in aggs])
+            return g.rename_columns(["pix_id"] + [o for o, _ in aggs])
+
+        return partials.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                                   batch_size=None)
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_aggs = [{"sum": Sum, "max": Max, "min": Min}[a](o, alias_name=o)
+                for o, a in aggs]
+    return partials.groupby("pix_id").aggregate(*ray_aggs)
+
+
 def combine_pixel_partials(partials: ray.data.Dataset, pa_agg: str,
                            shuffle_partitions: Optional[int] = None
                            ) -> ray.data.Dataset:

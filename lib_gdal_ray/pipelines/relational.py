@@ -158,8 +158,9 @@ def global_agg(ds: ray.data.Dataset, specs: Sequence[AggSpec],
 
 
 class _BroadcastJoiner:
-    """Actor-pool stage: deserialize the broadcast right side once per
-    actor (`__init__`), hash-join each batch against it (`__call__`)."""
+    """Per-worker stage state: deserialize the broadcast right side once
+    per worker process (via worker_cache), hash-join each batch against
+    it (`__call__`)."""
 
     def __init__(self, wrapped_ref, left_on, right_on, how, drop_right):
         table = ray.get(wrapped_ref["ref"])
@@ -189,18 +190,24 @@ def broadcast_hash_join(ds: ray.data.Dataset, right: pa.Table,
                         drop_right: Optional[List[str]] = None) -> ray.data.Dataset:
     """Join a Dataset against a small in-memory table (dimension side).
 
-    `right` is ray.put once; each actor pulls it once. No shuffle.
+    `right` is ray.put once; each worker process pulls it once (task
+    pool + worker cache — no actor cold-start). No shuffle.
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = left_on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     ref = ray.put(right)
-    return ds.map_batches(
-        _BroadcastJoiner,
-        batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, left_on, right_on, how, drop_right or []),
-        concurrency=concurrency,
-    )
+    key = ref.hex() + f":bjoin:{left_on}:{right_on}:{how}:{drop_right}"
+    dr = drop_right or []
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key, lambda: _BroadcastJoiner(
+            {"ref": ref}, left_on, right_on, how, dr))
+        return j(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def union_all(datasets: Sequence[ray.data.Dataset],

@@ -163,7 +163,11 @@ def sieve(pixels: ray.data.Dataset, threshold: int,
             pix = pack_pixel(int(zz[0]) if len(zz) else 0, gpx, gpy)
             return pa.table({"pix_id": pa.array(pix), "burn": pa.array(newv)})
 
-    rewritten = labeled.map_batches(Rewrite, batch_format="pyarrow",
-                                    fn_constructor_args=({"ref": ref},),
-                                    concurrency=(1, 8))
-    return rewritten
+    rw_key = ref.hex() + ":sieve_rewrite"
+
+    def rewrite_stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        return get_or_build(rw_key, lambda: Rewrite({"ref": ref}))(batch)
+
+    return labeled.map_batches(rewrite_stage, batch_format="pyarrow")

@@ -564,12 +564,21 @@ def broadcast_polygon_intersection(polys: ray.data.Dataset, method: pa.Table,
                                    ) -> ray.data.Dataset:
     """Layer-algebra Intersection for arbitrary hole-free simple
     polygons on both sides (fragmented multipolygon output; exact
-    area/point-set — see geom/triangulate.py)."""
+    area/point-set — see geom/triangulate.py). Task pool + per-worker
+    index cache (no actor cold-start; `concurrency` kept for API
+    compat)."""
     ref = ray.put(method)
-    return polys.map_batches(
-        _PolyIntersectionJoiner, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, res, list(method_cols)),
-        concurrency=concurrency)
+    key = ref.hex()
+    cols = list(method_cols)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key + ":pisect",
+                         lambda: _PolyIntersectionJoiner({"ref": ref}, res, cols))
+        return j(batch)
+
+    return polys.map_batches(stage, batch_format="pyarrow")
 
 
 def broadcast_box_intersection(polys: ray.data.Dataset, boxes: pa.Table,
@@ -578,12 +587,20 @@ def broadcast_box_intersection(polys: ray.data.Dataset, boxes: pa.Table,
                                ) -> ray.data.Dataset:
     """Polygon-input × box-method-layer Intersection: one row per
     overlapping (polygon, box) with the clipped geometry and its area.
-    `boxes` must carry box polygons in a `geometry` WKB column."""
+    `boxes` must carry box polygons in a `geometry` WKB column.
+    Task pool + per-worker index cache (no actor cold-start)."""
     ref = ray.put(boxes)
-    return polys.map_batches(
-        _BoxIntersectionJoiner, batch_format="pyarrow",
-        fn_constructor_args=({"ref": ref}, res, list(box_cols)),
-        concurrency=concurrency)
+    key = ref.hex()
+    cols = list(box_cols)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        j = get_or_build(key + ":bisect",
+                         lambda: _BoxIntersectionJoiner({"ref": ref}, res, cols))
+        return j(batch)
+
+    return polys.map_batches(stage, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
