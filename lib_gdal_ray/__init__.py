@@ -60,6 +60,11 @@ def __getattr__(name):
         "exact_dedup": "lib_gdal_ray.pipelines.dedup",
         "minhash_lsh_pairs": "lib_gdal_ray.pipelines.dedup",
         "simhash64": "lib_gdal_ray.pipelines.dedup",
+        "near_dup_clusters": "lib_gdal_ray.pipelines.dedup",
+        "near_dup_keep": "lib_gdal_ray.pipelines.dedup",
+        "bucket_lookup_join": "lib_gdal_ray.pipelines.relational",
+        "bloom_semi_anti_join": "lib_gdal_ray.pipelines.joins",
+        "rasterize_pixels_multi": "lib_gdal_ray.pipelines.rasterize",
         "brute_topk": "lib_gdal_ray.pipelines.ann",
         "run_pipeline": "lib_gdal_ray.pipelines.spec",
         "run_tiling_job": "lib_gdal_ray.pipelines.tiling_job",

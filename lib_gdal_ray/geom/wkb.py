@@ -422,3 +422,34 @@ def curvepolygon_to_wkb(members) -> bytes:
 
 def compoundcurve_to_wkb(members) -> bytes:
     return struct.pack("<BII", 1, WKB_COMPOUNDCURVE, len(members)) + b"".join(members)
+
+
+def transform_wkb(buf: bytes, fn) -> bytes:
+    """Apply a coordinate transform fn(x_array, y_array) -> (nx, ny) to
+    every vertex of a 2-D WKB geometry, rebuilding the same type
+    (OGRGeometry::transform analog for the SFA core types; Z/M are
+    dropped by the rebuild — the engine carries 2-D geometry columns)."""
+    kind, payload = parse_wkb(buf)
+
+    def tx(coords: np.ndarray) -> np.ndarray:
+        c = np.asarray(coords, dtype=np.float64)
+        nx, ny = fn(c[:, 0].copy(), c[:, 1].copy())
+        return np.stack([np.asarray(nx, dtype=np.float64),
+                         np.asarray(ny, dtype=np.float64)], axis=1)
+
+    if kind == "point":
+        c = tx(payload)
+        return points_to_wkb(c[:, 0], c[:, 1])[0]
+    if kind == "linestring":
+        return linestring_to_wkb(tx(payload))
+    if kind == "polygon":
+        return polygon_to_wkb([tx(r) for r in payload])
+    if kind == "multipolygon":
+        return multipolygon_to_wkb([[tx(r) for r in rings]
+                                    for rings in payload])
+    if kind == "multipoint":
+        c = tx(payload)
+        return multipoint_to_wkb(c)
+    if kind == "multilinestring":
+        return multilinestring_to_wkb([tx(c) for c in payload])
+    raise ValueError(f"transform_wkb: unsupported kind {kind}")

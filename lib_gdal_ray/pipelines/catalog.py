@@ -2289,6 +2289,63 @@ def q_lang_quality(sf_dir):
                                "quality_score"])
 
 
+def q_minhash_clusters(sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs → distributed connected
+    components (min-label propagation + pointer jumping) →
+    (doc_id, cluster_id = min reachable doc id). Transitive chains
+    (a~b, b~c) collapse into one cluster."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
+                                 bands=16, threshold=0.5)
+    return dd.near_dup_clusters(pairs)
+
+
+def sql_minhash_clusters():
+    """Recursive-CTE min-reachability over the exact MinHash pair
+    mirror: cluster_id = min doc id reachable in the pair graph."""
+    return f"""
+    WITH RECURSIVE pairs AS ({sql_minhash_near_dup()}),
+    nodes AS (SELECT id_a AS x FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+              UNION SELECT id_b AS x, id_a AS y FROM pairs),
+    r(x, lab) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.x, r.lab FROM edges e JOIN r ON r.x = e.y
+    )
+    SELECT x AS doc_id, min(lab) AS cluster_id FROM r GROUP BY x
+    """
+
+
+def q_minhash_dedup_keep(sf_dir):
+    """Corpus filtered to near-dup canonicals: drop every doc whose
+    MinHash cluster has a smaller member id (exact Bloom anti-join
+    against the drop set); unpaired docs pass through."""
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
+                                 bands=16, threshold=0.5)
+    kept = dd.near_dup_keep(docs, pairs, "doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def sql_minhash_dedup_keep():
+    return f"""
+    WITH RECURSIVE pairs AS ({sql_minhash_near_dup()}),
+    nodes AS (SELECT id_a AS x FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+              UNION SELECT id_b AS x, id_a AS y FROM pairs),
+    r(x, lab) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.x, r.lab FROM edges e JOIN r ON r.x = e.y
+    ),
+    root AS (SELECT x AS did, min(lab) AS cid FROM r GROUP BY x)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM root
+                      WHERE root.did = d.doc_id AND root.cid < root.did)
+    """
+
+
 def q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.7): MinHash-LSH
     candidates + distributed hash-join back to texts + exact
@@ -5056,6 +5113,8 @@ QUERIES = {
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "ann_topk": (q_ann_topk, SQL_ANN),
     "minhash_near_dup": (q_minhash_near_dup, sql_minhash_near_dup()),
+    "minhash_clusters": (q_minhash_clusters, sql_minhash_clusters()),
+    "minhash_dedup_keep": (q_minhash_dedup_keep, sql_minhash_dedup_keep()),
     "ngram_jaccard_dup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, sql_simhash()),
     "lang_quality": (q_lang_quality, sql_lang_quality()),

@@ -291,7 +291,7 @@ def simplify_coverage(ds: ray.data.Dataset, tol: float,
     feature)."""
     from ray.data.aggregate import Count, Max, Min
 
-    from .relational import hash_join
+    from .relational import bucket_lookup_join
 
     segs = ds.select_columns([id_col, wkb_col]).map_batches(
         lambda b: _segment_rows(b, id_col, wkb_col), batch_format="pyarrow")
@@ -299,7 +299,8 @@ def simplify_coverage(ds: ray.data.Dataset, tol: float,
            .aggregate(Min("fid", alias_name="own_min"),
                       Max("fid", alias_name="own_max"),
                       Count(alias_name="own_n")))
-    joined = hash_join(segs, sig, on="seg_key")
+    # unique-keyed lookup join (bb-bucket groupby; no native join)
+    joined = bucket_lookup_join(segs, sig, on="seg_key", how="inner")
 
     def rebuild(group):
         import pandas as pd

@@ -452,15 +452,15 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     docs_a = docs.map_batches(ren("a"), batch_format="pyarrow")
     docs_b = docs.map_batches(ren("b"), batch_format="pyarrow")
-    # size the join's aggregator-actor pool to the cluster: Ray's hash
-    # join holds one CPU per partition, so partitions >= cluster CPUs
-    # deadlocks against the upstream map tasks (seen under the 4-CPU
-    # test session)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(2, min(16, cpus // 2))
-    j = cands.select_columns(["id_a", "id_b"]).join(
-        docs_a, join_type="inner", num_partitions=nparts, on=("id_a",))
-    j = j.join(docs_b, join_type="inner", num_partitions=nparts, on=("id_b",))
+    # bucket lookup joins instead of native Dataset.join: the candidate
+    # side ends in Sort-derived map_groups blocks that break the native
+    # join's partition aggregators at some input shapes, and the bucket
+    # path needs no aggregator-actor CPU clamp (NOTES lessons 6, W)
+    from .relational import bucket_lookup_join
+
+    j = bucket_lookup_join(cands.select_columns(["id_a", "id_b"]),
+                           docs_a, on="id_a", how="inner")
+    j = bucket_lookup_join(j, docs_b, on="id_b", how="inner")
 
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch["text_a"].to_pylist()
@@ -475,3 +475,55 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         return out.filter(pa.array(jac >= threshold))
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering + canonical selection
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(pairs: ray.data.Dataset, id_a: str = "id_a",
+                      id_b: str = "id_b") -> ray.data.Dataset:
+    """Near-dup pair edges -> (doc_id, cluster_id) for every doc that
+    appears in a pair; cluster_id = MIN doc id reachable in the pair
+    graph (deterministic canonical representative).
+
+    Distributed connected components by min-label propagation + pointer
+    jumping (reuses polygonize._cc_root_map — O(log n) bounded-join
+    rounds, nothing driver-side), so chains of pairs (a~b, b~c) collapse
+    into one cluster even when (a,c) was never emitted as a pair.
+    Transform-side analog of the keep-first semantics GDAL-style tools
+    apply after candidate generation."""
+    from .polygonize import _cc_root_map
+
+    def edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"la": batch[id_a], "lb": batch[id_b]})
+
+    m = _cc_root_map(pairs.map_batches(edges, batch_format="pyarrow"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["label"], "cluster_id": batch["root"]})
+
+    return m.map_batches(rename, batch_format="pyarrow")
+
+
+def near_dup_keep(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                  id_col: str, id_a: str = "id_a",
+                  id_b: str = "id_b") -> ray.data.Dataset:
+    """Filter a corpus to near-dup cluster canonicals: drop every doc
+    whose cluster has a smaller member id; docs in no pair pass through.
+
+    The drop set (cluster members with cluster_id < doc_id) is usually a
+    small fraction of the corpus, so the filter runs as the EXACT
+    Bloom anti-join (bloom prefilter + verify) — the corpus side streams,
+    only maybe-duplicate rows enter the verify join."""
+    from .joins import bloom_semi_anti_join
+
+    clusters = near_dup_clusters(pairs, id_a, id_b)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"__drop_id": pa.array(d[c < d])})
+
+    drop_ids = clusters.map_batches(drops, batch_format="pyarrow")
+    return bloom_semi_anti_join(ds, drop_ids, id_col, "__drop_id", anti=True)

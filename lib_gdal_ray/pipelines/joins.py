@@ -141,35 +141,70 @@ def bloom_semi_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
         _bloom_filter_fn(ref, left_on, n_hashes, log2_bits, True),
         batch_format="pyarrow")
 
-    # exact verify of the maybe-rows: semi/anti join against DISTINCT
-    # right keys (Ray native hash join when available; portable
-    # left-outer + null-filter fallback otherwise)
-    from .relational import distinct, hash_join
+    # exact verify of the maybe-rows: co-partition maybe rows and
+    # DISTINCT right keys into bounded key-hash buckets (one groupby;
+    # per-bucket vectorized isin). Ray's native Dataset.join is avoided
+    # on purpose: in 2.49.x it mis-schematizes empty Sort-derived
+    # blocks ("No match for FieldRef" / missing columns at tiny inputs)
+    # and its per-partition aggregator actors each pin a CPU.
+    def _pa_type(t):
+        # Ray Schema.types yields Python types for object-dtype columns
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        if t is bytes:
+            return pa.binary()
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    lschema = left.schema()
+    left_names = list(lschema.names)
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    n_buckets = 64
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[left_on].to_numpy(zero_copy_only=False)
+        bb = (_key_hash64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return (batch.append_column("__bb", pa.array(bb))
+                     .append_column("__vside",
+                                    pa.array(np.zeros(len(batch), np.int8))))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys_arr = batch[right_on]
+        keys = keys_arr.to_numpy(zero_copy_only=False)
+        bb = (_key_hash64(keys) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {}
+        for name in left_names:
+            if name == left_on:
+                cols[name] = keys_arr.cast(ltypes[left_on])
+            else:
+                cols[name] = pa.nulls(len(batch), ltypes[name])
+        t = pa.table(cols)
+        return (t.append_column("__bb", pa.array(bb))
+                 .append_column("__vside",
+                                pa.array(np.ones(len(batch), np.int8))))
+
+    from .relational import distinct
 
     rkeys = distinct(right.select_columns([right_on]), right_on)
-    rkeys = rkeys.map_batches(
-        lambda t: t.rename_columns(["__rk"]), batch_format="pyarrow")
+    both = maybe.map_batches(tag_left, batch_format="pyarrow").union(
+        rkeys.map_batches(tag_right, batch_format="pyarrow"))
 
-    left_names = left.schema().names
-    if hasattr(maybe, "join"):
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_parts = max(2, min(32, cpus // 2))
-        verified = maybe.join(rkeys,
-                              join_type="left_anti" if anti else "left_semi",
-                              num_partitions=n_parts,
-                              on=(left_on,), right_on=("__rk",))
-    else:
-        joined = hash_join(maybe, rkeys, on=left_on, right_on="__rk",
-                           how="left")
+    def resolve(tbl: pa.Table) -> pa.Table:
+        side = tbl["__vside"].to_numpy(zero_copy_only=False)
+        lrows = tbl.filter(pa.array(side == 0))
+        rk = tbl.filter(pa.array(side == 1))[left_on].to_numpy(
+            zero_copy_only=False)
+        lk = lrows[left_on].to_numpy(zero_copy_only=False)
+        hit = np.isin(lk, rk)
+        out = lrows.filter(pa.array(~hit if anti else hit))
+        return out.select(left_names)
 
-        def residue(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            keep = (pc.is_null(batch["__rk"]) if anti
-                    else pc.is_valid(batch["__rk"]))
-            return batch.filter(keep).select(left_names)
-
-        verified = joined.map_batches(residue, batch_format="pyarrow")
+    verified = both.groupby("__bb").map_groups(resolve,
+                                               batch_format="pyarrow")
     if anti:
         definite_no = left.map_batches(
             _bloom_filter_fn(ref, left_on, n_hashes, log2_bits, False),

@@ -296,11 +296,17 @@ def merge_tile_labels(labeled: ray.data.Dataset, connectivity: int = 4,
             return batch.drop_columns(["label"]).append_column(
                 "label", pa.array(lab))
 
-        joined = labeled.map_batches(lab64, batch_format="pyarrow").join(
-            root_map, join_type="left_outer",
-            num_partitions=max(
-                2, int(ray.cluster_resources().get("CPU", 8)) // 2),
-            on=("label",))
+        from .relational import bucket_lookup_join
+
+        # bucket lookup instead of native Dataset.join: root_map ends in
+        # a Sort-derived map_groups whose empty blocks break the native
+        # join's partition aggregators (NOTES lesson W)
+        rm = root_map.map_batches(
+            lambda b: pa.table({"label": b["label"], "root": b["root"]}),
+            batch_format="pyarrow")
+        joined = bucket_lookup_join(
+            labeled.map_batches(lab64, batch_format="pyarrow"), rm,
+            on="label", how="left")
 
         def finish(batch: pa.Table) -> pa.Table:
             lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -361,18 +367,65 @@ def merge_tile_labels(labeled: ray.data.Dataset, connectivity: int = 4,
     return labeled.map_batches(relabel, batch_format="pyarrow")
 
 
-def _cc_root_map(pairs: ray.data.Dataset, max_rounds: int = 30
-                 ) -> ray.data.Dataset:
+def _cc_lookup(requests: ray.data.Dataset, values: ray.data.Dataset,
+               n_buckets: int) -> ray.data.Dataset:
+    """Distributed key lookup as ONE bounded-bucket groupby (the bb_mod
+    idiom): requests (k, p, pr) resolve k against values (k -> v),
+    emitting (label=p, root=v) — or (label=p, root=pr fallback) when k
+    has no value row. Avoids Dataset.join entirely (native hash-join
+    partition aggregators break on empty partitions and hold one CPU
+    each — NOTES lessons); each bucket's kernel is a vectorized
+    searchsorted over its co-partitioned value rows."""
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(kind: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = ((k.astype(np.uint64) * C) >> np.uint64(40)) % np.uint64(n_buckets)
+            return pa.table({
+                "k": pa.array(k),
+                "p": batch["p"],
+                "pr": batch["pr"],
+                "kind": pa.array(np.full(len(k), kind, dtype=np.int8)),
+                "__bb": pa.array(bb.astype(np.int64)),
+            })
+        return fn
+
+    both = requests.map_batches(tag(0), batch_format="pyarrow").union(
+        values.map_batches(tag(1), batch_format="pyarrow"))
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        k = tbl["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = tbl["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = tbl["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = kind == 1
+        rm = ~vm
+        vk, vv = k[vm], p[vm]
+        order = np.argsort(vk, kind="stable")
+        vk, vv = vk[order], vv[order]
+        rk, rp, rpr = k[rm], p[rm], pr[rm]
+        if len(vk):
+            idx = np.clip(np.searchsorted(vk, rk), 0, len(vk) - 1)
+            hit = vk[idx] == rk
+            root = np.where(hit, vv[idx], rpr)
+        else:
+            root = rpr
+        return pa.table({"label": pa.array(rp), "root": pa.array(root)})
+
+    return both.groupby("__bb").map_groups(resolve, batch_format="pyarrow")
+
+
+def _cc_root_map(pairs: ray.data.Dataset, max_rounds: int = 30,
+                 n_buckets: int = 256) -> ray.data.Dataset:
     """(la, lb) edge rows -> (label, root) rows: distributed connected
     components by min-label propagation + pointer jumping (the
     hash-to-min / pointer-jump scheme of the distributed-CC literature,
     e.g. Kiveris et al. 'Connected Components in MapReduce'). Converges
-    in O(log n) rounds; each round is two bounded hash joins + one
-    groupby over the (small) border-component graph, all in the object
-    store."""
+    in O(log n) rounds; each round is three bounded-bucket groupbys
+    (propagate-lookup, min-merge, jump-lookup), all in the object
+    store — no driver-side graph, no native hash join."""
     from ray.data.aggregate import Min, Sum
-
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
 
     # int64 throughout: Ray aggregates normalize unsigned keys, and the
     # packed labels use < 63 bits (z <= 21 at 256px tiles)
@@ -393,35 +446,35 @@ def _cc_root_map(pairs: ray.data.Dataset, max_rounds: int = 30
                          "root": pa.array(np.minimum(x, r))})
 
     m = m.map_batches(clamp_self, batch_format="pyarrow").materialize()
+
+    def edge_req(batch: pa.Table) -> pa.Table:
+        # x asks for root(y); no fallback needed (every endpoint has a
+        # value row), pr = int64 max so a miss can never win the Min
+        n = len(batch)
+        return pa.table({"k": batch["y"], "p": batch["x"],
+                         "pr": pa.array(np.full(n, np.iinfo(np.int64).max))})
+
+    def m_val(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["label"], "p": batch["root"],
+                         "pr": batch["root"]})
+
+    def jump_req(batch: pa.Table) -> pa.Table:
+        # label asks for root(root); fallback = own current root
+        return pa.table({"k": batch["root"], "p": batch["label"],
+                         "pr": batch["root"]})
+
     prev_sum = None
     for _ in range(max_rounds):
-        # propagate roots across edges: (x,y) joined with m on y
-        my = m.map_batches(
-            lambda b: b.rename_columns(["y", "nroot"]), batch_format="pyarrow")
-        cand = edges.join(my, join_type="inner", num_partitions=nparts,
-                          on=("y",))
-        cand = cand.map_batches(
-            lambda b: pa.table({"label": b["x"], "root": b["nroot"]}),
-            batch_format="pyarrow")
+        # propagate roots across edges: label x gains candidate root(y)
+        cand = _cc_lookup(edges.map_batches(edge_req, batch_format="pyarrow"),
+                          m.map_batches(m_val, batch_format="pyarrow"),
+                          n_buckets)
         merged = m.union(cand).groupby("label").aggregate(
-            Min("root", alias_name="root"))
+            Min("root", alias_name="root")).materialize()
         # pointer jump: root <- root's root
-        mr = merged.map_batches(
-            lambda b: b.rename_columns(["jlabel", "jroot"]), batch_format="pyarrow")
-        jumped = merged.map_batches(
-            lambda b: b.rename_columns(["label", "root"]), batch_format="pyarrow"
-        ).join(mr, join_type="left_outer", num_partitions=nparts,
-               on=("root",), right_on=("jlabel",))
-
-        def jump(batch: pa.Table) -> pa.Table:
-            r = batch["root"].to_numpy(zero_copy_only=False).astype(np.int64)
-            jrn = pa.compute.is_null(batch["jroot"]).to_numpy(zero_copy_only=False)
-            jrv = pa.compute.fill_null(batch["jroot"], 0).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            out = np.where(jrn, r, jrv)
-            return pa.table({"label": batch["label"], "root": pa.array(out)})
-
-        m = jumped.map_batches(jump, batch_format="pyarrow").materialize()
+        m = _cc_lookup(merged.map_batches(jump_req, batch_format="pyarrow"),
+                       merged.map_batches(m_val, batch_format="pyarrow"),
+                       n_buckets).materialize()
         s = m.aggregate(Sum("root"))["sum(root)"]
         if prev_sum is not None and s == prev_sum:
             break

@@ -296,6 +296,109 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return both.groupby("__bkt").map_groups(merge, batch_format="pandas")
 
 
+def bucket_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       on: str, right_on: Optional[str] = None,
+                       how: str = "left",
+                       n_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed left/inner equi-join against a UNIQUE-keyed right
+    side, as ONE bounded-bucket groupby (tagged union + per-bucket
+    vectorized searchsorted gather) — no native Dataset.join (Ray 2.49
+    mis-schematizes empty Sort-derived blocks, and its per-partition
+    aggregator actors each pin a CPU; NOTES lesson W). Right value
+    columns append to the left schema; `how='left'` nulls them on miss,
+    `'inner'` drops missing rows. Right keys MUST be unique (lookup
+    semantics — duplicate right keys keep an arbitrary one)."""
+    right_on = right_on or on
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rval_names = [n for n in rschema.names if n != right_on]
+    if set(rval_names) & set(lnames):
+        raise ValueError("right value columns collide with left schema")
+
+    def _pa_type(t):
+        # Ray Schema.types yields Python types for object-dtype columns
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        if t is bytes:
+            return pa.binary()
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bb(keys: np.ndarray) -> pa.Array:
+        if keys.dtype == object:
+            from zlib import crc32
+
+            h = np.fromiter((crc32(str(x).encode()) for x in keys),
+                            dtype=np.uint64, count=len(keys))
+        else:
+            h = keys.astype(np.uint64)
+        return pa.array((((h * C) >> np.uint64(40))
+                         % np.uint64(n_buckets)).astype(np.int64))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False)
+        cols = {name: batch[name] for name in lnames}
+        for c in rval_names:
+            cols[c] = pa.nulls(len(batch), rtypes[c])
+        cols["__bb"] = _bb(k)
+        cols["__ljside"] = pa.array(np.zeros(len(batch), np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_on].to_numpy(zero_copy_only=False)
+        cols = {}
+        for name in lnames:
+            if name == on:
+                cols[name] = batch[right_on].cast(ltypes[on])
+            else:
+                cols[name] = pa.nulls(len(batch), ltypes[name])
+        for c in rval_names:
+            cols[c] = batch[c]
+        cols["__bb"] = _bb(k)
+        cols["__ljside"] = pa.array(np.ones(len(batch), np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        side = tbl["__ljside"].to_numpy(zero_copy_only=False)
+        lrows = tbl.filter(pa.array(side == 0))
+        rrows = tbl.filter(pa.array(side == 1))
+        lk = lrows[on].to_numpy(zero_copy_only=False)
+        rk = rrows[on].to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        if len(rk):
+            idx = np.clip(np.searchsorted(rk, lk), 0, len(rk) - 1)
+            hit = rk[idx] == lk
+            gather = order[idx]
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+            gather = np.zeros(len(lk), dtype=np.int64)
+        out = lrows.select(lnames)
+        take_idx = pa.array(gather, mask=~hit)
+        for c in rval_names:
+            if len(rk):
+                col = rrows[c].combine_chunks().take(take_idx)
+            else:
+                col = pa.nulls(len(lk), rtypes[c])
+            out = out.append_column(c, col)
+        if how == "inner":
+            out = out.filter(pa.array(hit))
+        return out
+
+    return both.groupby("__bb").map_groups(resolve, batch_format="pyarrow")
+
+
 def distinct(ds: ray.data.Dataset, cols: Union[str, Sequence[str]]) -> ray.data.Dataset:
     """SELECT DISTINCT — per-batch dedup partial, then hash-partition
     groupby (reference: ordered std::set distinct,

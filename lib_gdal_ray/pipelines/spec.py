@@ -62,11 +62,12 @@ def _rename(ds, *, names):
 
 @register_op("reproject")
 def _reproject(ds, *, src, dst, x_col="lon", y_col="lat", out_x="x", out_y="y",
-               round_to=None):
+               round_to=None, wkb_in=None, wkb_out=None):
     from ..stages.reproject import reproject
 
     return reproject(ds, src, dst, x_col=x_col, y_col=y_col,
-                     out_x=out_x, out_y=out_y, round_to=round_to)
+                     out_x=out_x, out_y=out_y, round_to=round_to,
+                     wkb_in=wkb_in, wkb_out=wkb_out)
 
 
 @register_op("cell_assign")
@@ -154,6 +155,17 @@ def _pack_sequences(ds, *, seq_len, id_col="doc_id", text_col="text",
                           tokens_col=tokens_col, n_shards=n_shards)
 
 
+@register_op("near_dup_keep")
+def _near_dup_keep(ds, *, id_col="doc_id", text_col="text", num_perm=64,
+                   bands=16, threshold=0.5, shingle_k=5):
+    from .dedup import minhash_lsh_pairs, near_dup_keep
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                              shingle_k=shingle_k, bands=bands,
+                              threshold=threshold)
+    return near_dup_keep(ds, pairs, id_col)
+
+
 @register_op("read_geojson_seq")
 def _read_geojson_seq(ds, *, path, properties=None):
     from ..sources.vector_formats import read_geojson_seq
@@ -208,6 +220,61 @@ def _check_geometry(ds, *, wkb_col="geometry"):
     from ..stages.geom_ops import check_geometry
 
     return check_geometry(ds, wkb_col)
+
+
+@register_op("reproject_geometry")
+def _reproject_geometry(ds, *, src, dst, wkb_col="geometry"):
+    from ..stages.geom_ops import transform_geometry
+
+    return transform_geometry(ds, src, dst, wkb_col=wkb_col)
+
+
+@register_op("simplify")
+def _simplify(ds, *, tol, wkb_col="geometry"):
+    from ..stages.geom_ops import simplify_geometry
+
+    return simplify_geometry(ds, tol, wkb_col=wkb_col)
+
+
+@register_op("makevalid")
+def _makevalid(ds, *, wkb_col="geometry"):
+    from ..stages.geom_ops import make_valid_geometry
+
+    return make_valid_geometry(ds, wkb_col=wkb_col)
+
+
+@register_op("buffer")
+def _buffer(ds, *, dist, quadsegs=8, wkb_col="geometry"):
+    from ..stages.geom_ops import buffer_geometry
+
+    return buffer_geometry(ds, dist, quadsegs=quadsegs, wkb_col=wkb_col)
+
+
+@register_op("segmentize")
+def _segmentize(ds, *, max_length, wkb_col="geometry"):
+    from ..stages.geom_ops import segmentize_geometry
+
+    return segmentize_geometry(ds, max_length, wkb_col=wkb_col)
+
+
+@register_op("spat_filter")
+def _spat_filter(ds, *, xmin, ymin, xmax, ymax, wkb_col="geometry"):
+    """ogr2ogr -spat analog: keep rows whose geometry envelope
+    intersects the box (OGRLayer::SetSpatialFilterRect's cheap
+    envelope stage; exact refinement composes via spatial_join)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from ..geom import wkb as _wkb
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        bufs = batch[wkb_col].to_numpy(zero_copy_only=False)
+        bb = _wkb.wkb_bbox(bufs)
+        keep = ((bb[:, 0] <= xmax) & (bb[:, 2] >= xmin)
+                & (bb[:, 1] <= ymax) & (bb[:, 3] >= ymin))
+        return batch.filter(_pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 @register_op("swap_xy")

@@ -536,7 +536,7 @@ def tfidf_top_terms_join(ds: ray.data.Dataset, n_docs: int, k: int = 3,
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from .relational import hash_join
+    from .relational import bucket_lookup_join
 
     def term_counts(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch[text_col], " ")
@@ -556,7 +556,8 @@ def tfidf_top_terms_join(ds: ray.data.Dataset, n_docs: int, k: int = 3,
 
     df_ds = (tf_ds.map_batches(df_partial, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("df", alias_name="df")))
-    scored = hash_join(tf_ds, df_ds, on="term")
+    # unique-keyed lookup join (bb-bucket groupby; no native join)
+    scored = bucket_lookup_join(tf_ds, df_ds, on="term", how="inner")
 
     def topk_per_doc(df: pd.DataFrame) -> pd.DataFrame:
         tfv = df["tf"].to_numpy().astype(np.float64)

@@ -161,6 +161,22 @@ def segmentize_geometry(ds: ray.data.Dataset, max_length: float,
                            lambda b: segmentize_wkb(b, max_length), False)
 
 
+def transform_geometry(ds: ray.data.Dataset, src_epsg: int, dst_epsg: int,
+                       wkb_col: str = "geometry") -> ray.data.Dataset:
+    """OGRGeometry::transform analog: reproject every vertex of the WKB
+    geometry column between EPSG codes (ogr2ogr -s_srs/-t_srs). The
+    transformer is fetched from the per-worker registry (geom/proj.py)
+    once per batch — stateless map, no shuffle."""
+    from ..geom import proj as projm
+    from ..geom import wkb as wkb_mod
+
+    def fn(buf: bytes):
+        t = projm.Transformer.get(src_epsg, dst_epsg)
+        return wkb_mod.transform_wkb(buf, t.transform)
+
+    return _map_wkb_column(ds, wkb_col, fn, False)
+
+
 def convex_hull_geometry(ds: ray.data.Dataset, wkb_col: str = "geometry"
                          ) -> ray.data.Dataset:
     """OGRGeometry::ConvexHull analog (Andrew monotone chain)."""

@@ -48,6 +48,29 @@ class TestMinHash:
         for a, b in got:
             assert dd.jaccard_shingles(docs[a], docs[b]) > 0.35
 
+    def test_near_dup_clusters_transitive(self):
+        # chain a~b, b~c with NO a~c pair: one cluster rooted at min id
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([7, 3, 10], type=pa.int64()),
+            "id_b": pa.array([3, 9, 12], type=pa.int64()),
+        }))
+        cl = dd.near_dup_clusters(pairs).to_pandas()
+        got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+        assert got == {3: 3, 7: 3, 9: 3, 10: 10, 12: 10}
+
+    def test_near_dup_keep_canonicals(self):
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 3, 7, 9, 10, 12, 50], type=pa.int64()),
+        }))
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([7, 3, 10], type=pa.int64()),
+            "id_b": pa.array([3, 9, 12], type=pa.int64()),
+        }))
+        kept = sorted(dd.near_dup_keep(docs, pairs, "doc_id")
+                      .to_pandas()["doc_id"])
+        # cluster {3,7,9} keeps 3; cluster {10,12} keeps 10; 1, 50 unpaired
+        assert kept == [1, 3, 10, 50]
+
     def test_signature_estimates_jaccard(self):
         a = "the quick brown fox jumps over the lazy dog " * 8
         b = a.replace("lazy", "sleepy")

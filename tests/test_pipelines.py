@@ -395,6 +395,45 @@ class TestHashJoin:
         assert {"l_orderkey", "l_quantity", "o_totalprice"} <= set(out.columns)
 
 
+class TestBucketLookupJoin:
+    def test_left_and_inner_int_keys(self):
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 2], type=pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"]),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 3], type=pa.int64()),
+            "w": pa.array([20.0, 30.0]),
+        }))
+        lj = rel.bucket_lookup_join(left, right, on="k", how="left"
+                                    ).to_pandas().sort_values(["k", "v"])
+        assert list(lj["w"].fillna(-1)) == [-1.0, 20.0, 20.0, 30.0]
+        ij = rel.bucket_lookup_join(left, right, on="k", how="inner"
+                                    ).to_pandas()
+        assert sorted(ij["k"]) == [2, 2, 3]
+
+    def test_string_keys_and_sort_derived_right(self):
+        # right side derived from groupby().map_groups (Sort-derived
+        # empty blocks — the exact shape that breaks native Dataset.join)
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(["x", "y", "z"]),
+            "n": pa.array([1, 2, 3], type=pa.int64()),
+        }))
+        src = ray.data.from_arrow(pa.table({
+            "g": pa.array([0, 0, 1], type=pa.int64()),
+            "k2": pa.array(["x", "y", "q"]),
+        }))
+
+        def grp(t: pa.Table) -> pa.Table:
+            return pa.table({"k2": t["k2"],
+                             "m": pa.array([7.0] * len(t))})
+
+        right = src.groupby("g").map_groups(grp, batch_format="pyarrow")
+        out = rel.bucket_lookup_join(left, right, on="k", right_on="k2",
+                                     how="left").to_pandas().sort_values("k")
+        assert list(out["m"].fillna(-1)) == [7.0, 7.0, -1.0]
+
+
 class TestQuantile:
     def test_grouped_quantile_vs_numpy(self, sf_med):
         from ray.data.aggregate import Quantile
