@@ -1,0 +1,214 @@
+"""ogr2ogr analog: translate vector layers between formats with
+filtering / projection / reprojection / geometry cleanup, all as one
+streaming Ray Data pipeline (reference: `apps/ogr2ogr_bin.cpp` +
+`apps/gdalvectortranslate*` — same argument surface for the core
+options, Ray-Data-first execution).
+
+Usage (GDAL argument order — destination first):
+    python scripts/ogr2ogr.py DST SRC
+        [-f parquet|gpkg|shapefile|geojsonseq|csvwkt]   # else inferred
+        [-select col1,col2,...] [-where "OGR SQL expr"]
+        [-sql "SELECT ... FROM src ..."]                # ExecuteSQL plan
+        [-s_srs EPSG:4326] [-t_srs EPSG:3857]           # WKB reprojection
+        [-spat xmin ymin xmax ymax]                     # envelope filter
+        [-simplify tol] [-segmentize maxlen] [-makevalid]
+        [-explodecollections] [-limit N] [-nln layername]
+        [--geometry-col geometry] [--num-cpus 8]
+
+Formats:
+    parquet    file or directory (hive partitions pass through)
+    gpkg       .gpkg file (shards merged driver-side) or shard dir
+    shapefile  .shp or directory of .shp/.shx/.dbf triples
+    geojsonseq newline-delimited GeoJSON features (.geojsonl/.ndjson)
+    csvwkt     CSV with a WKT geometry column
+
+Everything between read and write is a lazy `map_batches` chain over
+zero-copy Arrow blocks — no driver materialization at any size.
+"""
+
+import argparse
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Ray workers do NOT inherit driver sys.path — propagate via env.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def _infer_format(path: str, explicit):
+    if explicit:
+        return explicit
+    p = path.lower()
+    if p.endswith(".gpkg"):
+        return "gpkg"
+    if p.endswith(".shp"):
+        return "shapefile"
+    if p.endswith((".geojsonl", ".geojsons", ".ndjson")):
+        return "geojsonseq"
+    if p.endswith(".geojson") or p.endswith(".json"):
+        return "geojson"
+    if p.endswith(".csv"):
+        return "csvwkt"
+    if os.path.isdir(path):
+        names = os.listdir(path) if os.path.exists(path) else []
+        if any(n.endswith(".gpkg") for n in names):
+            return "gpkg"
+        if any(n.endswith(".shp") for n in names):
+            return "shapefile"
+    return "parquet"
+
+
+def _read(path: str, fmt: str, geometry_col: str):
+    import ray.data
+
+    if fmt == "gpkg":
+        from lib_gdal_ray.sources.gpkg import read_gpkg
+
+        return read_gpkg(path)
+    if fmt == "shapefile":
+        from lib_gdal_ray.sources.shapefile import read_shapefile
+
+        return read_shapefile(path)
+    if fmt == "geojsonseq":
+        from lib_gdal_ray.sources.vector_formats import read_geojson_seq
+
+        return read_geojson_seq(path)
+    if fmt == "geojson":
+        from lib_gdal_ray.sources.vector_formats import read_geojson
+
+        return read_geojson(path)
+    if fmt == "csvwkt":
+        from lib_gdal_ray.sources.vector_formats import read_csv_wkt
+
+        return read_csv_wkt(path, wkt_col="wkt", out_col=geometry_col)
+    return ray.data.read_parquet(path)
+
+
+def _write(ds, path: str, fmt: str, layer: str, geometry_col: str) -> int:
+    if fmt == "gpkg":
+        from lib_gdal_ray.sources.gpkg import merge_gpkg_dir, write_gpkg
+
+        if path.endswith(".gpkg"):
+            shard_dir = path + ".shards"
+            write_gpkg(ds, shard_dir, layer=layer, geometry_col=geometry_col)
+            return merge_gpkg_dir(shard_dir, path, layer=layer,
+                                  geometry_col=geometry_col)
+        write_gpkg(ds, path, layer=layer, geometry_col=geometry_col)
+        return -1
+    if fmt == "shapefile":
+        from lib_gdal_ray.sources.shapefile import write_shapefile
+
+        write_shapefile(ds, path if not path.endswith(".shp")
+                        else os.path.dirname(path) or ".",
+                        geometry_col=geometry_col)
+        return -1
+    if fmt == "geojsonseq":
+        from lib_gdal_ray.sources.vector_formats import write_geojson_seq
+
+        write_geojson_seq(ds, path, geometry_col=geometry_col)
+        return -1
+    if fmt == "csvwkt":
+        from lib_gdal_ray.sources.vector_formats import write_csv_wkt
+
+        write_csv_wkt(ds, path, geometry_col=geometry_col)
+        return -1
+    ds.write_parquet(path)
+    return -1
+
+
+def _epsg(s: str) -> int:
+    return int(s.split(":")[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="ogr2ogr analog over Ray Data (dst first, like GDAL)")
+    ap.add_argument("dst")
+    ap.add_argument("src")
+    ap.add_argument("-f", dest="fmt", default=None,
+                    help="output format (inferred from dst if omitted)")
+    ap.add_argument("-select", default=None)
+    ap.add_argument("-where", default=None)
+    ap.add_argument("-sql", default=None)
+    ap.add_argument("-s_srs", default="EPSG:4326")
+    ap.add_argument("-t_srs", default=None)
+    ap.add_argument("-spat", nargs=4, type=float, default=None,
+                    metavar=("XMIN", "YMIN", "XMAX", "YMAX"))
+    ap.add_argument("-simplify", type=float, default=None)
+    ap.add_argument("-segmentize", type=float, default=None)
+    ap.add_argument("-makevalid", action="store_true")
+    ap.add_argument("-explodecollections", action="store_true")
+    ap.add_argument("-limit", type=int, default=None)
+    ap.add_argument("-nln", default="layer", help="output layer name")
+    ap.add_argument("--geometry-col", default="geometry")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import json
+    import time
+
+    t0 = time.perf_counter()
+    src_fmt = _infer_format(args.src, None)
+    dst_fmt = _infer_format(args.dst, args.fmt)
+    ds = _read(args.src, src_fmt, args.geometry_col)
+
+    if args.sql:
+        from lib_gdal_ray.functions.ogrsql import execute_sql
+
+        name = os.path.splitext(os.path.basename(args.src))[0]
+        ds = execute_sql(args.sql, {name: ds, "src": ds})
+    g = args.geometry_col
+    steps = []
+    if args.where:
+        steps.append({"op": "filter", "where": args.where})
+    if args.spat:
+        x0, y0, x1, y1 = args.spat
+        steps.append({"op": "spat_filter", "xmin": x0, "ymin": y0,
+                      "xmax": x1, "ymax": y1, "wkb_col": g})
+    if args.makevalid:
+        steps.append({"op": "makevalid", "wkb_col": g})
+    if args.explodecollections:
+        steps.append({"op": "explode_collections", "wkb_col": g})
+    if args.simplify is not None:
+        steps.append({"op": "simplify", "tol": args.simplify, "wkb_col": g})
+    if args.segmentize is not None:
+        steps.append({"op": "segmentize", "max_length": args.segmentize,
+                      "wkb_col": g})
+    if args.t_srs:
+        steps.append({"op": "reproject_geometry", "src": _epsg(args.s_srs),
+                      "dst": _epsg(args.t_srs), "wkb_col": g})
+    if args.select:
+        steps.append({"op": "select_columns",
+                      "columns": args.select.split(",")})
+    if args.limit is not None:
+        steps.append({"op": "limit", "n": args.limit})
+
+    if steps:
+        from lib_gdal_ray.pipelines.spec import _OPS
+
+        for step in steps:
+            step = dict(step)
+            op = step.pop("op")
+            ds = _OPS[op](ds, **step)
+
+    rows = _write(ds, args.dst, dst_fmt, args.nln, g)
+    print(json.dumps({"src": args.src, "src_format": src_fmt,
+                      "dst": args.dst, "dst_format": dst_fmt,
+                      "rows": rows, "steps": len(steps),
+                      "sec": round(time.perf_counter() - t0, 3)}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

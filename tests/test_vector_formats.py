@@ -326,3 +326,39 @@ class TestShapefile:
             [_sample_geoms()[0], _sample_geoms()[1]], type=pa.binary())})
         with pytest.raises(Exception):
             shp.write_shapefile(ray.data.from_arrow(t), str(tmp_path / "m"))
+
+
+class TestOgr2OgrCli:
+    def test_translate_chain(self, tmp_path):
+        """parquet -> gpkg (where + reproject + simplify) -> geojsonseq,
+        exercising the CLI in subprocesses (each owns its Ray session)."""
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.geom import wkb as W2
+
+        src = str(tmp_path / "zones.parquet")
+        polys = [W2.box_to_wkb(i, i, i + 2.0, i + 2.0) for i in range(20)]
+        pa.parquet.write_table(
+            pa.table({"zid": pa.array(np.arange(20, dtype=np.int64)),
+                      "geometry": pa.array(polys, type=pa.binary())}), src)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "ogr2ogr.py")
+        gpkg = str(tmp_path / "zones.gpkg")
+        out = subprocess.run(
+            [_sys.executable, cli, gpkg, src, "-where", "zid < 10",
+             "-t_srs", "EPSG:3857", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        rep = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert rep["rows"] == 10 and rep["dst_format"] == "gpkg"
+        seq = str(tmp_path / "zones.geojsonl")
+        out2 = subprocess.run(
+            [_sys.executable, cli, seq, gpkg, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out2.returncode == 0, out2.stderr[-800:]
+        n_lines = sum(1 for f in os.listdir(seq)
+                      for _ in open(os.path.join(seq, f))) \
+            if os.path.isdir(seq) else sum(1 for _ in open(seq))
+        assert n_lines == 10
