@@ -203,3 +203,50 @@ class TestDriverRegistry:
         got[pa_rows.y, pa_rows.x] = pa_rows.value.astype(np.uint8)
         np.testing.assert_array_equal(got, a)
         assert set(out[out.path.str.endswith("b.tif")]["band"]) == {0, 1, 2}
+
+
+class TestGdaldemCli:
+    def test_hillshade_roundtrip(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        dem = (10 * np.sin(xx / 5.0) + 8 * np.cos(yy / 4.0)).astype(np.float32)
+        src = str(tmp_path / "dem.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(dem, transform=(0.0, 1.0, 0.0, 64.0, 0.0, -1.0),
+                                   epsg=4326))
+        dst = str(tmp_path / "hs.tif")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdaldem.py")
+        out = subprocess.run(
+            [_sys.executable, cli, "hillshade", src, dst, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        rep = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert rep["shape"] == [64, 64, 1]
+        hs, meta = decode_geotiff(open(dst, "rb").read())
+        assert hs.dtype == np.uint8
+        # interior shaded, edges nodata-0, georef copied through
+        assert hs[1:-1, 1:-1].min() >= 1
+        assert hs[0].max() == 0
+        assert meta["epsg"] == 4326
+
+        # parity vs the library focal kernel on the same grid
+        import ray
+
+        from lib_gdal_ray.pipelines import raster_calc as rc
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel, unpack_pixel
+
+        gy, gx = np.mgrid[0:64, 0:64]
+        ds = ray.data.from_arrow(pa.table({
+            "pix_id": pa.array(pack_pixel(0, gx.ravel().astype(np.int64),
+                                          gy.ravel().astype(np.int64))),
+            "burn": pa.array(dem.ravel().astype(np.float64)),
+        }))
+        ref = rc.focal(ds, "hillshade").to_pandas()
+        _z, rx, ry = unpack_pixel(ref.pix_id.to_numpy().astype(np.uint64))
+        want = np.zeros((64, 64), dtype=np.uint8)
+        want[ry, rx] = ref.burn.astype(np.uint8)
+        np.testing.assert_array_equal(hs, want)
