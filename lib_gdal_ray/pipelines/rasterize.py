@@ -377,7 +377,10 @@ def rasterize_geometries(geoms: ray.data.Dataset, z: int,
                          all_touched: bool = False,
                          tile_size: int = 256,
                          chunk_rows: int = 1024,
-                         shuffle_partitions: Optional[int] = None
+                         shuffle_partitions: Optional[int] = None,
+                         to_pixel=None,
+                         grid_w: Optional[int] = None,
+                         grid_h: Optional[int] = None
                          ) -> ray.data.Dataset:
     """Polygon/line rasterization -> sparse pixel rows (pix_id, burn).
 
@@ -402,6 +405,14 @@ def rasterize_geometries(geoms: ray.data.Dataset, z: int,
         raise ValueError(f"zoom {z} exceeds single-key pixel packing range")
     pa_agg = _PA_AGG[merge_alg]
     n_global = (1 << z) * tile_size
+    # to_pixel: optional (x_arr, y_arr) -> (fx, fy) fractional-pixel
+    # mapper for arbitrary target grids (gdal_rasterize -te/-ts);
+    # default is the WebMercator zoom-z pixel grid. grid_w/grid_h clip
+    # the burn window (default: the full zoom-z global grid).
+    gw = n_global if grid_w is None else int(grid_w)
+    gh = n_global if grid_h is None else int(grid_h)
+    if max(gw, gh) > n_global:
+        raise ValueError("grid exceeds the zoom-z pixel packing range")
     from ..geom import scanline, wkb as wkb_mod
 
     def split(batch: pa.Table) -> pa.Table:
@@ -428,11 +439,14 @@ def rasterize_geometries(geoms: ray.data.Dataset, z: int,
                 raise ValueError(f"rasterize_geometries: unsupported {kind}")
             px_parts = []
             for p in parts:
-                fx, fy = _merc_pixel_xy(p[:, 0], p[:, 1], z, tile_size)
+                if to_pixel is not None:
+                    fx, fy = to_pixel(p[:, 0], p[:, 1])
+                else:
+                    fx, fy = _merc_pixel_xy(p[:, 0], p[:, 1], z, tile_size)
                 px_parts.append(np.stack([fx, fy], axis=1))
             ally = np.concatenate([p[:, 1] for p in px_parts])
             ymin = max(0, int(max(0.0, float(ally.min()))))
-            ymax = min(n_global - 1, int(float(ally.max())))
+            ymax = min(gh - 1, int(float(ally.max())))
             coords, lens = _pack_parts(px_parts)
             for y0 in range(ymin, ymax + 1, chunk_rows):
                 rows["coords"].append(coords)
@@ -461,7 +475,7 @@ def rasterize_geometries(geoms: ray.data.Dataset, z: int,
         for i in range(len(batch)):
             parts = _unpack_parts(coords[i], lens[i])
             ix, iy = scanline.rasterize_shape(
-                kinds[i], parts, n_global, n_global,
+                kinds[i], parts, gw, gh,
                 all_touched=all_touched, y_lo=int(y0s[i]), y_hi=int(y1s[i]))
             if len(ix) == 0:
                 continue

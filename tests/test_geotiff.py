@@ -250,3 +250,40 @@ class TestGdaldemCli:
         want = np.zeros((64, 64), dtype=np.uint8)
         want[ry, rx] = ref.burn.astype(np.uint8)
         np.testing.assert_array_equal(hs, want)
+
+
+class TestGdalinfoCli:
+    def test_info_stats_checksum(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 200, (32, 48)).astype(np.uint8)
+        src = str(tmp_path / "r.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(10.0, 2.0, 0.0, 90.0, 0.0, -2.0),
+                                   epsg=4326))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdalinfo.py")
+        out = subprocess.run(
+            [_sys.executable, cli, src, "-stats", "-checksum",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        info = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert info["size"] == [48, 32] and info["epsg"] == 4326
+        s = info["stats"][0]
+        assert s["n"] == 32 * 48
+        assert s["min"] == float(arr.min()) and s["max"] == float(arr.max())
+        assert abs(s["mean"] - arr.mean()) < 1e-4
+
+        # checksum parity vs a direct single-process evaluation of the
+        # same GDALChecksumImage formula (alg/gdalchecksum.cpp)
+        from lib_gdal_ray.pipelines.rasterize import checksum_contrib
+
+        yy, xx = np.mgrid[0:32, 0:48]
+        want = int(checksum_contrib((xx + yy * 48).ravel().astype(np.int64),
+                                    arr.ravel().astype(np.float64), 0)
+                   .sum()) % 65536
+        assert info["checksum"][0]["checksum"] == want

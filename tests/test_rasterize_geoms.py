@@ -117,3 +117,40 @@ def test_multipolygon_roundtrip():
     ds = ray.data.from_arrow(pa.table({"geometry": pa.array([mp], type=pa.binary())}))
     got = set(_pix_set(rast.rasterize_geometries(ds, 3, shuffle_partitions=4)))
     assert got == _kernel_pixels(mp, 3)
+
+
+class TestGdalRasterizeCli:
+    def test_burn_box(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.codecs.tiff import decode_geotiff
+        from lib_gdal_ray.geom import wkb as W2
+
+        src = str(tmp_path / "boxes.parquet")
+        # one box covering exactly the grid cells [2,8) x [2,8) of a
+        # 10x10 unit grid over (0,0)-(10,10)
+        pa.parquet.write_table(pa.table({
+            "gid": pa.array([1], type=pa.int64()),
+            "geometry": pa.array([W2.box_to_wkb(2.0, 2.0, 8.0, 8.0)],
+                                 type=pa.binary()),
+        }), src)
+        dst = str(tmp_path / "burn.tif")
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdal_rasterize.py")
+        out = subprocess.run(
+            [_sys.executable, cli, src, dst, "-te", "0", "0", "10", "10",
+             "-ts", "10", "10", "-burn", "3", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        rep = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert rep["size"] == [10, 10]
+        arr, meta = decode_geotiff(open(dst, "rb").read())
+        # pixel centers x+0.5 in (2,8): columns/rows 2..7 inclusive
+        want = np.zeros((10, 10), dtype=np.float32)
+        want[2:8, 2:8] = 3.0
+        np.testing.assert_array_equal(arr, want)
+        assert meta["transform"] == (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
