@@ -287,3 +287,45 @@ class TestGdalinfoCli:
                                     arr.ravel().astype(np.float64), 0)
                    .sum()) % 65536
         assert info["checksum"][0]["checksum"] == want
+
+
+class TestGdalwarpCli:
+    def test_near_warp_4326_to_3857(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.geom.proj import Transformer
+
+        src_arr = np.arange(16 * 16, dtype=np.float32).reshape(16, 16) + 1
+        gt = (10.0, 0.5, 0.0, 50.0, 0.0, -0.5)  # 10..18 E, 42..50 N
+        src = str(tmp_path / "s.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(src_arr, transform=gt, epsg=4326))
+        dst = str(tmp_path / "d.tif")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdalwarp.py")
+        out = subprocess.run(
+            [_sys.executable, cli, src, dst, "-t_srs", "EPSG:3857",
+             "-r", "near", "-ts", "16", "16", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        rep = _json.loads(out.stdout.strip().splitlines()[-1])
+        arr, meta = decode_geotiff(open(dst, "rb").read())
+        assert meta["epsg"] == 3857 and arr.shape == (16, 16)
+        # recompute expected with the same inverse mapping, straightline
+        xmin, ymin, xmax, ymax = rep["te"]
+        xres, yres = (xmax - xmin) / 16, (ymax - ymin) / 16
+        inv = Transformer.get(3857, 4326)
+        ry, rx = np.mgrid[0:16, 0:16]
+        dx = xmin + (rx.ravel() + 0.5) * xres
+        dy = ymax - (ry.ravel() + 0.5) * yres
+        sx, sy = inv.transform(dx, dy)
+        fx = (sx - gt[0]) / gt[1] - 0.5
+        fy = (sy - gt[3]) / gt[5] - 0.5
+        ix = np.floor(fx + 0.5).astype(int)
+        iy = np.floor(fy + 0.5).astype(int)
+        ok = (ix >= 0) & (iy >= 0) & (ix < 16) & (iy < 16)
+        want = np.zeros(16 * 16, dtype=np.float32)
+        want[ok] = src_arr[iy[ok], ix[ok]]
+        np.testing.assert_array_equal(arr.ravel(), want)
