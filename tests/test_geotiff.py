@@ -329,3 +329,42 @@ class TestGdalwarpCli:
         want = np.zeros(16 * 16, dtype=np.float32)
         want[ok] = src_arr[iy[ok], ix[ok]]
         np.testing.assert_array_equal(arr.ravel(), want)
+
+
+class TestGdalTranslateCli:
+    def test_window_cast_and_png(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.codecs.png import decode_png
+
+        arr = (np.arange(40 * 60, dtype=np.float32).reshape(40, 60)) / 10.0
+        src = str(tmp_path / "s.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(100.0, 2.0, 0.0, 500.0,
+                                                   0.0, -2.0), epsg=3857))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdal_translate.py")
+        dst = str(tmp_path / "w.tif")
+        out = subprocess.run(
+            [_sys.executable, cli, src, dst, "-srcwin", "5", "10", "20",
+             "15", "-ot", "Int32", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        got, meta = decode_geotiff(open(dst, "rb").read())
+        want = np.floor(arr[10:25, 5:25].astype(np.float64) + 0.5
+                        ).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+        assert meta["transform"] == (110.0, 2.0, 0.0, 480.0, 0.0, -2.0)
+        assert meta["epsg"] == 3857
+
+        png = str(tmp_path / "p.png")
+        out2 = subprocess.run(
+            [_sys.executable, cli, src, png, "-scale", "-outsize", "30",
+             "20", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out2.returncode == 0, out2.stderr[-800:]
+        p = decode_png(open(png, "rb").read())
+        assert p.shape[:2] == (20, 30) and p.dtype == np.uint8
+        assert p.min() == 0 and p.max() == 255
