@@ -1370,8 +1370,10 @@ def q_polygonize_regions(sf_dir):
     from .polygonize import polygonize
 
     pts = events_points(sf_dir)
+    # NOTE: counts keeps the distributed groupby — a repartition(1)
+    # combine would serialize the downstream per-tile labeling
     counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
-    out = polygonize(counts)
+    out = polygonize(counts, shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1582,7 +1584,7 @@ def q_isobands(sf_dir):
                                      combine=False)
     labeled = label_binned_counts(partials, [1.0, 2.0, 4.0, 8.0, 1e18],
                                   [1.0, 2.0, 3.0, 4.0])
-    out = regions_from_labels(labeled)
+    out = regions_from_labels(labeled, shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({

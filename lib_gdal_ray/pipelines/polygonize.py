@@ -506,23 +506,57 @@ def polygonize_wkb(pixels: ray.data.Dataset, connectivity: int = 4,
 
 
 def polygonize(pixels: ray.data.Dataset, connectivity: int = 4,
-               tile_size: int = 256) -> ray.data.Dataset:
+               tile_size: int = 256,
+               shuffle_partitions=None) -> ray.data.Dataset:
     """Sparse pixel rows (pix_id, burn) → region rows
     (region_id, value, n_pixels, gpx_min, gpy_min, gpx_max, gpy_max)."""
     relabeled = label_connected_components(pixels, connectivity, tile_size)
-    return regions_from_labels(relabeled)
+    return regions_from_labels(relabeled, shuffle_partitions)
 
 
-def regions_from_labels(relabeled: ray.data.Dataset) -> ray.data.Dataset:
+def regions_from_labels(relabeled: ray.data.Dataset,
+                        shuffle_partitions=None) -> ray.data.Dataset:
     """Labeled pixel rows → one region row per component
-    (region_id, value, n_pixels, global-pixel bbox)."""
-    from ray.data.aggregate import Count, Max, Min
+    (region_id, value, n_pixels, global-pixel bbox).
 
-    return (relabeled.groupby("region_id").aggregate(
+    In-batch partial aggregation first: regions are tile-local, so the
+    per-block group_by collapses the pixel rows to ~one partial per
+    (region, block) before the cross-block shuffle — the groupby then
+    moves region partials, not pixels. shuffle_partitions: LOCAL tree
+    combine of the (small) partials in one block — valid only when the
+    region table fits one block (bounded rasters; same contract as
+    rasterize.combine_pixel_partials); leave None for the scalable
+    groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    _PARTIAL_AGGS = [("value", "min"), ("n_pixels", "sum"),
+                     ("gpx_min", "min"), ("gpy_min", "min"),
+                     ("gpx_max", "max"), ("gpy_max", "max")]
+    names = ["region_id", "value", "n_pixels", "gpx_min", "gpy_min",
+             "gpx_max", "gpy_max"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({c: batch[c] for c in
+                      ("region_id", "value", "gpx", "gpy")})
+        g = t.group_by(["region_id"]).aggregate([
+            ("value", "min"), ([], "count_all"),
+            ("gpx", "min"), ("gpy", "min"),
+            ("gpx", "max"), ("gpy", "max")])
+        return g.rename_columns(names)
+
+    partials = relabeled.map_batches(partial, batch_format="pyarrow")
+    if shuffle_partitions:
+        def combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["region_id"]).aggregate(_PARTIAL_AGGS)
+            return g.rename_columns(names)
+
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("region_id").aggregate(
         Min("value", alias_name="value"),
-        Count(alias_name="n_pixels"),
-        Min("gpx", alias_name="gpx_min"),
-        Min("gpy", alias_name="gpy_min"),
-        Max("gpx", alias_name="gpx_max"),
-        Max("gpy", alias_name="gpy_max"),
-    ))
+        Sum("n_pixels", alias_name="n_pixels"),
+        Min("gpx_min", alias_name="gpx_min"),
+        Min("gpy_min", alias_name="gpy_min"),
+        Max("gpx_max", alias_name="gpx_max"),
+        Max("gpy_max", alias_name="gpy_max"),
+    )
