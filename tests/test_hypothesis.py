@@ -123,3 +123,66 @@ def test_knn_cell_ring_expansion_exact(seed, n_sites, k, res):
             d2 = (idx.x - px[row]) ** 2 + (idx.y - py[row]) ** 2
             want = np.lexsort((idx.ids, d2))[:min(k, n_sites)]
             assert list(got_i[r]) == list(want), (seed, row)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coords, lats), min_size=3, max_size=12),
+       st.sampled_from(["polygon", "linestring", "multipoint"]))
+def test_transform_wkb_identity_and_shape(pts, kind):
+    """transform_wkb with the identity fn reproduces every vertex and
+    the geometry type for all core SFA kinds."""
+    c = np.asarray(pts, dtype=np.float64)
+    if kind == "polygon":
+        ring = np.vstack([c, c[:1]])
+        buf = wkb.polygon_to_wkb([ring])
+    elif kind == "linestring":
+        buf = wkb.linestring_to_wkb(c)
+    else:
+        buf = wkb.multipoint_to_wkb(c)
+    out = wkb.transform_wkb(buf, lambda x, y: (x, y))
+    k1, p1 = wkb.parse_wkb(buf)
+    k2, p2 = wkb.parse_wkb(out)
+    assert k1 == k2
+    a1 = wkb._all_coords(k1, p1)
+    a2 = wkb._all_coords(k2, p2)
+    np.testing.assert_allclose(a1, a2, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges",
+                         [(1, 8, 6), (7, 25, 40), (42, 30, 12)])
+def test_near_dup_clusters_matches_union_find(seed, n_nodes, n_edges):
+    """Distributed CC == single-process union-find on random graphs
+    (seeded cases, not hypothesis — each case runs a full multi-round
+    distributed pipeline)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lib_gdal_ray.pipelines import dedup as dd
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if len(a) == 0:
+        return
+    pairs = ray.data.from_arrow(pa.table({"id_a": pa.array(a),
+                                          "id_b": pa.array(b)}))
+    got = dict(zip(*[dd.near_dup_clusters(pairs).to_pandas()[c]
+                     for c in ("doc_id", "cluster_id")]))
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = set(a.tolist()) | set(b.tolist())
+    want = {n: find(n) for n in nodes}
+    assert got == want
