@@ -1367,13 +1367,15 @@ def q_polygonize_regions(sf_dir):
     the same components with a recursive min-label reachability CTE
     (region_id == the component's minimum packed pixel id on both sides
     — the engine's union-find picks the smaller root at every merge)."""
-    from .polygonize import polygonize
-
     pts = events_points(sf_dir)
-    # NOTE: counts keeps the distributed groupby — a repartition(1)
-    # combine would serialize the downstream per-tile labeling
-    counts = rast.rasterize_pixels(pts, 6, merge_alg="count")
-    out = polygonize(counts, shuffle_partitions=8)
+    # fused count ∘ tile-label path (identity bins): ONE pixel shuffle
+    # instead of the count groupby + tile sort
+    from .polygonize import label_binned_counts, regions_from_labels
+
+    partials = rast.rasterize_pixels(pts, 6, merge_alg="count",
+                                     combine=False)
+    labeled = label_binned_counts(partials, None, None)
+    out = regions_from_labels(labeled, shuffle_partitions=8)
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({

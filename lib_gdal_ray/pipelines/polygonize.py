@@ -156,10 +156,14 @@ def label_binned_counts(partials: ray.data.Dataset,
     pixels) shuffles again. Same output as the composition."""
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
-    bounds_a = np.asarray(bounds, dtype=np.float64)
-    values_a = np.asarray(values, dtype=np.float64)
-    if len(values_a) != len(bounds_a) - 1:
-        raise ValueError("need len(values) == len(bounds) - 1")
+    identity = bounds is None
+    if identity:
+        bounds_a = values_a = None  # value = summed count, no binning
+    else:
+        bounds_a = np.asarray(bounds, dtype=np.float64)
+        values_a = np.asarray(values, dtype=np.float64)
+        if len(values_a) != len(bounds_a) - 1:
+            raise ValueError("need len(values) == len(bounds) - 1")
 
     tiled = with_tile_cols(partials, tile_size)
 
@@ -171,9 +175,12 @@ def label_binned_counts(partials: ray.data.Dataset,
         starts = np.flatnonzero(np.r_[True, spix[1:] != spix[:-1]])
         upix = spix[starts]
         totals = np.add.reduceat(scnt, starts)
-        idx = np.clip(np.searchsorted(bounds_a, totals, side="right") - 1,
-                      0, len(values_a) - 1)
-        val = values_a[idx]
+        if identity:
+            val = totals
+        else:
+            idx = np.clip(np.searchsorted(bounds_a, totals, side="right") - 1,
+                          0, len(values_a) - 1)
+            val = values_a[idx]
         z, gpx, gpy = unpack_pixel(upix)
         labels = _label_pixels(gpx, gpy, val, connectivity)
         return pd.DataFrame({
