@@ -26,49 +26,77 @@ from .polygonize import label_connected_components
 from .rasterize import pack_pixel
 
 
-def _adjacency_pairs(labeled: ray.data.Dataset) -> ray.data.Dataset:
-    """Region adjacency (ra, rb, ra≠rb) from 4-neighbor pixel pairs.
+def _adjacency_pairs(labeled: ray.data.Dataset,
+                     tile: int = 256) -> ray.data.Dataset:
+    """DISTINCT region adjacency pairs from 4-neighbor pixel edges.
 
-    Each shared pixel edge gets exactly one row per incident pixel
-    (side 0 = the pixel east/south of the edge, side 1 = west/north);
-    region ids are < 2^62 (pack_pixel keys), so `enc = side<<62 | region`
-    lets a single native Min/Max/Count aggregate recover both sides of
-    every edge — no per-edge-key map_groups."""
-    SIDE = np.uint64(1) << np.uint64(62)
-    MASK = SIDE - np.uint64(1)
+    Tile-halo co-partition (≤4 replicas per pixel, one bounded
+    groupby(__blk)) + dense per-tile neighbor comparison — instead of
+    the former 4-rows-per-pixel edge-keyed groupby, the exchange moves
+    ~1.06× the pixel rows and each tile emits its region pairs already
+    deduplicated (pairs ≪ edges)."""
+    maxb = ((1 << 29) - 1) // tile
 
-    def probes(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table) -> pa.Table:
         gpx = batch["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
         gpy = batch["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.uint64)
         reg = batch["region_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tables = []
-        # horizontal edge between (x,y) and (x+1,y): key = ((x+1) << 32 | y) << 1
-        # vertical edge between (x,y) and (x,y+1): key = ((x) << 32 | y+1) << 1 | 1
-        hk_e = (((gpx + 1).astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)
-        hk_w = ((gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)
-        vk_s = (((gpx.astype(np.uint64) << np.uint64(32)) | (gpy + 1).astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
-        vk_n = (((gpx.astype(np.uint64) << np.uint64(32)) | gpy.astype(np.uint64)) << np.uint64(1)) | np.uint64(1)
-        for key, side in ((hk_e, 0), (hk_w, 1), (vk_s, 0), (vk_n, 1)):
-            enc = reg if side == 0 else (reg | SIDE)
-            tables.append(pa.table({"ek": pa.array(key), "enc": pa.array(enc)}))
-        return pa.concat_tables(tables)
+        n = len(gpx)
+        if n == 0:
+            return pa.table({"gpx": pa.array([], pa.int64()),
+                             "gpy": pa.array([], pa.int64()),
+                             "reg": pa.array([], pa.uint64()),
+                             "__blk": pa.array([], pa.uint64())})
+        bx0 = np.maximum((gpx - 1) // tile, 0)
+        bx1 = np.minimum((gpx + 1) // tile, maxb)
+        by0 = np.maximum((gpy - 1) // tile, 0)
+        by1 = np.minimum((gpy + 1) // tile, maxb)
+        ny = (by1 - by0 + 1).astype(np.int64)
+        reps = ((bx1 - bx0 + 1) * ny).astype(np.int64)
+        total = int(reps.sum())
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        k = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+        ny_r = np.repeat(ny, reps)
+        bx = np.repeat(bx0, reps) + k // ny_r
+        by = np.repeat(by0, reps) + k % ny_r
+        key = (np.repeat(z, reps) << np.uint64(42)) \
+            | (bx.astype(np.uint64) << np.uint64(21)) | by.astype(np.uint64)
+        return pa.table({"gpx": pa.array(gpx[idx]),
+                         "gpy": pa.array(gpy[idx]),
+                         "reg": pa.array(reg[idx]),
+                         "__blk": pa.array(key)})
 
-    from ray.data.aggregate import Count, Max, Min
+    def kernel(tbl: pa.Table) -> pa.Table:
+        blk = int(tbl["__blk"][0].as_py())
+        bx = (blk >> 21) & ((1 << 21) - 1)
+        by = blk & ((1 << 21) - 1)
+        x0, y0 = bx * tile - 1, by * tile - 1
+        w = tile + 2
+        gpx = tbl["gpx"].to_numpy(zero_copy_only=False)
+        gpy = tbl["gpy"].to_numpy(zero_copy_only=False)
+        reg = tbl["reg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grid = np.full((w, w), -1, dtype=np.int64)
+        grid[gpy - y0, gpx - x0] = reg
+        own = grid[1:tile + 1, 1:tile + 1]
+        out = []
+        for a, b in ((own, grid[1:tile + 1, 2:tile + 2]),     # east
+                     (own, grid[2:tile + 2, 1:tile + 1])):    # south
+            m = (a >= 0) & (b >= 0) & (a != b)
+            if m.any():
+                ra, rb = a[m], b[m]
+                out.append(np.stack([np.minimum(ra, rb),
+                                     np.maximum(ra, rb)], axis=1))
+        if not out:
+            return pa.table({"ra": pa.array([], pa.uint64()),
+                             "rb": pa.array([], pa.uint64())})
+        u = np.unique(np.concatenate(out), axis=0)
+        return pa.table({"ra": pa.array(u[:, 0].astype(np.uint64)),
+                         "rb": pa.array(u[:, 1].astype(np.uint64))})
 
-    grouped = (labeled.map_batches(probes, batch_format="pyarrow")
-               .groupby("ek").aggregate(Count(alias_name="n"),
-                                        Min("enc", alias_name="lo"),
-                                        Max("enc", alias_name="hi")))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        n = batch["n"].to_numpy(zero_copy_only=False)
-        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ra, rb = lo & MASK, hi & MASK
-        keep = (n == 2) & (ra != rb)
-        return pa.table({"ra": pa.array(ra[keep]), "rb": pa.array(rb[keep])})
-
-    return grouped.map_batches(pairs, batch_format="pyarrow")
+    return (labeled.map_batches(tag, batch_format="pyarrow")
+            .groupby("__blk").map_groups(kernel, batch_format="pyarrow"))
 
 
 def sieve(pixels: ray.data.Dataset, threshold: int,
@@ -84,8 +112,18 @@ def sieve(pixels: ray.data.Dataset, threshold: int,
     # region graph (region count << pixel count). It runs inside ONE Ray
     # task fed by block refs — regions and adjacency never pass through
     # the driver; the result map ref broadcasts to the rewrite actors.
-    region_blocks = (labeled.groupby("region_id")
-                     .aggregate(Count(alias_name="n"),
+    from ray.data.aggregate import Sum
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"region_id": batch["region_id"],
+                      "value": batch["value"]})
+        g = t.group_by(["region_id"]).aggregate([([], "count_all"),
+                                                 ("value", "min")])
+        return g.rename_columns(["region_id", "n", "value"])
+
+    region_blocks = (labeled.map_batches(size_partial, batch_format="pyarrow")
+                     .groupby("region_id")
+                     .aggregate(Sum("n", alias_name="n"),
                                 Min("value", alias_name="value"))
                      .to_arrow_refs())
     adj_blocks = _adjacency_pairs(labeled).to_arrow_refs()
