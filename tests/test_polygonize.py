@@ -150,3 +150,50 @@ def test_labelprop_equals_task_uf():
     b = label_connected_components(ds, 4, tile_size=8, cc_mode="labelprop").to_pandas()
     assert comps(a) == comps(b)
     assert len(comps(a)) == 2
+
+
+class TestGdalPolygonizeCli:
+    def test_regions_with_hole(self, tmp_path):
+        import json as _json
+        import os
+        import subprocess
+        import sys as _sys
+
+        import numpy as np
+
+        from lib_gdal_ray.codecs.tiff import encode_geotiff
+
+        arr = np.zeros((20, 20), dtype=np.uint8)
+        arr[2:6, 2:6] = 7
+        arr[10:18, 10:18] = 3
+        arr[13:15, 13:15] = 0  # hole
+        src = str(tmp_path / "c.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(100.0, 0.5, 0.0, 60.0,
+                                                   0.0, -0.5), epsg=4326))
+        dst = str(tmp_path / "c.geojsonl")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdal_polygonize.py")
+        out = subprocess.run(
+            [_sys.executable, cli, src, dst, "--skip-zero",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        lines = []
+        if os.path.isdir(dst):
+            for f in os.listdir(dst):
+                lines += open(os.path.join(dst, f)).read().splitlines()
+        else:
+            lines = open(dst).read().splitlines()
+        feats = [_json.loads(ln) for ln in lines if ln.strip()]
+        by_val = {ft["properties"]["value"]: ft for ft in feats}
+        assert set(by_val) == {7.0, 3.0}
+        assert by_val[7.0]["properties"]["n_pixels"] == 16
+        assert by_val[3.0]["properties"]["n_pixels"] == 60
+        assert len(by_val[3.0]["geometry"]["coordinates"]) == 2  # hole
+        # georeferenced corner: pixel (2,2) -> (101.0, 59.0)
+        ring7 = by_val[7.0]["geometry"]["coordinates"][0]
+        xs = [p[0] for p in ring7]
+        ys = [p[1] for p in ring7]
+        assert min(xs) == 101.0 and max(xs) == 103.0
+        assert max(ys) == 59.0 and min(ys) == 57.0
