@@ -145,7 +145,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "chunk_documents", "chunk_dedup", "gpkg_roundtrip",
                      "color_relief", "hillshade_multidirectional",
                      "shapefile_roundtrip", "tfidf_top_terms",
-                     "ogrsql_report", "isobands"]
+                     "ogrsql_report", "isobands",
+                     # round-3 session 4
+                     "polygonize_regions", "sieve_filter",
+                     "minhash_dedup_keep"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
