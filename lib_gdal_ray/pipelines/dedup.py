@@ -482,28 +482,69 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def near_dup_clusters(pairs: ray.data.Dataset, id_a: str = "id_a",
-                      id_b: str = "id_b") -> ray.data.Dataset:
+                      id_b: str = "id_b", cc_mode: str = "auto",
+                      labelprop_threshold: int = 5_000_000
+                      ) -> ray.data.Dataset:
     """Near-dup pair edges -> (doc_id, cluster_id) for every doc that
     appears in a pair; cluster_id = MIN doc id reachable in the pair
-    graph (deterministic canonical representative).
+    graph (deterministic canonical representative) — chains (a~b, b~c)
+    collapse even when (a,c) was never emitted as a pair.
 
-    Distributed connected components by min-label propagation + pointer
-    jumping (reuses polygonize._cc_root_map — O(log n) bounded-join
-    rounds, nothing driver-side), so chains of pairs (a~b, b~c) collapse
-    into one cluster even when (a,c) was never emitted as a pair.
-    Transform-side analog of the keep-first semantics GDAL-style tools
-    apply after candidate generation."""
-    from .polygonize import _cc_root_map
+    cc_mode (same contract as polygonize): the CONTRACTED pair graph is
+    usually tiny relative to the corpus, so below
+    `labelprop_threshold` edges the components come from ONE Ray task's
+    union-find over the edge block refs (never the driver); above it,
+    the distributed min-label-propagation + pointer-jumping rounds
+    (polygonize._cc_root_map) take over — each round is bounded-bucket
+    groupbys, no single-node graph."""
+    import ray as _ray
 
     def edges(batch: pa.Table) -> pa.Table:
         return pa.table({"la": batch[id_a], "lb": batch[id_b]})
 
-    m = _cc_root_map(pairs.map_batches(edges, batch_format="pyarrow"))
+    e = pairs.map_batches(edges, batch_format="pyarrow").materialize()
+    if cc_mode == "labelprop" or (cc_mode == "auto"
+                                  and e.count() > labelprop_threshold):
+        from .polygonize import _cc_root_map
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["label"], "cluster_id": batch["root"]})
+        m = _cc_root_map(e)
 
-    return m.map_batches(rename, batch_format="pyarrow")
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch["label"],
+                             "cluster_id": batch["root"]})
+
+        return m.map_batches(rename, batch_format="pyarrow")
+
+    @_ray.remote
+    def _uf_task(*blocks) -> pa.Table:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for b in blocks:
+            if len(b) == 0:
+                continue
+            la = b["la"].to_numpy(zero_copy_only=False)
+            lb = b["lb"].to_numpy(zero_copy_only=False)
+            for x, y in zip(la.tolist(), lb.tolist()):
+                nodes.add(x)
+                nodes.add(y)
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+        ns = sorted(nodes)
+        return pa.table({
+            "doc_id": pa.array(ns, type=pa.int64()),
+            "cluster_id": pa.array([find(n) for n in ns], type=pa.int64()),
+        })
+
+    ref = _uf_task.remote(*e.to_arrow_refs())
+    return ray.data.from_arrow_refs([ref])
 
 
 def near_dup_keep(ds: ray.data.Dataset, pairs: ray.data.Dataset,

@@ -58,6 +58,17 @@ class TestMinHash:
         got = dict(zip(cl["doc_id"], cl["cluster_id"]))
         assert got == {3: 3, 7: 3, 9: 3, 10: 10, 12: 10}
 
+    def test_near_dup_clusters_labelprop_path(self):
+        # force the distributed min-label-propagation path on the same
+        # chain graph; must match the task union-find output exactly
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([7, 3, 10], type=pa.int64()),
+            "id_b": pa.array([3, 9, 12], type=pa.int64()),
+        }))
+        cl = dd.near_dup_clusters(pairs, cc_mode="labelprop").to_pandas()
+        got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+        assert got == {3: 3, 7: 3, 9: 3, 10: 10, 12: 10}
+
     def test_near_dup_keep_canonicals(self):
         docs = ray.data.from_arrow(pa.table({
             "doc_id": pa.array([1, 3, 7, 9, 10, 12, 50], type=pa.int64()),
