@@ -368,3 +368,40 @@ class TestGdalTranslateCli:
         p = decode_png(open(png, "rb").read())
         assert p.shape[:2] == (20, 30) and p.dtype == np.uint8
         assert p.min() == 0 and p.max() == 255
+
+
+class TestRasterUtilityClis:
+    def test_sieve_fill_proximity(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        arr = np.zeros((24, 24), dtype=np.float32)
+        arr[2:10, 2:10] = 5.0
+        arr[4, 4] = 9.0       # 1-px speck -> sieve merges into 5
+        arr[14:22, 14:22] = 3.0
+        arr[17, 17] = 0.0     # nodata hole -> fill interpolates ~3
+        src = str(tmp_path / "u.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(0.0, 1.0, 0.0, 24.0,
+                                                   0.0, -1.0), epsg=4326))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def run(script, *extra):
+            dst = str(tmp_path / (script + ".tif"))
+            out = subprocess.run(
+                [_sys.executable, os.path.join(repo, "scripts",
+                                               script + ".py"),
+                 src, dst, *extra, "--num-cpus", "2"],
+                capture_output=True, text=True, timeout=300)
+            assert out.returncode == 0, out.stderr[-800:]
+            _json.loads(out.stdout.strip().splitlines()[-1])
+            return decode_geotiff(open(dst, "rb").read())[0]
+
+        s = run("gdal_sieve", "-st", "2")
+        assert s[4, 4] == 5.0 and s[15, 15] == 3.0
+        f2 = run("gdal_fillnodata", "-md", "4")
+        assert abs(float(f2[17, 17]) - 3.0) < 1e-6
+        p = run("gdal_proximity", "-maxdist", "8")
+        assert p[5, 5] == 0.0 and p[23, 0] == 8.0 and \
+            abs(float(p[10, 2]) - 1.0) < 1e-9
