@@ -405,3 +405,69 @@ class TestRasterUtilityClis:
         p = run("gdal_proximity", "-maxdist", "8")
         assert p[5, 5] == 0.0 and p[23, 0] == 8.0 and \
             abs(float(p[10, 2]) - 1.0) < 1e-9
+
+
+class TestCalcMergeContourClis:
+    def test_calc_and_merge(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        a = np.full((8, 8), 2.0, dtype=np.float32)
+        b = np.zeros((8, 8), dtype=np.float32)
+        b[0, 0] = 9.0
+        pa_, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+        gt = (0.0, 1.0, 0.0, 8.0, 0.0, -1.0)
+        with open(pa_, "wb") as f:
+            f.write(encode_geotiff(a, transform=gt, epsg=4326))
+        with open(pb, "wb") as f:
+            f.write(encode_geotiff(b, transform=gt, epsg=4326))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = str(tmp_path / "sum.tif")
+        out = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdal_calc.py"),
+             dst, "-A", pa_, "-B", pb, "--op", "add", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        s = decode_geotiff(open(dst, "rb").read())[0]
+        assert s[0, 0] == 11.0 and s[3, 3] == 2.0
+
+        mdst = str(tmp_path / "m.tif")
+        out2 = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdal_merge.py"),
+             "-o", mdst, pa_, pb, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out2.returncode == 0, out2.stderr[-800:]
+        m = decode_geotiff(open(mdst, "rb").read())[0]
+        assert m[0, 0] == 9.0 and m[3, 3] == 2.0  # last source wins
+
+    def test_contour_segments(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        yy, _xx = np.mgrid[0:16, 0:16]
+        dem = yy.astype(np.float32)  # plane: contours at integer rows
+        src = str(tmp_path / "d.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(dem, transform=(0.0, 1.0, 0.0, 16.0,
+                                                   0.0, -1.0), epsg=4326))
+        dst = str(tmp_path / "c.geojsonl")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts",
+                                           "gdal_contour.py"),
+             src, dst, "-fl", "7.5", "--segments", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        lines = []
+        if os.path.isdir(dst):
+            for f in os.listdir(dst):
+                lines += open(os.path.join(dst, f)).read().splitlines()
+        else:
+            lines = open(dst).read().splitlines()
+        feats = [_json.loads(ln) for ln in lines if ln.strip()]
+        assert len(feats) == 15  # 15 cell columns crossed by level 7.5
+        # the 7.5 level sits between rows 7 and 8: georef y = 16-(7.5+0.5)
+        ys = {p[1] for ft in feats for p in ft["geometry"]["coordinates"]}
+        assert ys == {8.0}
