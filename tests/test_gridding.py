@@ -54,3 +54,42 @@ def test_idw_exact_near_site():
     sv = np.asarray([7.0, 99.0])
     out = grid_idw(pixel_window(z, gx, gy, 1, 1), sx, sy, sv, z, mode="all").to_pandas()
     np.testing.assert_allclose(out["burn"].iloc[0], 7.0, atol=1e-6)
+
+
+class TestGdalGridCli:
+    def test_invdist_exact_at_site(self, tmp_path):
+        import json as _json
+        import os
+        import subprocess
+        import sys as _sys
+
+        import numpy as np
+        import pyarrow as pa
+
+        from lib_gdal_ray.codecs.tiff import decode_geotiff
+
+        # one site exactly at a node center: IDW returns its value there
+        src = str(tmp_path / "s.parquet")
+        pa.parquet.write_table(pa.table({
+            "lon": pa.array([2.5, 7.5]),
+            "lat": pa.array([2.5, 7.5]),
+            "value": pa.array([10.0, 90.0]),
+        }), src)
+        dst = str(tmp_path / "g.tif")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdal_grid.py"),
+             src, dst, "-zfield", "value", "-txe", "0", "10",
+             "-tye", "0", "10", "-outsize", "10", "10",
+             "-a", "invdist:power=2", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        g, meta = decode_geotiff(open(dst, "rb").read())
+        # node (2,7) center = (2.5, 2.5) georef -> row 7 col 2
+        assert abs(float(g[7, 2]) - 10.0) < 1e-3
+        assert abs(float(g[2, 7]) - 90.0) < 1e-3
+        # equidistant nodes (x=4.5,y=5.5) and (x=5.5,y=4.5): d^2=13 to
+        # both sites -> exactly the mean value 50
+        assert abs(float(g[4, 4]) - 50.0) < 1e-3
+        assert abs(float(g[5, 5]) - 50.0) < 1e-3
+        assert meta["transform"] == (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
