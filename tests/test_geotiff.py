@@ -471,3 +471,41 @@ class TestCalcMergeContourClis:
         # the 7.5 level sits between rows 7 and 8: georef y = 16-(7.5+0.5)
         ys = {p[1] for ft in feats for p in ft["geometry"]["coordinates"]}
         assert ys == {8.0}
+
+
+class TestNearblackXyzClis:
+    def test_collar_mask_and_xyz(self, tmp_path):
+        import glob
+        import subprocess
+        import sys as _sys
+
+        arr = np.full((16, 16), 100.0, dtype=np.float32)
+        arr[:2, :] = 5.0      # edge-connected near-black collar
+        arr[7:9, 7:9] = 5.0   # interior island must survive
+        src = str(tmp_path / "n.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(0.0, 1.0, 0.0, 16.0,
+                                                   0.0, -1.0), epsg=4326))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = str(tmp_path / "o.tif")
+        out = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "nearblack.py"),
+             src, dst, "-near", "10", "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        o = decode_geotiff(open(dst, "rb").read())[0]
+        assert o[0, 3] == 0.0 and o[7, 7] == 5.0 and o[10, 10] == 100.0
+
+        xyz = str(tmp_path / "xyz")
+        out2 = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdal2xyz.py"),
+             src, xyz, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out2.returncode == 0, out2.stderr[-800:]
+        rows = []
+        for f in glob.glob(os.path.join(xyz, "*.csv")):
+            rows += open(f).read().splitlines()
+        data = [r for r in rows if r and "x" not in r]
+        assert len(data) == 256
+        # pixel (0,0) center -> (0.5, 15.5, 5)
+        assert any(r.startswith("0.5,15.5,5") for r in data)
