@@ -113,8 +113,7 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str) -> int:
 
         write_csv_wkt(ds, path, geometry_col=geometry_col)
         return -1
-    ds.write_parquet(path)
-    return -1
+    return None  # parquet handled by caller (partitioning option)
 
 
 def _epsg(s: str) -> int:
@@ -141,6 +140,8 @@ def main():
     ap.add_argument("-explodecollections", action="store_true")
     ap.add_argument("-limit", type=int, default=None)
     ap.add_argument("-nln", default="layer", help="output layer name")
+    ap.add_argument("-partition-by", dest="partition_by", default=None,
+                    help="comma list: Hive-partitioned parquet output")
     ap.add_argument("--geometry-col", default="geometry")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
@@ -202,7 +203,15 @@ def main():
             op = step.pop("op")
             ds = _OPS[op](ds, **step)
 
-    rows = _write(ds, args.dst, dst_fmt, args.nln, g)
+    if dst_fmt == "parquet":
+        from lib_gdal_ray.sources.sinks import write_partitioned
+
+        write_partitioned(ds, args.dst,
+                          args.partition_by.split(",")
+                          if args.partition_by else None)
+        rows = -1
+    else:
+        rows = _write(ds, args.dst, dst_fmt, args.nln, g)
     print(json.dumps({"src": args.src, "src_format": src_fmt,
                       "dst": args.dst, "dst_format": dst_fmt,
                       "rows": rows, "steps": len(steps),
