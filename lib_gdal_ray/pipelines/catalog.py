@@ -4398,9 +4398,12 @@ s5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5_cnt,
               sum(c) AS n5
        FROM c5 GROUP BY doc_id)
 SELECT base.doc_id, n_tok,
-       coalesce(n2, 0) AS n2, coalesce(top2_cnt, 0) AS top2_cnt,
-       coalesce(n3, 0) AS n3, coalesce(top3_cnt, 0) AS top3_cnt,
-       coalesce(n5, 0) AS n5, coalesce(dup5_cnt, 0) AS dup5_cnt,
+       CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+       CAST(coalesce(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(coalesce(n3, 0) AS BIGINT) AS n3,
+       CAST(coalesce(top3_cnt, 0) AS BIGINT) AS top3_cnt,
+       CAST(coalesce(n5, 0) AS BIGINT) AS n5,
+       CAST(coalesce(dup5_cnt, 0) AS BIGINT) AS dup5_cnt,
        CASE WHEN coalesce(top2_cnt, 0) * 5 <= coalesce(n2, 0) * 1
              AND coalesce(top3_cnt, 0) * 50 <= coalesce(n3, 0) * 9
              AND coalesce(dup5_cnt, 0) * 10 <= coalesce(n5, 0) * 3
@@ -4474,10 +4477,12 @@ c AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS start_off
   FROM t)
-SELECT doc_id, shard, n_tokens, start_off,
-       start_off // 2048 AS first_seq,
-       (start_off + n_tokens - 1) // 2048 AS last_seq,
-       (start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS n_pieces
+SELECT doc_id, shard, n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 2048 AS BIGINT) AS first_seq,
+       CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+       CAST((start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1
+            AS BIGINT) AS n_pieces
 FROM c
 """
 
@@ -4550,7 +4555,8 @@ c AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_tokens
   FROM t)
-SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= cap
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= cap
 """
 
 

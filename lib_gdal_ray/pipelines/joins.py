@@ -325,15 +325,28 @@ def interval_join(intervals: ray.data.Dataset, points: ray.data.Dataset,
 
     both = ivw.union(ptw)
     out_names = icols + pcols
+    # the null-filled union slots make pandas upcast int carry columns
+    # to float64; restore the original input dtypes on the way out
+    out_dtypes = {}
+    for c in icols:
+        out_dtypes[c] = np.dtype(t_of(isch, c).to_pandas_dtype())
+    for c in pcols:
+        out_dtypes[c] = np.dtype(t_of(psch, c).to_pandas_dtype())
+
+    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in out_dtypes.items():
+            if df[c].dtype != dt:
+                df[c] = df[c].astype(dt)
+        return df
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         iv = df[df["__side"] == 0]
         pt = df[df["__side"] == 1]
         if len(iv) == 0 or len(pt) == 0:
-            return pd.DataFrame(
+            return _restore(pd.DataFrame(
                 {c: pd.Series(dtype=df["__iv_" + c].dtype
                               if c in icols else df["__pt_" + c].dtype)
-                 for c in out_names})
+                 for c in out_names}))
         if key_col is not None:
             iv = iv.copy()
             pt = pt.copy()
@@ -363,6 +376,6 @@ def interval_join(intervals: ray.data.Dataset, points: ray.data.Dataset,
             if col + "_p" in m.columns:
                 col = col + "_p"
             out[c] = m[col].values
-        return pd.DataFrame(out)
+        return _restore(pd.DataFrame(out))
 
     return both.groupby("__g").map_groups(per_bucket, batch_format="pandas")

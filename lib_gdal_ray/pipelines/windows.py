@@ -196,27 +196,41 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     rw = right.map_batches(widen_right, batch_format="pyarrow")
     both = lw.union(rw)
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    # output schema with the TRUE input dtypes: left columns keep the
+    # left schema (the widened union upcast ints to float64 — restore),
+    # right payloads keep the right schema but nullable (LEFT join)
+    out_schema = pa.schema(
+        [(c, t_of(c)) for c in left_names]
+        + [(o, rsch.types[rsch.names.index(c)])
+           for c, o in zip([ts_col] + rcols, out_rnames)])
+
+    def per_bucket(df: pd.DataFrame):
         lhs = df[df["__side"] == 1]
         rhs = df[df["__side"] == 0]
         lhs = lhs[list(left_names)].sort_values(ts_col, kind="stable")
         rcols_tagged = ["__r_" + c for c in rnames_in]
         rhs = rhs[rcols_tagged].rename(
             columns={"__r_" + key_col: key_col})
+        if len(lhs) == 0:
+            return out_schema.empty_table()
         # null-filled union slots widen ints to float in pandas; the
         # rhs rows themselves are dense, so cast join keys back to the
         # lhs dtypes for merge_asof
         rhs = rhs.astype({key_col: lhs[key_col].dtype,
                           "__r_" + ts_col: lhs[ts_col].dtype})
         rhs = rhs.sort_values("__r_" + ts_col, kind="stable")
-        if len(lhs) == 0:
-            return pd.DataFrame(columns=list(left_names) + out_rnames)
         merged = pd.merge_asof(
             lhs, rhs, left_on=ts_col, right_on="__r_" + ts_col,
             by=key_col, direction=direction)
         ren = {"__r_" + c: o for c, o in zip([ts_col] + rcols,
                                              out_rnames)}
-        return merged.rename(columns=ren)
+        merged = merged.rename(columns=ren)
+        # emit Arrow with the input dtypes restored; unmatched right
+        # payloads become real nulls (nullable int64, not float64 NaN)
+        return pa.table(
+            {f.name: pa.array(merged[f.name], type=f.type,
+                              from_pandas=True)
+             for f in out_schema})
 
     return both.groupby("__g").map_groups(per_bucket, batch_format="pandas")
 

@@ -61,18 +61,43 @@ def main(sf_dir: str, only=()):
         rows_match = len(mine) == len(orc)
         schema_match = sorted(mine.columns) == sorted(orc.columns)
         hash_match = None
+        dtype_drift = {}
         if rows_match and schema_match:
             sc = sorted(mine.columns)
             a = mine[sc].sort_values(sc).reset_index(drop=True)
-            try:
-                b = orc[sc].astype({c: a[c].dtype for c in sc}
-                                   ).sort_values(sc).reset_index(drop=True)
-                hash_match = a.equals(b)
-            except Exception as e:
-                hash_match = f"cast_error: {e}"
+            b = orc[sc].sort_values(sc).reset_index(drop=True)
+            # dtype-STRICT like the driver's value hash: int-vs-float is
+            # a failure even when values agree. Only integer WIDTH drift
+            # (int32 vs int64) is tolerated — the driver demonstrably
+            # tolerates it (VERDICT r3). Nullable pandas ext ints (from
+            # arrow int-with-nulls) count as int kind.
+            def kind(dt):
+                k = getattr(dt, "kind", None)
+                if k is None:  # pandas extension dtype (Int64 etc.)
+                    k = "i" if "Int" in str(dt) or "UInt" in str(dt) else "O"
+                return "i" if k in "iu" else k
+            width_drift = {}
+            for c in sc:
+                ka, kb = kind(a[c].dtype), kind(b[c].dtype)
+                if ka != kb:
+                    dtype_drift[c] = f"{a[c].dtype} vs {b[c].dtype}"
+                elif str(a[c].dtype) != str(b[c].dtype):
+                    width_drift[c] = f"{a[c].dtype} vs {b[c].dtype}"
+            if dtype_drift:
+                hash_match = False
+            else:
+                try:
+                    b = b.astype({c: a[c].dtype for c in sc})
+                    hash_match = a.equals(b)
+                except Exception as e:
+                    hash_match = f"cast_error: {e}"
         results[name] = {"status": "checked", "rows_match": rows_match,
                          "schema_match": schema_match, "hash_match": hash_match,
                          "rows": len(mine), "sec": dt}
+        if dtype_drift:
+            results[name]["dtype_drift"] = dtype_drift
+        if rows_match and schema_match and width_drift:
+            results[name]["width_drift"] = width_drift
     ray.shutdown()
     bad = {k: v for k, v in results.items()
            if v.get("status") in ("RAY_ERROR", "SQL_ERROR")
@@ -83,6 +108,9 @@ def main(sf_dir: str, only=()):
                                      if v["status"] == "checked"),
                       "no_oracle": sum(1 for v in results.values()
                                        if v["status"] == "no_oracle"),
+                      "width_drift": {k: v["width_drift"]
+                                      for k, v in results.items()
+                                      if "width_drift" in v},
                       "bad": bad}, indent=1, default=str))
 
 
