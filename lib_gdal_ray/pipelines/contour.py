@@ -36,6 +36,18 @@ from .rasterize import pack_pixel, unpack_pixel
 _Q = 1 << 20  # endpoint quantization (exact for edge fractions)
 
 
+def _mix_u64(*cols: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic 62-bit id from uint64 column tuples
+    (splitmix64 chain, replaces per-row Python hash() loops)."""
+    from .dedup import _splitmix64
+
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(cols[0]), dtype=np.uint64)
+        for i, c in enumerate(cols):
+            h = _splitmix64(h ^ c ^ np.uint64(0xA5A5A5A5 * (i + 1)))
+    return h & np.uint64((1 << 62) - 1)
+
+
 def _gather_corners(pixels: ray.data.Dataset) -> ray.data.Dataset:
     """-> rows (cell_id, c0..c3, n_present): c0=TL (x,y), c1=TR (x+1,y),
     c2=BL (x,y+1), c3=BR (x+1,y+1) of marching-squares cell (x,y)."""
@@ -188,11 +200,13 @@ def contour_lines(pixels: ray.data.Dataset, levels: Sequence[float]
         x2 = batch["x2"].to_numpy(zero_copy_only=False)
         y2 = batch["y2"].to_numpy(zero_copy_only=False)
         lv = batch["level"].to_numpy(zero_copy_only=False)
-        # deterministic segment id = hash of (level, quantized endpoints)
-        q = np.stack([lv, np.round(x1 * _Q), np.round(y1 * _Q),
-                      np.round(x2 * _Q), np.round(y2 * _Q)], axis=1)
-        sid = np.asarray([hash((row[0], row[1], row[2], row[3], row[4])) & ((1 << 62) - 1)
-                          for row in q], dtype=np.uint64)
+        # deterministic segment id = splitmix64 chain over (level bits,
+        # quantized endpoints) — vectorized, no per-row Python hash()
+        sid = _mix_u64(lv.astype(np.float64).view(np.uint64),
+                       np.round(x1 * _Q).astype(np.int64).view(np.uint64),
+                       np.round(y1 * _Q).astype(np.int64).view(np.uint64),
+                       np.round(x2 * _Q).astype(np.int64).view(np.uint64),
+                       np.round(y2 * _Q).astype(np.int64).view(np.uint64))
         return batch.append_column("seg_id", pa.array(sid))
 
     segs = segs.map_batches(with_ids, batch_format="pyarrow")
@@ -206,9 +220,10 @@ def contour_lines(pixels: ray.data.Dataset, levels: Sequence[float]
               batch["y2"].to_numpy(zero_copy_only=False)]
         tables = []
         for e in range(2):
-            key = np.asarray(
-                [hash((l, int(round(x * _Q)), int(round(y * _Q)))) & ((1 << 62) - 1)
-                 for l, x, y in zip(lv, xs[e], ys[e])], dtype=np.uint64)
+            key = _mix_u64(
+                lv.astype(np.float64).view(np.uint64),
+                np.round(xs[e] * _Q).astype(np.int64).view(np.uint64),
+                np.round(ys[e] * _Q).astype(np.int64).view(np.uint64))
             tables.append(pa.table({"ep": pa.array(key), "seg_id": pa.array(sid)}))
         return pa.concat_tables(tables)
 
@@ -243,12 +258,23 @@ def contour_lines(pixels: ray.data.Dataset, levels: Sequence[float]
 
     class Assign:
         def __init__(self, wrapped):
-            self.map = ray.get(wrapped["ref"])
+            m = ray.get(wrapped["ref"])
+            # sorted key/value arrays: per-batch lookup is a vectorized
+            # searchsorted gather, not a per-row dict .get
+            self.keys = np.fromiter(m.keys(), dtype=np.uint64, count=len(m))
+            vals = np.fromiter(m.values(), dtype=np.uint64, count=len(m))
+            order = np.argsort(self.keys)
+            self.keys = self.keys[order]
+            self.vals = vals[order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             sid = batch["seg_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            lid = np.asarray([self.map.get(int(s), int(s)) for s in sid],
-                             dtype=np.uint64)
+            lid = sid.copy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, sid)
+                pos = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos] == sid
+                lid[hit] = self.vals[pos[hit]]
             x1 = batch["x1"].to_numpy(zero_copy_only=False)
             y1 = batch["y1"].to_numpy(zero_copy_only=False)
             x2 = batch["x2"].to_numpy(zero_copy_only=False)
