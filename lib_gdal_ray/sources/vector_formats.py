@@ -19,6 +19,9 @@ layouts, not one giant file.
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -199,6 +202,43 @@ def write_geojson_seq(ds: ray.data.Dataset, path: str,
 
     sink = _TextLineDatasink.get()(path)
     ds.map_batches(to_lines, batch_format="pyarrow").write_datasink(sink)
+
+
+def write_geojson(ds: ray.data.Dataset, path: str,
+                  geometry_col: str = "geometry") -> int:
+    """Dataset (WKB geometry + property columns) -> ONE classic GeoJSON
+    FeatureCollection file. Feature serialization runs distributed (the
+    same per-block stage as write_geojson_seq); the final assembly is a
+    driver-side streaming byte concat of the shard files — features
+    never materialize as Python objects on the driver. Classic GeoJSON
+    is a single JSON document by spec, so the output is inherently one
+    file; prefer write_geojson_seq for large outputs. Returns the
+    feature count."""
+    out_dir = os.path.dirname(os.path.abspath(path)) or "."
+    shard_dir = tempfile.mkdtemp(prefix=".gj_shards_", dir=out_dir)
+    tmp_path = path + ".tmp"
+    try:
+        write_geojson_seq(ds, shard_dir, geometry_col=geometry_col)
+        n = 0
+        with open(tmp_path, "wb") as out:
+            out.write(b'{"type":"FeatureCollection","features":[\n')
+            for name in sorted(os.listdir(shard_dir)):
+                with open(os.path.join(shard_dir, name), "rb") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if n:
+                            out.write(b",\n")
+                        out.write(line)
+                        n += 1
+            out.write(b"\n]}\n")
+        os.replace(tmp_path, path)
+        return n
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
 
 
 def read_csv_wkt(paths: Union[str, List[str]], wkt_col: str = "wkt",

@@ -94,7 +94,7 @@ def main():
                 "v": vs}
 
     site_ref = collect.remote(*blocks)
-    n_sites = None
+    n_sites = int(len(ray.get(site_ref)["x"]))
 
     chunk = max(1, min(128, h // max(1, args.num_cpus * 4) or 1))
     rows = ray.data.range(h)

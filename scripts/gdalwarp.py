@@ -137,11 +137,13 @@ def main():
             val = np.zeros(len(fx))
             val[ok] = plane[iy[ok], ix[ok]]
         else:
-            x0 = np.floor(fx).astype(np.int64)
-            y0 = np.floor(fy).astype(np.int64)
-            tx_ = fx - x0
-            ty_ = fy - y0
-            ok = (x0 >= 0) & (y0 >= 0) & (x0 < sw - 1) & (y0 < sh - 1)
+            # edge-clamped taps: centers landing in the outer half-pixel
+            # band still resample (GDAL behavior) instead of dropping to 0
+            x0 = np.clip(np.floor(fx).astype(np.int64), 0, sw - 2)
+            y0 = np.clip(np.floor(fy).astype(np.int64), 0, sh - 2)
+            tx_ = np.clip(fx - x0, 0.0, 1.0)
+            ty_ = np.clip(fy - y0, 0.0, 1.0)
+            ok = (fx >= -0.5) & (fy >= -0.5) & (fx <= sw - 0.5) & (fy <= sh - 0.5)
             val = np.zeros(len(fx))
             xo, yo = x0[ok], y0[ok]
             txo, tyo = tx_[ok], ty_[ok]

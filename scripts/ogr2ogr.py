@@ -85,16 +85,19 @@ def _read(path: str, fmt: str, geometry_col: str):
     return ray.data.read_parquet(path)
 
 
-def _write(ds, path: str, fmt: str, layer: str, geometry_col: str) -> int:
+def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
+           srs_id: int = 4326) -> int:
     if fmt == "gpkg":
         from lib_gdal_ray.sources.gpkg import merge_gpkg_dir, write_gpkg
 
         if path.endswith(".gpkg"):
             shard_dir = path + ".shards"
-            write_gpkg(ds, shard_dir, layer=layer, geometry_col=geometry_col)
+            write_gpkg(ds, shard_dir, layer=layer, geometry_col=geometry_col,
+                       srs_id=srs_id)
             return merge_gpkg_dir(shard_dir, path, layer=layer,
                                   geometry_col=geometry_col)
-        write_gpkg(ds, path, layer=layer, geometry_col=geometry_col)
+        write_gpkg(ds, path, layer=layer, geometry_col=geometry_col,
+                   srs_id=srs_id)
         return -1
     if fmt == "shapefile":
         from lib_gdal_ray.sources.shapefile import write_shapefile
@@ -113,11 +116,38 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str) -> int:
 
         write_csv_wkt(ds, path, geometry_col=geometry_col)
         return -1
-    return None  # parquet handled by caller (partitioning option)
+    if fmt == "geojson":
+        from lib_gdal_ray.sources.vector_formats import write_geojson
+
+        return write_geojson(ds, path, geometry_col=geometry_col)
+    raise ValueError(f"unsupported output format: {fmt!r} "
+                     f"(writable: {sorted(_WRITABLE)})")
+
+
+_WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
+             "csvwkt"}
 
 
 def _epsg(s: str) -> int:
     return int(s.split(":")[-1])
+
+
+def _source_epsg(path: str, fmt: str):
+    """SRS from source metadata where the format carries one (GDAL reads
+    the source layer SRS; we mirror that for gpkg)."""
+    if fmt == "gpkg" and os.path.isfile(path):
+        import sqlite3
+
+        try:
+            con = sqlite3.connect(path)
+            row = con.execute(
+                "SELECT srs_id FROM gpkg_geometry_columns LIMIT 1").fetchone()
+            con.close()
+            if row and row[0] and int(row[0]) > 0:
+                return int(row[0])
+        except Exception:
+            pass
+    return None
 
 
 def main():
@@ -130,7 +160,9 @@ def main():
     ap.add_argument("-select", default=None)
     ap.add_argument("-where", default=None)
     ap.add_argument("-sql", default=None)
-    ap.add_argument("-s_srs", default="EPSG:4326")
+    ap.add_argument("-s_srs", default=None,
+                    help="source CRS; default: source metadata, else "
+                         "EPSG:4326 with a warning")
     ap.add_argument("-t_srs", default=None)
     ap.add_argument("-spat", nargs=4, type=float, default=None,
                     metavar=("XMIN", "YMIN", "XMAX", "YMAX"))
@@ -186,9 +218,18 @@ def main():
     if args.segmentize is not None:
         steps.append({"op": "segmentize", "max_length": args.segmentize,
                       "wkb_col": g})
+    if args.s_srs:
+        src_epsg = _epsg(args.s_srs)
+    else:
+        src_epsg = _source_epsg(args.src, src_fmt)
+        if src_epsg is None and args.t_srs:
+            print("Warning: source CRS not in metadata; assuming "
+                  "EPSG:4326 (pass -s_srs to override)", file=sys.stderr)
+        src_epsg = src_epsg or 4326
+    out_epsg = _epsg(args.t_srs) if args.t_srs else src_epsg
     if args.t_srs:
-        steps.append({"op": "reproject_geometry", "src": _epsg(args.s_srs),
-                      "dst": _epsg(args.t_srs), "wkb_col": g})
+        steps.append({"op": "reproject_geometry", "src": src_epsg,
+                      "dst": out_epsg, "wkb_col": g})
     if args.select:
         steps.append({"op": "select_columns",
                       "columns": args.select.split(",")})
@@ -211,7 +252,7 @@ def main():
                           if args.partition_by else None)
         rows = -1
     else:
-        rows = _write(ds, args.dst, dst_fmt, args.nln, g)
+        rows = _write(ds, args.dst, dst_fmt, args.nln, g, srs_id=out_epsg)
     print(json.dumps({"src": args.src, "src_format": src_fmt,
                       "dst": args.dst, "dst_format": dst_fmt,
                       "rows": rows, "steps": len(steps),

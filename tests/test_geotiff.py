@@ -439,7 +439,17 @@ class TestCalcMergeContourClis:
             capture_output=True, text=True, timeout=300)
         assert out2.returncode == 0, out2.stderr[-800:]
         m = decode_geotiff(open(mdst, "rb").read())[0]
-        assert m[0, 0] == 9.0 and m[3, 3] == 2.0  # last source wins
+        # reference default: later source copies ALL pixels, zeros included
+        assert m[0, 0] == 9.0 and m[3, 3] == 0.0
+
+        mdst2 = str(tmp_path / "m2.tif")
+        out3 = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdal_merge.py"),
+             "-o", mdst2, "-n", "0", pa_, pb, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out3.returncode == 0, out3.stderr[-800:]
+        m2 = decode_geotiff(open(mdst2, "rb").read())[0]
+        assert m2[0, 0] == 9.0 and m2[3, 3] == 2.0  # -n 0: zeros skipped
 
     def test_contour_segments(self, tmp_path):
         import json as _json

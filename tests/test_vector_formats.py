@@ -362,3 +362,31 @@ class TestOgr2OgrCli:
                       for _ in open(os.path.join(seq, f))) \
             if os.path.isdir(seq) else sum(1 for _ in open(seq))
         assert n_lines == 10
+
+        # classic .geojson destination: ONE FeatureCollection file
+        # (previously fell through _write and silently wrote nothing)
+        gj = str(tmp_path / "zones.geojson")
+        out3 = subprocess.run(
+            [_sys.executable, cli, gj, src, "-where", "zid < 3",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out3.returncode == 0, out3.stderr[-800:]
+        rep3 = _json.loads(out3.stdout.strip().splitlines()[-1])
+        assert rep3["rows"] == 3 and rep3["dst_format"] == "geojson"
+        doc = _json.load(open(gj))
+        assert doc["type"] == "FeatureCollection"
+        assert sorted(f["properties"]["zid"] for f in doc["features"]) \
+            == [0, 1, 2]
+
+        # gpkg source with 3857 srs metadata: -t_srs back to 4326 must
+        # pick up the source CRS (not assume 4326)
+        back = str(tmp_path / "back.geojson")
+        out4 = subprocess.run(
+            [_sys.executable, cli, back, gpkg, "-t_srs", "EPSG:4326",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out4.returncode == 0, out4.stderr[-800:]
+        doc4 = _json.load(open(back))
+        xs = [c for f in doc4["features"]
+              for ring in f["geometry"]["coordinates"] for c, _ in ring]
+        assert max(abs(x) for x in xs) < 180.5  # degrees, not meters
