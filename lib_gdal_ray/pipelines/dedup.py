@@ -213,6 +213,24 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def hash_object_u64(arr: np.ndarray) -> np.ndarray:
+    """uint64 hash of an object-dtype key array — C-level siphash via
+    pandas (deterministic: pandas' fixed default hash key, so build and
+    probe sides agree across workers), with a per-row crc32 fallback
+    for exotic non-hashable objects. For bucket / broadcast-filter
+    hashing only: needs intra-run consistency, not cross-version
+    stability."""
+    import pandas as pd
+
+    try:
+        return pd.util.hash_array(arr, categorize=False)
+    except TypeError:
+        from zlib import crc32
+
+        return np.fromiter((crc32(str(x).encode()) for x in arr),
+                           dtype=np.uint64, count=len(arr))
+
+
 def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n, num_perm) signatures -> (n, bands) packed band-bucket keys
     (band index in the top 6 bits so different bands never collide)."""

@@ -40,12 +40,11 @@ from .dedup import _splitmix64
 
 def _key_hash64(arr: np.ndarray) -> np.ndarray:
     """Deterministic uint64 hash of a key column (int fast path;
-    strings via crc32, then splitmix-finalized)."""
+    strings via vectorized siphash, then splitmix-finalized)."""
     if arr.dtype == object:
-        from zlib import crc32
+        from .dedup import hash_object_u64
 
-        h = np.fromiter((crc32(str(x).encode()) for x in arr),
-                        dtype=np.uint64, count=len(arr))
+        h = hash_object_u64(arr)
     else:
         h = arr.astype(np.uint64)
     return _splitmix64(h)
@@ -229,7 +228,7 @@ def interval_join(intervals: ray.data.Dataset, points: ray.data.Dataset,
                   interval_cols: Sequence[str] = (),
                   point_cols: Sequence[str] = (),
                   closed: str = "left",
-                  n_buckets: int = 256,
+                  n_buckets: Optional[int] = None,
                   bin_s: int = 3600) -> ray.data.Dataset:
     """Inner interval join: one output row per (interval, point) pair
     with t0 <= ts < t1 (closed='left'; 'open' = strict both ends,
@@ -248,6 +247,10 @@ def interval_join(intervals: ray.data.Dataset, points: ray.data.Dataset,
     """
     if closed not in ("left", "open", "both"):
         raise ValueError("closed must be left|open|both")
+    if n_buckets is None:
+        from .windows import _auto_buckets
+
+        n_buckets = _auto_buckets(intervals, points)
     icols = list(interval_cols)
     pcols = list(point_cols)
 

@@ -334,10 +334,9 @@ def bucket_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def _bb(keys: np.ndarray) -> pa.Array:
         if keys.dtype == object:
-            from zlib import crc32
+            from .dedup import hash_object_u64
 
-            h = np.fromiter((crc32(str(x).encode()) for x in keys),
-                            dtype=np.uint64, count=len(keys))
+            h = hash_object_u64(keys)
         else:
             h = keys.astype(np.uint64)
         return pa.array((((h * C) >> np.uint64(40))

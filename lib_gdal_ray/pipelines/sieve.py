@@ -185,19 +185,26 @@ def sieve(pixels: ray.data.Dataset, threshold: int,
 
     class Rewrite:
         def __init__(self, wrapped):
-            self.map = ray.get(wrapped["ref"])
+            m = ray.get(wrapped["ref"])
+            # sorted key/value arrays: the per-pixel rewrite is a
+            # vectorized searchsorted gather, not a per-row dict .get
+            keys = np.fromiter(m.keys(), dtype=np.uint64, count=len(m))
+            vals = np.fromiter(m.values(), dtype=np.float64, count=len(m))
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.vals = vals[order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             gpx = batch["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
             gpy = batch["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
             zz = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
             reg = batch["region_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            val = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-            if self.map:
-                newv = np.asarray([self.map.get(int(r), v)
-                                   for r, v in zip(reg, val)])
-            else:
-                newv = val
+            newv = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64).copy()
+            if len(self.keys):
+                pos = np.minimum(np.searchsorted(self.keys, reg),
+                                 len(self.keys) - 1)
+                hit = self.keys[pos] == reg
+                newv[hit] = self.vals[pos[hit]]
             pix = pack_pixel(int(zz[0]) if len(zz) else 0, gpx, gpy)
             return pa.table({"pix_id": pa.array(pix), "burn": pa.array(newv)})
 

@@ -80,10 +80,10 @@ def sessionize(events: ray.data.Dataset, user_col: str, ts_col: str,
     def bucket(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False)
         if u.dtype == object:
-            from zlib import crc32  # stable across processes (PYTHONHASHSEED-free)
+            # vectorized siphash (PYTHONHASHSEED-free, same in every worker)
+            from .dedup import hash_object_u64
 
-            h = np.fromiter((crc32(str(x).encode()) & 0xFF for x in u),
-                            dtype=np.int32, count=len(u))
+            h = (hash_object_u64(u) & np.uint64(0xFF)).astype(np.int32)
         else:
             h = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                  >> np.uint64(56)).astype(np.int32)
@@ -114,14 +114,36 @@ def sessionize(events: ray.data.Dataset, user_col: str, ts_col: str,
 def _key_bucket(batch: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
     u = batch[key_col].to_numpy(zero_copy_only=False)
     if u.dtype == object:
-        from zlib import crc32
+        from .dedup import hash_object_u64
 
-        h = np.fromiter((crc32(str(x).encode()) % n_buckets for x in u),
-                        dtype=np.int32, count=len(u))
+        h = (hash_object_u64(u) % np.uint64(n_buckets)).astype(np.int32)
     else:
         h = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
              % np.uint64(n_buckets)).astype(np.int32)
     return batch.append_column("__g", pa.array(h))
+
+
+def _auto_buckets(*dss: ray.data.Dataset, floor: int = 256,
+                  target_rows: int = 2_000_000, cap: int = 1 << 16) -> int:
+    """Bucket count sized to the INPUT, not the core count: the per-
+    bucket kernels materialize one bucket per task, so a fixed 256-way
+    hash bounds group COUNT but lets group SIZE grow with the data
+    (~rows/256 per task = OOM at 100 TB). Derive n_buckets from the
+    plan's metadata row count (free for parquet reads and materialized
+    datasets; no execution is triggered) so per-task rows stay ~flat at
+    ``target_rows``; fall back to ``floor`` when the plan can't say."""
+    total, known = 0, False
+    for d in dss:
+        try:
+            c = d._meta_count()
+        except Exception:
+            c = None
+        if c is not None:
+            total += int(c)
+            known = True
+    if not known:
+        return floor
+    return int(min(cap, max(floor, -(-total // target_rows))))
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -129,7 +151,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               right_cols: Optional[list] = None,
               right_suffix: str = "_r",
               direction: str = "backward",
-              n_buckets: int = 256) -> ray.data.Dataset:
+              n_buckets: Optional[int] = None) -> ray.data.Dataset:
     """As-of join: for each left row, attach the right row with the
     same key and the greatest right ts ≤ left ts (backward; "forward"
     = smallest right ts ≥ left ts). Unmatched left rows keep nulls in
@@ -145,6 +167,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     salt on the ts range if one key outgrows a worker."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
+    if n_buckets is None:
+        n_buckets = _auto_buckets(left, right)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.schema().names if c not in (key_col, ts_col)]
 
@@ -259,7 +283,7 @@ def _sorted_partitions(tbl: pa.Table, part_col: str, order_cols):
 
 def partitioned_window(ds: ray.data.Dataset, part_col: str, order_cols,
                        specs, keep=None,
-                       n_buckets: int = 256) -> ray.data.Dataset:
+                       n_buckets: Optional[int] = None) -> ray.data.Dataset:
     """SQL window functions over PARTITION BY part_col ORDER BY
     order_cols, keys-not-order (reference has no window functions;
     this is the training-pipeline surface the north rule asks for —
@@ -287,6 +311,8 @@ def partitioned_window(ds: ray.data.Dataset, part_col: str, order_cols,
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     keep_cols = list(keep) if keep is not None else None
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds)
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         kc = keep_cols if keep_cols is not None else [
@@ -342,7 +368,7 @@ def partitioned_window(ds: ray.data.Dataset, part_col: str, order_cols,
 
 def grouped_topk(ds: ray.data.Dataset, part_col: str, order_col: str, k: int,
                  descending: bool = True, tiebreak: Optional[str] = None,
-                 keep=None, n_buckets: int = 256) -> ray.data.Dataset:
+                 keep=None, n_buckets: Optional[int] = None) -> ray.data.Dataset:
     """Top-k rows PER KEY (SQL `QUALIFY row_number() OVER (PARTITION BY
     part ORDER BY order) <= k`), with the rank as an int64 ``rn`` column.
 
@@ -396,6 +422,8 @@ def grouped_topk(ds: ray.data.Dataset, part_col: str, order_col: str, k: int,
             out["rn"] = pa.array(pos[pos < k] + 1)
         return pa.table(out)
 
+    if n_buckets is None:
+        n_buckets = _auto_buckets(ds)
     local = ds.map_batches(lambda t: prune(t, False), batch_format="pyarrow")
     bucketed = local.map_batches(
         lambda t: _key_bucket(t, part_col, n_buckets), batch_format="pyarrow")

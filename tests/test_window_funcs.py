@@ -189,3 +189,48 @@ class TestIntervalJoin:
                                 closed=closed, interval_cols=["iv_id"],
                                 point_cols=["id"]).to_pandas()
             assert set(out.id.astype(int)) == exp, closed
+
+
+class TestAutoBuckets:
+    def test_scales_with_metadata_count(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lib_gdal_ray.pipelines.windows import _auto_buckets
+
+        # small parquet read: floor
+        p = str(tmp_path / "small.parquet")
+        pq.write_table(pa.table({"x": np.arange(100)}), p)
+        small = rd.read_parquet(p)
+        assert _auto_buckets(small) == 256
+        # metadata says 10M rows -> buckets grow ~rows/target, capped
+        big = rd.read_parquet(p)
+
+        class FakeMeta:
+            def _meta_count(self):
+                return 10_000_000
+
+        assert _auto_buckets(FakeMeta(), floor=1) == 5  # 10M / 2M
+        assert _auto_buckets(FakeMeta(), floor=1, target_rows=1000) == 10_000
+        assert _auto_buckets(FakeMeta(), floor=1, target_rows=1,
+                             cap=4096) == 4096
+        # unknowable plan (lambda-transformed): falls back to floor,
+        # WITHOUT triggering execution
+        lazy = big.map_batches(lambda t: t)
+        assert _auto_buckets(lazy, floor=64) == 64
+
+    def test_results_identical_across_bucket_counts(self):
+        # 64x-skewed keys: one hot key holds most rows; the output must
+        # be bucket-count-invariant (bucketing is pure partitioning)
+        rng = np.random.default_rng(11)
+        n = 6000
+        k = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 64, n))
+        df = pd.DataFrame({"k": k, "id": np.arange(n, dtype=np.int64),
+                           "v": rng.normal(0, 1, n).round(3)})
+        outs = []
+        for nb in (7, 256, None):
+            o = grouped_topk(rd.from_pandas(df).repartition(4), "k", "v", 5,
+                             tiebreak="id", n_buckets=nb).to_pandas()
+            outs.append(o.sort_values(["k", "rn"]).reset_index(drop=True)
+                        [["k", "id", "v", "rn"]])
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
