@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from typing import Any, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -333,6 +334,239 @@ _FUNCS = {
     "SUBSTR": _fn_substr,
     "HSTORE_GET_VALUE": _fn_hstore_get_value,
 }
+
+
+# --- SQLite-dialect spatial SQL functions --------------------------------
+# The reference registers ST_* scalar functions into its SQLite dialect
+# (`ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:627-878`, GEOS-backed).
+# Here they are registered into the same _FUNCS table the WHERE filter and
+# the ExecuteSQL planner (functions/ogrsql.py) dispatch through, over the
+# repo's pure-python geometry kernels (geom/, stages/geom_ops.py).
+# Geometry args/results are WKB binary; extra args (distances, quadsegs)
+# are literals.
+
+def _aslist(v):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v.to_pylist()
+    if isinstance(v, pa.Scalar):
+        return v.as_py()
+    return v
+
+
+def _geo_unary(fn, out_type):
+    """Elementwise WKB kernel lift: fn(buf, *extras) over a column or a
+    scalar; nulls propagate."""
+
+    def impl(args):
+        g = _aslist(args[0])
+        extras = [_aslist(a) for a in args[1:]]
+        if isinstance(g, list):
+            return pa.array([None if b is None else fn(b, *extras)
+                             for b in g], type=out_type)
+        return (pa.scalar(None, type=out_type) if g is None
+                else pa.scalar(fn(g, *extras), type=out_type))
+
+    return impl
+
+
+def _geo_binary(fn):
+    """Elementwise WKB predicate lift with scalar broadcast on either
+    side (column vs literal geometry is the common shape)."""
+
+    def impl(args):
+        a, b = _aslist(args[0]), _aslist(args[1])
+        la, lb = isinstance(a, list), isinstance(b, list)
+        if la and lb:
+            pairs = zip(a, b)
+        elif la:
+            pairs = ((x, b) for x in a)
+        elif lb:
+            pairs = ((a, y) for y in b)
+        else:
+            return pa.scalar(None if (a is None or b is None)
+                             else bool(fn(a, b)), type=pa.bool_())
+        return pa.array([None if (x is None or y is None)
+                         else bool(fn(x, y)) for x, y in pairs],
+                        type=pa.bool_())
+
+    return impl
+
+
+def _coords_len(c):
+    c = np.asarray(c, dtype=float)[:, :2]
+    if len(c) < 2:
+        return 0.0
+    d = np.diff(c, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def _wkb_length(buf: bytes) -> float:
+    """ST_Length / ST_Perimeter: curve length; polygon ring perimeter
+    (OGR_G_Length semantics over each kind)."""
+    from ..geom import wkb as wkb_mod
+
+    kind, payload = wkb_mod.parse_wkb(buf)
+    if kind in ("point", "multipoint"):
+        return 0.0
+    if kind == "linestring":
+        return _coords_len(payload)
+    if kind == "multilinestring":
+        return float(sum(_coords_len(c) for c in payload))
+    if kind == "polygon":
+        return float(sum(_coords_len(r) for r in payload))
+    if kind == "multipolygon":
+        return float(sum(_coords_len(r) for rings in payload
+                         for r in rings))
+    if kind == "geometrycollection":
+        raise ValueError("ST_Length over geometry collections "
+                         "not supported")
+    raise ValueError(f"ST_Length: unsupported kind {kind}")
+
+
+def _st_area(buf: bytes) -> float:
+    from ..stages.geom_ops import wkb_centroid_area
+
+    return float(wkb_centroid_area(buf)[2])
+
+
+def _st_centroid(buf: bytes) -> bytes:
+    from ..geom import wkb as wkb_mod
+    from ..stages.geom_ops import wkb_centroid_area
+
+    cx, cy, _a = wkb_centroid_area(buf)
+    return wkb_mod.points_to_wkb(np.asarray([cx]), np.asarray([cy]))[0]
+
+
+def _st_envelope(buf: bytes) -> bytes:
+    from ..geom import wkb as wkb_mod
+
+    box = wkb_mod.wkb_bbox([buf])[0]
+    return wkb_mod.box_to_wkb(float(box[0]), float(box[1]),
+                              float(box[2]), float(box[3]))
+
+
+def _st_x(buf: bytes) -> float:
+    from ..geom import wkb as wkb_mod
+
+    kind, payload = wkb_mod.parse_wkb(buf)
+    if kind != "point":
+        raise ValueError("ST_X expects a point")
+    return float(np.asarray(payload).reshape(-1, 2)[0, 0])
+
+
+def _st_y(buf: bytes) -> float:
+    from ..geom import wkb as wkb_mod
+
+    kind, payload = wkb_mod.parse_wkb(buf)
+    if kind != "point":
+        raise ValueError("ST_Y expects a point")
+    return float(np.asarray(payload).reshape(-1, 2)[0, 1])
+
+
+def _st_geomfromtext(txt: str, *_srid) -> bytes:
+    from ..geom.wkt import wkt_to_wkb
+
+    return wkt_to_wkb(txt)
+
+
+def _st_astext(buf: bytes) -> str:
+    from ..geom.wkt import wkb_to_wkt
+
+    return wkb_to_wkt(buf)
+
+
+def _st_buffer(buf: bytes, dist, quadsegs=8) -> bytes:
+    from ..geom.unary import buffer_wkb
+
+    return buffer_wkb(buf, float(dist), int(quadsegs))
+
+
+def _st_convexhull(buf: bytes) -> bytes:
+    from ..geom.unary import convex_hull_wkb
+
+    return convex_hull_wkb(buf)
+
+
+def _st_isvalid(buf: bytes) -> bool:
+    from ..stages.geom_ops import _check_one_geometry
+
+    ok, _reason = _check_one_geometry(buf)
+    return bool(ok)
+
+
+def _st_isempty(buf: bytes) -> bool:
+    from ..geom import wkb as wkb_mod
+
+    _kind, payload = wkb_mod.parse_wkb(buf)
+    if isinstance(payload, np.ndarray):
+        return len(payload) == 0
+    return len(payload) == 0
+
+
+def _dispatch_pred(name: str, a: bytes, b: bytes) -> bool:
+    """Spatial predicate with point-aware dispatch: the geom/predicates
+    kernels are area-geometry kernels; point operands route through
+    point_within / coordinate equality (the common SQL shapes:
+    ST_Within(point, poly), ST_Intersects(poly, point))."""
+    from ..geom import predicates as P
+    from ..geom import wkb as W
+
+    ka = W.parse_wkb(a)[0]
+    kb = W.parse_wkb(b)[0]
+    pa_, pb_ = ka == "point", kb == "point"
+    if not pa_ and not pb_:
+        if name == "equals":
+            return P.contains(a, b) and P.within(a, b)
+        return getattr(P, name)(a, b)
+    if pa_ and pb_:
+        ca = np.asarray(W.parse_wkb(a)[1]).reshape(-1, 2)[0]
+        cb = np.asarray(W.parse_wkb(b)[1]).reshape(-1, 2)[0]
+        eq = bool(np.all(ca == cb))
+        return {"intersects": eq, "equals": eq, "contains": eq,
+                "within": eq, "touches": False, "overlaps": False,
+                "disjoint": not eq}[name]
+    if pa_:
+        px, py = np.asarray(W.parse_wkb(a)[1]).reshape(-1, 2)[0]
+        poly, point_first = b, True
+    else:
+        px, py = np.asarray(W.parse_wkb(b)[1]).reshape(-1, 2)[0]
+        poly, point_first = a, False
+    inside = P.point_within(float(px), float(py), poly)
+    return {"intersects": inside, "disjoint": not inside,
+            "contains": False if point_first else inside,
+            "within": inside if point_first else False,
+            "touches": False, "overlaps": False,
+            "equals": False}[name]
+
+
+def _pred(name):
+    return lambda a, b: _dispatch_pred(name, a, b)
+
+
+_FUNCS.update({
+    "ST_AREA": _geo_unary(_st_area, pa.float64()),
+    "ST_LENGTH": _geo_unary(_wkb_length, pa.float64()),
+    "ST_PERIMETER": _geo_unary(_wkb_length, pa.float64()),
+    "ST_X": _geo_unary(_st_x, pa.float64()),
+    "ST_Y": _geo_unary(_st_y, pa.float64()),
+    "ST_CENTROID": _geo_unary(_st_centroid, pa.binary()),
+    "ST_ENVELOPE": _geo_unary(_st_envelope, pa.binary()),
+    "ST_BUFFER": _geo_unary(_st_buffer, pa.binary()),
+    "ST_CONVEXHULL": _geo_unary(_st_convexhull, pa.binary()),
+    "ST_ASTEXT": _geo_unary(_st_astext, pa.string()),
+    "ST_GEOMFROMTEXT": _geo_unary(_st_geomfromtext, pa.binary()),
+    "ST_ASBINARY": _geo_unary(lambda b: b, pa.binary()),
+    "ST_GEOMFROMWKB": _geo_unary(lambda b: b, pa.binary()),
+    "ST_ISVALID": _geo_unary(_st_isvalid, pa.bool_()),
+    "ST_ISEMPTY": _geo_unary(_st_isempty, pa.bool_()),
+    "ST_INTERSECTS": _geo_binary(_pred("intersects")),
+    "ST_DISJOINT": _geo_binary(_pred("disjoint")),
+    "ST_CONTAINS": _geo_binary(_pred("contains")),
+    "ST_WITHIN": _geo_binary(_pred("within")),
+    "ST_OVERLAPS": _geo_binary(_pred("overlaps")),
+    "ST_TOUCHES": _geo_binary(_pred("touches")),
+    "ST_EQUALS": _geo_binary(_pred("equals")),
+})
 
 
 _CMP = {

@@ -1427,6 +1427,43 @@ _MDIM_SHAPE = (40, 30, 20)
 _MDIM_CHUNK = (16, 16, 16)
 
 
+def _mdim_fv(i, j, k):
+    return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
+
+
+def _mdim_zarr_store() -> str:
+    """Build-once on-disk Zarr v2 store holding the deterministic mdim
+    array, so the mdim_* queries read REAL chunk files through
+    `sources/zarr.py` (GDAL's Zarr driver analog,
+    `frmts/zarr/zarr_v2_array.cpp`) instead of a synthesized Dataset.
+    Built into a unique temp dir then renamed (atomic vs racers)."""
+    import os
+    import shutil
+
+    from ..sources import multidim as md
+    from ..sources import zarr as zr
+
+    path = "/tmp/lib_gdal_ray_mdim.zarr"
+    if not os.path.isfile(os.path.join(path, ".zarray")):
+        tmp = f"{path}.build{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, _mdim_fv)
+        zr.write_zarr(arr, tmp, _MDIM_SHAPE, _MDIM_CHUNK,
+                      compressor={"id": "zlib", "level": 1})
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _mdim_arr() -> ray.data.Dataset:
+    from ..sources import zarr as zr
+
+    ds, _meta = zr.read_zarr(_mdim_zarr_store())
+    return ds
+
+
 def q_mdim_reduce(sf_dir):
     """GDALMDArray analog (§1.3): deterministic 3-D chunked array,
     sum-reduce over axis 2 (per-chunk partial + one groupby over the
@@ -1434,10 +1471,7 @@ def q_mdim_reduce(sf_dir):
     Values v = (i*7 + j*3 + k) % 11 are integer-exact in float64."""
     from ..sources import multidim as md
 
-    def fv(i, j, k):
-        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
-
-    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    arr = _mdim_arr()  # REAL on-disk Zarr v2 store (sources/zarr.py)
     red = md.reduce_dim(arr, _MDIM_SHAPE, _MDIM_CHUNK, axis=2, op="sum")
     c0, c1 = _MDIM_CHUNK[0], _MDIM_CHUNK[1]
     n0, n1 = _MDIM_SHAPE[0], _MDIM_SHAPE[1]
@@ -1488,10 +1522,7 @@ def q_mdim_stats(sf_dir):
     std match the SQL bit-for-bit."""
     from ..sources import multidim as md
 
-    def fv(i, j, k):
-        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
-
-    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    arr = _mdim_arr()  # REAL on-disk Zarr v2 store (sources/zarr.py)
     return md.statistics(arr)
 
 
@@ -1524,10 +1555,7 @@ def q_mdim_classic_tpi(sf_dir):
     from ..sources import multidim as md
     from . import raster_calc as rc
 
-    def fv(i, j, k):
-        return ((i * 7 + j * 3 + k) % 11).astype(np.float64)
-
-    arr = md.from_function(_MDIM_SHAPE, _MDIM_CHUNK, fv)
+    arr = _mdim_arr()  # REAL on-disk Zarr v2 store (sources/zarr.py)
     mean2d = md.reduce_dim(arr, _MDIM_SHAPE, _MDIM_CHUNK, axis=2, op="mean")
     shape2 = (_MDIM_SHAPE[0], _MDIM_SHAPE[1])
     chunk2 = (_MDIM_CHUNK[0], _MDIM_CHUNK[1])
@@ -1570,6 +1598,72 @@ def sql_mdim_classic_tpi():
     JOIN m s6 ON s6.i = c.i + 1 AND s6.j = c.j - 1
     JOIN m s7 ON s7.i = c.i + 1 AND s7.j = c.j
     JOIN m s8 ON s8.i = c.i + 1 AND s8.j = c.j + 1
+    """
+
+
+_ZRT_SHAPE = (17, 13, 9)
+_ZRT_CHUNK = (8, 8, 8)  # edge chunks on every axis
+
+
+def q_zarr_roundtrip(sf_dir):
+    """Zarr v2 round-trip (`frmts/zarr/zarr_v2_array.cpp` analog):
+    write the deterministic 3-D array to a real on-disk store (zlib
+    chunks, edge chunks padded per spec), read it back through the
+    parallel chunk-file decoder, explode to element rows. Exercises
+    the full writer→spec-file→reader path, values integer-exact."""
+    import os
+    import shutil
+
+    from ..sources import multidim as md
+    from ..sources import zarr as zr
+
+    path = "/tmp/lib_gdal_ray_zarr_rt.zarr"
+    shutil.rmtree(path, ignore_errors=True)  # always a FRESH write
+    arr = md.from_function(_ZRT_SHAPE, _ZRT_CHUNK, _mdim_fv)
+    zr.write_zarr(arr, path, _ZRT_SHAPE, _ZRT_CHUNK,
+                  compressor={"id": "zlib", "level": 1})
+    ds, _meta = zr.read_zarr(path)
+
+    n0, n1, n2 = _ZRT_SHAPE
+    c0, c1, c2 = _ZRT_CHUNK
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = md.unpack_chunks(keys, 3)
+        ii, jj, kk, vv = [], [], [], []
+        for r in range(len(keys)):
+            a0 = int(idx[r, 0]) * c0
+            a1 = int(idx[r, 1]) * c1
+            a2 = int(idx[r, 2]) * c2
+            d0 = min(a0 + c0, n0) - a0
+            d1 = min(a1 + c1, n1) - a1
+            d2 = min(a2 + c2, n2) - a2
+            arr3 = np.frombuffer(batch["data"][r].as_py(),
+                                 dtype="<f8").reshape(d0, d1, d2)
+            gi, gj, gk = np.meshgrid(np.arange(a0, a0 + d0),
+                                     np.arange(a1, a1 + d1),
+                                     np.arange(a2, a2 + d2),
+                                     indexing="ij")
+            ii.append(gi.ravel())
+            jj.append(gj.ravel())
+            kk.append(gk.ravel())
+            vv.append(arr3.ravel())
+        cat = (lambda xs, dt: pa.array(
+            (np.concatenate(xs) if xs else np.empty(0)).astype(dt)))
+        return pa.table({"i": cat(ii, np.int64), "j": cat(jj, np.int64),
+                         "k": cat(kk, np.int64), "v": cat(vv, np.int64)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def sql_zarr_roundtrip():
+    n0, n1, n2 = _ZRT_SHAPE
+    return f"""
+    SELECT a.i, b.j, c.k,
+           CAST((a.i*7 + b.j*3 + c.k) % 11 AS BIGINT) AS v
+    FROM (SELECT unnest(generate_series(0, {n0 - 1})) AS i) a,
+         (SELECT unnest(generate_series(0, {n1 - 1})) AS j) b,
+         (SELECT unnest(generate_series(0, {n2 - 1})) AS k) c
     """
 
 
@@ -4665,6 +4759,39 @@ def q_ogrsql_join_topk(sf_dir):
         _sql_layers(sf_dir))
 
 
+def q_ogrsql_spatial(sf_dir):
+    """SQLite-dialect spatial SQL functions
+    (`ogrsqlitesqlfunctions.cpp:627-878`) through the ExecuteSQL
+    surface: ST_Area / ST_Centroid / ST_X / ST_Y in the projection,
+    ST_Intersects against an ST_GeomFromText literal in the WHERE —
+    all dispatched via the shared swq function registry over the
+    geom/ kernels. Zone boxes have integer coords, so shoelace area
+    and weighted centroid are bit-equal to the SQL product/midpoint
+    mirrors (same contract as zone_geometry)."""
+    from ..functions.ogrsql import execute_sql
+
+    zones = ray.data.from_arrow(zone_table(sf_dir))
+    lit = ("POLYGON((-60.3 -35.3,60.3 -35.3,60.3 35.3,"
+           "-60.3 35.3,-60.3 -35.3))")
+    return execute_sql(
+        "SELECT zone_id, ST_Area(geometry) AS area, "
+        "ST_X(ST_Centroid(geometry)) AS cx, "
+        "ST_Y(ST_Centroid(geometry)) AS cy FROM zones "
+        f"WHERE ST_Intersects(geometry, ST_GeomFromText('{lit}')) "
+        "ORDER BY zone_id",
+        {"zones": zones})
+
+
+SQL_OGRSQL_SPATIAL = f"""
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       (xmax - xmin) * (ymax - ymin) AS area,
+       (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy
+FROM {_ZONES_SQL} z
+WHERE xmin <= 60.3 AND xmax >= -60.3 AND ymin <= 35.3 AND ymax >= -35.3
+ORDER BY zone_id
+"""
+
+
 SQL_OGRSQL_JOIN = """
 SELECT n_name, COUNT(*) AS n FROM customer
 LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -5097,6 +5224,7 @@ QUERIES = {
     "mdim_reduce": (q_mdim_reduce, sql_mdim_reduce()),
     "mdim_stats": (q_mdim_stats, sql_mdim_stats()),
     "mdim_classic_tpi": (q_mdim_classic_tpi, sql_mdim_classic_tpi()),
+    "zarr_roundtrip": (q_zarr_roundtrip, sql_zarr_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
@@ -5118,6 +5246,7 @@ QUERIES = {
     "swap_xy_points": (q_swap_xy, SQL_SWAP_XY),
     "raster_compare": (q_raster_compare, sql_raster_compare()),
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
+    "ogrsql_spatial": (q_ogrsql_spatial, SQL_OGRSQL_SPATIAL),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),

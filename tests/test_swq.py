@@ -240,3 +240,69 @@ class TestSwqFunctions:
 
         with pytest.raises(ValueError):
             swq.compile_filter("NOSUCHFN(name) = 1")
+
+
+class TestSpatialFunctions:
+    """SQLite-dialect ST_* functions (ogrsqlitesqlfunctions.cpp:627-878)
+    registered in the shared swq function table."""
+
+    def _tbl(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from lib_gdal_ray.geom import wkb as W
+
+        box = W.box_to_wkb(0, 0, 2, 3)
+        tri = W.polygon_to_wkb([np.array([[0., 0.], [4., 0.],
+                                          [0., 4.], [0., 0.]])])
+        pt = W.points_to_wkb(np.array([1.0]), np.array([1.0]))[0]
+        return pa.table({"geometry": pa.array([box, tri, pt, None],
+                                              type=pa.binary()),
+                         "id": pa.array([1, 2, 3, 4])})
+
+    def _eval(self, expr):
+        from lib_gdal_ray.functions import swq
+
+        return swq._eval(swq.parse(expr), self._tbl()).to_pylist()
+
+    def test_area_length(self):
+        assert self._eval("ST_Area(geometry)") == [6.0, 8.0, 0.0, None]
+        out = self._eval("ST_Length(geometry)")
+        assert out[0] == 10.0 and out[3] is None
+        assert abs(out[1] - (8 + (32 ** 0.5))) < 1e-12
+
+    def test_wkt_roundtrip(self):
+        txt = self._eval("ST_AsText(geometry)")
+        assert txt[2] == "POINT (1 1)"
+        back = self._eval("ST_X(ST_Centroid(ST_GeomFromText("
+                          "ST_AsText(geometry))))")
+        assert back == self._eval("ST_X(ST_Centroid(geometry))")
+
+    def test_predicates_filter(self):
+        from lib_gdal_ray.functions import swq
+
+        f = swq.compile_filter(
+            "ST_Contains(geometry, ST_GeomFromText('POINT(0.5 0.5)'))")
+        assert f(self._tbl()).to_pylist() == [True, True, False, None]
+        f2 = swq.compile_filter(
+            "ST_Within(ST_GeomFromText('POINT(3 3)'), geometry)")
+        assert f2(self._tbl()).to_pylist() == [False, False, False, None]
+
+    def test_envelope_isvalid(self):
+        assert self._eval("ST_Area(ST_Envelope(geometry))") == \
+            [6.0, 16.0, 0.0, None]
+        assert self._eval("ST_IsValid(geometry)") == \
+            [True, True, True, None]
+
+    def test_execute_sql_spatial(self, ray_session):
+        import ray.data
+
+        from lib_gdal_ray.functions.ogrsql import execute_sql
+
+        ds = ray.data.from_arrow(self._tbl().drop_null())
+        out = execute_sql(
+            "SELECT id, ST_Area(geometry) AS a FROM t "
+            "WHERE ST_Intersects(geometry, ST_GeomFromText("
+            "'POLYGON((1.5 0.5,9 0.5,9 9,1.5 9,1.5 0.5))')) "
+            "ORDER BY id", {"t": ds}).to_pandas()
+        assert list(out["id"]) == [1, 2] and list(out["a"]) == [6.0, 8.0]
