@@ -99,20 +99,267 @@ def _adjacency_pairs(labeled: ray.data.Dataset,
             .groupby("__blk").map_groups(kernel, batch_format="pyarrow"))
 
 
+def _merge_regions_labelprop(regions: ray.data.Dataset,
+                             adj: ray.data.Dataset, threshold: int,
+                             max_rounds: int = 30) -> ray.data.Dataset:
+    """Distributed sieve merge on the contracted region graph — the
+    escape hatch for adversarial rasters where regions ≈ pixels and the
+    single-task GDAL loop (`_merge_task`) would hold the whole region
+    graph in one worker's heap.
+
+    Round-parallel semantics: every round, each small region
+    (size < threshold) with at least one neighbor picks its largest
+    neighbor (size desc, id asc — the sequential loop's preference);
+    the chosen merge edges' connected components
+    (`polygonize._cc_root_map`, bounded-bucket min-label propagation)
+    collapse onto the component's (size desc, id asc)-max member,
+    sizes summing; region + adjacency tables contract and the loop
+    repeats until no small region with a neighbor remains. A component
+    holds at most one large region (each small region has exactly one
+    out-edge), so an absorber ≥ threshold always wins its component.
+    Eliminates exactly the same set of small regions as the sequential
+    loop; the absorbing value can differ only where the sequential
+    loop's intra-pass size mutations change a later target (both are
+    valid orders of GDAL's merge, `alg/gdalsievefilter.cpp:129-187`).
+
+    regions: (region_id int64 unique, n int64, value float64)
+    adj:     (ra int64, rb int64) distinct undirected pairs
+    -> (region_id, new_value) rows for every region whose value changes.
+    Everything stays in Dataset land: bounded-bucket joins/groupbys,
+    no single-node graph.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .polygonize import _cc_root_map
+    from .relational import bucket_lookup_join
+    from .windows import grouped_topk
+
+    def _proj(names_map):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({dst: b[src] for dst, src in names_map.items()})
+        return f
+
+    mapping = None  # accumulated (dead, winner) over all rounds
+    regions = regions.materialize()
+    adj = adj.materialize()
+
+    for _ in range(max_rounds):
+        if adj.count() == 0:
+            break
+
+        # 1. directed neighbor edges with both endpoint sizes attached
+        def both_dirs(b: pa.Table) -> pa.Table:
+            ra = b["ra"].to_numpy(zero_copy_only=False)
+            rb = b["rb"].to_numpy(zero_copy_only=False)
+            return pa.table({"r": pa.array(np.concatenate([ra, rb])),
+                             "nb": pa.array(np.concatenate([rb, ra]))})
+
+        directed = adj.map_batches(both_dirs, batch_format="pyarrow")
+        d = bucket_lookup_join(
+            directed,
+            regions.map_batches(_proj({"region_id": "region_id",
+                                       "n_nb": "n"}),
+                                batch_format="pyarrow"),
+            on="nb", right_on="region_id", how="inner")
+        d = bucket_lookup_join(
+            d,
+            regions.map_batches(_proj({"region_id": "region_id",
+                                       "n_r": "n"}),
+                                batch_format="pyarrow"),
+            on="r", right_on="region_id", how="inner")
+
+        # 2. each small region picks its largest neighbor
+        def keep_small(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less(b["n_r"], pa.scalar(threshold)))
+
+        small = d.map_batches(keep_small, batch_format="pyarrow")
+        tgt = grouped_topk(small, "r", "n_nb", 1, descending=True,
+                           tiebreak="nb", keep=["r", "nb"]).materialize()
+        if tgt.count() == 0:
+            break
+
+        # 3. merge-edge connected components + per-component absorber
+        comp = _cc_root_map(
+            tgt.map_batches(_proj({"la": "r", "lb": "nb"}),
+                            batch_format="pyarrow")).materialize()
+        mem = bucket_lookup_join(
+            comp,
+            regions.map_batches(_proj({"region_id": "region_id",
+                                       "n": "n"}), batch_format="pyarrow"),
+            on="label", right_on="region_id", how="inner")
+        win = grouped_topk(mem, "root", "n", 1, descending=True,
+                           tiebreak="label", keep=["root", "label"])
+        win = win.map_batches(_proj({"root": "root", "winner": "label"}),
+                              batch_format="pyarrow")
+        step = bucket_lookup_join(comp, win, on="root", how="inner")
+        step = step.map_batches(
+            lambda b: b.filter(pc.not_equal(b["label"], b["winner"])),
+            batch_format="pyarrow")
+        step_lw = step.map_batches(_proj({"dead": "label",
+                                          "winner": "winner"}),
+                                   batch_format="pyarrow").materialize()
+
+        # 4. fold into the accumulated dead->winner mapping (earlier
+        # winners that died this round re-point to their new winner)
+        if mapping is None:
+            mapping = step_lw
+        else:
+            relab = step_lw.map_batches(_proj({"dead2": "dead",
+                                               "w2": "winner"}),
+                                        batch_format="pyarrow")
+            j = bucket_lookup_join(mapping, relab, on="winner",
+                                   right_on="dead2", how="left")
+
+            def upd(b: pa.Table) -> pa.Table:
+                w2 = b["w2"].cast(pa.int64())
+                return pa.table({
+                    "dead": b["dead"],
+                    "winner": pc.coalesce(w2, b["winner"])})
+
+            mapping = (j.map_batches(upd, batch_format="pyarrow")
+                       .union(step_lw)).materialize()
+
+        # 5. contract the region table: merged components become one
+        # region carrying the winner's id/value and the summed size
+        comp_sizes = mem.groupby("root").aggregate(
+            Sum("n", alias_name="n"))
+        wv = bucket_lookup_join(
+            win,
+            regions.map_batches(_proj({"region_id": "region_id",
+                                       "value": "value"}),
+                                batch_format="pyarrow"),
+            on="winner", right_on="region_id", how="inner")
+        merged = bucket_lookup_join(
+            wv,
+            comp_sizes.map_batches(_proj({"root2": "root", "n": "n"}),
+                                   batch_format="pyarrow"),
+            on="root", right_on="root2", how="inner")
+        merged = merged.map_batches(
+            _proj({"region_id": "winner", "n": "n", "value": "value"}),
+            batch_format="pyarrow")
+
+        def flag(b: pa.Table) -> pa.Table:
+            return pa.table({"label2": b["label"],
+                             "__in": pa.array(
+                                 np.ones(len(b), dtype=np.int8))})
+
+        ru = bucket_lookup_join(regions,
+                                comp.map_batches(flag,
+                                                 batch_format="pyarrow"),
+                                on="region_id", right_on="label2",
+                                how="left")
+        untouched = ru.map_batches(
+            lambda b: b.filter(pc.is_null(b["__in"]))
+            .drop_columns(["__in"]),
+            batch_format="pyarrow")
+        regions = untouched.union(merged).materialize()
+
+        # 6. contract adjacency: relabel endpoints through this round's
+        # dead->winner map, drop self-loops, re-distinct
+        a1 = bucket_lookup_join(
+            adj, step_lw.map_batches(_proj({"deadA": "dead",
+                                            "wA": "winner"}),
+                                     batch_format="pyarrow"),
+            on="ra", right_on="deadA", how="left")
+        a2 = bucket_lookup_join(
+            a1, step_lw.map_batches(_proj({"deadB": "dead",
+                                           "wB": "winner"}),
+                                    batch_format="pyarrow"),
+            on="rb", right_on="deadB", how="left")
+
+        def contract(b: pa.Table) -> pa.Table:
+            ra = pc.coalesce(b["wA"].cast(pa.int64()),
+                             b["ra"]).to_numpy(zero_copy_only=False)
+            rb = pc.coalesce(b["wB"].cast(pa.int64()),
+                             b["rb"]).to_numpy(zero_copy_only=False)
+            lo = np.minimum(ra, rb)
+            hi = np.maximum(ra, rb)
+            keep = lo != hi
+            u = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+            return pa.table({"ra": pa.array(u[:, 0]),
+                             "rb": pa.array(u[:, 1])})
+
+        adj = (a2.map_batches(contract, batch_format="pyarrow")
+               .groupby(["ra", "rb"])
+               .aggregate(Count(alias_name="__c"))
+               .map_batches(lambda b: b.drop_columns(["__c"]),
+                            batch_format="pyarrow")).materialize()
+
+    if mapping is None:
+        return ray.data.from_arrow(pa.table({
+            "region_id": pa.array([], pa.int64()),
+            "new_value": pa.array([], pa.float64())}))
+    out = bucket_lookup_join(
+        mapping,
+        regions.map_batches(_proj({"region_id": "region_id",
+                                   "new_value": "value"}),
+                            batch_format="pyarrow"),
+        on="winner", right_on="region_id", how="inner")
+    return out.map_batches(_proj({"region_id": "dead",
+                                  "new_value": "new_value"}),
+                           batch_format="pyarrow")
+
+
+def _sieve_rewrite_distributed(labeled: ray.data.Dataset,
+                               regions: ray.data.Dataset,
+                               threshold: int) -> ray.data.Dataset:
+    """labelprop-path rewrite: the region->value mapping can itself be
+    huge (regions ≈ pixels), so it joins back to the pixels with a
+    bounded-bucket lookup instead of a driver broadcast."""
+    import pyarrow.compute as pc
+    from .relational import bucket_lookup_join
+
+    def adj64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ra": pa.array(b["ra"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "rb": pa.array(b["rb"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    adj = _adjacency_pairs(labeled).map_batches(adj64,
+                                                batch_format="pyarrow")
+    mapping = _merge_regions_labelprop(regions, adj, threshold)
+
+    def lab64(b: pa.Table) -> pa.Table:
+        rid = b["region_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64).astype(np.int64)
+        return pa.table({"gpx": b["gpx"], "gpy": b["gpy"], "z": b["z"],
+                         "value": b["value"], "region_id": pa.array(rid)})
+
+    joined = bucket_lookup_join(
+        labeled.map_batches(lab64, batch_format="pyarrow"),
+        mapping, on="region_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        gpx = b["gpx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gpy = b["gpy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zz = b["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        burn = pc.coalesce(b["new_value"].cast(pa.float64()),
+                           b["value"].cast(pa.float64()))
+        pix = pack_pixel(int(zz[0]) if len(zz) else 0, gpx, gpy)
+        return pa.table({"pix_id": pa.array(pix), "burn": burn})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def sieve(pixels: ray.data.Dataset, threshold: int,
-          connectivity: int = 4, tile_size: int = 256) -> ray.data.Dataset:
+          connectivity: int = 4, tile_size: int = 256,
+          cc_mode: str = "auto",
+          region_limit: int = 5_000_000) -> ray.data.Dataset:
     """-> sieved sparse pixel rows (pix_id, burn): small regions take
-    the value of the largest neighboring region (GDAL merge loop)."""
+    the value of the largest neighboring region (GDAL merge loop).
+
+    cc_mode: 'task' runs the merge loop on the contracted region graph
+    inside ONE Ray task (regions << pixels for real rasters);
+    'labelprop' routes it through `_merge_regions_labelprop` (fully
+    distributed, bounded-bucket rounds); 'auto' switches to labelprop
+    above `region_limit` regions — the same escape hatch as
+    polygonize / near_dup_clusters."""
     labeled = label_connected_components(pixels, connectivity, tile_size)
     labeled = labeled.materialize()  # reused 3× below
 
-    from ray.data.aggregate import Count, Min
-
-    # The GDAL merge loop is inherently sequential on the CONTRACTED
-    # region graph (region count << pixel count). It runs inside ONE Ray
-    # task fed by block refs — regions and adjacency never pass through
-    # the driver; the result map ref broadcasts to the rewrite actors.
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
 
     def size_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"region_id": batch["region_id"],
@@ -121,11 +368,30 @@ def sieve(pixels: ray.data.Dataset, threshold: int,
                                                  ("value", "min")])
         return g.rename_columns(["region_id", "n", "value"])
 
-    region_blocks = (labeled.map_batches(size_partial, batch_format="pyarrow")
-                     .groupby("region_id")
-                     .aggregate(Sum("n", alias_name="n"),
-                                Min("value", alias_name="value"))
-                     .to_arrow_refs())
+    def norm_regions(batch: pa.Table) -> pa.Table:
+        rid = batch["region_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64).astype(np.int64)
+        return pa.table({
+            "region_id": pa.array(rid),
+            "n": batch["n"].cast(pa.int64()),
+            "value": batch["value"].cast(pa.float64())})
+
+    regions = (labeled.map_batches(size_partial, batch_format="pyarrow")
+               .groupby("region_id")
+               .aggregate(Sum("n", alias_name="n"),
+                          Min("value", alias_name="value"))
+               .map_batches(norm_regions, batch_format="pyarrow")
+               .materialize())
+
+    if cc_mode == "labelprop" or (cc_mode == "auto"
+                                  and regions.count() > region_limit):
+        return _sieve_rewrite_distributed(labeled, regions, threshold)
+
+    # The GDAL merge loop is inherently sequential on the CONTRACTED
+    # region graph (region count << pixel count). It runs inside ONE Ray
+    # task fed by block refs — regions and adjacency never pass through
+    # the driver; the result map ref broadcasts to the rewrite actors.
+    region_blocks = regions.to_arrow_refs()
     adj_blocks = _adjacency_pairs(labeled).to_arrow_refs()
 
     @ray.remote

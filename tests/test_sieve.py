@@ -58,3 +58,55 @@ def test_region_count_after_sieve():
     sieved = sieve(grid_ds(g), threshold=4)
     regions = polygonize(sieved).to_pandas()
     assert (regions["n_pixels"] >= 4).all()
+
+
+def test_labelprop_matches_task_on_speckle():
+    # speckle raster: isolated 1-px islands scattered in a sea — the
+    # adversarial regions≈pixels case the distributed path exists for.
+    g = np.ones((24, 24))
+    rng = np.random.default_rng(7)
+    ys, xs = rng.integers(1, 23, 40), rng.integers(1, 23, 40)
+    # keep speckles non-adjacent so the outcome is order-independent
+    taken = np.zeros((24, 24), dtype=bool)
+    for y, x in zip(ys, xs):
+        if not taken[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2].any():
+            g[y, x] = 5.0
+            taken[y, x] = True
+    a = to_grid(sieve(grid_ds(g), threshold=2, cc_mode="task"), (24, 24))
+    b = to_grid(sieve(grid_ds(g), threshold=2, cc_mode="labelprop"),
+                (24, 24))
+    np.testing.assert_array_equal(a, b)
+    assert (a == 1.0).all()
+
+
+def test_labelprop_largest_neighbor_preference():
+    # small region touching two large regions of different sizes must
+    # take the LARGER one's value in both modes
+    g = np.zeros((8, 20))
+    g[:, :8] = 2.0          # 64 px
+    g[:, 8:10] = 9.0        # 16 px small strip (threshold 20)
+    g[:, 10:] = 3.0         # 80 px  <- largest neighbor
+    a = to_grid(sieve(grid_ds(g), threshold=20, cc_mode="task"), (8, 20))
+    b = to_grid(sieve(grid_ds(g), threshold=20, cc_mode="labelprop"),
+                (8, 20))
+    np.testing.assert_array_equal(a, b)
+    assert (a[:, 8:10] == 3.0).all()
+
+
+def test_labelprop_cascade():
+    g = np.ones((12, 12))
+    g[5, 5] = 3.0
+    g[5, 6] = 2.0
+    g[5, 7] = 2.0
+    g[6, 6] = 2.0
+    out = to_grid(sieve(grid_ds(g), threshold=5, cc_mode="labelprop"),
+                  (12, 12))
+    assert (out == 1.0).all()
+
+
+def test_labelprop_large_survives():
+    g = np.ones((10, 10))
+    g[2:8, 2:8] = 2.0
+    out = to_grid(sieve(grid_ds(g), threshold=5, cc_mode="labelprop"),
+                  (10, 10))
+    np.testing.assert_array_equal(out, g)
