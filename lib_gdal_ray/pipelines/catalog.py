@@ -4759,6 +4759,46 @@ def q_ogrsql_join_topk(sf_dir):
         _sql_layers(sf_dir))
 
 
+def q_fgb_roundtrip(sf_dir):
+    """FlatGeobuf round-trip (`ogr/ogrsf_frmts/flatgeobuf/`,
+    `packedrtree.h:78-105`): site points + properties written to a
+    real .fgb (Hilbert-sorted features, packed R-tree index), read
+    back through index-planned parallel splits, geometry parsed back
+    to coordinates. f64 coords survive WKB→FGB→WKB losslessly, so the
+    mirror is the derive formula itself."""
+    import os
+
+    from ..sources import flatgeobuf as FG
+
+    st = sites_table(sf_dir)  # site_id, slon, slat
+    sk = st["site_id"].to_numpy()
+    lon = st["slon"].to_numpy()
+    lat = st["slat"].to_numpy()
+    geoms = wkb_mod.points_to_wkb(lon, lat)
+    tbl = pa.table({"geometry": pa.array(list(geoms), type=pa.binary()),
+                    "site_id": pa.array(sk.astype(np.int64))})
+    path = f"/tmp/lib_gdal_ray_fgb_rt_{os.getpid()}.fgb"
+    FG.write_flatgeobuf(ray.data.from_arrow(tbl).repartition(4), path,
+                        hilbert_sort=True, index=True)
+    out = FG.read_flatgeobuf(path)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        bufs = batch["geometry"].to_pylist()
+        c = np.asarray([wkb_mod.parse_wkb(b)[1].reshape(2)
+                        for b in bufs]) if bufs else np.empty((0, 2))
+        return pa.table({"site_id": batch["site_id"],
+                         "slon": pa.array(c[:, 0]),
+                         "slat": pa.array(c[:, 1])})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_FGB_ROUNDTRIP = f"""
+SELECT CAST(site_id AS BIGINT) AS site_id, slon, slat
+FROM {_SITES_SQL} s
+"""
+
+
 def q_ogrsql_spatial(sf_dir):
     """SQLite-dialect spatial SQL functions
     (`ogrsqlitesqlfunctions.cpp:627-878`) through the ExecuteSQL
@@ -5247,6 +5287,7 @@ QUERIES = {
     "raster_compare": (q_raster_compare, sql_raster_compare()),
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "ogrsql_spatial": (q_ogrsql_spatial, SQL_OGRSQL_SPATIAL),
+    "fgb_roundtrip": (q_fgb_roundtrip, SQL_FGB_ROUNDTRIP),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
