@@ -1337,6 +1337,130 @@ def sql_raster_calc_ratio():
     """
 
 
+def _type_count_band(sf_dir, event_type: str, z: int = 6):
+    pts = events_points(sf_dir, cols=("event_id", "event_type"))
+    pts = pts.map_batches(
+        lambda b, et=event_type: b.filter(pc.equal(b["event_type"], et)),
+        batch_format="pyarrow")
+    return rast.rasterize_pixels(pts, z, merge_alg="count",
+                                 shuffle_partitions=8)
+
+
+def q_pixfn_norm_diff(sf_dir):
+    """VRT 'norm_diff' pixel function (pixelfunctions.cpp
+    NormDiffPixelFunc): (A-B)/(A+B) over two z6 count bands (click vs
+    purchase). Union pixels always have A+B >= 1, so no div-by-zero;
+    integer counts make the single IEEE division bit-exact vs SQL."""
+    from . import raster_calc as rc
+
+    a = _type_count_band(sf_dir, "click")
+    b = _type_count_band(sf_dir, "purchase")
+    out = rc.pixel_calc_multi([a, b], "norm_diff", keep_empty=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "nd": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_pixfn_norm_diff():
+    gx, gy = _pixel_sql(6)
+    return f"""
+    WITH px AS (
+      SELECT {gx} AS gpx, {gy} AS gpy,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM {_POINTS_SQL} p WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT gpx, gpy,
+           (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+             / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) AS nd
+    FROM px
+    """
+
+
+def q_pixfn_interpolate(sf_dir):
+    """VRT 'interpolate_linear' pixel function (pixelfunctions.cpp
+    InterpolateLinear + intervalLeft): band stack (click, view) sampled
+    at t=1 with t0=0, dt=2 -> y0 + (t-t0)*(y1-y0)/dt, exact over
+    integer counts."""
+    from . import raster_calc as rc
+
+    a = _type_count_band(sf_dir, "click")
+    b = _type_count_band(sf_dir, "view")
+    out = rc.pixel_calc_multi([a, b], "interpolate_linear",
+                              {"t0": 0.0, "dt": 2.0, "t": 1.0},
+                              keep_empty=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "vt": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_pixfn_interpolate():
+    gx, gy = _pixel_sql(6)
+    return f"""
+    WITH px AS (
+      SELECT {gx} AS gpx, {gy} AS gpy,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+      FROM {_POINTS_SQL} p WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    )
+    SELECT gpx, gpy,
+           CAST(a AS DOUBLE)
+             + (1.0 * (CAST(b AS DOUBLE) - CAST(a AS DOUBLE))) / 2.0
+             AS vt
+    FROM px
+    """
+
+
+def q_pixfn_complex_intensity(sf_dir):
+    """VRT complex pixel-function family (pixelfunctions.cpp
+    Complex/Conj/IntensityPixelFunc): merge two count bands into a
+    complex raster, conjugate, then intensity re^2+im^2 — exercises
+    the (pix_id, re, im) complex plumbing with integer-exact math."""
+    from . import raster_calc as rc
+
+    a = _type_count_band(sf_dir, "click")
+    b = _type_count_band(sf_dir, "purchase")
+    c = rc.complex_merge(a, b)
+    out = rc.complex_op(rc.complex_op(c, "conj"), "intensity")
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "inten": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_pixfn_complex_intensity():
+    gx, gy = _pixel_sql(6)
+    return f"""
+    WITH px AS (
+      SELECT {gx} AS gpx, {gy} AS gpy,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM {_POINTS_SQL} p WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT gpx, gpy,
+           CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+             + CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS inten
+    FROM px
+    """
+
+
 def q_pixel_histogram(sf_dir):
     """Histogram of per-pixel point counts at z7 (GDALGetHistogram)."""
     from . import raster_calc as rc
@@ -5288,6 +5412,10 @@ QUERIES = {
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "ogrsql_spatial": (q_ogrsql_spatial, SQL_OGRSQL_SPATIAL),
     "fgb_roundtrip": (q_fgb_roundtrip, SQL_FGB_ROUNDTRIP),
+    "pixfn_norm_diff": (q_pixfn_norm_diff, sql_pixfn_norm_diff()),
+    "pixfn_interpolate": (q_pixfn_interpolate, sql_pixfn_interpolate()),
+    "pixfn_complex_intensity": (q_pixfn_complex_intensity,
+                                sql_pixfn_complex_intensity()),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),

@@ -340,3 +340,110 @@ class TestRasterCompare:
         out = rc.raster_compare(pixels_from_grid(g), pixels_from_grid(g)).to_pandas()
         r = out.iloc[0]
         assert r["n_only_a"] == 0 and r["n_only_b"] == 0 and r["n_differ"] == 0
+
+
+class TestPixelCalcMulti:
+    """VRT derived-band pixel functions (pixelfunctions.cpp registry)."""
+
+    def _bands(self, arrays, z=3):
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+        out = []
+        for a in arrays:
+            a = np.asarray(a, dtype=np.float64)
+            idx = np.flatnonzero(a)
+            pix = pack_pixel(z, idx.astype(np.int64),
+                             np.zeros(len(idx), dtype=np.int64))
+            out.append(ray.data.from_arrow(pa.table({
+                "pix_id": pa.array(pix),
+                "burn": pa.array(a[idx])})))
+        return out
+
+    def _vals(self, ds, n, z=3):
+        from lib_gdal_ray.pipelines.rasterize import unpack_pixel
+
+        df = ds.to_pandas()
+        got = np.zeros(n)
+        _z, gx, _gy = unpack_pixel(df["pix_id"].to_numpy().astype(np.uint64))
+        got[gx] = df["burn"].to_numpy()
+        return got
+
+    def test_kernels(self, ray_session):
+        from lib_gdal_ray.pipelines.raster_calc import pixel_calc_multi
+
+        a = [0, 1, 2, 3, 4]
+        b = [5, 0, 2, 1, 4]
+        c = [1, 1, 1, 9, 4]
+        bands = self._bands([a, b, c])
+        cases = {
+            ("sum", None): np.array(a) + np.array(b) + np.array(c),
+            ("mean", None): (np.array(a) + b + np.array(c)) / 3.0,
+            ("median", None): np.median(np.stack([a, b, c]), axis=0),
+            ("min", None): np.minimum.reduce([a, b, c]),
+            ("max", None): np.maximum.reduce([a, b, c]),
+        }
+        for (fn, args), want in cases.items():
+            got = self._vals(pixel_calc_multi(bands, fn, args), 5)
+            np.testing.assert_allclose(got, want, err_msg=fn)
+
+    def test_two_band_and_args(self, ray_session):
+        from lib_gdal_ray.pipelines.raster_calc import pixel_calc_multi
+
+        a, b = [0.0, 4.0, 9.0, 1.0], [2.0, 4.0, 3.0, 0.0]
+        bands = self._bands([a, b])
+        nd = self._vals(pixel_calc_multi(bands, "norm_diff",
+                                         keep_empty=True), 4)
+        want = (np.array(a) - b) / (np.array(a) + b)
+        np.testing.assert_allclose(nd, want)
+        pw = self._vals(pixel_calc_multi(bands[:1], "pow",
+                                         {"power": 2.0}), 4)
+        np.testing.assert_allclose(pw, np.array(a) ** 2)
+        db = self._vals(pixel_calc_multi(bands[1:], "dB",
+                                         {"fact": 10.0}), 4)
+        mask = np.array(b) != 0
+        np.testing.assert_allclose(db[mask],
+                                   10 * np.log10(np.array(b)[mask]))
+
+    def test_interpolate(self, ray_session):
+        from lib_gdal_ray.pipelines.raster_calc import pixel_calc_multi
+
+        y0, y1 = [2.0, 4.0, 8.0], [6.0, 8.0, 2.0]
+        bands = self._bands([y0, y1])
+        lin = self._vals(pixel_calc_multi(
+            bands, "interpolate_linear",
+            {"t0": 0.0, "dt": 4.0, "t": 1.0}, keep_empty=True), 3)
+        np.testing.assert_allclose(
+            lin, np.array(y0) + (np.array(y1) - y0) / 4.0)
+        ex = self._vals(pixel_calc_multi(
+            bands, "interpolate_exp",
+            {"t0": 0.0, "dt": 1.0, "t": 0.5}, keep_empty=True), 3)
+        np.testing.assert_allclose(
+            ex, np.array(y0) * np.sqrt(np.array(y1) / y0))
+
+    def test_mode(self, ray_session):
+        from lib_gdal_ray.pipelines.raster_calc import pixel_calc_multi
+
+        rows = [[3, 1, 7], [3, 2, 7], [5, 2, 4]]
+        bands = self._bands(rows)
+        got = self._vals(pixel_calc_multi(bands, "mode"), 3)
+        # per pixel: [3,3,5]->3, [1,2,2]->2, [7,7,4]->7
+        np.testing.assert_array_equal(got, [3, 2, 7])
+
+    def test_complex_family(self, ray_session):
+        from lib_gdal_ray.pipelines.raster_calc import (complex_merge,
+                                                        complex_op)
+
+        re, im = [3.0, 0.0, 1.0], [4.0, 2.0, 0.0]
+        bands = self._bands([re, im])
+        c = complex_merge(bands[0], bands[1])
+        mod = self._vals(complex_op(c, "mod"), 3)
+        np.testing.assert_allclose(mod, np.hypot(re, im))
+        inten = self._vals(complex_op(complex_op(c, "conj"),
+                                      "intensity"), 3)
+        np.testing.assert_allclose(
+            inten, np.array(re) ** 2 + np.array(im) ** 2)
+        ph = complex_op(c, "phase").to_pandas()
+        assert len(ph) == 3
