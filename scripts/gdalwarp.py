@@ -48,6 +48,12 @@ def main():
                     metavar=("XRES", "YRES"))
     ap.add_argument("-r", dest="resample", default="bilinear",
                     choices=["near", "bilinear"])
+    ap.add_argument("-et", dest="err_threshold", type=float,
+                    default=0.125,
+                    help="approx-transformer error threshold in source"
+                    " pixels (GDALApproxTransformer, alg/"
+                    "gdaltransformer.cpp:58; 0 = exact transform "
+                    "everywhere, like gdalwarp -et 0)")
     ap.add_argument("--band", type=int, default=0)
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
@@ -115,7 +121,13 @@ def main():
     chunk = max(1, min(256, h // max(1, args.num_cpus * 4) or 1))
     rows = ray.data.range(h)
 
+    # approx-transformer threshold: -et is in SOURCE PIXELS; the
+    # inverse transform outputs s_srs units, so scale by the source
+    # pixel size (GDALCreateApproxTransformer's dfMaxError contract)
+    et_units = args.err_threshold * min(abs(gt[1]), abs(gt[5]))
+
     def warp_rows(batch) -> "pa.Table":
+        from lib_gdal_ray.geom.approx import ApproxTransformer
         from lib_gdal_ray.state.worker_cache import get_or_build
 
         plane = get_or_build("warp:" + src_ref.hex(),
@@ -126,7 +138,21 @@ def main():
         # dst pixel centers in t_srs
         dx = xmin + (rx + 0.5) * xres
         dy = ymax - (ry + 0.5) * yres
-        sxg, syg = inv.transform(dx, dy)
+        if et_units > 0:
+            # per-scanline subdivide-until-linear inverse mapping
+            # (alg/gdaltransformer.cpp:58,2624): O(log w) exact
+            # transform calls per row instead of w
+            at = ApproxTransformer(inv, et_units)
+            xs_row = xmin + (np.arange(w, dtype=np.float64) + 0.5) * xres
+            sxg = np.empty(len(rx))
+            syg = np.empty(len(rx))
+            for k, yy in enumerate(ys):
+                txr, tyr = at.transform_scanline(
+                    xs_row, ymax - (yy + 0.5) * yres)
+                sxg[k * w:(k + 1) * w] = txr
+                syg[k * w:(k + 1) * w] = tyr
+        else:
+            sxg, syg = inv.transform(dx, dy)
         # t_srs -> source fractional pixel coords (north-up affine)
         fx = (sxg - gt[0]) / gt[1] - 0.5
         fy = (syg - gt[3]) / gt[5] - 0.5
