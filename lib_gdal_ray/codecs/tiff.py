@@ -161,7 +161,8 @@ _MODELPIXELSCALE, _MODELTIEPOINT, _GEOKEYDIRECTORY = 33550, 33922, 34735
 
 # TIFF field types
 _T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
-_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
+_T_LONG8 = 16  # BigTIFF 64-bit unsigned
+_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
 
 # numpy dtype -> (bits, sample_format)  (1=uint, 2=int, 3=float)
 _DTYPES = {
@@ -191,13 +192,18 @@ def encode_geotiff(arr: np.ndarray,
                    compression: str = "deflate",
                    tile_size: Optional[int] = None,
                    compress_level: int = 6,
-                   predictor: int = 1) -> bytes:
+                   predictor: int = 1,
+                   bigtiff=None) -> bytes:
     """(H, W) or (H, W, B) array -> GeoTIFF bytes.
 
     transform: GDAL-style (x0, px_w, rot, y0, rot, -px_h) affine; only
     north-up (zero rotation) encodes, as ModelPixelScale + tiepoint.
     tile_size: None -> stripped (one strip per 64 rows); else square
     TIFF tiles (must be a multiple of 16 per spec).
+    bigtiff: True -> BigTIFF (version 43, 8-byte offsets — the
+    `frmts/gtiff/` -co BIGTIFF=YES layout); None -> auto (classic
+    unless the payload would overflow 32-bit offsets, GDAL's
+    BIGTIFF=IF_NEEDED).
     """
     arr = np.ascontiguousarray(arr)
     if arr.dtype not in _DTYPES:
@@ -282,21 +288,45 @@ def encode_geotiff(arr: np.ndarray,
 
     entries.sort(key=lambda e: e[0])
 
-    # layout: header (8) | IFD | overflow values | block data
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    data_bytes = sum(len(b) for b in blocks)
+    if bigtiff is None:  # GDAL BIGTIFF=IF_NEEDED
+        bigtiff = data_bytes + 65536 > 0xFFFFFFFF
+
+    if bigtiff:
+        # BigTIFF (version 43): 16-byte header, u64 entry count,
+        # 20-byte entries with 8-byte inline values, LONG8 offsets
+        inline, off_typ, off_np = 8, _T_LONG8, "<u8"
+        header_len, cnt_len, ent_len, next_len = 16, 8, 20, 8
+    else:
+        inline, off_typ, off_np = 4, _T_LONG, "<u4"
+        header_len, cnt_len, ent_len, next_len = 8, 2, 12, 4
+
+    # offsets/bytecounts tags were added as LONG; retype for bigtiff
+    if bigtiff:
+        retag = {_TILEOFFSETS, _STRIPOFFSETS}
+        entries = [(tag, off_typ if tag in retag else typ, count, vals)
+                   for tag, typ, count, vals in entries]
+
+    # layout: header | IFD | overflow values | block data
+    ifd_off = header_len
+    ifd_size = cnt_len + ent_len * len(entries) + next_len
     overflow_off = ifd_off + ifd_size
     overflow = b""
     packed = []
-    np_types = {_T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8"}
+    np_types = {_T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8",
+                _T_LONG8: "<u8"}
+    ptr_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, count, vals in entries:
         size = _TYPE_SIZE[typ] * count
         raw = np.asarray(vals).astype(np_types[typ]).tobytes()
-        if size <= 4:
-            packed.append((tag, typ, count, raw.ljust(4, b"\0"), None))
+        if size <= inline:
+            packed.append((tag, typ, count, raw.ljust(inline, b"\0"),
+                           None))
         else:
             packed.append((tag, typ, count,
-                           struct.pack("<I", overflow_off + len(overflow)), tag))
+                           struct.pack(ptr_fmt,
+                                       overflow_off + len(overflow)),
+                           tag))
             overflow += raw
     data_off = overflow_off + len(overflow)
 
@@ -309,18 +339,25 @@ def encode_geotiff(arr: np.ndarray,
     off_tag = _TILEOFFSETS if tile_size else _STRIPOFFSETS
     out_entries = []
     ov = bytearray(overflow)
+    cnt_fmt = "<HHQ" if bigtiff else "<HHI"
     for tag, typ, count, val4, ov_tag in packed:
         if tag == off_tag:
-            raw = np.asarray(offsets, dtype="<u4").tobytes()
-            if len(raw) <= 4:
-                val4 = raw.ljust(4, b"\0")
+            raw = np.asarray(offsets, dtype=off_np).tobytes()
+            if len(raw) <= inline:
+                val4 = raw.ljust(inline, b"\0")
             else:
-                (at,) = struct.unpack("<I", val4)
+                (at,) = struct.unpack(ptr_fmt, val4)
                 ov[at - overflow_off:at - overflow_off + len(raw)] = raw
-        out_entries.append(struct.pack("<HHI", tag, typ, count) + val4)
+        out_entries.append(struct.pack(cnt_fmt, tag, typ, count) + val4)
 
-    header = b"II" + struct.pack("<HI", 42, ifd_off)
-    ifd = struct.pack("<H", len(entries)) + b"".join(out_entries) + struct.pack("<I", 0)
+    if bigtiff:
+        header = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        ifd = (struct.pack("<Q", len(entries)) + b"".join(out_entries)
+               + struct.pack("<Q", 0))
+    else:
+        header = b"II" + struct.pack("<HI", 42, ifd_off)
+        ifd = (struct.pack("<H", len(entries)) + b"".join(out_entries)
+               + struct.pack("<I", 0))
     return header + ifd + bytes(ov) + b"".join(blocks)
 
 
@@ -343,24 +380,39 @@ def decode_geotiff(buf: bytes, meta_only: bool = False):
         fmt = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack_from(fmt + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError(f"bad TIFF magic {magic} (BigTIFF unsupported)")
-    (n_entries,) = struct.unpack_from(fmt + "H", buf, ifd_off)
+    (magic,) = struct.unpack_from(fmt + "H", buf, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(fmt + "I", buf, 4)
+        inline, ent_len, hdr = 4, 12, 2
+        nent_fmt, cnt_fmt, ptr = "H", "I", "I"
+    elif magic == 43:
+        # BigTIFF: u16 offset-size (must be 8), u16 pad, u64 IFD offset
+        osize, _pad, ifd_off = struct.unpack_from(fmt + "HHQ", buf, 4)
+        if osize != 8:
+            raise ValueError(f"BigTIFF offset size {osize} != 8")
+        inline, ent_len, hdr = 8, 20, 8
+        nent_fmt, cnt_fmt, ptr = "Q", "Q", "Q"
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (n_entries,) = struct.unpack_from(fmt + nent_fmt, buf, ifd_off)
     tags = {}
     np_types = {1: "u1", _T_SHORT: "u2", _T_LONG: "u4", _T_DOUBLE: "f8",
-                2: "u1", 6: "i1", 8: "i2", 9: "i4", 11: "f4"}
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(fmt + "HHI", buf, off)
+                2: "u1", 6: "i1", 8: "i2", 9: "i4", 11: "f4",
+                _T_LONG8: "u8", 17: "i8"}
+    for i in range(int(n_entries)):
+        off = ifd_off + hdr + ent_len * i
+        tag, typ = struct.unpack_from(fmt + "HH", buf, off)
+        (count,) = struct.unpack_from(fmt + cnt_fmt, buf, off + 4)
+        count = int(count)
         if typ not in np_types:
             continue
         size = np.dtype(np_types[typ]).itemsize * count
-        if size <= 4:
+        voff_pos = off + 4 + struct.calcsize(cnt_fmt)
+        if size <= inline:
             vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
-                                 offset=off + 8)
+                                 offset=voff_pos)
         else:
-            (voff,) = struct.unpack_from(fmt + "I", buf, off + 8)
+            (voff,) = struct.unpack_from(fmt + ptr, buf, voff_pos)
             vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
                                  offset=voff)
         tags[tag] = vals

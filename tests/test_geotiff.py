@@ -519,3 +519,38 @@ class TestNearblackXyzClis:
         assert len(data) == 256
         # pixel (0,0) center -> (0.5, 15.5, 5)
         assert any(r.startswith("0.5,15.5,5") for r in data)
+
+
+class TestBigTiff:
+    """BigTIFF (version 43, 8-byte offsets — frmts/gtiff BIGTIFF=YES)."""
+
+    def test_roundtrip_forced(self):
+        rng = np.random.default_rng(4)
+        a = rng.uniform(0, 1000, (70, 90)).astype(np.float32)
+        buf = encode_geotiff(a, transform=(10.0, 0.5, 0.0, 40.0, 0.0, -0.5),
+                             epsg=3857, bigtiff=True)
+        assert buf[:4] == b"II\x2b\x00"  # version 43
+        back, meta = decode_geotiff(buf)
+        np.testing.assert_array_equal(back, a)
+        assert meta["epsg"] == 3857
+        assert meta["transform"] == (10.0, 0.5, 0.0, 40.0, 0.0, -0.5)
+
+    def test_roundtrip_tiled_multiband(self):
+        rng = np.random.default_rng(5)
+        a = (rng.uniform(0, 255, (48, 80, 3))).astype(np.uint8)
+        for comp in ("none", "deflate", "lzw"):
+            buf = encode_geotiff(a, compression=comp, tile_size=32,
+                                 bigtiff=True)
+            back, meta = decode_geotiff(buf)
+            np.testing.assert_array_equal(back, a)
+            assert meta["compression"] == comp
+
+    def test_auto_stays_classic_when_small(self):
+        a = np.zeros((16, 16), np.uint8)
+        buf = encode_geotiff(a)  # bigtiff=None auto
+        assert buf[2:4] == b"\x2a\x00"  # classic 42
+
+    def test_classic_still_decodes(self):
+        a = np.arange(64, dtype=np.int16).reshape(8, 8)
+        back, _ = decode_geotiff(encode_geotiff(a, bigtiff=False))
+        np.testing.assert_array_equal(back, a)
