@@ -215,3 +215,195 @@ class RPCTransformer:
 GCPPolynomialTransformer.transform = GCPPolynomialTransformer.pixel_to_geo
 TPSTransformer.transform = TPSTransformer.pixel_to_geo
 RPCTransformer.transform = RPCTransformer.geo_to_pixel
+
+
+# ---------------------------------------------------------------------------
+# Homography (projective transform)
+# ---------------------------------------------------------------------------
+
+class HomographyTransformer:
+    """8-parameter projective transform fit from >= 4 GCPs
+    (``alg/gdal_homography.cpp`` surface): the normalized DLT system
+    solved by least squares; the inverse is the inverted 3x3 matrix.
+    Exact for any perspective mapping (where polynomial order 1 bends
+    and order 2+ overfits)."""
+
+    def __init__(self, px, py, gx, gy):
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        gx = np.asarray(gx, dtype=np.float64)
+        gy = np.asarray(gy, dtype=np.float64)
+        if len(px) < 4:
+            raise ValueError("homography needs >= 4 GCPs")
+        self._H = self._dlt(px, py, gx, gy)
+        self._Hinv = np.linalg.inv(self._H)
+        fx, fy = self.pixel_to_geo(px, py)
+        self.rms = float(np.sqrt(((fx - gx) ** 2
+                                  + (fy - gy) ** 2).mean()))
+
+    @staticmethod
+    def _norm(x, y):
+        """Hartley normalization: zero-mean, mean distance sqrt(2)."""
+        mx, my = x.mean(), y.mean()
+        d = np.hypot(x - mx, y - my).mean()
+        s = np.sqrt(2.0) / d if d > 0 else 1.0
+        T = np.array([[s, 0, -s * mx], [0, s, -s * my], [0, 0, 1.0]])
+        return T
+
+    @classmethod
+    def _dlt(cls, px, py, gx, gy):
+        Tp = cls._norm(px, py)
+        Tg = cls._norm(gx, gy)
+        pxn = Tp[0, 0] * px + Tp[0, 2]
+        pyn = Tp[1, 1] * py + Tp[1, 2]
+        gxn = Tg[0, 0] * gx + Tg[0, 2]
+        gyn = Tg[1, 1] * gy + Tg[1, 2]
+        n = len(px)
+        A = np.zeros((2 * n, 9))
+        A[0::2, 0] = pxn
+        A[0::2, 1] = pyn
+        A[0::2, 2] = 1.0
+        A[0::2, 6] = -gxn * pxn
+        A[0::2, 7] = -gxn * pyn
+        A[0::2, 8] = -gxn
+        A[1::2, 3] = pxn
+        A[1::2, 4] = pyn
+        A[1::2, 5] = 1.0
+        A[1::2, 6] = -gyn * pxn
+        A[1::2, 7] = -gyn * pyn
+        A[1::2, 8] = -gyn
+        _u, _s, vt = np.linalg.svd(A)
+        Hn = vt[-1].reshape(3, 3)
+        H = np.linalg.inv(Tg) @ Hn @ Tp
+        return H / H[2, 2]
+
+    @staticmethod
+    def _apply(H, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        w = H[2, 0] * x + H[2, 1] * y + H[2, 2]
+        ox = (H[0, 0] * x + H[0, 1] * y + H[0, 2]) / w
+        oy = (H[1, 0] * x + H[1, 1] * y + H[1, 2]) / w
+        return ox, oy
+
+    def pixel_to_geo(self, px, py):
+        return self._apply(self._H, px, py)
+
+    def geo_to_pixel(self, gx, gy):
+        return self._apply(self._Hinv, gx, gy)
+
+
+# ---------------------------------------------------------------------------
+# Geolocation arrays
+# ---------------------------------------------------------------------------
+
+class GeolocTransformer:
+    """Geolocation-array transformer (``alg/gdalgeoloc.cpp``): 2-D
+    lon/lat arrays give the forward map by bilinear interpolation;
+    the inverse seeds from a scatter-filled backmap grid (GDAL's
+    GDALGeoLoc backmap) and refines with Gauss-Newton on the bilinear
+    surface. Fit once per worker; evaluate vectorized per batch."""
+
+    def __init__(self, lons: np.ndarray, lats: np.ndarray,
+                 pixel_offset: float = 0.0, line_offset: float = 0.0,
+                 pixel_step: float = 1.0, line_step: float = 1.0,
+                 backmap_oversample: float = 1.3):
+        self.lons = np.asarray(lons, dtype=np.float64)
+        self.lats = np.asarray(lats, dtype=np.float64)
+        if self.lons.shape != self.lats.shape or self.lons.ndim != 2:
+            raise ValueError("lon/lat arrays must share a 2-D shape")
+        self.po, self.lo = float(pixel_offset), float(line_offset)
+        self.ps, self.ls = float(pixel_step), float(line_step)
+        ny, nx = self.lons.shape
+        # backmap: geo bbox gridded at ~oversample x the geoloc res,
+        # scatter geoloc samples, then nearest-fill holes (bounded
+        # dilation) — the seed only needs to land within one cell
+        bw = max(4, int(nx * backmap_oversample))
+        bh = max(4, int(ny * backmap_oversample))
+        self._bx0 = self.lons.min()
+        self._by0 = self.lats.min()
+        self._bdx = (self.lons.max() - self._bx0) / bw or 1.0
+        self._bdy = (self.lats.max() - self._by0) / bh or 1.0
+        gj, gi = np.meshgrid(np.arange(nx), np.arange(ny))
+        cx = np.clip(((self.lons - self._bx0) / self._bdx)
+                     .astype(np.int64), 0, bw - 1)
+        cy = np.clip(((self.lats - self._by0) / self._bdy)
+                     .astype(np.int64), 0, bh - 1)
+        sum_x = np.zeros((bh, bw))
+        sum_y = np.zeros((bh, bw))
+        cnt = np.zeros((bh, bw))
+        np.add.at(sum_x, (cy, cx), gj)
+        np.add.at(sum_y, (cy, cx), gi)
+        np.add.at(cnt, (cy, cx), 1.0)
+        with np.errstate(invalid="ignore"):
+            bm_x = sum_x / cnt
+            bm_y = sum_y / cnt
+        # bounded nearest-fill of empty cells
+        for _ in range(max(bw, bh)):
+            hole = ~np.isfinite(bm_x)
+            if not hole.any():
+                break
+            for sh in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                src_x = np.roll(bm_x, sh, axis=(0, 1))
+                src_y = np.roll(bm_y, sh, axis=(0, 1))
+                take = hole & np.isfinite(src_x)
+                bm_x[take] = src_x[take]
+                bm_y[take] = src_y[take]
+                hole = ~np.isfinite(bm_x)
+        self._bm_x, self._bm_y = bm_x, bm_y
+
+    def _sample(self, fx, fy):
+        """bilinear sample of the geoloc arrays at fractional indices."""
+        ny, nx = self.lons.shape
+        fx = np.clip(fx, 0.0, nx - 1.0)
+        fy = np.clip(fy, 0.0, ny - 1.0)
+        x0 = np.clip(np.floor(fx).astype(np.int64), 0, nx - 2)
+        y0 = np.clip(np.floor(fy).astype(np.int64), 0, ny - 2)
+        tx = fx - x0
+        ty = fy - y0
+        out = []
+        for arr in (self.lons, self.lats):
+            v = (arr[y0, x0] * (1 - tx) * (1 - ty)
+                 + arr[y0, x0 + 1] * tx * (1 - ty)
+                 + arr[y0 + 1, x0] * (1 - tx) * ty
+                 + arr[y0 + 1, x0 + 1] * tx * ty)
+            out.append(v)
+        return out[0], out[1]
+
+    def pixel_to_geo(self, px, py):
+        fx = (np.asarray(px, dtype=np.float64) - self.po) / self.ps
+        fy = (np.asarray(py, dtype=np.float64) - self.lo) / self.ls
+        return self._sample(fx, fy)
+
+    def geo_to_pixel(self, gx, gy, iterations: int = 8):
+        gx = np.asarray(gx, dtype=np.float64)
+        gy = np.asarray(gy, dtype=np.float64)
+        bh, bw = self._bm_x.shape
+        cx = np.clip(((gx - self._bx0) / self._bdx).astype(np.int64),
+                     0, bw - 1)
+        cy = np.clip(((gy - self._by0) / self._bdy).astype(np.int64),
+                     0, bh - 1)
+        fx = self._bm_x[cy, cx].copy()
+        fy = self._bm_y[cy, cx].copy()
+        eps = 1e-4
+        for _ in range(iterations):
+            sx, sy = self._sample(fx, fy)
+            rx, ry = gx - sx, gy - sy
+            if max(np.abs(rx).max(initial=0.0),
+                   np.abs(ry).max(initial=0.0)) < 1e-12:
+                break
+            # finite-difference Jacobian of the bilinear surface
+            sxp, syp = self._sample(fx + eps, fy)
+            sxq, syq = self._sample(fx, fy + eps)
+            j00 = (sxp - sx) / eps
+            j10 = (syp - sy) / eps
+            j01 = (sxq - sx) / eps
+            j11 = (syq - sy) / eps
+            det = j00 * j11 - j01 * j10
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            fx = fx + (rx * j11 - ry * j01) / det
+            fy = fy + (ry * j00 - rx * j10) / det
+            ny, nx = self.lons.shape
+            fx = np.clip(fx, 0.0, nx - 1.0)
+            fy = np.clip(fy, 0.0, ny - 1.0)
+        return fx * self.ps + self.po, fy * self.ls + self.lo

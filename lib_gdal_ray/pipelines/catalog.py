@@ -4883,6 +4883,93 @@ def q_ogrsql_join_topk(sf_dir):
         _sql_layers(sf_dir))
 
 
+def q_homography_roundtrip(sf_dir):
+    """Homography transformer (`alg/gdal_homography.cpp` analog,
+    geom/gcp.py DLT fit): fit from 4 corners of a perspective map,
+    push every event point forward then back through the distributed
+    stage. The roundtrip is exact to ~1e-12, so mills-quantized
+    coordinates equal the inputs (invertibility + plumbing end-to-end;
+    the projective math itself is pinned exactly in test_gcp.py)."""
+    from ..geom.gcp import HomographyTransformer
+
+    H = np.array([[1.1, 0.08, 20.0], [-0.04, 0.95, -8.0],
+                  [5e-5, -1e-4, 1.0]])
+    px = np.array([-180.0, 180.0, -180.0, 180.0])
+    py = np.array([-90.0, -90.0, 90.0, 90.0])
+    w = H[2, 0] * px + H[2, 1] * py + 1.0
+    gx = (H[0, 0] * px + H[0, 1] * py + H[0, 2]) / w
+    gy = (H[1, 0] * px + H[1, 1] * py + H[1, 2]) / w
+    t = HomographyTransformer(px, py, gx, gy)  # fit ONCE, ships tiny
+
+    pts = events_points(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        fx, fy = t.pixel_to_geo(lon, lat)
+        bx, by = t.geo_to_pixel(fx, fy)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "lon_m": pa.array(np.floor(bx * 1000 + 0.3183098861837907)
+                              .astype(np.int64)),
+            "lat_m": pa.array(np.floor(by * 1000 + 0.3183098861837907)
+                              .astype(np.int64)),
+        })
+
+    return pts.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_HOMOGRAPHY_RT = f"""
+SELECT event_id,
+       CAST(floor(lon * 1000 + 0.3183098861837907) AS BIGINT) AS lon_m,
+       CAST(floor(lat * 1000 + 0.3183098861837907) AS BIGINT) AS lat_m
+FROM {_POINTS_SQL} p
+"""
+
+
+def q_geoloc_roundtrip(sf_dir):
+    """Geolocation-array transformer (`alg/gdalgeoloc.cpp` analog,
+    geom/gcp.py GeolocTransformer): smooth synthetic geoloc grid,
+    event lon/lat mapped geo->pixel (backmap seed + Gauss-Newton) and
+    back; deci-quantized roundtrip equals the input (forward bilinear
+    + inverse convergence pinned in test_gcp.py)."""
+    from ..geom.gcp import GeolocTransformer
+
+    gj, gi = np.meshgrid(np.arange(80, dtype=float),
+                         np.arange(50, dtype=float))
+    lon_g = -195.0 + 5.0 * gj + 0.1 * gi + 2.0 * np.sin(gi / 9.0)
+    lat_g = 96.0 - 3.9 * gi + 0.05 * gj + 1.5 * np.cos(gj / 11.0)
+    t = GeolocTransformer(lon_g, lat_g)
+
+    pts = events_points(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import get_or_build
+
+        tt = get_or_build("geoloc_rt", lambda: t)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        fx, fy = tt.geo_to_pixel(lon, lat)
+        bx, by = tt.pixel_to_geo(fx, fy)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "lon_d": pa.array(np.floor(bx * 10 + 0.3183098861837907)
+                              .astype(np.int64)),
+            "lat_d": pa.array(np.floor(by * 10 + 0.3183098861837907)
+                              .astype(np.int64)),
+        })
+
+    return pts.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_GEOLOC_RT = f"""
+SELECT event_id,
+       CAST(floor(lon * 10 + 0.3183098861837907) AS BIGINT) AS lon_d,
+       CAST(floor(lat * 10 + 0.3183098861837907) AS BIGINT) AS lat_d
+FROM {_POINTS_SQL} p
+"""
+
+
 def q_fgb_roundtrip(sf_dir):
     """FlatGeobuf round-trip (`ogr/ogrsf_frmts/flatgeobuf/`,
     `packedrtree.h:78-105`): site points + properties written to a
@@ -5412,6 +5499,8 @@ QUERIES = {
     "ogrsql_join_topk": (q_ogrsql_join_topk, SQL_OGRSQL_JOIN),
     "ogrsql_spatial": (q_ogrsql_spatial, SQL_OGRSQL_SPATIAL),
     "fgb_roundtrip": (q_fgb_roundtrip, SQL_FGB_ROUNDTRIP),
+    "homography_roundtrip": (q_homography_roundtrip, SQL_HOMOGRAPHY_RT),
+    "geoloc_roundtrip": (q_geoloc_roundtrip, SQL_GEOLOC_RT),
     "pixfn_norm_diff": (q_pixfn_norm_diff, sql_pixfn_norm_diff()),
     "pixfn_interpolate": (q_pixfn_interpolate, sql_pixfn_interpolate()),
     "pixfn_complex_intensity": (q_pixfn_complex_intensity,

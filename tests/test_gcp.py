@@ -143,3 +143,104 @@ def test_reproject_stage_with_gcp_transformer():
                                atol=1e-8)
     np.testing.assert_allclose(out["gy"], -200.0 + 0.03 * out["lon"] + 0.4 * out["lat"],
                                atol=1e-8)
+
+
+class TestHomography:
+    """alg/gdal_homography.cpp analog: projective DLT fit."""
+
+    def _gt(self):
+        # a genuine perspective map (nonzero bottom row)
+        H = np.array([[1.2, 0.1, 30.0],
+                      [-0.05, 0.9, -12.0],
+                      [1e-4, -2e-4, 1.0]])
+        return H
+
+    def test_exact_recovery_from_4_points(self):
+        from lib_gdal_ray.geom.gcp import HomographyTransformer
+
+        H = self._gt()
+        px = np.array([0.0, 100.0, 0.0, 100.0, 37.0, 81.0])
+        py = np.array([0.0, 0.0, 80.0, 80.0, 55.0, 13.0])
+        w = H[2, 0] * px + H[2, 1] * py + 1.0
+        gx = (H[0, 0] * px + H[0, 1] * py + H[0, 2]) / w
+        gy = (H[1, 0] * px + H[1, 1] * py + H[1, 2]) / w
+        t = HomographyTransformer(px, py, gx, gy)
+        assert t.rms < 1e-9
+        fx, fy = t.pixel_to_geo(px, py)
+        np.testing.assert_allclose(fx, gx, atol=1e-9)
+        np.testing.assert_allclose(fy, gy, atol=1e-9)
+        bx, by = t.geo_to_pixel(gx, gy)
+        np.testing.assert_allclose(bx, px, atol=1e-8)
+        np.testing.assert_allclose(by, py, atol=1e-8)
+
+    def test_beats_order1_on_perspective(self):
+        from lib_gdal_ray.geom.gcp import (GCPPolynomialTransformer,
+                                           HomographyTransformer)
+
+        H = self._gt()
+        rng = np.random.default_rng(2)
+        px = rng.uniform(0, 200, 40)
+        py = rng.uniform(0, 150, 40)
+        w = H[2, 0] * px + H[2, 1] * py + 1.0
+        gx = (H[0, 0] * px + H[0, 1] * py + H[0, 2]) / w
+        gy = (H[1, 0] * px + H[1, 1] * py + H[1, 2]) / w
+        hom = HomographyTransformer(px, py, gx, gy)
+        poly = GCPPolynomialTransformer(px, py, gx, gy, order=1)
+        assert hom.rms < poly.rms / 10
+
+    def test_needs_4(self):
+        from lib_gdal_ray.geom.gcp import HomographyTransformer
+
+        with np.testing.assert_raises(ValueError):
+            HomographyTransformer([0, 1, 2], [0, 1, 0], [0, 1, 2],
+                                  [0, 1, 0])
+
+
+class TestGeoloc:
+    """alg/gdalgeoloc.cpp analog: geolocation-array transformer."""
+
+    def _grid(self, ny=40, nx=60):
+        gj, gi = np.meshgrid(np.arange(nx, dtype=float),
+                             np.arange(ny, dtype=float))
+        # smooth non-affine surface: rotation + gentle sinusoidal warp
+        lon = 10.0 + 0.01 * gj + 0.002 * gi + 0.05 * np.sin(gi / 12.0)
+        lat = 50.0 - 0.008 * gi + 0.001 * gj + 0.04 * np.cos(gj / 15.0)
+        return lon, lat
+
+    def test_forward_matches_grid_nodes(self):
+        from lib_gdal_ray.geom.gcp import GeolocTransformer
+
+        lon, lat = self._grid()
+        t = GeolocTransformer(lon, lat)
+        fx, fy = t.pixel_to_geo(np.array([5.0, 30.0]),
+                                np.array([7.0, 20.0]))
+        np.testing.assert_allclose(fx, lon[[7, 20], [5, 30]], rtol=0)
+        np.testing.assert_allclose(fy, lat[[7, 20], [5, 30]], rtol=0)
+
+    def test_roundtrip_interior(self):
+        from lib_gdal_ray.geom.gcp import GeolocTransformer
+
+        lon, lat = self._grid()
+        t = GeolocTransformer(lon, lat)
+        rng = np.random.default_rng(8)
+        px = rng.uniform(2, 57, 500)
+        py = rng.uniform(2, 37, 500)
+        gx, gy = t.pixel_to_geo(px, py)
+        bx, by = t.geo_to_pixel(gx, gy)
+        assert np.abs(bx - px).max() < 1e-6
+        assert np.abs(by - py).max() < 1e-6
+
+    def test_offsets_and_steps(self):
+        from lib_gdal_ray.geom.gcp import GeolocTransformer
+
+        lon, lat = self._grid(20, 30)
+        # geoloc arrays subsampled 4x with a 2-pixel origin offset
+        t = GeolocTransformer(lon, lat, pixel_offset=2, line_offset=2,
+                              pixel_step=4, line_step=4)
+        gx, gy = t.pixel_to_geo(np.array([2.0 + 4 * 7]),
+                                np.array([2.0 + 4 * 5]))
+        np.testing.assert_allclose(gx, lon[5, 7])
+        np.testing.assert_allclose(gy, lat[5, 7])
+        bx, by = t.geo_to_pixel(gx, gy)
+        np.testing.assert_allclose(bx, 2.0 + 4 * 7, atol=1e-6)
+        np.testing.assert_allclose(by, 2.0 + 4 * 5, atol=1e-6)
