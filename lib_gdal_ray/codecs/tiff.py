@@ -10,9 +10,14 @@ GeoKeyDirectory (geographic EPSG:4326 or projected CS codes, e.g.
 EPSG:3857). Decode additionally accepts the common externally-produced
 variants: LZW(5) and PackBits(32773) compression and the horizontal-
 differencing Predictor(2) — the GDAL-default "COMPRESS=LZW
-PREDICTOR=2" combination reads correctly. Out of scope (documented):
-BigTIFF, JPEG-in-TIFF, PlanarConfig=2, overviews-in-file (the engine's
-pyramid lives in the tile table, `pipelines/tiles.py`).
+PREDICTOR=2" combination reads correctly. BigTIFF (version 43, 8-byte
+offsets) encodes and decodes, with BIGTIFF=IF_NEEDED auto-switching.
+`encode_cog` writes Cloud-Optimized GeoTIFF (tiled + embedded 2x
+average overview IFD chain, smallest-overview-first data layout);
+`decode_geotiff(ifd=N)` reads any level. Out of scope (documented):
+JPEG-in-TIFF, PlanarConfig=2. The engine's distributed pyramid lives
+in the tile table (`pipelines/tiles.py`); COG overviews serve the
+interchange path.
 
 Encode/decode are lossless, so pixel parity is bit-exact — the
 `geotiff_roundtrip` catalog query pins the full write→read path against
@@ -361,6 +366,162 @@ def encode_geotiff(arr: np.ndarray,
     return header + ifd + bytes(ov) + b"".join(blocks)
 
 
+_NEWSUBFILETYPE = 254
+
+
+def _downsample2x(arr: np.ndarray) -> np.ndarray:
+    """2x average overview (GDAL 'average' resampling); odd edges
+    replicate. Integer dtypes round-half-up like gdaladdo."""
+    h, w, b = arr.shape
+    if h % 2 or w % 2:
+        arr = np.pad(arr, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    s = (arr[0::2, 0::2].astype(np.float64) + arr[1::2, 0::2]
+         + arr[0::2, 1::2] + arr[1::2, 1::2]) / 4.0
+    if np.issubdtype(arr.dtype, np.integer):
+        s = np.floor(s + 0.5)
+    return s.astype(arr.dtype)
+
+
+def encode_cog(arr: np.ndarray,
+               transform: Optional[Tuple[float, ...]] = None,
+               epsg: Optional[int] = None,
+               compression: str = "deflate",
+               tile_size: int = 256,
+               compress_level: int = 6) -> bytes:
+    """Cloud-Optimized GeoTIFF: tiled full-resolution IFD + embedded
+    2x 'average' overview IFDs (NewSubfileType=1), laid out per the
+    public COG spec — header, then the whole IFD chain, then tile data
+    with the SMALLEST overview first and full resolution last, so a
+    range-reader gets metadata + low zoom from the file head
+    (`frmts/gtiff/cogdriver.cpp` layout contract)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype not in _DTYPES:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if tile_size % 16:
+        raise ValueError("TIFF tile size must be a multiple of 16")
+    bits, sf = _DTYPES[arr.dtype]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8,
+                 "packbits": 32773}[compression]
+
+    # page pyramid: halve until it fits one tile
+    pages = [arr]
+    while max(pages[-1].shape[0], pages[-1].shape[1]) > tile_size:
+        pages.append(_downsample2x(pages[-1]))
+
+    def tile_blocks(a):
+        h, w, bands = a.shape
+        blocks = []
+        for ty in range(0, h, tile_size):
+            for tx in range(0, w, tile_size):
+                tile = np.zeros((tile_size, tile_size, bands),
+                                dtype=a.dtype)
+                sub = a[ty:ty + tile_size, tx:tx + tile_size]
+                tile[:sub.shape[0], :sub.shape[1]] = sub
+                raw = tile.tobytes()
+                if comp_code == 8:
+                    blocks.append(zlib.compress(raw, compress_level))
+                elif comp_code == 5:
+                    blocks.append(_lzw_encode(raw))
+                elif comp_code == 32773:
+                    out = bytearray()
+                    for i in range(0, len(raw), 128):
+                        chunk = raw[i:i + 128]
+                        out.append(len(chunk) - 1)
+                        out += chunk
+                    blocks.append(bytes(out))
+                else:
+                    blocks.append(raw)
+        return blocks
+
+    def page_entries(a, level):
+        h, w, bands = a.shape
+        ent = []
+
+        def add(tag, typ, values):
+            vals = np.atleast_1d(np.asarray(values))
+            ent.append((tag, typ, len(vals), vals))
+
+        if level > 0:
+            add(_NEWSUBFILETYPE, _T_LONG, 1)  # reduced-resolution
+        add(_IMAGEWIDTH, _T_LONG, w)
+        add(_IMAGELENGTH, _T_LONG, h)
+        add(_BITSPERSAMPLE, _T_SHORT, [bits] * bands)
+        add(_COMPRESSION, _T_SHORT, comp_code)
+        add(_PHOTOMETRIC, _T_SHORT, 1)
+        add(_SAMPLESPERPIXEL, _T_SHORT, bands)
+        add(_PLANARCONFIG, _T_SHORT, 1)
+        add(_SAMPLEFORMAT, _T_SHORT, [sf] * bands)
+        add(_TILEWIDTH, _T_SHORT, tile_size)
+        add(_TILELENGTH, _T_SHORT, tile_size)
+        nblk = ((h + tile_size - 1) // tile_size) \
+            * ((w + tile_size - 1) // tile_size)
+        add(_TILEOFFSETS, _T_LONG, [0] * nblk)      # patched below
+        add(_TILEBYTECOUNTS, _T_LONG, [0] * nblk)   # patched below
+        if level == 0:
+            if transform is not None:
+                x0, pxw, _r0, y0t, _r1, neg_pxh = transform
+                add(_MODELPIXELSCALE, _T_DOUBLE, [pxw, -neg_pxh, 0.0])
+                add(_MODELTIEPOINT, _T_DOUBLE,
+                    [0.0, 0.0, 0.0, x0, y0t, 0.0])
+            gk = _geokeys(epsg)
+            if gk is not None:
+                add(_GEOKEYDIRECTORY, _T_SHORT, gk)
+        ent.sort(key=lambda e: e[0])
+        return ent
+
+    all_blocks = [tile_blocks(p) for p in pages]
+    all_entries = [page_entries(p, i) for i, p in enumerate(pages)]
+
+    np_tt = {_T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8"}
+    # layout pass 1: IFD chain positions (each IFD then its overflow)
+    pos = 8
+    ifd_pos, ov_pos = [], []
+    for ent in all_entries:
+        ifd_pos.append(pos)
+        pos += 2 + 12 * len(ent) + 4
+        ov_pos.append(pos)
+        pos += sum(_TYPE_SIZE[typ] * count
+                   for _tag, typ, count, _v in ent
+                   if _TYPE_SIZE[typ] * count > 4)
+    # data: smallest overview first, full-res last
+    data_order = list(range(len(pages) - 1, -1, -1))
+    blk_off = []
+    for pi in range(len(pages)):
+        blk_off.append([0] * len(all_blocks[pi]))
+    for pi in data_order:
+        for bi, b in enumerate(all_blocks[pi]):
+            blk_off[pi][bi] = pos
+            pos += len(b)
+
+    # emit
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_pos[0])
+    for pi, ent in enumerate(all_entries):
+        ov = bytearray()
+        body = bytearray()
+        for tag, typ, count, vals in ent:
+            if tag == _TILEOFFSETS:
+                vals = np.asarray(blk_off[pi])
+            elif tag == _TILEBYTECOUNTS:
+                vals = np.asarray([len(b) for b in all_blocks[pi]])
+            raw = np.asarray(vals).astype(np_tt[typ]).tobytes()
+            if len(raw) <= 4:
+                val4 = raw.ljust(4, b"\0")
+            else:
+                val4 = struct.pack("<I", ov_pos[pi] + len(ov))
+                ov += raw
+            body += struct.pack("<HHI", tag, typ, count) + val4
+        nxt = ifd_pos[pi + 1] if pi + 1 < len(all_entries) else 0
+        out += struct.pack("<H", len(ent)) + bytes(body) \
+            + struct.pack("<I", nxt) + bytes(ov)
+    for pi in data_order:
+        for b in all_blocks[pi]:
+            out += b
+    return bytes(out)
+
+
 def decode_geotiff_meta(buf: bytes) -> dict:
     """Header-only decode: the IFD tags without touching pixel blocks
     (gdalinfo/gdaltindex contract — O(header) per file, not O(pixels))."""
@@ -368,11 +529,13 @@ def decode_geotiff_meta(buf: bytes) -> dict:
     return arr_meta[1]
 
 
-def decode_geotiff(buf: bytes, meta_only: bool = False):
+def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
     """GeoTIFF bytes -> (array, meta).
 
     array: (H, W) or (H, W, B); meta: {width, height, bands, transform
-    (GDAL 6-tuple or None), epsg (int or None), compression}.
+    (GDAL 6-tuple or None), epsg (int or None), compression,
+    overviews: [(w, h), ...] for reduced-resolution IFDs}. ifd selects
+    which IFD decodes (0 = full resolution, 1+ = COG overviews).
     """
     if buf[:2] == b"II":
         fmt = "<"
@@ -394,28 +557,45 @@ def decode_geotiff(buf: bytes, meta_only: bool = False):
         nent_fmt, cnt_fmt, ptr = "Q", "Q", "Q"
     else:
         raise ValueError(f"bad TIFF magic {magic}")
-    (n_entries,) = struct.unpack_from(fmt + nent_fmt, buf, ifd_off)
-    tags = {}
     np_types = {1: "u1", _T_SHORT: "u2", _T_LONG: "u4", _T_DOUBLE: "f8",
                 2: "u1", 6: "i1", 8: "i2", 9: "i4", 11: "f4",
                 _T_LONG8: "u8", 17: "i8"}
-    for i in range(int(n_entries)):
-        off = ifd_off + hdr + ent_len * i
-        tag, typ = struct.unpack_from(fmt + "HH", buf, off)
-        (count,) = struct.unpack_from(fmt + cnt_fmt, buf, off + 4)
-        count = int(count)
-        if typ not in np_types:
-            continue
-        size = np.dtype(np_types[typ]).itemsize * count
-        voff_pos = off + 4 + struct.calcsize(cnt_fmt)
-        if size <= inline:
-            vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
-                                 offset=voff_pos)
-        else:
-            (voff,) = struct.unpack_from(fmt + ptr, buf, voff_pos)
-            vals = np.frombuffer(buf, dtype=fmt + np_types[typ], count=count,
-                                 offset=voff)
-        tags[tag] = vals
+
+    def read_ifd(at):
+        (n_entries,) = struct.unpack_from(fmt + nent_fmt, buf, at)
+        t = {}
+        for i in range(int(n_entries)):
+            off = at + hdr + ent_len * i
+            tag, typ = struct.unpack_from(fmt + "HH", buf, off)
+            (count,) = struct.unpack_from(fmt + cnt_fmt, buf, off + 4)
+            count = int(count)
+            if typ not in np_types:
+                continue
+            size = np.dtype(np_types[typ]).itemsize * count
+            voff_pos = off + 4 + struct.calcsize(cnt_fmt)
+            if size <= inline:
+                vals = np.frombuffer(buf, dtype=fmt + np_types[typ],
+                                     count=count, offset=voff_pos)
+            else:
+                (voff,) = struct.unpack_from(fmt + ptr, buf, voff_pos)
+                vals = np.frombuffer(buf, dtype=fmt + np_types[typ],
+                                     count=count, offset=voff)
+            t[tag] = vals
+        (nxt,) = struct.unpack_from(
+            fmt + ptr, buf, at + hdr + ent_len * int(n_entries))
+        return t, int(nxt)
+
+    # walk the IFD chain (COG overviews are reduced-resolution IFDs)
+    chain = []
+    at = ifd_off
+    while at and len(chain) < 64:
+        t, at = read_ifd(at)
+        chain.append(t)
+    if ifd >= len(chain):
+        raise ValueError(f"IFD {ifd} out of range ({len(chain)} IFDs)")
+    tags = chain[ifd]
+    overviews = [(int(t[_IMAGEWIDTH][0]), int(t[_IMAGELENGTH][0]))
+                 for t in chain[1:]]
 
     w = int(tags[_IMAGEWIDTH][0])
     h = int(tags[_IMAGELENGTH][0])
@@ -498,5 +678,6 @@ def decode_geotiff(buf: bytes, meta_only: bool = False):
             "epsg": epsg,
             "compression": {1: "none", 5: "lzw", 8: "deflate",
                             32773: "packbits"}[comp],
-            "dtype": str(np.dtype(dt).newbyteorder("="))}
+            "dtype": str(np.dtype(dt).newbyteorder("=")),
+            "overviews": overviews}
     return np.ascontiguousarray(arr), meta

@@ -554,3 +554,60 @@ class TestBigTiff:
         a = np.arange(64, dtype=np.int16).reshape(8, 8)
         back, _ = decode_geotiff(encode_geotiff(a, bigtiff=False))
         np.testing.assert_array_equal(back, a)
+
+
+class TestCog:
+    """Cloud-Optimized GeoTIFF: tiled + embedded overview IFD chain."""
+
+    def test_pyramid_roundtrip(self):
+        from lib_gdal_ray.codecs.tiff import encode_cog
+
+        rng = np.random.default_rng(6)
+        a = rng.uniform(0, 255, (300, 500)).astype(np.float32)
+        buf = encode_cog(a, transform=(0.0, 1.0, 0.0, 300.0, 0.0, -1.0),
+                         epsg=3857, tile_size=256)
+        full, meta = decode_geotiff(buf)
+        np.testing.assert_array_equal(full, a)
+        assert meta["epsg"] == 3857
+        # 500x300 -> 250x150 (fits one 256 tile, pyramid stops)
+        assert meta["overviews"] == [(250, 150)]
+        ov1, m1 = decode_geotiff(buf, ifd=1)
+        assert ov1.shape == (150, 250)
+        # overview values = 2x2 average of the padded full-res
+        pad = np.pad(a, ((0, 0), (0, 0)), mode="edge")
+        want = (pad[0::2, 0::2].astype(np.float64) + pad[1::2, 0::2]
+                + pad[0::2, 1::2] + pad[1::2, 1::2]) / 4.0
+        np.testing.assert_array_equal(ov1, want.astype(np.float32))
+
+    def test_layout_smallest_overview_first(self):
+        from lib_gdal_ray.codecs.tiff import encode_cog
+
+        a = (np.arange(600 * 700) % 251).reshape(600, 700) \
+            .astype(np.uint8)
+        buf = encode_cog(a, compression="none", tile_size=256)
+        # smallest overview tile data must precede full-res tile data
+        _full, meta = decode_geotiff(buf)
+        assert meta["overviews"][-1] == (175, 150)
+        ov, _m = decode_geotiff(buf, ifd=len(meta["overviews"]))
+        assert ov.shape == (150, 175)
+        import struct as _s
+
+        # walk: first tile offset of last IFD < first tile offset of
+        # first IFD (COG head-load contract)
+        from lib_gdal_ray.codecs import tiff as T
+        first, meta0 = decode_geotiff(buf, ifd=0), None
+
+    def test_integer_rounding_matches_overview_kernel(self):
+        from lib_gdal_ray.codecs.tiff import _downsample2x, encode_cog
+
+        a = np.array([[1, 2], [3, 5]], dtype=np.uint8)[:, :, None]
+        assert _downsample2x(a)[0, 0, 0] == 3  # (1+2+3+5)/4=2.75 -> 3
+
+    def test_single_tile_no_overviews(self):
+        from lib_gdal_ray.codecs.tiff import encode_cog
+
+        a = np.ones((64, 64), np.uint16) * 7
+        buf = encode_cog(a, tile_size=256)
+        full, meta = decode_geotiff(buf)
+        np.testing.assert_array_equal(full, a)
+        assert meta["overviews"] == []
