@@ -1423,6 +1423,46 @@ def sql_pixfn_interpolate():
     """
 
 
+def q_pixfn_expression(sf_dir):
+    """muparser-style infix band math (gdal_calc --calc / VRT
+    'expression' pixel function, pixelfunctions.cpp:2791): named
+    bands through the swq arithmetic evaluator — the same expression
+    text runs on the engine and (spelled out) on DuckDB."""
+    from . import raster_calc as rc
+
+    a = _type_count_band(sf_dir, "click")
+    b = _type_count_band(sf_dir, "purchase")
+    out = rc.pixel_expression({"A": a, "B": b},
+                              "(A - B) / (A + B) + A * 2",
+                              keep_empty=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"gpx": pa.array(gpx), "gpy": pa.array(gpy),
+                         "v": batch["burn"]})
+
+    return out.map_batches(f, batch_format="pyarrow")
+
+
+def sql_pixfn_expression():
+    gx, gy = _pixel_sql(6)
+    return f"""
+    WITH px AS (
+      SELECT {gx} AS gpx, {gy} AS gpy,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM {_POINTS_SQL} p WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT gpx, gpy,
+           (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+             / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+             + CAST(a AS DOUBLE) * 2 AS v
+    FROM px
+    """
+
+
 def q_pixfn_complex_intensity(sf_dir):
     """VRT complex pixel-function family (pixelfunctions.cpp
     Complex/Conj/IntensityPixelFunc): merge two count bands into a
@@ -5505,6 +5545,7 @@ QUERIES = {
     "pixfn_interpolate": (q_pixfn_interpolate, sql_pixfn_interpolate()),
     "pixfn_complex_intensity": (q_pixfn_complex_intensity,
                                 sql_pixfn_complex_intensity()),
+    "pixfn_expression": (q_pixfn_expression, sql_pixfn_expression()),
     "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
     "token_stats": (q_token_stats, SQL_TOKEN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),

@@ -218,6 +218,62 @@ def pixel_calc_multi(bands: Sequence[ray.data.Dataset], func: str,
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def pixel_expression(bands: dict, expression: str,
+                     keep_empty: bool = False) -> ray.data.Dataset:
+    """muparser-style infix band math (gdal_calc.py --calc and the VRT
+    'expression' pixel function, `pixelfunctions.cpp:2791`): named
+    bands co-locate per pixel in ONE union+groupby, then the infix
+    expression evaluates vectorized through the OGR-SQL arithmetic
+    evaluator (functions/swq.py) over the per-pixel band columns —
+    e.g. pixel_expression({"A": nir, "B": red}, "(A - B) / (A + B)").
+
+    Functions available: the swq registry (incl. CAST); arithmetic
+    + - * / % and parentheses; band names are case-sensitive columns.
+    """
+    from ..functions import swq
+
+    names = list(bands)
+    node = swq.parse(expression)
+    ds_list = [bands[n] for n in names]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            burn = batch["burn"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            cols = {"pix_id": batch["pix_id"]}
+            for i, n in enumerate(names):
+                cols[n] = pa.array(
+                    burn if i == side else np.zeros_like(burn))
+            return pa.table(cols)
+
+        return fn
+
+    merged = ds_list[0].map_batches(tag(0), batch_format="pyarrow")
+    for i in range(1, len(ds_list)):
+        merged = merged.union(
+            ds_list[i].map_batches(tag(i), batch_format="pyarrow"))
+
+    from ray.data.aggregate import Sum
+
+    merged = merged.groupby("pix_id").aggregate(
+        *[Sum(n, alias_name=n) for n in names])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        v = swq._eval(node, batch)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * len(batch), type=pa.float64())
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        out = np.asarray(v.cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+        t = pa.table({"pix_id": batch["pix_id"], "burn": pa.array(out)})
+        if not keep_empty:
+            t = t.filter(pa.array(out != 0))
+        return t
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def complex_merge(re_band: ray.data.Dataset, im_band: ray.data.Dataset
                   ) -> ray.data.Dataset:
     """'complex' pixel function: two real bands -> one complex raster

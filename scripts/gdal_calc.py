@@ -4,6 +4,8 @@ two-input arithmetic core; engine kernel `pipelines/raster_calc.py`).
 
 Usage:
     python scripts/gdal_calc.py -A A.tif [-B B.tif] OUT.tif
+        --calc "(A - B) / (A + B)"        # infix band math (gdal_calc
+                                          # --calc; swq evaluator)
         --op add|sub|mul|div|min|max      # A op B (needs -B)
         [--scale S] [--offset O]          # else: A*S + O
         [--band-a 0] [--band-b 0] [--num-cpus N]
@@ -29,6 +31,9 @@ def main():
     ap.add_argument("-B", default=None)
     ap.add_argument("--op", default=None,
                     choices=["add", "sub", "mul", "div", "min", "max"])
+    ap.add_argument("--calc", default=None,
+                    help="infix expression over A/B band names "
+                    "(gdal_calc --calc analog)")
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--offset", type=float, default=0.0)
     ap.add_argument("--band-a", type=int, default=0)
@@ -36,8 +41,8 @@ def main():
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     args = ap.parse_args()
-    if args.B and not args.op:
-        ap.error("two inputs need --op")
+    if args.B and not (args.op or args.calc):
+        ap.error("two inputs need --op or --calc")
 
     import ray
 
@@ -53,13 +58,19 @@ def main():
     t0 = time.perf_counter()
     h, w, meta = open_meta(args.A)
     a = pixels_ds(args.A, args.band_a)
-    if args.B:
+    if args.calc:
+        bands = {"A": a}
+        if args.B:
+            bands["B"] = pixels_ds(args.B, args.band_b)
+        out = rc.pixel_expression(bands, args.calc, keep_empty=True)
+    elif args.B:
         b = pixels_ds(args.B, args.band_b)
         out = rc.pixel_calc(a, b, args.op, keep_empty=True)
     else:
         out = rc.pixel_scale(a, scale=args.scale, offset=args.offset)
     nbytes = compose_geotiff(out, h, w, args.dst, meta)
-    print(json.dumps({"dst": args.dst, "op": args.op or "scale",
+    print(json.dumps({"dst": args.dst,
+                      "op": args.calc or args.op or "scale",
                       "bytes": nbytes,
                       "sec": round(time.perf_counter() - t0, 3)}))
     ray.shutdown()

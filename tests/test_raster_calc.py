@@ -447,3 +447,51 @@ class TestPixelCalcMulti:
             inten, np.array(re) ** 2 + np.array(im) ** 2)
         ph = complex_op(c, "phase").to_pandas()
         assert len(ph) == 3
+
+
+class TestPixelExpression:
+    def test_infix_band_math(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.pipelines.raster_calc import pixel_expression
+        from lib_gdal_ray.pipelines.rasterize import (pack_pixel,
+                                                      unpack_pixel)
+
+        def band(vals):
+            a = np.asarray(vals, dtype=np.float64)
+            idx = np.flatnonzero(a)
+            pix = pack_pixel(3, idx.astype(np.int64),
+                             np.zeros(len(idx), dtype=np.int64))
+            return ray.data.from_arrow(pa.table({
+                "pix_id": pa.array(pix), "burn": pa.array(a[idx])}))
+
+        A = [2.0, 4.0, 0.0, 10.0]
+        B = [1.0, 0.0, 3.0, 5.0]
+        out = pixel_expression({"A": band(A), "B": band(B)},
+                               "(A - B) / (A + B) + A * 2",
+                               keep_empty=True).to_pandas()
+        got = np.zeros(4)
+        _z, gx, _gy = unpack_pixel(out["pix_id"].to_numpy()
+                                   .astype(np.uint64))
+        got[gx] = out["burn"].to_numpy()
+        a, b = np.array(A), np.array(B)
+        want = (a - b) / (a + b) + a * 2
+        np.testing.assert_allclose(got, want)
+
+    def test_functions_and_mod(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from lib_gdal_ray.pipelines.raster_calc import pixel_expression
+        from lib_gdal_ray.pipelines.rasterize import pack_pixel
+
+        a = np.array([7.0, 9.0, 12.0])
+        pix = pack_pixel(3, np.arange(3, dtype=np.int64),
+                         np.zeros(3, dtype=np.int64))
+        b = ray.data.from_arrow(pa.table({
+            "pix_id": pa.array(pix), "burn": pa.array(a)}))
+        out = pixel_expression({"X": b}, "X % 5 + 1",
+                               keep_empty=True).to_pandas()
+        np.testing.assert_allclose(sorted(out["burn"]),
+                                   sorted(a % 5 + 1))
