@@ -1820,6 +1820,50 @@ def q_zarr_roundtrip(sf_dir):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_netcdf_roundtrip(sf_dir):
+    """NetCDF classic round-trip (`frmts/netcdf/` analog,
+    sources/netcdf.py): the deterministic 3-D array written to a real
+    CDF-2 file, read back as parallel chunk rows split on the slowest
+    dim, exploded to element rows — same shape/oracle as
+    zarr_roundtrip, different on-disk format."""
+    import os
+
+    from ..sources import multidim as md
+    from ..sources import netcdf as ncdf
+
+    path = f"/tmp/lib_gdal_ray_nc_rt_{os.getpid()}.nc"
+    n0, n1, n2 = _ZRT_SHAPE
+    i, j, k = np.meshgrid(np.arange(n0), np.arange(n1), np.arange(n2),
+                          indexing="ij")
+    ncdf.write_netcdf(path, {"v": _mdim_fv(i, j, k)},
+                      dim_names={"v": ["i", "j", "k"]})
+    ds, meta = ncdf.read_netcdf(path, "v", rows_per_chunk=8)
+    c0 = meta["chunk_shape"][0]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = md.unpack_chunks(keys, 3)
+        ii, jj, kk, vv = [], [], [], []
+        for r in range(len(keys)):
+            a0 = int(idx[r, 0]) * c0
+            d0 = min(a0 + c0, n0) - a0
+            arr3 = np.frombuffer(batch["data"][r].as_py(),
+                                 dtype="<f8").reshape(d0, n1, n2)
+            gi, gj, gk = np.meshgrid(np.arange(a0, a0 + d0),
+                                     np.arange(n1), np.arange(n2),
+                                     indexing="ij")
+            ii.append(gi.ravel())
+            jj.append(gj.ravel())
+            kk.append(gk.ravel())
+            vv.append(arr3.ravel())
+        cat = (lambda xs, dt: pa.array(
+            (np.concatenate(xs) if xs else np.empty(0)).astype(dt)))
+        return pa.table({"i": cat(ii, np.int64), "j": cat(jj, np.int64),
+                         "k": cat(kk, np.int64), "v": cat(vv, np.int64)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def sql_zarr_roundtrip():
     n0, n1, n2 = _ZRT_SHAPE
     return f"""
@@ -5516,6 +5560,7 @@ QUERIES = {
     "mdim_stats": (q_mdim_stats, sql_mdim_stats()),
     "mdim_classic_tpi": (q_mdim_classic_tpi, sql_mdim_classic_tpi()),
     "zarr_roundtrip": (q_zarr_roundtrip, sql_zarr_roundtrip()),
+    "netcdf_roundtrip": (q_netcdf_roundtrip, sql_zarr_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
