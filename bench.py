@@ -148,7 +148,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "ogrsql_report", "isobands",
                      # round-3 session 4
                      "polygonize_regions", "sieve_filter",
-                     "minhash_dedup_keep"]
+                     "minhash_dedup_keep",
+                     # round-4 additions
+                     "fgb_roundtrip", "zarr_roundtrip", "netcdf_roundtrip",
+                     "ogrsql_spatial", "pixfn_norm_diff",
+                     "pixfn_expression", "homography_roundtrip",
+                     "geoloc_roundtrip"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
