@@ -14,14 +14,17 @@ PREDICTOR=2" combination reads correctly. BigTIFF (version 43, 8-byte
 offsets) encodes and decodes, with BIGTIFF=IF_NEEDED auto-switching.
 `encode_cog` writes Cloud-Optimized GeoTIFF (tiled + embedded 2x
 average overview IFD chain, smallest-overview-first data layout);
-`decode_geotiff(ifd=N)` reads any level. Out of scope (documented):
-JPEG-in-TIFF, PlanarConfig=2. The engine's distributed pyramid lives
-in the tile table (`pipelines/tiles.py`); COG overviews serve the
-interchange path.
+`decode_geotiff(ifd=N)` reads any level. JPEG-in-TIFF (new-style
+compression 7, uint8 gray/RGB) encodes and decodes through the
+pure-numpy baseline JPEG codec (`codecs/jpeg.py`), one standalone
+stream per strip/tile. Out of scope (documented): PlanarConfig=2,
+old-style JPEG(6), shared JPEGTables. The engine's distributed
+pyramid lives in the tile table (`pipelines/tiles.py`); COG overviews
+serve the interchange path.
 
-Encode/decode are lossless, so pixel parity is bit-exact — the
-`geotiff_roundtrip` catalog query pins the full write→read path against
-a closed-form SQL oracle.
+Encode/decode are lossless (except JPEG, inherently lossy), so pixel
+parity is bit-exact — the `geotiff_roundtrip` catalog query pins the
+full write→read path against a closed-form SQL oracle.
 """
 
 from __future__ import annotations
@@ -217,13 +220,26 @@ def encode_geotiff(arr: np.ndarray,
         arr = arr[:, :, None]
     h, w, bands = arr.shape
     bits, sf = _DTYPES[arr.dtype]
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+                 "jpeg": 7}[compression]
+    if comp_code == 7:
+        # JPEG-in-TIFF (new-style, compression 7): standalone baseline
+        # JPEG stream per strip/tile (no shared JPEGTables tag)
+        if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
+            raise ValueError("JPEG-in-TIFF needs uint8, 1 or 3 bands")
+        if predictor == 2:
+            raise ValueError("Predictor does not apply to JPEG")
     if predictor == 2 and sf == 3:
         raise ValueError("Predictor=2 is integer-only (TIFF 6.0 §14)")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
 
     def compress(block: np.ndarray) -> bytes:
+        if comp_code == 7:
+            from .jpeg import encode_jpeg
+
+            img = block[:, :, 0] if bands == 1 else block
+            return encode_jpeg(np.ascontiguousarray(img), quality=90)
         if predictor == 2:
             block = _apply_predictor2(block.reshape(block.shape[0], -1, bands))
         raw = block.tobytes()
@@ -607,7 +623,7 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
     pred = int(tags.get(_PREDICTOR, [1])[0])
     if planar != 1:
         raise ValueError("PlanarConfig=2 unsupported")
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 5, 7, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if pred not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {pred}")
@@ -627,6 +643,16 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
         return raw
 
     def block_array(off, cnt, rows, width):
+        if comp == 7:
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(buf[int(off):int(off) + int(cnt)])
+            if img.ndim == 2:
+                img = img[:, :, None]
+            out7 = np.zeros((rows, width, bands), dtype=dt)
+            out7[:img.shape[0], :img.shape[1]] = \
+                img[:rows, :width].astype(dt)
+            return out7
         a = np.frombuffer(decomp(int(off), int(cnt)), dtype=dt,
                           count=rows * width * bands).copy()
         if pred == 2:
@@ -676,7 +702,7 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
     arr = out[:, :, 0] if bands == 1 else out
     meta = {"width": w, "height": h, "bands": bands, "transform": transform,
             "epsg": epsg,
-            "compression": {1: "none", 5: "lzw", 8: "deflate",
+            "compression": {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
                             32773: "packbits"}[comp],
             "dtype": str(np.dtype(dt).newbyteorder("=")),
             "overviews": overviews}

@@ -611,3 +611,38 @@ class TestCog:
         full, meta = decode_geotiff(buf)
         np.testing.assert_array_equal(full, a)
         assert meta["overviews"] == []
+
+
+class TestJpegInTiff:
+    """New-style JPEG compression (7): standalone stream per block."""
+
+    def test_gray_strips(self):
+        yy, xx = np.mgrid[0:100, 0:120]
+        a = ((np.sin(xx / 9.0) + np.cos(yy / 7.0)) * 60 + 128) \
+            .astype(np.uint8)
+        buf = encode_geotiff(a, compression="jpeg")
+        back, meta = decode_geotiff(buf)
+        assert meta["compression"] == "jpeg"
+        assert back.shape == a.shape and back.dtype == np.uint8
+        assert np.abs(back.astype(int) - a.astype(int)).mean() < 3.0
+
+    def test_rgb_tiled(self):
+        rng = np.random.default_rng(9)
+        base = rng.uniform(40, 200, (64, 96, 1))
+        a = (base + np.arange(3) * 10).astype(np.uint8)
+        buf = encode_geotiff(a, compression="jpeg", tile_size=32,
+                             transform=(0, 1, 0, 64, 0, -1), epsg=4326)
+        back, meta = decode_geotiff(buf)
+        assert back.shape == a.shape
+        assert meta["epsg"] == 4326
+        assert np.abs(back.astype(int) - a.astype(int)).mean() < 6.0
+
+    def test_guards(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="uint8"):
+            encode_geotiff(np.zeros((8, 8), np.float32),
+                           compression="jpeg")
+        with _pt.raises(ValueError, match="Predictor"):
+            encode_geotiff(np.zeros((8, 8), np.uint8),
+                           compression="jpeg", predictor=2)
