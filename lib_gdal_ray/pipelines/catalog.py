@@ -1929,7 +1929,7 @@ def sql_isobands():
       SELECT pid, min(lbl) AS region_id FROM reach GROUP BY 1
     )
     SELECT l.region_id,
-           min(p.bin) AS level,
+           CAST(min(p.bin) AS BIGINT) AS level,
            count(*) AS n_pixels,
            min(p.gx) AS gpx_min, min(p.gy) AS gpy_min,
            max(p.gx) AS gpx_max, max(p.gy) AS gpy_max
@@ -3275,7 +3275,7 @@ WITH pb AS (SELECT p_partkey,
     CAST({derive.SQL_PART_XMAX} AS DOUBLE) AS xmax,
     CAST({derive.SQL_PART_YMIN} AS DOUBLE) AS ymin,
     CAST({derive.SQL_PART_YMAX} AS DOUBLE) AS ymax FROM part)
-SELECT p_partkey, zone_id,
+SELECT p_partkey, CAST(zone_id AS BIGINT) AS zone_id,
        (least(pb.xmax, z.xmax) - greatest(pb.xmin, z.xmin))
        * (least(pb.ymax, z.ymax) - greatest(pb.ymin, z.ymin)) AS intersection_area
 FROM pb, {_ZONES_SQL} z
@@ -3463,7 +3463,7 @@ def q_clip_geometry(sf_dir):
 
 
 SQL_CLIP_GEOM = f"""
-SELECT zone_id,
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
        (least(z.xmax, 80.0) - greatest(z.xmin, -60.0))
        * (least(z.ymax, 60.0) - greatest(z.ymin, -40.0)) AS area
 FROM {_ZONES_SQL} z
@@ -3759,6 +3759,73 @@ def _sql_geotiff_roundtrip():
     """
 
 
+def q_vrt_mosaic(sf_dir):
+    """VRT virtual-raster surface (`frmts/vrt/vrtdataset.cpp` +
+    `apps/gdalbuildvrt_lib.cpp`): rasterize events at z4 → one GeoTIFF
+    per XYZ tile → gdalbuildvrt unions the tile headers into a mosaic
+    VRT (no pixels read at build time) → `read_vrt_pixels` streams the
+    plan back, one Ray decode task per source tile, non-overlapping so
+    ZERO shuffle → per-tile count + burn sum in VRT-relative tile
+    coords (origin-normalized so the oracle is placement-independent)."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources.geotiff import write_geotiff_tiles
+    from ..sources.vrt import build_vrt, read_vrt_pixels, write_vrt
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 4, merge_alg="count",
+                                shuffle_partitions=8)
+    out_dir = (f"/tmp/lib_gdal_ray_vrt_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_geotiff_tiles(pix, out_dir, tile_size=256).materialize()
+    paths = sorted(r["path"] for r in manifest.take_all())
+    vrt = build_vrt(paths)
+    vrt_path = os.path.join(out_dir, "mosaic.vrt")
+    write_vrt(vrt, vrt_path)
+    rows = read_vrt_pixels(vrt_path, drop_zero=True)
+
+    def tile_cols(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"tile_x": pa.array(x // 256),
+                         "tile_y": pa.array(y // 256),
+                         "value": batch["value"]})
+
+    keyed = rows.map_batches(tile_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["tile_x", "tile_y"],
+        [("count", "value", "n_pixels"), ("sum", "value", "burn_sum_f")],
+        shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "burn_sum": pc.cast(pc.round(batch["burn_sum_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_vrt_mosaic():
+    gx, gy = _tile_sql(4 + 8)
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy FROM {_POINTS_SQL} p),
+    agg AS (SELECT gpx, gpy, count(*) AS burn FROM px GROUP BY 1, 2),
+    tl AS (SELECT gpx // 256 AS tx, gpy // 256 AS ty,
+                  count(*) AS n_pixels, CAST(sum(burn) AS BIGINT) AS burn_sum
+           FROM agg GROUP BY 1, 2)
+    SELECT tx - (SELECT min(tx) FROM tl) AS tile_x,
+           ty - (SELECT min(ty) FROM tl) AS tile_y,
+           n_pixels, burn_sum
+    FROM tl
+    """
+
+
 def q_geojson_roundtrip(sf_dir):
     """Vector driver surface: events → WKB point layer → GeoJSONSeq
     write (RFC 8142, one Feature per line, one file per block) → stream
@@ -3950,7 +4017,7 @@ WITH z AS (
          {derive.SQL_ZONE_XMIN} AS xmin, {derive.SQL_ZONE_XMAX} AS xmax,
          {derive.SQL_ZONE_YMIN} AS ymin, {derive.SQL_ZONE_YMAX} AS ymax
   FROM nation)
-SELECT zone_id,
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
   CAST(floor((2*abs(xmin) + 2*abs(xmax) + 2*abs(ymin) + 2*abs(ymax)
               + abs(xmin) + abs(ymin)) * 100 + 0.5) AS BIGINT) AS vertex_sum_c
 FROM z
@@ -5612,6 +5679,7 @@ QUERIES = {
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_GPKG_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),
+    "vrt_mosaic": (q_vrt_mosaic, _sql_vrt_mosaic()),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "audio_features": (q_audio_features, sql_audio_features()),
     "image_features": (q_image_features, sql_image_features()),

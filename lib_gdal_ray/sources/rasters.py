@@ -26,6 +26,8 @@ from ..codecs.bmp import decode_bmp, encode_bmp
 from ..codecs.jpeg import decode_jpeg, encode_jpeg
 from ..codecs.png import decode_png, encode_png
 from ..codecs.tiff import decode_geotiff, encode_geotiff
+from .ascii_grids import (decode_aaigrid, decode_xyz, encode_aaigrid,
+                          encode_xyz, identify_aaigrid, identify_xyz)
 
 # name -> (extensions, decode(buf)->(arr, meta), encode(arr, **kw)->buf)
 DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
@@ -41,16 +43,31 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "JPEG": ((".jpg", ".jpeg"),
              lambda b: (decode_jpeg(b), {}),
              lambda a, **kw: encode_jpeg(a, **kw)),
+    "AAIGrid": ((".asc",),
+                decode_aaigrid,
+                lambda a, **kw: encode_aaigrid(a, **kw)),
+    "XYZ": ((".xyz",),
+            decode_xyz,
+            lambda a, **kw: encode_xyz(a, **kw)),
 }
 
 _SNIFF_TO_DRIVER = {"png": "PNG", "bmp": "BMP", "jpeg": "JPEG"}
 
 
 def identify(buf: bytes) -> Optional[str]:
-    """GDALIdentify analog: driver name for a payload, or None."""
+    """GDALIdentify analog: driver name for a payload, or None.
+    Binary magics first, then the text-format probes (AAIGrid header
+    keywords, XYZ triplet stream) — the GDALOpen probe order."""
     if buf[:2] in (b"II", b"MM") and len(buf) > 3 and buf[2:3] in (b"*", b"\x00"):
         return "GTiff"
-    return _SNIFF_TO_DRIVER.get(sniff(buf))
+    name = _SNIFF_TO_DRIVER.get(sniff(buf))
+    if name:
+        return name
+    if identify_aaigrid(buf):
+        return "AAIGrid"
+    if identify_xyz(buf):
+        return "XYZ"
+    return None
 
 
 def open_raster(buf: bytes):
