@@ -1864,6 +1864,57 @@ def q_netcdf_roundtrip(sf_dir):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_hdf5_roundtrip(sf_dir):
+    """HDF5 round-trip (`frmts/hdf5/hdf5dataset.cpp` analog,
+    sources/hdf5.py — a pure-python parser of the public HDF5 spec,
+    values pinned against GDAL's own checksums): the deterministic
+    3-D array written as a chunked+deflate HDF5 dataset (B-tree v1
+    chunk index), read back one Ray task per stored chunk, exploded
+    to element rows — same oracle as zarr_roundtrip, third on-disk
+    format."""
+    import os
+
+    from ..sources import hdf5 as h5
+    from ..sources import multidim as md
+
+    path = f"/tmp/lib_gdal_ray_h5_rt_{os.getpid()}.h5"
+    n0, n1, n2 = _ZRT_SHAPE
+    c0, c1, c2 = _ZRT_CHUNK
+    i, j, k = np.meshgrid(np.arange(n0), np.arange(n1), np.arange(n2),
+                          indexing="ij")
+    h5.write_hdf5(path, {"v": _mdim_fv(i, j, k)},
+                  chunks={"v": _ZRT_CHUNK}, compress=True)
+    ds, _meta = h5.read_hdf5(path, "v")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        idx = md.unpack_chunks(keys, 3)
+        ii, jj, kk, vv = [], [], [], []
+        for r in range(len(keys)):
+            a0 = int(idx[r, 0]) * c0
+            a1 = int(idx[r, 1]) * c1
+            a2 = int(idx[r, 2]) * c2
+            d0 = min(a0 + c0, n0) - a0
+            d1 = min(a1 + c1, n1) - a1
+            d2 = min(a2 + c2, n2) - a2
+            arr3 = np.frombuffer(batch["data"][r].as_py(),
+                                 dtype="<f8").reshape(d0, d1, d2)
+            gi, gj, gk = np.meshgrid(np.arange(a0, a0 + d0),
+                                     np.arange(a1, a1 + d1),
+                                     np.arange(a2, a2 + d2),
+                                     indexing="ij")
+            ii.append(gi.ravel())
+            jj.append(gj.ravel())
+            kk.append(gk.ravel())
+            vv.append(arr3.ravel())
+        cat = (lambda xs, dt: pa.array(
+            (np.concatenate(xs) if xs else np.empty(0)).astype(dt)))
+        return pa.table({"i": cat(ii, np.int64), "j": cat(jj, np.int64),
+                         "k": cat(kk, np.int64), "v": cat(vv, np.int64)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def sql_zarr_roundtrip():
     n0, n1, n2 = _ZRT_SHAPE
     return f"""
@@ -5628,6 +5679,7 @@ QUERIES = {
     "mdim_classic_tpi": (q_mdim_classic_tpi, sql_mdim_classic_tpi()),
     "zarr_roundtrip": (q_zarr_roundtrip, sql_zarr_roundtrip()),
     "netcdf_roundtrip": (q_netcdf_roundtrip, sql_zarr_roundtrip()),
+    "hdf5_roundtrip": (q_hdf5_roundtrip, sql_zarr_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
