@@ -153,7 +153,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "fgb_roundtrip", "zarr_roundtrip", "netcdf_roundtrip",
                      "ogrsql_spatial", "pixfn_norm_diff",
                      "pixfn_expression", "homography_roundtrip",
-                     "geoloc_roundtrip"]
+                     "geoloc_roundtrip",
+                     # round-4 second half
+                     "vrt_mosaic", "hdf5_roundtrip"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
