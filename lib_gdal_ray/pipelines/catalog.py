@@ -3926,6 +3926,47 @@ FROM events
 """
 
 
+def q_gpx_roundtrip(sf_dir):
+    """GPX driver surface (ogr/ogrsf_frmts/gpx analog,
+    sources/xml_vectors.py): events → point WKB → ONE GPX waypoint
+    document (distributed fragment serialization + driver-side
+    streaming concat) → parse back → coordinates recovered. Same
+    oracle as geojson_roundtrip, different on-disk format."""
+    import os
+
+    from ..geom import wkb as wkb_mod
+    from ..sources import xml_vectors as xv
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.event_lonlat(eid)
+        geoms = wkb_mod.points_to_wkb(lon, lat)
+        return pa.table({"geometry": pa.array(list(geoms),
+                                              type=pa.binary()),
+                         "name": pc.cast(batch["event_id"], pa.string())})
+
+    layer = ev.map_batches(to_layer, batch_format="pyarrow")
+    path = (f"/tmp/lib_gdal_ray_gpx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.gpx")
+    xv.write_gpx(layer, path, name_col="name")
+    back = xv.read_gpx(path)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        eid = np.array([int(s) for s in batch["name"].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 def q_gpkg_roundtrip(sf_dir):
     """GeoPackage driver surface: events → WKB point layer (+typed
     attrs) → partitioned .gpkg write (one valid GeoPackage per block,
@@ -5680,6 +5721,7 @@ QUERIES = {
     "zarr_roundtrip": (q_zarr_roundtrip, sql_zarr_roundtrip()),
     "netcdf_roundtrip": (q_netcdf_roundtrip, sql_zarr_roundtrip()),
     "hdf5_roundtrip": (q_hdf5_roundtrip, sql_zarr_roundtrip()),
+    "gpx_roundtrip": (q_gpx_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
