@@ -92,7 +92,7 @@ def sites_table(sf_dir: str) -> pa.Table:
     return pa.table({"site_id": pa.array(sk), "slon": pa.array(lon), "slat": pa.array(lat)})
 
 
-_ZONES_SQL = f"""(SELECT n_nationkey AS zone_id,
+_ZONES_SQL = f"""(SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
     CAST({derive.SQL_ZONE_XMIN} AS DOUBLE) AS xmin,
     CAST({derive.SQL_ZONE_XMAX} AS DOUBLE) AS xmax,
     CAST({derive.SQL_ZONE_YMIN} AS DOUBLE) AS ymin,
@@ -1108,7 +1108,7 @@ def sql_grid_linear():
       SELECT 0.25 + 0.5 * (i % 128) AS x, 0.25 + 0.5 * (i // 128) AS y
       FROM (SELECT unnest(generate_series(0, 128 * 128 - 1)) AS i)
     ), b AS (
-      SELECT q.x, q.y, tt.k AS nation,
+      SELECT q.x, q.y, CAST(tt.k AS BIGINT) AS nation,
              {l1} AS l1, {l2} AS l2,
              1.0 - ({l1}) - ({l2}) AS l3,
              v1, v2, v3
@@ -4868,7 +4868,7 @@ SELECT base.doc_id, n_tok,
        CASE WHEN coalesce(top2_cnt, 0) * 5 <= coalesce(n2, 0) * 1
              AND coalesce(top3_cnt, 0) * 50 <= coalesce(n3, 0) * 9
              AND coalesce(dup5_cnt, 0) * 10 <= coalesce(n5, 0) * 3
-            THEN 1 ELSE 0 END AS keep
+            THEN CAST(1 AS BIGINT) ELSE 0 END AS keep
 FROM base
 LEFT JOIN s2 USING (doc_id)
 LEFT JOIN s3 USING (doc_id)
@@ -4907,7 +4907,8 @@ hits AS (SELECT t.doc_id, count(te.g) AS n_hit
          FROM (SELECT doc_id, g FROM g WHERE doc_id % 23 <> 0) t
          LEFT JOIN test te USING (g) GROUP BY t.doc_id)
 SELECT d.doc_id, coalesce(h.n_hit, 0) AS n_hit,
-       CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+       CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 """
