@@ -240,12 +240,57 @@ def _walk_chunk_btree(f: _F, addr: int, ndims: int,
         pos += key_size + 8
 
 
+def _parse_attribute(body: bytes):
+    """Attribute message (0x000C) -> (name, value) best-effort.
+    value: python scalar/str for scalar dataspaces, numpy array else."""
+    ver = body[0]
+    name_size, dt_size, ds_size = struct.unpack_from("<3H", body, 2)
+    pos = 8
+    if ver == 3:
+        pos += 1                               # name charset
+    def pad8(n):
+        return (n + 7) & ~7
+    name = body[pos:pos + name_size].split(b"\x00")[0].decode("utf-8")
+    if ver == 1:
+        pos += pad8(name_size)
+        dt_raw = body[pos:pos + dt_size]
+        pos += pad8(dt_size)
+        ds_raw = body[pos:pos + ds_size]
+        pos += pad8(ds_size)
+    else:
+        if body[1] & 0x3:
+            raise ValueError("shared attribute datatype/dataspace")
+        pos += name_size
+        dt_raw = body[pos:pos + dt_size]
+        pos += dt_size
+        ds_raw = body[pos:pos + ds_size]
+        pos += ds_size
+    dt, cls = _parse_datatype(dt_raw)
+    shape = _parse_dataspace(ds_raw) if ds_raw[1] > 0 else ()
+    n = int(np.prod(shape)) if shape else 1
+    data = body[pos:pos + n * dt.itemsize]
+    arr = np.frombuffer(data, dt, count=n)
+    if cls == 3:
+        vals = [v.split(b"\x00")[0].decode("utf-8", "replace")
+                for v in arr.tolist()]
+        return name, (vals[0] if not shape else vals)
+    if not shape:
+        return name, arr[0].item()
+    return name, arr.reshape(shape)
+
+
 def _parse_object(f: _F, addr: int, path: str,
                   groups: Dict[str, int], datasets: Dict[str, dict]):
     info: dict = {"attrs": {}}
     links: Dict[str, int] = {}
     for mtype, body in _iter_messages(f, addr):
-        if mtype == 0x0001:
+        if mtype == 0x000C:
+            try:
+                k, v = _parse_attribute(body)
+                info["attrs"][k] = v
+            except Exception:
+                pass                           # best-effort metadata
+        elif mtype == 0x0001:
             info["shape"] = _parse_dataspace(body)
         elif mtype == 0x0003:
             info["dtype"], info["dt_class"] = _parse_datatype(body)
@@ -321,6 +366,10 @@ def _parse_object(f: _F, addr: int, path: str,
                 raise ValueError("dense (fractal-heap) groups unsupported")
     if "layout" in info and "shape" in info:
         datasets[path or "/"] = info
+    elif info["attrs"]:
+        # group-level metadata (GDALGroup::GetAttributes analog)
+        info["group"] = True
+        datasets[(path or "") + "/@"] = info
     for name, a in links.items():
         child = f"{path}/{name}"
         groups[child] = a

@@ -91,6 +91,10 @@ def read_header(path: str) -> Dict:
     record, atts}}, recsize}."""
     with open(path, "rb") as f:
         head = f.read(1 << 20)  # classic headers are tiny
+    if head[:8] == b"\x89HDF\r\n\x1a\n":
+        raise ValueError("NetCDF-4 file (HDF5-backed): route through "
+                         "sources.hdf5 (read_netcdf does this "
+                         "automatically)")
     if head[:3] != b"CDF" or head[3] not in (1, 2):
         raise ValueError("not a NetCDF classic (CDF-1/CDF-2) file")
     version = head[3]
@@ -139,7 +143,18 @@ def read_netcdf(path: str, var: str,
     """One variable -> (chunk-row Dataset, meta) in the multidim model:
     chunks split along the slowest dimension (the record dimension for
     record variables); each decode task seeks to its own byte ranges.
-    meta: {shape, chunk_shape, dtype}."""
+    meta: {shape, chunk_shape, dtype}.
+
+    NetCDF-4 files are HDF5 containers (the reference's netCDF driver
+    routes them through libhdf5, `frmts/netcdf/netcdfdataset.cpp`
+    Identify) — detected by signature and routed through
+    `sources.hdf5.read_hdf5` transparently."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == b"\x89HDF\r\n\x1a\n":
+        from .hdf5 import read_hdf5
+        return read_hdf5(path, var,
+                         override_num_blocks=override_num_blocks)
     hdr = read_header(path)
     if var not in hdr["vars"]:
         raise KeyError(f"variable {var!r} not in {list(hdr['vars'])}")

@@ -101,3 +101,38 @@ def test_unknown_variable_raises(tmp_path, rng):
         h5.read_h5_array(p, "nope")
     with pytest.raises(ValueError):
         h5.read_h5_structure("/dev/null")
+
+
+def test_attribute_parsing(tmp_path):
+    """Attribute messages decode (validated against the reference's
+    attr_all_datatypes.h5 during development: int8..float64 scalars
+    all read 125)."""
+    import struct as st
+    from lib_gdal_ray.sources.hdf5 import _parse_attribute
+
+    # hand-build a v1 attribute: name "a", int32 scalar = 7
+    name = b"a\x00"
+    dt = bytes([0x10, 0x08, 0, 0]) + st.pack("<I", 4) + st.pack("<HH", 0, 32)
+    ds = st.pack("<BBB5x", 1, 0, 0)
+    def pad8(b):
+        return b + b"\x00" * ((-len(b)) % 8)
+    body = (st.pack("<BB3H", 1, 0, len(name), len(dt), len(ds))
+            + pad8(name) + pad8(dt) + pad8(ds) + st.pack("<i", 7))
+    k, v = _parse_attribute(body)
+    assert (k, v) == ("a", 7)
+
+
+def test_netcdf4_routing(tmp_path, ray_session):
+    """read_netcdf transparently routes HDF5-backed (NetCDF-4) files
+    through the HDF5 reader (netcdfdataset.cpp Identify behavior)."""
+    import numpy as np
+    from lib_gdal_ray.sources import multidim as md
+    from lib_gdal_ray.sources import netcdf as nc
+    from lib_gdal_ray.sources.hdf5 import write_hdf5
+
+    a = np.arange(24, dtype=np.float64).reshape(4, 6)
+    p = str(tmp_path / "v4.nc")
+    write_hdf5(p, {"t": a})          # an HDF5 container with .nc name
+    ds, meta = nc.read_netcdf(p, "t")
+    got = md.to_numpy(ds, meta["shape"], meta["chunk_shape"])
+    np.testing.assert_array_equal(got, a)
