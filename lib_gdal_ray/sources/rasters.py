@@ -82,6 +82,26 @@ def open_raster(buf: bytes):
     return name, arr, meta
 
 
+def open_raster_path(path: str):
+    """GDALOpen-by-path analog: handles the formats that need path
+    context — .vrt (sibling source files) and SRTM .hgt (grid size +
+    georef from the file name) — then falls through to the buffer
+    probe. Returns (driver_name, array, meta)."""
+    low = path.lower()
+    if low.endswith(".vrt"):
+        from .vrt import open_vrt
+        arr, meta = open_vrt(path)
+        return "VRT", arr, meta
+    with open(path, "rb") as f:
+        buf = f.read()
+    if low.endswith((".hgt", ".hgts")):
+        from .srtmhgt import decode_srtmhgt, identify_srtmhgt
+        if identify_srtmhgt(buf, path):
+            arr, meta = decode_srtmhgt(buf, path)
+            return "SRTMHGT", arr, meta
+    return open_raster(buf)
+
+
 def write_raster(arr: np.ndarray, driver: str, **kwargs) -> bytes:
     if driver not in DRIVERS:
         raise ValueError(f"unknown raster driver {driver!r} "

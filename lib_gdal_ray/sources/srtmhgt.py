@@ -1,0 +1,81 @@
+"""SRTM .hgt tiles (frmts/srtmhgt/srtmhgtdataset.cpp).
+
+Headerless big-endian elevation squares; the grid size comes from the
+file size (1201² SRTM3 / 3601² SRTM1 / 7201² thirds, int16; 3601²
+bytes = Byte; 3601²×4 = .hgts Float32) and the georeferencing from
+the N44W072-style file name — south-west corner, point-registered:
+gt = (lon - ½px, px, 0, lat + 1 + ½px, 0, -px) with px = 1/(n-1),
+exactly the reference's math (srtmhgtdataset.cpp:482-487).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import numpy as np
+
+NODATA = -32768.0
+
+# file size -> (nx, ny, numpy dtype)
+_SIZES = {
+    1201 * 1201 * 2: (1201, 1201, ">i2"),
+    1801 * 3601 * 2: (1801, 3601, ">i2"),
+    3601 * 3601: (3601, 3601, "u1"),
+    3601 * 3601 * 2: (3601, 3601, ">i2"),
+    3601 * 3601 * 4: (3601, 3601, ">f4"),
+    7201 * 7201 * 2: (7201, 7201, ">i2"),
+}
+
+_NAME_RE = re.compile(r"([NSns])(\d{1,2})([EWew])(\d{1,3})")
+
+
+def parse_hgt_name(name: str) -> Tuple[int, int]:
+    """'N44W072[.hgt]' -> (southwest lat, southwest lon)."""
+    m = _NAME_RE.search(os.path.basename(name))
+    if not m:
+        raise ValueError(f"not an SRTM tile name: {name!r}")
+    lat = int(m.group(2)) * (1 if m.group(1).upper() == "N" else -1)
+    lon = int(m.group(4)) * (1 if m.group(3).upper() == "E" else -1)
+    return lat, lon
+
+
+def identify_srtmhgt(buf: bytes, name: Optional[str] = None) -> bool:
+    if len(buf) not in _SIZES:
+        return False
+    return name is None or bool(_NAME_RE.search(os.path.basename(name)))
+
+
+def decode_srtmhgt(buf: bytes,
+                   name: Optional[str] = None) -> Tuple[np.ndarray, dict]:
+    """-> ((n, n) array native-endian, meta w/ transform when the tile
+    name is known). Rows run north→south like the file."""
+    if len(buf) not in _SIZES:
+        raise ValueError(f"not an SRTM .hgt payload ({len(buf)} bytes)")
+    nx, ny, dt = _SIZES[len(buf)]
+    arr = np.frombuffer(buf, dtype=np.dtype(dt)).reshape(ny, nx)
+    arr = arr.astype(arr.dtype.newbyteorder("="))
+    meta = {"width": nx, "height": ny, "bands": 1,
+            "dtype": arr.dtype.name, "nodata": NODATA,
+            "transform": None, "epsg": 4326}
+    if name:
+        lat, lon = parse_hgt_name(name)
+        px_x = 1.0 / (nx - 1)
+        px_y = 1.0 / (ny - 1)
+        meta["transform"] = (lon - 0.5 * px_x, px_x, 0.0,
+                             lat + 1 + 0.5 * px_y, 0.0, -px_y)
+    return arr, meta
+
+
+def encode_srtmhgt(arr: np.ndarray, **_kw) -> bytes:
+    """(n, n) int16 array -> big-endian .hgt payload (SRTMHGTCreateCopy
+    byte order). Shape must be one of the SRTM grid sizes."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    dt = ">i2" if arr.dtype != np.uint8 else "u1"
+    buf = np.ascontiguousarray(arr.astype(dt)).tobytes()
+    if len(buf) not in _SIZES:
+        raise ValueError(f"shape {arr.shape} is not an SRTM grid size")
+    return buf

@@ -97,3 +97,47 @@ def test_ray_pixels_over_asc(ray_session, tmp_path):
     got = np.zeros((2, 3))
     got[rows["y"], rows["x"]] = rows["value"]
     np.testing.assert_array_equal(got, arr)
+
+
+# ------------------------------------------------------------- SRTMHGT
+
+def test_srtmhgt_roundtrip(tmp_path):
+    from lib_gdal_ray.sources import srtmhgt as sh
+    from lib_gdal_ray.sources.rasters import open_raster_path
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(-100, 4000, (1201, 1201)).astype(np.int16)
+    buf = sh.encode_srtmhgt(a)
+    assert len(buf) == 1201 * 1201 * 2
+    p = tmp_path / "N44W072.hgt"
+    p.write_bytes(buf)
+    name, back, meta = open_raster_path(str(p))
+    assert name == "SRTMHGT"
+    np.testing.assert_array_equal(back, a)
+    # reference georef math: gt0 = lon - 0.5/(n-1), gt3 = lat+1+0.5/(n-1)
+    px = 1.0 / 1200
+    assert meta["transform"] == (-72 - 0.5 * px, px, 0.0,
+                                 45 + 0.5 * px, 0.0, -px)
+
+
+def test_srtmhgt_name_parsing():
+    from lib_gdal_ray.sources.srtmhgt import parse_hgt_name
+
+    assert parse_hgt_name("N44W072.hgt") == (44, -72)
+    assert parse_hgt_name("/x/y/S09E140.hgt") == (-9, 140)
+    with pytest.raises(ValueError):
+        parse_hgt_name("whatever.hgt")
+
+
+def test_open_raster_path_vrt(tmp_path):
+    from lib_gdal_ray.codecs.tiff import encode_geotiff
+    from lib_gdal_ray.sources.rasters import open_raster_path
+    from lib_gdal_ray.sources.vrt import build_vrt, write_vrt
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    (tmp_path / "a.tif").write_bytes(
+        encode_geotiff(a, transform=(0, 1, 0, 2, 0, -1)))
+    write_vrt(build_vrt([str(tmp_path / "a.tif")]), str(tmp_path / "m.vrt"))
+    name, arr, _meta = open_raster_path(str(tmp_path / "m.vrt"))
+    assert name == "VRT"
+    np.testing.assert_array_equal(arr, a)
