@@ -50,6 +50,8 @@ def _infer_format(path: str, explicit):
         return "geojson"
     if p.endswith(".csv"):
         return "csvwkt"
+    if p.endswith(".vrt"):
+        return "vrt"
     if os.path.isdir(path):
         names = os.listdir(path) if os.path.exists(path) else []
         if any(n.endswith(".gpkg") for n in names):
@@ -81,7 +83,14 @@ def _read(path: str, fmt: str, geometry_col: str):
     if fmt == "csvwkt":
         from lib_gdal_ray.sources.vector_formats import read_csv_wkt
 
-        return read_csv_wkt(path, wkt_col="wkt", out_col=geometry_col)
+        ds = read_csv_wkt(path, wkt_col="wkt")
+        if geometry_col != "geometry":
+            ds = ds.rename_columns({"geometry": geometry_col})
+        return ds
+    if fmt == "vrt":
+        from lib_gdal_ray.sources.vrt_vector import read_vrt_vector
+
+        return read_vrt_vector(path, geometry_col=geometry_col)
     return ray.data.read_parquet(path)
 
 
