@@ -43,6 +43,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "csvwkt" if p.endswith(".csv") else
         "gpx" if p.endswith(".gpx") else
         "kml" if p.endswith(".kml") else
+        "gml" if p.endswith(".gml") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -82,6 +83,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "kml":
         from .xml_vectors import read_kml
         return read_kml(path)
+    if fmt == "gml":
+        from .gml import read_gml
+        return read_gml(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)
