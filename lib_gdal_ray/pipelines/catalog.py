@@ -1346,6 +1346,30 @@ def _type_count_band(sf_dir, event_type: str, z: int = 6):
                                  shuffle_partitions=8)
 
 
+def _click_purchase_bands(sf_dir, z: int = 6):
+    """Fused A=click-count, B=purchase-count bands: ONE events pass +
+    ONE exchange (`rasterize_pixels_multi`) instead of two rasterize
+    passes plus a co-align groupby — the pixel-function inputs arrive
+    already co-located per pixel."""
+    pts = events_points(sf_dir, cols=("event_id", "event_type"))
+
+    def ind(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        is_a = pc.equal(batch["event_type"], "click")
+        return pa.table({
+            "lon": batch["lon"], "lat": batch["lat"],
+            "ia": pc.cast(is_a, pa.float64()),
+            "ib": pc.cast(pc.invert(is_a), pa.float64()),
+        })
+
+    pts = pts.map_batches(ind, batch_format="pyarrow")
+    return rast.rasterize_pixels_multi(
+        pts, z, [("ia", "add", "A"), ("ib", "add", "B")],
+        shuffle_partitions=8)
+
+
 def q_pixfn_norm_diff(sf_dir):
     """VRT 'norm_diff' pixel function (pixelfunctions.cpp
     NormDiffPixelFunc): (A-B)/(A+B) over two z6 count bands (click vs
@@ -1353,9 +1377,8 @@ def q_pixfn_norm_diff(sf_dir):
     integer counts make the single IEEE division bit-exact vs SQL."""
     from . import raster_calc as rc
 
-    a = _type_count_band(sf_dir, "click")
-    b = _type_count_band(sf_dir, "purchase")
-    out = rc.pixel_calc_multi([a, b], "norm_diff", keep_empty=True)
+    bands = _click_purchase_bands(sf_dir)
+    out = rc.pixel_apply(bands, "norm_diff", cols=["A", "B"])
 
     def f(batch: pa.Table) -> pa.Table:
         z, gpx, gpy = rast.unpack_pixel(
@@ -1430,11 +1453,8 @@ def q_pixfn_expression(sf_dir):
     text runs on the engine and (spelled out) on DuckDB."""
     from . import raster_calc as rc
 
-    a = _type_count_band(sf_dir, "click")
-    b = _type_count_band(sf_dir, "purchase")
-    out = rc.pixel_expression({"A": a, "B": b},
-                              "(A - B) / (A + B) + A * 2",
-                              keep_empty=True)
+    bands = _click_purchase_bands(sf_dir)
+    out = rc.pixel_expression_cols(bands, "(A - B) / (A + B) + A * 2")
 
     def f(batch: pa.Table) -> pa.Table:
         z, gpx, gpy = rast.unpack_pixel(

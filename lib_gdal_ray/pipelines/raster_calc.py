@@ -274,6 +274,52 @@ def pixel_expression(bands: dict, expression: str,
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def pixel_apply(pixels: ray.data.Dataset, func: str,
+                cols: Sequence[str], args: Optional[dict] = None,
+                out_col: str = "burn") -> ray.data.Dataset:
+    """Pixel function over an ALREADY co-located multi-column pixel
+    table (the fused-rasterize output of `rasterize_pixels_multi`):
+    zero shuffle — the kernel is one map_batches. Use this instead of
+    `pixel_calc_multi` whenever the bands come from the same source
+    pass; the union+groupby there exists only to co-locate bands that
+    arrive as separate datasets."""
+    if func not in _PIXFN:
+        raise ValueError(f"func must be one of {sorted(_PIXFN)}")
+    args = dict(args or {})
+    kernel = _PIXFN[func]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        V = np.stack([batch[c].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) for c in cols])
+        keep = [c for c in batch.column_names if c not in cols]
+        t = batch.select(keep)
+        return t.append_column(out_col, pa.array(kernel(V, args)))
+
+    return pixels.map_batches(fn, batch_format="pyarrow")
+
+
+def pixel_expression_cols(pixels: ray.data.Dataset, expression: str,
+                          out_col: str = "burn") -> ray.data.Dataset:
+    """Infix band math over co-located band COLUMNS (fused-rasterize
+    output) — the zero-shuffle sibling of `pixel_expression`."""
+    from ..functions import swq
+
+    node = swq.parse(expression)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = swq._eval(node, batch)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * len(batch), type=pa.float64())
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        out = np.asarray(v.cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+        return pa.table({"pix_id": batch["pix_id"],
+                         out_col: pa.array(out)})
+
+    return pixels.map_batches(fn, batch_format="pyarrow")
+
+
 def complex_merge(re_band: ray.data.Dataset, im_band: ray.data.Dataset
                   ) -> ray.data.Dataset:
     """'complex' pixel function: two real bands -> one complex raster

@@ -495,3 +495,40 @@ class TestPixelExpression:
                                keep_empty=True).to_pandas()
         np.testing.assert_allclose(sorted(out["burn"]),
                                    sorted(a % 5 + 1))
+
+
+class TestFusedPixelApply:
+    """pixel_apply / pixel_expression_cols (zero-shuffle fused path)
+    pin identical results to the union+groupby pixel_calc_multi /
+    pixel_expression over the same bands."""
+
+    def _bands(self):
+        rng = np.random.default_rng(5)
+        pix = np.arange(500, dtype=np.int64)
+        a = rng.integers(1, 50, 500).astype(np.float64)
+        b = rng.integers(1, 50, 500).astype(np.float64)
+        ds_a = ray.data.from_arrow(pa.table({"pix_id": pix, "burn": a}))
+        ds_b = ray.data.from_arrow(pa.table({"pix_id": pix, "burn": b}))
+        fused = ray.data.from_arrow(pa.table({"pix_id": pix,
+                                              "A": a, "B": b}))
+        return ds_a, ds_b, fused
+
+    def test_pixel_apply_matches_calc_multi(self, ray_session):
+        ds_a, ds_b, fused = self._bands()
+        want = rc.pixel_calc_multi([ds_a, ds_b], "norm_diff",
+                                   keep_empty=True).to_pandas()
+        got = rc.pixel_apply(fused, "norm_diff",
+                             cols=["A", "B"]).to_pandas()
+        w = want.sort_values("pix_id").reset_index(drop=True)
+        g = got.sort_values("pix_id").reset_index(drop=True)
+        np.testing.assert_allclose(g["burn"], w["burn"], rtol=0)
+
+    def test_expression_cols_matches_expression(self, ray_session):
+        ds_a, ds_b, fused = self._bands()
+        expr = "(A - B) / (A + B) + A * 2"
+        want = rc.pixel_expression({"A": ds_a, "B": ds_b}, expr,
+                                   keep_empty=True).to_pandas()
+        got = rc.pixel_expression_cols(fused, expr).to_pandas()
+        w = want.sort_values("pix_id").reset_index(drop=True)
+        g = got.sort_values("pix_id").reset_index(drop=True)
+        np.testing.assert_allclose(g["burn"], w["burn"], rtol=0)
