@@ -491,6 +491,11 @@ def write_flatgeobuf(ds: ray.data.Dataset, path: str,
     def _write_shard(i: int, block) -> dict:
         tbl = block if isinstance(block, pa.Table) else \
             pa.Table.from_batches([block])
+        # Ray's sort can emit EMPTY blocks whose schema lost the data
+        # columns (NOTES lesson W) — skip them before touching "fb"
+        if len(tbl) == 0 or "fb" not in tbl.column_names:
+            return {"path": None, "sizes": np.empty(0, dtype=np.int64),
+                    "boxes": np.empty((0, 4))}
         p = os.path.join(shard_dir, f"{i:06d}.bin")
         sizes = np.empty(len(tbl), dtype=np.int64)
         with open(p, "wb") as f:

@@ -52,6 +52,14 @@ def _infer_format(path: str, explicit):
         return "csvwkt"
     if p.endswith(".vrt"):
         return "vrt"
+    if p.endswith(".fgb"):
+        return "fgb"
+    if p.endswith(".gml"):
+        return "gml"
+    if p.endswith(".kml"):
+        return "kml"
+    if p.endswith(".gpx"):
+        return "gpx"
     if os.path.isdir(path):
         names = os.listdir(path) if os.path.exists(path) else []
         if any(n.endswith(".gpkg") for n in names):
@@ -129,12 +137,28 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         from lib_gdal_ray.sources.vector_formats import write_geojson
 
         return write_geojson(ds, path, geometry_col=geometry_col)
+    if fmt == "fgb":
+        from lib_gdal_ray.sources.flatgeobuf import write_flatgeobuf
+
+        return write_flatgeobuf(ds, path, wkb_col=geometry_col, name=layer)
+    if fmt == "gml":
+        from lib_gdal_ray.sources.gml import write_gml
+
+        return write_gml(ds, path, geometry_col=geometry_col, layer=layer)
+    if fmt == "kml":
+        from lib_gdal_ray.sources.xml_vectors import write_kml
+
+        return write_kml(ds, path, geometry_col=geometry_col)
+    if fmt == "gpx":
+        from lib_gdal_ray.sources.xml_vectors import write_gpx
+
+        return write_gpx(ds, path, geometry_col=geometry_col)
     raise ValueError(f"unsupported output format: {fmt!r} "
                      f"(writable: {sorted(_WRITABLE)})")
 
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
-             "csvwkt"}
+             "csvwkt", "fgb", "gml", "kml", "gpx"}
 
 
 def _epsg(s: str) -> int:

@@ -390,3 +390,38 @@ class TestOgr2OgrCli:
         xs = [c for f in doc4["features"]
               for ring in f["geometry"]["coordinates"] for c, _ in ring]
         assert max(abs(x) for x in xs) < 180.5  # degrees, not meters
+
+
+class TestOgr2OgrNewFormats:
+    def test_fgb_gml_kml_gpx_outputs_and_ogrinfo(self, tmp_path):
+        """CSV-WKT -> each round-4 output format, then ogrinfo reads
+        the .fgb back (subprocesses; each owns its Ray session)."""
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        src = str(tmp_path / "pts.csv")
+        with open(src, "w") as f:
+            f.write("id,wkt\n")
+            for i in range(5):
+                f.write(f'{i},"POINT ({i} {i + 1})"\n')
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "ogr2ogr.py")
+        for ext, n_exp in (("fgb", 5), ("gml", 5), ("kml", 5), ("gpx", 5)):
+            dst = str(tmp_path / f"o.{ext}")
+            out = subprocess.run(
+                [_sys.executable, cli, dst, src, "--num-cpus", "2"],
+                capture_output=True, text=True, timeout=300)
+            assert out.returncode == 0, (ext, out.stderr[-800:])
+            rep = _json.loads(out.stdout.strip().splitlines()[-1])
+            assert rep["rows"] == n_exp and rep["dst_format"] == ext
+        info = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "ogrinfo.py"),
+             str(tmp_path / "o.fgb"), "-where", "id >= 2",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert info.returncode == 0, info.stderr[-800:]
+        rep = _json.loads(info.stdout.strip().splitlines()[-1])
+        assert rep["n_features"] == 3
+        assert rep["geom_types"] == {"point": 3}
+        assert rep["extent"] == [2.0, 3.0, 4.0, 5.0]
