@@ -99,6 +99,10 @@ def open_raster_path(path: str):
         if identify_srtmhgt(buf, path):
             arr, meta = decode_srtmhgt(buf, path)
             return "SRTMHGT", arr, meta
+    if low.endswith(".hdr") and buf.lstrip()[:4] == b"ENVI":
+        from .envi import decode_envi
+        arr, meta = decode_envi(path)
+        return "ENVI", arr, meta
     return open_raster(buf)
 
 
