@@ -425,3 +425,46 @@ class TestOgr2OgrNewFormats:
         assert rep["n_features"] == 3
         assert rep["geom_types"] == {"point": 3}
         assert rep["extent"] == [2.0, 3.0, 4.0, 5.0]
+
+
+class TestTindexMdiminfoCli:
+    def test_gdaltindex_and_mdiminfo(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.codecs.tiff import encode_geotiff
+        from lib_gdal_ray.sources.hdf5 import write_hdf5
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        srcs = []
+        for i in range(2):
+            p = str(tmp_path / f"{i}.tif")
+            with open(p, "wb") as f:
+                f.write(encode_geotiff(np.full((4, 4), i, np.uint8),
+                                       transform=(i * 4, 1, 0, 4, 0, -1),
+                                       epsg=4326))
+            srcs.append(p)
+        idx = str(tmp_path / "index.geojsonl")
+        vrt = str(tmp_path / "m.vrt")
+        out = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "gdaltindex.py"),
+             idx, *srcs, "-vrt", vrt, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        rep = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert rep["n_rasters"] == 2 and rep["vrt"]["xsize"] == 8
+        from lib_gdal_ray.sources.vrt import open_vrt
+        arr, _ = open_vrt(vrt)
+        assert arr.shape == (4, 8)
+
+        h5 = str(tmp_path / "m.h5")
+        write_hdf5(h5, {"v": np.zeros((4, 5))}, chunks={"v": (2, 5)})
+        out2 = subprocess.run(
+            [_sys.executable,
+             os.path.join(repo, "scripts", "gdalmdiminfo.py"), h5],
+            capture_output=True, text=True, timeout=120)
+        assert out2.returncode == 0, out2.stderr[-800:]
+        rep2 = _json.loads(out2.stdout.strip())
+        assert rep2["driver"] == "HDF5"
+        assert rep2["arrays"]["/v"]["chunks"] == [2, 5]
