@@ -3946,6 +3946,84 @@ FROM events
 """
 
 
+def q_mvt_roundtrip(sf_dir):
+    """Mapbox Vector Tile surface (ogr/ogrsf_frmts/mvt analog,
+    sources/mvt.py): events → one .pbf per z4 tile (parallel encode,
+    per-tile resume) → parallel decode back → per-tile feature count.
+    Tile assignment mirrors the shared WebMercatorQuad math; the
+    tile-local geometry coords are pinned in tests/test_mvt.py (their
+    floor boundary at extent 4096 is libm-ulp-fragile in SQL)."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources import mvt as mvt_mod
+
+    pts = events_points(sf_dir)
+    out_dir = (f"/tmp/lib_gdal_ray_mvt_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mvt_mod.write_mvt_points(pts, out_dir, z=4).materialize()
+    back = mvt_mod.read_mvt_features(out_dir)
+    agg = relational.grouped_agg(
+        back, ["tile_x", "tile_y"],
+        [("count", "n_points", "n_features")], shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_features": pc.cast(batch["n_features"], pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def q_pmtiles_roundtrip(sf_dir):
+    """PMTiles v3 surface (ogr/ogrsf_frmts/pmtiles analog,
+    sources/pmtiles.py): the z4 MVT tile tree packed into ONE archive
+    (Hilbert-clustered, gzip varint directories) → features read back
+    per tile byte-range → same per-tile counts as mvt_roundtrip."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources import mvt as mvt_mod
+    from ..sources import pmtiles as pm
+
+    pts = events_points(sf_dir)
+    out_dir = (f"/tmp/lib_gdal_ray_pmt_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mvt_mod.write_mvt_points(pts, out_dir, z=4).materialize()
+    arc = os.path.join(out_dir, "a.pmtiles")
+    pm.write_pmtiles(out_dir, arc)
+    back = pm.read_pmtiles_features(arc)
+    agg = relational.grouped_agg(
+        back, ["tile_x", "tile_y"],
+        [("count", "n_points", "n_features")], shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_features": pc.cast(batch["n_features"], pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_mvt_roundtrip():
+    tx, ty = _tile_sql(4)
+    n = 1 << 4
+    return f"""
+    SELECT least({tx}, {n - 1}) AS tile_x,
+           least({ty}, {n - 1}) AS tile_y,
+           count(*) AS n_features
+    FROM {_POINTS_SQL} p GROUP BY 1, 2
+    """
+
+
 def q_gpx_roundtrip(sf_dir):
     """GPX driver surface (ogr/ogrsf_frmts/gpx analog,
     sources/xml_vectors.py): events → point WKB → ONE GPX waypoint
@@ -5743,6 +5821,8 @@ QUERIES = {
     "netcdf_roundtrip": (q_netcdf_roundtrip, sql_zarr_roundtrip()),
     "hdf5_roundtrip": (q_hdf5_roundtrip, sql_zarr_roundtrip()),
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "mvt_roundtrip": (q_mvt_roundtrip, _sql_mvt_roundtrip()),
+    "pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mvt_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),

@@ -220,8 +220,10 @@ def _lonlat_to_tile_local(lon, lat, z: int, extent: int):
     fy = (1.0 - np.arcsinh(np.tan(latr)) / np.pi) / 2.0 * n
     tx = np.clip(np.floor(fx).astype(np.int64), 0, n - 1)
     ty = np.clip(np.floor(fy).astype(np.int64), 0, n - 1)
-    lx = np.rint((fx - tx) * extent).astype(np.int64)
-    ly = np.rint((fy - ty) * extent).astype(np.int64)
+    # floor(+0.5) (GDAL-style rounding), not np.rint — banker's
+    # rounding at *.5 is not SQL-mirrorable
+    lx = np.floor((fx - tx) * extent + 0.5).astype(np.int64)
+    ly = np.floor((fy - ty) * extent + 0.5).astype(np.int64)
     return tx, ty, lx, ly
 
 
