@@ -3946,6 +3946,129 @@ FROM events
 """
 
 
+def _points_layer_with_name(sf_dir):
+    from ..geom import wkb as wkb_mod
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_id"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.event_lonlat(eid)
+        geoms = wkb_mod.points_to_wkb(lon, lat)
+        return pa.table({"geometry": pa.array(list(geoms),
+                                              type=pa.binary()),
+                         "name": pc.cast(batch["event_id"], pa.string())})
+
+    return ev.map_batches(to_layer, batch_format="pyarrow")
+
+
+def _points_back_to_coords(back: ray.data.Dataset,
+                           name_col: str = "name") -> ray.data.Dataset:
+    from ..geom import wkb as wkb_mod
+
+    def coords(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        lon, lat = wkb_mod.wkb_to_points(
+            _np.asarray(batch["geometry"].to_pylist(), dtype=object))
+        eid = np.array([int(s) for s in batch[name_col].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
+def q_kml_roundtrip(sf_dir):
+    """KML driver surface (ogr/ogrsf_frmts/kml analog): events → ONE
+    KML Document of Placemarks (distributed fragments + streaming
+    concat) → Placemark traversal back → coordinates recovered.
+    Same oracle as geojson/gpx, third XML format."""
+    import os
+
+    from ..sources import xml_vectors as xv
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_kml_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.kml")
+    xv.write_kml(layer, path, name_col="name")
+    return _points_back_to_coords(xv.read_kml(path))
+
+
+def q_gml_roundtrip(sf_dir):
+    """GML driver surface (ogr/ogrsf_frmts/gml analog): events → ONE
+    GML2 FeatureCollection → featureMember traversal back →
+    coordinates recovered. Same oracle again, fourth XML format."""
+    import os
+
+    from ..sources import gml as gml_mod
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_gml_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.gml")
+    gml_mod.write_gml(layer, path, layer="pt")
+    back = gml_mod.read_gml(path, properties=["name"])
+    return _points_back_to_coords(back)
+
+
+def q_envi_roundtrip(sf_dir):
+    """ENVI raw-binary driver surface (frmts/raw/envidataset.cpp
+    analog, sources/envi.py): events → z0 count grid (256×256 dense —
+    the whole world in one ENVI scene) → .hdr/.img BIL pair → line-
+    range-split parallel read back → count + sum per 32-px row band."""
+    import os
+
+    from ..pipelines import relational
+    from ..sources import envi as envi_mod
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 0, merge_alg="count",
+                                shuffle_partitions=4)
+    df = pix.to_pandas()  # z0 grid: ≤65536 sparse rows — driver-small
+    _z, gpx, gpy = rast.unpack_pixel(df["pix_id"].to_numpy())
+    dense = np.zeros((256, 256), dtype=np.float64)
+    dense[gpy, gpx] = df["burn"].to_numpy()
+    path = (f"/tmp/lib_gdal_ray_envi_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.hdr")
+    envi_mod.encode_envi(dense, path, interleave="bil")
+    back = envi_mod.read_envi_rows(path, rows_per_chunk=32)
+
+    def band_cols(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v != 0
+        return pa.table({"row_band": pa.array(y[keep] // 32),
+                         "value": pa.array(v[keep])})
+
+    keyed = back.map_batches(band_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["row_band"],
+        [("count", "value", "n_pixels"), ("sum", "value", "n_events_f")],
+        shuffle_partitions=2)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_band": pc.cast(batch["row_band"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "n_events": pc.cast(pc.round(batch["n_events_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_envi_roundtrip():
+    gx, gy = _tile_sql(8)  # z0 × 256 px = global 256-grid
+    return f"""
+    WITH px AS (SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS cnt
+                FROM {_POINTS_SQL} p GROUP BY 1, 2)
+    SELECT gpy // 32 AS row_band, count(*) AS n_pixels,
+           CAST(sum(cnt) AS BIGINT) AS n_events
+    FROM px GROUP BY 1
+    """
+
+
 def q_mvt_roundtrip(sf_dir):
     """Mapbox Vector Tile surface (ogr/ogrsf_frmts/mvt analog,
     sources/mvt.py): events → one .pbf per z4 tile (parallel encode,
@@ -5823,6 +5946,9 @@ QUERIES = {
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "mvt_roundtrip": (q_mvt_roundtrip, _sql_mvt_roundtrip()),
     "pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mvt_roundtrip()),
+    "kml_roundtrip": (q_kml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
