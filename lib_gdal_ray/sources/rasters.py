@@ -103,6 +103,10 @@ def open_raster_path(path: str):
         from .envi import decode_envi
         arr, meta = decode_envi(path)
         return "ENVI", arr, meta
+    if buf[:4] == b"UHL1":
+        from .dted import decode_dted
+        arr, meta = decode_dted(buf)
+        return "DTED", arr, meta
     return open_raster(buf)
 
 
