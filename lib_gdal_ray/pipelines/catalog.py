@@ -4136,6 +4136,40 @@ def q_pmtiles_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_mbtiles_roundtrip(sf_dir):
+    """MBTiles surface (frmts/mbtiles analog, sources/mbtiles.py):
+    the z4 MVT tile tree assembled into ONE sqlite archive (TMS row
+    flip) → rowid-range-split parallel read back → same per-tile
+    counts as mvt_roundtrip."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources import mbtiles as mb
+    from ..sources import mvt as mvt_mod
+
+    pts = events_points(sf_dir)
+    out_dir = (f"/tmp/lib_gdal_ray_mbt_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mvt_mod.write_mvt_points(pts, out_dir, z=4).materialize()
+    arc = os.path.join(out_dir, "a.mbtiles")
+    mb.write_mbtiles(out_dir, arc)
+    back = mb.read_mbtiles_features(arc)
+    agg = relational.grouped_agg(
+        back, ["tile_x", "tile_y"],
+        [("count", "n_points", "n_features")], shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_features": pc.cast(batch["n_features"], pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
 def _sql_mvt_roundtrip():
     tx, ty = _tile_sql(4)
     n = 1 << 4
@@ -5946,6 +5980,7 @@ QUERIES = {
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "mvt_roundtrip": (q_mvt_roundtrip, _sql_mvt_roundtrip()),
     "pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mvt_roundtrip()),
+    "mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mvt_roundtrip()),
     "kml_roundtrip": (q_kml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
