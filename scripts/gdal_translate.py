@@ -4,7 +4,7 @@ resizing, scaling and dtype casting (reference:
 
 Usage:
     python scripts/gdal_translate.py SRC DST
-        [-of GTiff|PNG|BMP|JPEG]       # inferred from DST if omitted
+        [-of GTiff|PNG|BMP|JPEG|AAIGrid|XYZ]  # inferred from DST if omitted
         [-b BAND]...                   # band selection (0-based)
         [-srcwin XOFF YOFF XSIZE YSIZE]
         [-outsize W H]                 # nearest resampling
@@ -32,7 +32,8 @@ _DTYPES = {"Byte": "uint8", "UInt16": "uint16", "Int16": "int16",
            "Float32": "float32", "Float64": "float64"}
 
 _EXT_TO_DRIVER = {".tif": "GTiff", ".tiff": "GTiff", ".png": "PNG",
-                  ".bmp": "BMP", ".jpg": "JPEG", ".jpeg": "JPEG"}
+                  ".bmp": "BMP", ".jpg": "JPEG", ".jpeg": "JPEG",
+                  ".asc": "AAIGrid", ".xyz": "XYZ"}
 
 
 def translate_one(buf: bytes, opts: dict) -> bytes:
@@ -84,6 +85,8 @@ def translate_one(buf: bytes, opts: dict) -> bytes:
     if opts["driver"] == "GTiff":
         kw["transform"] = tuple(gt)
         kw["epsg"] = opts["a_srs"] or meta.get("epsg")
+    elif opts["driver"] in ("AAIGrid", "XYZ"):
+        kw["transform"] = tuple(gt)
     return write_raster(np.ascontiguousarray(arr), opts["driver"], **kw)
 
 
@@ -138,7 +141,7 @@ def main():
     else:  # fan out: DST is a directory, one output per input
         os.makedirs(args.dst, exist_ok=True)
         ext = {"GTiff": ".tif", "PNG": ".png", "BMP": ".bmp",
-               "JPEG": ".jpg"}[driver]
+               "JPEG": ".jpg", "AAIGrid": ".asc", "XYZ": ".xyz"}[driver]
         jobs = [one.remote(p, os.path.join(
             args.dst, os.path.splitext(os.path.basename(p))[0] + ext))
             for p in args.src]
