@@ -4058,6 +4058,58 @@ def q_envi_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_grib_roundtrip(sf_dir):
+    """GRIB2 driver surface (frmts/grib analog, sources/grib.py): the
+    z0 world count grid packed as a simple-packing GRIB2 message
+    (integer counts < 2^16 make the (R + X·2^E)/10^D path exact) →
+    one Ray decode task per message → same per-row-band stats as
+    envi_roundtrip."""
+    import os
+
+    from ..pipelines import relational
+    from ..sources import grib as grib_mod
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 0, merge_alg="count",
+                                shuffle_partitions=4)
+    df = pix.to_pandas()
+    _z, gpx, gpy = rast.unpack_pixel(df["pix_id"].to_numpy())
+    dense = np.zeros((256, 256), dtype=np.float64)
+    dense[gpy, gpx] = df["burn"].to_numpy()
+    path = (f"/tmp/lib_gdal_ray_grib_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.grb2")
+    # 24-bit packing keeps integer counts exact up to 16.7M per pixel
+    buf = grib_mod.encode_grib2_simple(dense, lat1=85.0, lon1=0.0,
+                                       di=1.40625, dj=0.6640625,
+                                       nbits=24)
+    with open(path + ".tmp", "wb") as f:
+        f.write(buf)
+    os.replace(path + ".tmp", path)
+    back = grib_mod.read_grib2_rows(path)
+
+    def band_cols(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v != 0
+        return pa.table({"row_band": pa.array(y[keep] // 32),
+                         "value": pa.array(v[keep])})
+
+    keyed = back.map_batches(band_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["row_band"],
+        [("count", "value", "n_pixels"), ("sum", "value", "n_events_f")],
+        shuffle_partitions=2)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_band": pc.cast(batch["row_band"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "n_events": pc.cast(pc.round(batch["n_events_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
 def _sql_envi_roundtrip():
     gx, gy = _tile_sql(8)  # z0 × 256 px = global 256-grid
     return f"""
@@ -5984,6 +6036,7 @@ QUERIES = {
     "kml_roundtrip": (q_kml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
+    "grib_roundtrip": (q_grib_roundtrip, _sql_envi_roundtrip()),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),
