@@ -155,7 +155,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "pixfn_expression", "homography_roundtrip",
                      "geoloc_roundtrip",
                      # round-4 second half
-                     "vrt_mosaic", "hdf5_roundtrip"]
+                     "vrt_mosaic", "hdf5_roundtrip", "mvt_roundtrip",
+                     "pmtiles_roundtrip", "mbtiles_roundtrip",
+                     "gpx_roundtrip", "kml_roundtrip", "gml_roundtrip",
+                     "envi_roundtrip", "grib_roundtrip"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

@@ -3994,7 +3994,9 @@ def q_kml_roundtrip(sf_dir):
     path = (f"/tmp/lib_gdal_ray_kml_"
             f"{os.path.basename(os.path.normpath(sf_dir))}.kml")
     xv.write_kml(layer, path, name_col="name")
-    return _points_back_to_coords(xv.read_kml(path))
+    # fragment read: one parse task per line block, not one ET parse
+    # of the whole megabyte document
+    return _points_back_to_coords(xv.read_kml_fragments(path))
 
 
 def q_gml_roundtrip(sf_dir):
@@ -4009,7 +4011,7 @@ def q_gml_roundtrip(sf_dir):
     path = (f"/tmp/lib_gdal_ray_gml_"
             f"{os.path.basename(os.path.normpath(sf_dir))}.gml")
     gml_mod.write_gml(layer, path, layer="pt")
-    back = gml_mod.read_gml(path, properties=["name"])
+    back = gml_mod.read_gml_fragments(path, properties=["name"])
     return _points_back_to_coords(back)
 
 
@@ -4258,7 +4260,7 @@ def q_gpx_roundtrip(sf_dir):
     path = (f"/tmp/lib_gdal_ray_gpx_"
             f"{os.path.basename(os.path.normpath(sf_dir))}.gpx")
     xv.write_gpx(layer, path, name_col="name")
-    back = xv.read_gpx(path)
+    back = xv.read_gpx_fragments(path)
 
     def coords(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)

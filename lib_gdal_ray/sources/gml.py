@@ -272,3 +272,64 @@ def write_gml(ds: ray.data.Dataset, path: str,
                'xmlns:ogr="http://ogr.maptools.org/" '
                'xmlns:gml="http://www.opengis.net/gml">\n',
         footer="</ogr:FeatureCollection>\n")
+
+
+def read_gml_fragments(paths: Union[str, List[str]],
+                       properties: Optional[List[str]] = None,
+                       **kwargs) -> ray.data.Dataset:
+    """Parallel GML read for line-per-featureMember documents (the
+    write_gml layout): each line parses independently, wrapped in a
+    namespace-declaring root so the gml:/ogr: prefixes bind."""
+    from .xml_vectors import _fragment_lines
+
+    props = properties or []
+    lines = _fragment_lines(paths, "featureMember", **kwargs)
+    wrap = ('<R xmlns:gml="http://www.opengis.net/gml" '
+            'xmlns:ogr="http://ogr.maptools.org/">{}</R>')
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = {"fid": [], "geometry": []}
+        pvals = {c: [] for c in props}
+        for ln in batch["text"].to_pylist():
+            root = ET.fromstring(wrap.format(ln))
+            for f in parse_gml_member(root):
+                rows["fid"].append(f.get("fid", ""))
+                rows["geometry"].append(f.get("geometry"))
+                for c in props:
+                    pvals[c].append(f.get(c))
+        cols = {"fid": pa.array(rows["fid"], pa.string())}
+        for c in props:
+            cols[c] = pa.array(pvals[c], pa.string())
+        cols["geometry"] = pa.array(rows["geometry"], pa.binary())
+        return pa.table(cols)
+
+    return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def parse_gml_member(root) -> List[dict]:
+    """Features under any featureMember descendants of `root` (shared
+    by the whole-document and fragment parsers)."""
+    feats: List[dict] = []
+    for fm in root.iter():
+        if _strip(fm.tag) not in ("featureMember", "member",
+                                  "featureMembers"):
+            continue
+        for feat_el in fm:
+            f: dict = {"fid": ""}
+            for k, v in feat_el.attrib.items():
+                if _strip(k) == "id":
+                    f["fid"] = v
+            for prop in feat_el:
+                pt = _strip(prop.tag)
+                geom_child = next((ch for ch in prop
+                                   if _strip(ch.tag) in _GEOM_TAGS), None)
+                if _strip(prop.tag) in _GEOM_TAGS:
+                    f["geometry"] = gml_geom_to_wkb(prop)
+                elif geom_child is not None:
+                    f.setdefault("geometry", gml_geom_to_wkb(geom_child))
+                else:
+                    txt = (prop.text or "").strip()
+                    if txt:
+                        f[pt] = txt
+            feats.append(f)
+    return feats

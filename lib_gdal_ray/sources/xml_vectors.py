@@ -322,14 +322,17 @@ def _concat_xml(ds: ray.data.Dataset, to_lines, path: str,
         n = 0
         with open(tmp_path, "wb") as out:
             out.write(header.encode())
+            # bulk byte copy — the shards are newline-terminated
+            # fragments already; counting is a buffer scan, never a
+            # per-line Python loop
             for name in sorted(os.listdir(shard_dir)):
                 with open(os.path.join(shard_dir, name), "rb") as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        out.write(line + b"\n")
-                        n += 1
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        n += chunk.count(b"\n")
+                        out.write(chunk)
             out.write(footer.encode())
         os.replace(tmp_path, path)
         return n
@@ -337,3 +340,85 @@ def _concat_xml(ds: ray.data.Dataset, to_lines, path: str,
         shutil.rmtree(shard_dir, ignore_errors=True)
         if os.path.exists(tmp_path):
             os.unlink(tmp_path)
+
+
+# ------------------------------------------------------- fragment reads
+
+def _fragment_lines(paths, needle: str, **kwargs):
+    """Line-split parallel read of single-document XML whose features
+    were written one per line (this module's own writers and GDAL's
+    pretty-printed output): read_text streams line blocks, each batch
+    keeps only feature lines — the XML document parses in PARALLEL
+    instead of one ET.fromstring task."""
+    ds = ray.data.read_text(paths, **kwargs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        mask = pc2.match_substring(batch["text"], needle)
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def read_kml_fragments(paths: Union[str, List[str]],
+                       **kwargs) -> ray.data.Dataset:
+    """Parallel KML read for line-per-Placemark documents (the
+    write_kml layout). Same schema as read_kml."""
+    lines = _fragment_lines(paths, "<Placemark", **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = {"name": [], "description": [], "geometry": []}
+        for ln in batch["text"].to_pylist():
+            el = ET.fromstring(ln)
+            name = desc = ""
+            geom = None
+            for ch in el:
+                t = _strip(ch.tag)
+                if t == "name":
+                    name = (ch.text or "").strip()
+                elif t == "description":
+                    desc = (ch.text or "").strip()
+                elif t in ("Point", "LineString", "Polygon",
+                           "MultiGeometry"):
+                    geom = _kml_geom_to_wkb(ch)
+            if geom is not None:
+                rows["name"].append(name)
+                rows["description"].append(desc)
+                rows["geometry"].append(geom)
+        return pa.table({
+            "name": pa.array(rows["name"], pa.string()),
+            "description": pa.array(rows["description"], pa.string()),
+            "geometry": pa.array(rows["geometry"], pa.binary()),
+        })
+
+    return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def read_gpx_fragments(paths: Union[str, List[str]],
+                       **kwargs) -> ray.data.Dataset:
+    """Parallel GPX read for line-per-wpt documents (the write_gpx
+    layout). Waypoint schema of read_gpx."""
+    lines = _fragment_lines(paths, "<wpt", **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        names, lons, lats, geoms = [], [], [], []
+        for ln in batch["text"].to_pylist():
+            el = ET.fromstring(ln)
+            lon, lat = float(el.get("lon")), float(el.get("lat"))
+            nm = ""
+            for ch in el:
+                if _strip(ch.tag) == "name":
+                    nm = (ch.text or "").strip()
+            names.append(nm)
+            lons.append(lon)
+            lats.append(lat)
+            geoms.append(wkbm.points_to_wkb(np.array([lon]),
+                                            np.array([lat]))[0])
+        return pa.table({
+            "name": pa.array(names, pa.string()),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+            "geometry": pa.array(geoms, pa.binary()),
+        })
+
+    return lines.map_batches(parse, batch_format="pyarrow")
