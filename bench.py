@@ -158,7 +158,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "vrt_mosaic", "hdf5_roundtrip", "mvt_roundtrip",
                      "pmtiles_roundtrip", "mbtiles_roundtrip",
                      "gpx_roundtrip", "kml_roundtrip", "gml_roundtrip",
-                     "envi_roundtrip", "grib_roundtrip"]
+                     "envi_roundtrip", "grib_roundtrip",
+                     "osm_roundtrip", "osm_ways"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

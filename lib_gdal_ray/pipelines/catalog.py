@@ -5936,6 +5936,154 @@ WHERE iv.event_type = 'click' AND e.event_type = 'purchase'
 """
 
 
+def q_osm_roundtrip(sf_dir):
+    """OSM PBF driver surface (ogr/ogrsf_frmts/osm analog,
+    sources/osm.py): events → dense-node .osm.pbf (parallel blob
+    shards, vectorized delta-zigzag varint packing, name tag makes
+    each node 'significant') → blob-parallel read of the GDAL
+    `points` layer → 1e-7-degree coordinates recovered exactly (the
+    PBF fixed-point grid; lon/lat derive as 1e-5-rational values so
+    the 1e-7 quantization is boundary-free)."""
+    import os
+
+    from ..sources import osm as osm_mod
+
+    ev = events_points(sf_dir)
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        names = [str(int(e)) for e in eid]
+        offs = np.arange(len(eid) + 1, dtype=np.int32)
+        return pa.table({
+            "id": pc.cast(batch["event_id"], pa.int64()),
+            "lon": batch["lon"], "lat": batch["lat"],
+            "tag_k": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(["name"] * len(eid))),
+            "tag_v": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(names)),
+        })
+
+    nodes = ev.map_batches(to_nodes, batch_format="pyarrow")
+    path = (f"/tmp/lib_gdal_ray_osm_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.osm.pbf")
+    osm_mod.write_osm_pbf(path, nodes=nodes)
+    back = osm_mod.points_layer(path)
+
+    def out(batch: pa.Table) -> pa.Table:
+        from ..geom import wkb as wkb_mod
+
+        eid = np.array([int(s) for s in batch["osm_id"].to_pylist()],
+                       dtype=np.int64)
+        lon, lat = wkb_mod.wkb_to_points(
+            batch["geometry"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": pa.array(eid),
+            "lon7": pa.array(np.floor(lon * 1e7 + 0.5).astype(np.int64)),
+            "lat7": pa.array(np.floor(lat * 1e7 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(out, batch_format="pyarrow")
+
+
+SQL_OSM_ROUNDTRIP = f"""
+SELECT event_id,
+       CAST(floor(({derive.SQL_EVENT_LON}) * 1e7 + 0.5) AS BIGINT) AS lon7,
+       CAST(floor(({derive.SQL_EVENT_LAT}) * 1e7 + 0.5) AS BIGINT) AS lat7
+FROM events
+"""
+
+
+def q_osm_ways(sf_dir):
+    """OSM way assembly (the node-location join the reference does
+    with its custom node index, ogrosmdatasource.cpp): events become
+    untagged nodes; ways reference 8 consecutive event-ids (derived
+    arithmetically — event_id is dense — so the build side needs NO
+    shuffle); the `lines` layer then resolves refs via the broadcast
+    searchsorted join and computes z_order (residential → 3)."""
+    import os
+
+    from ..sources import osm as osm_mod
+    from ..sources import tables as tables_mod
+
+    ev = events_points(sf_dir)
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": pc.cast(batch["event_id"], pa.int64()),
+            "lon": batch["lon"], "lat": batch["lat"],
+        })
+
+    nodes = ev.map_batches(to_nodes, batch_format="pyarrow")
+    n = tables_mod.read_table(sf_dir, "events",
+                              columns=["event_id"]).count()
+    n_ways = (n + 7) // 8
+    gids = ray.data.range(n_ways)
+
+    def to_ways(batch) -> pa.Table:
+        g = batch["id"].astype(np.int64)
+        rows_refs = [list(range(int(x) * 8, min(int(x) * 8 + 8, n)))
+                     for x in g]
+        offs = np.concatenate(
+            [[0], np.cumsum([len(r) for r in rows_refs])]).astype(np.int32)
+        flat = np.concatenate(rows_refs) if rows_refs else []
+        tago = np.arange(0, 2 * (len(g) + 1), 2, dtype=np.int32)
+        return pa.table({
+            "id": pa.array(g),
+            "refs": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat, pa.int64())),
+            "tag_k": pa.ListArray.from_arrays(
+                pa.array(tago),
+                pa.array(["highway", "name"] * len(g))),
+            "tag_v": pa.ListArray.from_arrays(
+                pa.array(tago),
+                pa.array([v for x in g
+                          for v in ("residential", str(int(x)))])),
+        })
+
+    ways = gids.map_batches(to_ways, batch_format="numpy")
+    path = (f"/tmp/lib_gdal_ray_osmw_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.osm.pbf")
+    osm_mod.write_osm_pbf(path, nodes=nodes, ways=ways)
+    back = osm_mod.lines_layer(path)
+
+    def out(batch: pa.Table) -> pa.Table:
+        from ..geom import wkb as wkb_mod
+
+        gid = np.array([int(s) for s in batch["osm_id"].to_pylist()],
+                       dtype=np.int64)
+        n_pts, s_lon, s_lat = [], [], []
+        for g in batch["geometry"].to_pylist():
+            _k, coords = wkb_mod.parse_wkb(g)
+            n_pts.append(len(coords))
+            s_lon.append(int(np.floor(coords[:, 0] * 1e7 + 0.5)
+                             .astype(np.int64).sum()))
+            s_lat.append(int(np.floor(coords[:, 1] * 1e7 + 0.5)
+                             .astype(np.int64).sum()))
+        z = pc.cast(batch["z_order"], pa.int64())
+        return pa.table({
+            "osm_id": pa.array(gid), "z_order": z,
+            "n_pts": pa.array(n_pts, pa.int64()),
+            "sum_lon7": pa.array(s_lon, pa.int64()),
+            "sum_lat7": pa.array(s_lat, pa.int64()),
+        })
+
+    return back.map_batches(out, batch_format="pyarrow")
+
+
+SQL_OSM_WAYS = f"""
+SELECT event_id // 8 AS osm_id,
+       CAST(3 AS BIGINT) AS z_order,
+       COUNT(*) AS n_pts,
+       CAST(SUM(CAST(floor(({derive.SQL_EVENT_LON}) * 1e7 + 0.5)
+           AS BIGINT)) AS BIGINT) AS sum_lon7,
+       CAST(SUM(CAST(floor(({derive.SQL_EVENT_LAT}) * 1e7 + 0.5)
+           AS BIGINT)) AS BIGINT) AS sum_lat7
+FROM events
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6094,4 +6242,6 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "audio_features": (q_audio_features, sql_audio_features()),
     "image_features": (q_image_features, sql_image_features()),
+    "osm_roundtrip": (q_osm_roundtrip, SQL_OSM_ROUNDTRIP),
+    "osm_ways": (q_osm_ways, SQL_OSM_WAYS),
 }

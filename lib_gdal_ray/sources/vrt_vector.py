@@ -32,7 +32,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
     """OGROpen analog: one call, any registered vector format,
     WKB geometry column named `geometry_col` where the format carries
     geometry. Formats: parquet/lance, gpkg, shp, fgb, geojson(+seq),
-    csv-wkt, gpx, kml, and nested .vrt."""
+    csv-wkt, gpx, kml, osm/pbf (points layer), and nested .vrt."""
     p = path.lower()
     fmt = fmt or (
         "gpkg" if p.endswith(".gpkg") else
@@ -44,6 +44,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "gpx" if p.endswith(".gpx") else
         "kml" if p.endswith(".kml") else
         "gml" if p.endswith(".gml") else
+        "osm" if p.endswith((".osm", ".pbf", ".osm.pbf")) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -86,6 +87,11 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "gml":
         from .gml import read_gml
         return read_gml(path)
+    if fmt == "osm":
+        # default layer for the one-Dataset API: points (the other
+        # four layers hang off sources.osm.osm_layers)
+        from .osm import points_layer
+        return points_layer(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)
