@@ -5936,6 +5936,38 @@ WHERE iv.event_type = 'click' AND e.event_type = 'purchase'
 """
 
 
+def q_mif_roundtrip(sf_dir):
+    """MapInfo MIF/MID driver surface (ogr/ogrsf_frmts/mitab analog,
+    sources/mitab.py): events → point layer with typed attributes →
+    one .mif/.mid pair (parallel fragment shards + streaming concat)
+    → fragment-parallel read-back → coordinates recovered exactly
+    (repr round-trip). Same oracle as geojson_roundtrip."""
+    import os
+
+    from ..sources import mitab as mitab_mod
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_mif_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.mif")
+    mitab_mod.write_mif(layer, path)
+    back = mitab_mod.read_mif(path)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        from ..geom import wkb as wkb_mod
+
+        lon, lat = wkb_mod.wkb_to_points(
+            batch["geometry"].to_numpy(zero_copy_only=False))
+        eid = np.array([int(s) for s in batch["name"].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 def q_osm_roundtrip(sf_dir):
     """OSM PBF driver surface (ogr/ogrsf_frmts/osm analog,
     sources/osm.py): events → dense-node .osm.pbf (parallel blob
@@ -6243,5 +6275,6 @@ QUERIES = {
     "audio_features": (q_audio_features, sql_audio_features()),
     "image_features": (q_image_features, sql_image_features()),
     "osm_roundtrip": (q_osm_roundtrip, SQL_OSM_ROUNDTRIP),
+    "mif_roundtrip": (q_mif_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "osm_ways": (q_osm_ways, SQL_OSM_WAYS),
 }

@@ -45,6 +45,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "kml" if p.endswith(".kml") else
         "gml" if p.endswith(".gml") else
         "osm" if p.endswith((".osm", ".pbf", ".osm.pbf")) else
+        "mif" if p.endswith((".mif", ".mid")) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -87,6 +88,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "gml":
         from .gml import read_gml
         return read_gml(path)
+    if fmt == "mif":
+        from .mitab import read_mif
+        return read_mif(path)
     if fmt == "osm":
         # default layer for the one-Dataset API: points (the other
         # four layers hang off sources.osm.osm_layers)
