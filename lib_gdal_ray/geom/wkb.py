@@ -151,10 +151,15 @@ def _type_dims(raw_type: int):
 
 def _read_coords(buf, fmt, off, npts, ndims):
     """Read npts*ndims doubles; return (K,2) xy slice (Z/M dropped —
-    2.5D handled as 2D, like OGR's flatten) and next offset."""
+    2.5D handled as 2D, like OGR's flatten) and next offset.  Set
+    module flag `_KEEP_DIMS` (via parse_wkb_z) to keep Z."""
     arr = np.frombuffer(buf, dtype=fmt + "f8", count=npts * ndims,
                         offset=off).reshape(npts, ndims)
-    return np.ascontiguousarray(arr[:, :2]), off + npts * ndims * 8
+    k = ndims if _KEEP_DIMS[0] else 2
+    return np.ascontiguousarray(arr[:, :k]), off + npts * ndims * 8
+
+
+_KEEP_DIMS = [False]
 
 
 def _parse_geom(buf: bytes, off: int):
@@ -293,6 +298,15 @@ def collection_polygons(payload):
         elif kind == "geometrycollection":
             out.extend(collection_polygons(p))
     return out
+
+
+def parse_wkb_z(buf: bytes):
+    """parse_wkb keeping Z/M columns (coords come back (K,ndims))."""
+    _KEEP_DIMS[0] = True
+    try:
+        return parse_wkb(buf)
+    finally:
+        _KEEP_DIMS[0] = False
 
 
 def parse_wkb(buf: bytes):

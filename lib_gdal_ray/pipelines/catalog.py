@@ -5968,6 +5968,38 @@ def q_mif_roundtrip(sf_dir):
     return back.map_batches(coords, batch_format="pyarrow")
 
 
+def q_dxf_roundtrip(sf_dir):
+    """DXF driver surface (ogr/ogrsf_frmts/dxf analog,
+    sources/dxf.py): events → TEXT entities (point + Text attr) →
+    one .dxf (parallel fragment shards + streaming concat) →
+    fragment-parallel entity decode → coordinates recovered exactly
+    (repr round-trip). Same oracle as geojson_roundtrip."""
+    import os
+
+    from ..sources import dxf as dxf_mod
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_dxf_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.dxf")
+    dxf_mod.write_dxf(layer, path, text_col="name")
+    back = dxf_mod.read_dxf(path)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        from ..geom import wkb as wkb_mod
+
+        lon, lat = wkb_mod.wkb_to_points(
+            batch["geometry"].to_numpy(zero_copy_only=False))
+        eid = np.array([int(s) for s in batch["Text"].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 def q_osm_roundtrip(sf_dir):
     """OSM PBF driver surface (ogr/ogrsf_frmts/osm analog,
     sources/osm.py): events → dense-node .osm.pbf (parallel blob
@@ -6276,5 +6308,6 @@ QUERIES = {
     "image_features": (q_image_features, sql_image_features()),
     "osm_roundtrip": (q_osm_roundtrip, SQL_OSM_ROUNDTRIP),
     "mif_roundtrip": (q_mif_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "dxf_roundtrip": (q_dxf_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "osm_ways": (q_osm_ways, SQL_OSM_WAYS),
 }

@@ -46,6 +46,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "gml" if p.endswith(".gml") else
         "osm" if p.endswith((".osm", ".pbf", ".osm.pbf")) else
         "mif" if p.endswith((".mif", ".mid")) else
+        "dxf" if p.endswith(".dxf") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -88,6 +89,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "gml":
         from .gml import read_gml
         return read_gml(path)
+    if fmt == "dxf":
+        from .dxf import read_dxf
+        return read_dxf(path)
     if fmt == "mif":
         from .mitab import read_mif
         return read_mif(path)
