@@ -6000,6 +6000,45 @@ def q_dxf_roundtrip(sf_dir):
     return back.map_batches(coords, batch_format="pyarrow")
 
 
+def q_filegdb_roundtrip(sf_dir):
+    """OpenFileGDB driver surface (ogr/ogrsf_frmts/openfilegdb
+    analog, sources/filegdb.py): events → typed point rows → one
+    .gdbtable/.gdbtablx pair (V3 layout: null bitmaps, varuint
+    strings, offset-scaled point shape blobs, offset table) →
+    row-range-parallel read-back → coordinates recovered on the
+    1e-9-degree FileGDB grid (lon/lat derive as 1e-5 rationals, so
+    the 1e-6 oracle quantization is boundary-free)."""
+    import os
+
+    from ..sources import filegdb as fg_mod
+
+    layer = _points_layer_with_name(sf_dir)
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        eid = np.array([int(s) for s in batch["name"].to_pylist()],
+                       dtype=np.int64)
+        return batch.append_column("event_id", pa.array(eid))
+
+    layer = layer.map_batches(add_id, batch_format="pyarrow")
+    path = (f"/tmp/lib_gdal_ray_fgdb_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.gdbtable")
+    fg_mod.write_point_gdbtable(layer, path)
+    back = fg_mod.read_gdbtable(path)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        from ..geom import wkb as wkb_mod
+
+        lon, lat = wkb_mod.wkb_to_points(
+            batch["geometry"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 def q_osm_roundtrip(sf_dir):
     """OSM PBF driver surface (ogr/ogrsf_frmts/osm analog,
     sources/osm.py): events → dense-node .osm.pbf (parallel blob
@@ -6309,5 +6348,6 @@ QUERIES = {
     "osm_roundtrip": (q_osm_roundtrip, SQL_OSM_ROUNDTRIP),
     "mif_roundtrip": (q_mif_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "dxf_roundtrip": (q_dxf_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "filegdb_roundtrip": (q_filegdb_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "osm_ways": (q_osm_ways, SQL_OSM_WAYS),
 }

@@ -47,6 +47,8 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "osm" if p.endswith((".osm", ".pbf", ".osm.pbf")) else
         "mif" if p.endswith((".mif", ".mid")) else
         "dxf" if p.endswith(".dxf") else
+        "filegdb" if (p.endswith(".gdbtable") or ".gdb/" in p
+                      or ".gdb" + os.sep in p) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -89,6 +91,15 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "gml":
         from .gml import read_gml
         return read_gml(path)
+    if fmt == "filegdb":
+        # "<dir>.gdb/<layer>" or a bare .gdbtable file
+        from .filegdb import read_filegdb, read_gdbtable
+        if path.endswith(".gdbtable"):
+            return read_gdbtable(path)
+        gdb_dir, layer = os.path.split(path.rstrip("/"))
+        if layer.endswith(".gdb"):
+            raise ValueError("read_vector: pass '<x>.gdb/<layer>'")
+        return read_filegdb(gdb_dir, layer)
     if fmt == "dxf":
         from .dxf import read_dxf
         return read_dxf(path)
