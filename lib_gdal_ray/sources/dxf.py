@@ -177,6 +177,75 @@ def text_unescape(s: str, mtext: bool) -> str:
 
 
 # ------------------------------------------------------------------
+# NURBS evaluation for SPLINE entities (re-derivation of the open
+# rational B-spline algorithm from Rogers, "An Introduction to
+# NURBS" — the same published algorithm the reference's
+# intronurbs.cpp implements; 8 samples per control point)
+
+def _open_knots(npts: int, order: int) -> np.ndarray:
+    x = np.zeros(npts + order)
+    for i in range(1, npts + order):
+        if (i + 1) > order and (i + 1) < npts + 2:
+            x[i] = x[i - 1] + 1.0
+        else:
+            x[i] = x[i - 1]
+    return x
+
+
+def _nurbs_basis(order: int, t: float, npts: int,
+                 x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    nplusc = npts + order
+    n = np.zeros(nplusc)
+    lo, hi = x[:-1], x[1:]
+    n[:nplusc - 1] = ((t >= lo[:nplusc - 1])
+                      & (t < hi[:nplusc - 1])).astype(float)
+    for k in range(2, order + 1):
+        m = nplusc - k
+        d = np.zeros(m)
+        e = np.zeros(m)
+        nz = n[:m] != 0
+        den = x[k - 1:k - 1 + m] - x[:m]
+        ok = nz & (den != 0)
+        d[ok] = (t - x[:m][ok]) * n[:m][ok] / den[ok]
+        nz2 = n[1:m + 1] != 0
+        den2 = x[k:k + m] - x[1:m + 1]
+        ok2 = nz2 & (den2 != 0)
+        e[ok2] = (x[k:k + m][ok2] - t) * n[1:m + 1][ok2] / den2[ok2]
+        n[:m] = d + e
+    if t == x[nplusc - 1]:
+        n[npts - 1] = 1.0
+    r = n[:npts] * h
+    s = r.sum()
+    return r / s if s != 0 else np.zeros(npts)
+
+
+def nurbs_curve(ctrl: np.ndarray, weights: Optional[np.ndarray],
+                degree: int, knots: Optional[np.ndarray],
+                n_out: Optional[int] = None) -> np.ndarray:
+    npts = len(ctrl)
+    order = degree + 1
+    if weights is None or len(weights) == 0:
+        weights = np.ones(npts)
+    if knots is None or len(knots) == 0:
+        knots = _open_knots(npts, order)
+    knots = np.asarray(knots, float)
+    if n_out is None:
+        n_out = npts * 8
+    t0, t1 = knots[0], knots[-1]
+    step = (t1 - t0) / (n_out - 1)
+    eps = 5e-6 * (t1 - t0)
+    out = np.zeros((n_out, ctrl.shape[1]))
+    t = t0
+    for i in range(n_out):
+        if t1 - t < eps:
+            t = t1
+        r = _nurbs_basis(order, t, npts, knots, weights)
+        out[i] = r @ ctrl
+        t += step
+    return out
+
+
+# ------------------------------------------------------------------
 # driver-side scan: sections -> entity fragments + block map
 
 _ENTITY_NAMES = {"POINT", "LINE", "LWPOLYLINE", "POLYLINE", "CIRCLE",
@@ -652,6 +721,28 @@ def _entity_geom(kind, body, d, blocks, fields) -> Optional[_Geom]:
             ring.append(ring[0])
         pts = np.array(ring)
         return _Geom("polygon", [_maybe_ocs(pts, d)], has_z)
+    if kind == "SPLINE":
+        xs = [float(v) for c, v in body if c == 10]
+        ys = [float(v) for c, v in body if c == 20]
+        zs = [float(v) for c, v in body if c == 30]
+        knots = np.array([float(v) for c, v in body if c == 40])
+        weights = np.array([float(v) for c, v in body if c == 41])
+        degree = int(_f(d, 71, 3))
+        if not xs or degree < 1:
+            return None
+        has_z = any(z != 0.0 for z in zs) if zs else False
+        ctrl = np.stack([np.array(xs), np.array(ys),
+                         np.array(zs) if len(zs) == len(xs)
+                         else np.zeros(len(xs))], axis=1)
+        npts = len(ctrl)
+        if npts < degree + 1:
+            return None
+        if len(knots) != npts + degree + 1:
+            knots = None
+        pts = nurbs_curve(ctrl, weights if len(weights) == npts
+                          else None, degree, knots)
+        # GDAL keeps SPLINE output 25D (LINESTRING Z even when z=0)
+        return _Geom("linestring", pts, True)
     if kind == "3DFACE":
         c = [(_f(d, 10), _f(d, 20), _f(d, 30)),
              (_f(d, 11), _f(d, 21), _f(d, 31)),
@@ -797,9 +888,33 @@ def _wkb_to_entities(g: Optional[bytes], layer: str,
             out.append(_pair(0, "POINT") + _pair(8, layer)
                        + _pair(10, repr(float(p[0])))
                        + _pair(20, repr(float(p[1]))))
+    elif kind == "geometrycollection":
+        for mk, mp in payload:
+            out.append(_member_entities(mk, mp, layer))
     else:
         raise ValueError(f"DXF writer: unsupported {kind}")
     return "".join(out)
+
+
+def _member_entities(kind, payload, layer) -> str:
+    """Collection member -> entity text (re-encode through the WKB
+    writers to reuse the main dispatch)."""
+    if kind == "point":
+        g = wkbm.points_to_wkb(np.array([payload[0][0]]),
+                               np.array([payload[0][1]]))[0]
+    elif kind == "linestring":
+        g = wkbm.linestring_to_wkb(payload)
+    elif kind == "polygon":
+        g = wkbm.polygon_to_wkb(payload)
+    elif kind == "multipoint":
+        g = wkbm.multipoint_to_wkb(payload)
+    elif kind == "multilinestring":
+        g = wkbm.multilinestring_to_wkb(payload)
+    elif kind == "multipolygon":
+        g = wkbm.multipolygon_to_wkb(payload)
+    else:
+        raise ValueError(f"DXF writer: unsupported member {kind}")
+    return _wkb_to_entities(g, layer, None)
 
 
 def write_dxf(ds: ray.data.Dataset, path: str,

@@ -58,6 +58,14 @@ def _infer_format(path: str, explicit):
         return "gml"
     if p.endswith(".kml"):
         return "kml"
+    if p.endswith((".mif", ".mid")):
+        return "mif"
+    if p.endswith(".dxf"):
+        return "dxf"
+    if p.endswith((".osm", ".pbf")):
+        return "osm"
+    if p.endswith(".gdbtable") or ".gdb/" in p:
+        return "filegdb"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -99,11 +107,20 @@ def _read(path: str, fmt: str, geometry_col: str):
         from lib_gdal_ray.sources.vrt_vector import read_vrt_vector
 
         return read_vrt_vector(path, geometry_col=geometry_col)
+    if fmt in ("mif", "dxf", "osm", "filegdb"):
+        from lib_gdal_ray.sources.vrt_vector import read_vector
+
+        return read_vector(path, fmt=fmt, geometry_col=geometry_col)
     return ray.data.read_parquet(path)
 
 
 def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
            srs_id: int = 4326) -> int:
+    if fmt == "gpkg" and ds.schema() is not None and \
+            "fid" in ds.schema().names:
+        # the GPKG sink owns the fid rowid column (OGR keeps source
+        # FIDs out of the attribute schema too): carry it renamed
+        ds = ds.rename_columns({"fid": "src_fid"})
     if fmt == "gpkg":
         from lib_gdal_ray.sources.gpkg import merge_gpkg_dir, write_gpkg
 
@@ -153,12 +170,21 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         from lib_gdal_ray.sources.xml_vectors import write_gpx
 
         return write_gpx(ds, path, geometry_col=geometry_col)
+    if fmt == "mif":
+        from lib_gdal_ray.sources.mitab import write_mif
+
+        return write_mif(ds, path, geometry_col=geometry_col)
+    if fmt == "dxf":
+        from lib_gdal_ray.sources.dxf import write_dxf
+
+        write_dxf(ds, path, geometry_col=geometry_col)
+        return -1
     raise ValueError(f"unsupported output format: {fmt!r} "
                      f"(writable: {sorted(_WRITABLE)})")
 
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
-             "csvwkt", "fgb", "gml", "kml", "gpx"}
+             "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf"}
 
 
 def _epsg(s: str) -> int:

@@ -263,3 +263,59 @@ def test_write_polyline_roundtrip(tmp_path):
     assert kinds == ["linestring", "linestring"]
     counts = sorted(len(wkbm.parse_wkb_z(g)[1]) for g in back["geometry"])
     assert counts == [2, 5]  # closed LWPOLYLINE re-closes the ring
+
+
+def _spline_feats(path):
+    ents, blocks = dxf.scan_dxf(path)
+    out = []
+    for e in ents:
+        if e[0][1] == "SPLINE":
+            r = dxf.parse_entity(e, blocks)
+            out.append(np.asarray(r[1].payload))
+    return out
+
+
+def test_spline_weights():
+    """ogr_dxf.py:test_ogr_dxf_29 — NURBS evaluation incl. rational
+    weights, 8 samples per control point, exact endpoints."""
+    feats = _spline_feats(f"{REF}/spline_weight.dxf")
+    assert len(feats) >= 3
+    for pts in feats[:3]:
+        assert len(pts) == 40
+        assert np.allclose(pts[0, :2], [2, 2], atol=1e-12)
+        assert np.allclose(pts[-1, :2], [6, 2], atol=1e-12)
+    # no weights
+    assert np.allclose(feats[0][1, :2],
+                       [2.1025641025641, 2.15371128980596], atol=1e-12)
+    assert np.allclose(feats[0][20, :2],
+                       [4.05128205128205, 3.99804447141725], atol=1e-11)
+    # weight(3) = 2.0
+    assert np.allclose(feats[1][1, :2],
+                       [2.10976572340247, 2.16451423293308], atol=1e-12)
+    # weight(3) = 0.5
+    assert np.allclose(feats[2][1, :2],
+                       [2.09894267472891, 2.14827889065297], atol=1e-12)
+
+
+def test_spline_qcad():
+    """ogr_dxf.py:test_ogr_dxf_20 — 8-control-point spline."""
+    feats = _spline_feats(f"{REF}/spline_qcad.dxf")
+    pts = feats[0]
+    assert len(pts) == 64
+    assert np.allclose(pts[0, :2], [10.75, 62.75], atol=1e-9)
+    assert np.allclose(pts[1, :2],
+                       [20.6377527691461, 63.4348325014897], atol=1e-9)
+    assert np.allclose(pts[-1, :2], [57.25, 85.5], atol=1e-9)
+
+
+def test_spline_closed():
+    """ogr_dxf.py:test_ogr_dxf_30 — closed spline with explicit
+    knots; first == last point."""
+    feats = _spline_feats(f"{REF}/spline_closed.dxf")
+    pts = feats[0]
+    assert np.allclose(pts[0, :2], [14, 2], atol=1e-9)
+    assert np.allclose(pts[-1, :2], [14, 2], atol=1e-9)
+    assert np.allclose(pts[1, :2],
+                       [13.9043277090443, 2.1111553863727], atol=1e-9)
+    assert np.allclose(pts[30, :2],
+                       [16.2252950548894, 3.68154190979879], atol=1e-9)
