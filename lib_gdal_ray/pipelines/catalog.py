@@ -5927,6 +5927,53 @@ def q_interval_click_purchase(sf_dir):
                          point_cols=["purchase_id"])
 
 
+def q_spatialite_roundtrip(sf_dir):
+    """SpatiaLite driver surface (ogr/ogrsf_frmts/sqlite analog,
+    sources/spatialite.py): events → WKB point layer (+typed attrs)
+    → partitioned .sqlite write (one valid legacy-schema SpatiaLite
+    database per block, GAIA blobs) → parallel rowid-split read-back
+    → coordinates recovered from the GAIA blobs (incl. the blob
+    MBR/marker framing, ogrsqlitelayer.cpp:2654). Same oracle as
+    gpkg_roundtrip."""
+    import os
+    import shutil
+
+    from ..geom import wkb as wkb_mod
+    from ..sources import spatialite as sl_mod
+
+    ev = tables.read_table(sf_dir, "events",
+                           columns=["event_id", "event_type"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.event_lonlat(eid)
+        geoms = wkb_mod.points_to_wkb(lon, lat)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "geometry": pa.array(list(geoms),
+                                              type=pa.binary())})
+
+    layer = ev.map_batches(to_layer, batch_format="pyarrow")
+    out_dir = (f"/tmp/lib_gdal_ray_sqlite_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sl_mod.write_spatialite(layer, out_dir, layer="events_pts",
+                            geometry_type="POINT")
+    back = sl_mod.read_spatialite(out_dir)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        lon, lat = wkb_mod.wkb_to_points(
+            np.asarray(batch["geometry"].to_pylist(), dtype=object))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "lon_c": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "lat_c": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(coords, batch_format="pyarrow")
+
+
 SQL_INTERVAL_CP = """
 SELECT iv.event_id AS click_id, e.event_id AS purchase_id
 FROM events iv JOIN events e
@@ -6338,6 +6385,7 @@ QUERIES = {
     "media_resize": (q_media_resize, sql_media_resize()),
     "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),
+    "spatialite_roundtrip": (q_spatialite_roundtrip, SQL_GPKG_ROUNDTRIP),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_GPKG_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),

@@ -49,6 +49,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "dxf" if p.endswith(".dxf") else
         "filegdb" if (p.endswith(".gdbtable") or ".gdb/" in p
                       or ".gdb" + os.sep in p) else
+        "spatialite" if p.endswith((".sqlite", ".db")) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -111,6 +112,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
         # four layers hang off sources.osm.osm_layers)
         from .osm import points_layer
         return points_layer(path)
+    if fmt == "spatialite":
+        from .spatialite import read_spatialite
+        return read_spatialite(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)

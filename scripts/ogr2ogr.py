@@ -66,6 +66,8 @@ def _infer_format(path: str, explicit):
         return "osm"
     if p.endswith(".gdbtable") or ".gdb/" in p:
         return "filegdb"
+    if p.endswith((".sqlite", ".db")):
+        return "spatialite"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -107,7 +109,7 @@ def _read(path: str, fmt: str, geometry_col: str):
         from lib_gdal_ray.sources.vrt_vector import read_vrt_vector
 
         return read_vrt_vector(path, geometry_col=geometry_col)
-    if fmt in ("mif", "dxf", "osm", "filegdb"):
+    if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
@@ -170,6 +172,18 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         from lib_gdal_ray.sources.xml_vectors import write_gpx
 
         return write_gpx(ds, path, geometry_col=geometry_col)
+    if fmt == "spatialite":
+        from lib_gdal_ray.sources.spatialite import (merge_spatialite_dir,
+                                                     write_spatialite)
+
+        if path.endswith((".sqlite", ".db")):
+            shard_dir = path + ".shards"
+            write_spatialite(ds, shard_dir, layer=layer,
+                             geometry_col=geometry_col, srid=srs_id)
+            return merge_spatialite_dir(shard_dir, path, layer=layer)
+        write_spatialite(ds, path, layer=layer, geometry_col=geometry_col,
+                         srid=srs_id)
+        return -1
     if fmt == "mif":
         from lib_gdal_ray.sources.mitab import write_mif
 
@@ -184,7 +198,8 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
 
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
-             "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf"}
+             "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf",
+             "spatialite"}
 
 
 def _epsg(s: str) -> int:
