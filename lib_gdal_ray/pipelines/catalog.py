@@ -5974,6 +5974,60 @@ def q_spatialite_roundtrip(sf_dir):
     return back.map_batches(coords, batch_format="pyarrow")
 
 
+def q_xlsx_roundtrip(sf_dir):
+    """XLSX spreadsheet driver surface (ogr/ogrsf_frmts/xlsx analog,
+    sources/spreadsheet.py): events → attribute layer with int /
+    string / float / datetime columns → one .xlsx (row fragments
+    rendered in parallel, driver stitches the zip; GDAL's own
+    numFmt/cellXfs style table so temporal types survive) →
+    fragment-parallel read-back with header + type autodetection →
+    typed values recovered (serial-days datetime codec,
+    ogrxlsxdatasource.cpp:658-672)."""
+    import os
+
+    ev = tables.read_table(sf_dir, "events",
+                           columns=["event_id", "event_type", "ts",
+                                    "value"])
+
+    def to_layer(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "ts": pc.cast(batch["ts"], pa.timestamp("s"), safe=False),
+            "value": batch["value"],
+        })
+
+    from ..sources import spreadsheet as ss
+
+    layer = ev.map_batches(to_layer, batch_format="pyarrow")
+    path = (f"/tmp/lib_gdal_ray_xlsx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.xlsx")
+    ss.write_xlsx(layer, path, sheet="events")
+    back = ss.read_xlsx(path)
+
+    def out(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        secs = ts.astype("datetime64[s]").astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_s": pa.array(secs),
+            "val_c": pa.array(
+                np.floor(val * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return back.map_batches(out, batch_format="pyarrow")
+
+
+SQL_XLSX_ROUNDTRIP = """
+SELECT event_id, event_type,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+       CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS val_c
+FROM events
+"""
+
+
 SQL_INTERVAL_CP = """
 SELECT iv.event_id AS click_id, e.event_id AS purchase_id
 FROM events iv JOIN events e
@@ -6386,6 +6440,7 @@ QUERIES = {
     "geojson_roundtrip": (q_geojson_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gpkg_roundtrip": (q_gpkg_roundtrip, SQL_GPKG_ROUNDTRIP),
     "spatialite_roundtrip": (q_spatialite_roundtrip, SQL_GPKG_ROUNDTRIP),
+    "xlsx_roundtrip": (q_xlsx_roundtrip, SQL_XLSX_ROUNDTRIP),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_GPKG_ROUNDTRIP),
     "csv_wkt_roundtrip": (q_csv_wkt_roundtrip, SQL_CSV_WKT_ROUNDTRIP),
     "geotiff_roundtrip": (q_geotiff_roundtrip, _sql_geotiff_roundtrip()),

@@ -50,6 +50,8 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "filegdb" if (p.endswith(".gdbtable") or ".gdb/" in p
                       or ".gdb" + os.sep in p) else
         "spatialite" if p.endswith((".sqlite", ".db")) else
+        "xlsx" if p.endswith(".xlsx") else
+        "ods" if p.endswith(".ods") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -115,6 +117,12 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "spatialite":
         from .spatialite import read_spatialite
         return read_spatialite(path)
+    if fmt == "xlsx":
+        from .spreadsheet import read_xlsx
+        return read_xlsx(path)
+    if fmt == "ods":
+        from .spreadsheet import read_ods
+        return read_ods(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)

@@ -68,6 +68,10 @@ def _infer_format(path: str, explicit):
         return "filegdb"
     if p.endswith((".sqlite", ".db")):
         return "spatialite"
+    if p.endswith(".xlsx"):
+        return "xlsx"
+    if p.endswith(".ods"):
+        return "ods"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -109,7 +113,8 @@ def _read(path: str, fmt: str, geometry_col: str):
         from lib_gdal_ray.sources.vrt_vector import read_vrt_vector
 
         return read_vrt_vector(path, geometry_col=geometry_col)
-    if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite"):
+    if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite",
+               "xlsx", "ods"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
@@ -172,6 +177,13 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         from lib_gdal_ray.sources.xml_vectors import write_gpx
 
         return write_gpx(ds, path, geometry_col=geometry_col)
+    if fmt == "xlsx":
+        from lib_gdal_ray.sources.spreadsheet import write_xlsx
+
+        # attribute-only sink: drop the geometry column if present
+        if ds.schema() is not None and geometry_col in ds.schema().names:
+            ds = ds.drop_columns([geometry_col])
+        return write_xlsx(ds, path)
     if fmt == "spatialite":
         from lib_gdal_ray.sources.spatialite import (merge_spatialite_dir,
                                                      write_spatialite)
@@ -199,7 +211,7 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
              "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf",
-             "spatialite"}
+             "spatialite", "xlsx"}
 
 
 def _epsg(s: str) -> int:
