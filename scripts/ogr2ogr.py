@@ -72,6 +72,8 @@ def _infer_format(path: str, explicit):
         return "xlsx"
     if p.endswith(".ods"):
         return "ods"
+    if p.endswith(".sql"):
+        return "pgdump"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -177,6 +179,11 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         from lib_gdal_ray.sources.xml_vectors import write_gpx
 
         return write_gpx(ds, path, geometry_col=geometry_col)
+    if fmt == "pgdump":
+        from lib_gdal_ray.sources.pgdump import write_pgdump
+
+        return write_pgdump(ds, path, layer=layer,
+                            geometry_col=geometry_col, srid=srs_id)
     if fmt == "xlsx":
         from lib_gdal_ray.sources.spreadsheet import write_xlsx
 
@@ -211,7 +218,7 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
              "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf",
-             "spatialite", "xlsx"}
+             "spatialite", "xlsx", "pgdump"}
 
 
 def _epsg(s: str) -> int:
