@@ -52,6 +52,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "spatialite" if p.endswith((".sqlite", ".db")) else
         "xlsx" if p.endswith(".xlsx") else
         "ods" if p.endswith(".ods") else
+        "topojson" if p.endswith(".topojson") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -123,6 +124,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "ods":
         from .spreadsheet import read_ods
         return read_ods(path)
+    if fmt == "topojson":
+        from .topojson import read_topojson
+        return read_topojson(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)
