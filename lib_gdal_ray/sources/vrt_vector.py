@@ -27,6 +27,18 @@ import pyarrow as pa
 import ray.data
 
 
+def _is_gtfs_zip(path: str) -> bool:
+    """GTFS identify probe: the zip carries the required feed members
+    (ogrgtfsdriver.cpp:536-538 apszRequiredFiles)."""
+    import zipfile
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = set(zf.namelist())
+    except Exception:
+        return False
+    return {"agency.txt", "stops.txt", "trips.txt"} <= names
+
+
 def read_vector(path: str, fmt: Optional[str] = None,
                 geometry_col: str = "geometry") -> ray.data.Dataset:
     """OGROpen analog: one call, any registered vector format,
@@ -53,6 +65,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "xlsx" if p.endswith(".xlsx") else
         "ods" if p.endswith(".ods") else
         "topojson" if p.endswith(".topojson") else
+        "gtfs" if (p.endswith(".zip") and _is_gtfs_zip(path)) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -127,6 +140,11 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "topojson":
         from .topojson import read_topojson
         return read_topojson(path)
+    if fmt == "gtfs":
+        # default layer for the one-Dataset API: stops (points); the
+        # other layers hang off sources.gtfs.read_gtfs(path, layer)
+        from .gtfs import read_gtfs
+        return read_gtfs(path, "stops")
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)
