@@ -103,6 +103,17 @@ def open_raster_path(path: str):
         from .envi import decode_envi
         arr, meta = decode_envi(path)
         return "ENVI", arr, meta
+    if low.endswith(".ers"):
+        from .rawbin import decode_ers, identify_ers
+        if identify_ers(path):
+            arr, meta = decode_ers(path)
+            return "ERS", arr, meta
+    if low.endswith((".bil", ".flt", ".bsq", ".bip")) or \
+            low.endswith(".hdr"):
+        from .rawbin import decode_ehdr, identify_ehdr
+        if identify_ehdr(path):
+            arr, meta = decode_ehdr(path)
+            return "EHdr", arr, meta
     if buf[:4] == b"UHL1":
         from .dted import decode_dted
         arr, meta = decode_dted(buf)
