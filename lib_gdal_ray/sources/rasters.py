@@ -134,6 +134,8 @@ def read_raster_pixels(paths: Union[str, List[str]],
     (path, band, y, x, value). Streams per file; each decode touches
     only its own raster (scale unit = one file)."""
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
+    # path-context formats (sibling data/header files)
+    exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
@@ -141,7 +143,11 @@ def read_raster_pixels(paths: Union[str, List[str]],
         cols = {"path": [], "band": [], "y": [], "x": [], "value": []}
         for path, buf in zip(batch["path"].to_pylist(),
                              batch["bytes"].to_pylist()):
-            _name, arr, _meta = open_raster(buf)
+            if identify(buf) is not None:
+                _name, arr, _meta = open_raster(buf)
+            else:
+                # sibling-file formats re-open by path (local/shared FS)
+                _name, arr, _meta = open_raster_path(path)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             h, w, bands = arr.shape

@@ -34,11 +34,9 @@ def main():
     import numpy as np
     import pyarrow as pa
 
-    from lib_gdal_ray.sources.rasters import open_raster
+    from lib_gdal_ray.sources.rasters import open_raster_path
 
-    with open(args.src, "rb") as f:
-        buf = f.read()
-    driver, arr, meta = open_raster(buf)
+    driver, arr, meta = open_raster_path(args.src)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, bands = arr.shape
@@ -47,7 +45,7 @@ def main():
         "size": [w, h],
         "bands": bands,
         "dtype": str(arr.dtype),
-        "file_bytes": len(buf),
+        "file_bytes": os.path.getsize(args.src),
     }
     if meta.get("transform") is not None:
         info["geotransform"] = list(meta["transform"])
