@@ -159,7 +159,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "pmtiles_roundtrip", "mbtiles_roundtrip",
                      "gpx_roundtrip", "kml_roundtrip", "gml_roundtrip",
                      "envi_roundtrip", "grib_roundtrip",
-                     "osm_roundtrip", "osm_ways", "mif_roundtrip", "dxf_roundtrip", "filegdb_roundtrip"]
+                     "osm_roundtrip", "osm_ways", "mif_roundtrip", "dxf_roundtrip", "filegdb_roundtrip",
+                     # round-4 session 4
+                     "spatialite_roundtrip", "xlsx_roundtrip"]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
