@@ -1,0 +1,487 @@
+"""Erdas Imagine HFA (.img) raster reader.
+
+Re-derivation of the reference's HFA machinery (frmts/hfa/):
+* file header: "EHFA_HEADER_TAG", u32 @16 → Ehfa_HeaderTag
+  {version, freeList, rootEntryPtr, entryHeaderLength, dictionaryPtr}
+  (hfaopen.cpp:187-215);
+* entry nodes: 6×i32 (next, prev, parent, child, data, dataSize) +
+  name[64] + type[32] (hfaentry.cpp:71-99);
+* the data dictionary: `{count:[p|*]<type-char>...name,}TypeName,`
+  definitions terminated by '.', item sizes per
+  hfadictionary.cpp GetItemSize (1/2/4/c/C one byte, e/s/S two,
+  t/l/L/f four, d/m eight, M sixteen, b variable BASEDATA), pointer
+  fields prefixed by an 8-byte {count, offset} header with the items
+  inline after it (hfafield.cpp Initialize/GetInstBytes);
+* block store: per-band Edms_State "RasterDMS" blockinfo table
+  (offset/size/logvalid/compressionType) over a row-major block
+  grid, with the ESRI GRID run-length compression decoded exactly as
+  hfaband.cpp:565-860 UncompressBlock (13-byte header: u32 min,
+  i32 numruns, i32 dataoffset, u8 numbits; numruns == -1 means
+  bit-packed reduced precision, otherwise 0xc0-tagged variable-width
+  repeat counts with MSB-first value words; f32 blocks reconstruct
+  from the *integer* min+delta bit pattern, bug #1000 behavior);
+* georeferencing from the Eprj_MapInfo node (pixel-center anchored
+  upperLeftCenter/lowerRightCenter/pixelSize, hfaopen.cpp) and
+  declared band stats from Esta_Statistics.
+
+Read path only (the engine's interchange writer is GeoTIFF/COG).
+Whole-file decode per .img; multi-file parallelism composes at the
+read_raster_pixels level like the other single-buffer formats.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_EPT_DTYPE = {
+    "u1": None, "u2": None, "u4": None,  # sub-byte, expanded manually
+    "u8": np.dtype("u1"), "s8": np.dtype("i1"),
+    "u16": np.dtype("<u2"), "s16": np.dtype("<i2"),
+    "u32": np.dtype("<u4"), "s32": np.dtype("<i4"),
+    "f32": np.dtype("<f4"), "f64": np.dtype("<f8"),
+    "c64": np.dtype("<c8"), "c128": np.dtype("<c16"),
+}
+_EPT_BY_CODE = ["u1", "u2", "u4", "u8", "s8", "u16", "s16", "u32", "s32",
+                "f32", "f64", "c64", "c128"]
+_EPT_BITS = {"u1": 1, "u2": 2, "u4": 4, "u8": 8, "s8": 8, "u16": 16,
+             "s16": 16, "u32": 32, "s32": 32, "f32": 32, "f64": 64,
+             "c64": 64, "c128": 128}
+
+_ITEM_SIZE = {"1": 1, "2": 1, "4": 1, "c": 1, "C": 1,
+              "e": 2, "s": 2, "S": 2,
+              "t": 4, "l": 4, "L": 4, "f": 4,
+              "d": 8, "m": 8, "M": 16}
+
+
+class _Field:
+    __slots__ = ("count", "pointer", "ch", "obj_type", "enums", "name")
+
+    def __init__(self):
+        self.count = 1
+        self.pointer = ""
+        self.ch = ""
+        self.obj_type = None
+        self.enums = None
+        self.name = ""
+
+
+class _Type:
+    def __init__(self, name: str, fields: List[_Field]):
+        self.name = name
+        self.fields = fields
+
+
+def _parse_field(s: str, i: int) -> Tuple[Optional[_Field], int]:
+    f = _Field()
+    j = i
+    while j < len(s) and s[j] not in ":":
+        j += 1
+    f.count = int(s[i:j])
+    j += 1  # ':'
+    if s[j] in "p*":
+        f.pointer = s[j]
+        j += 1
+    f.ch = s[j]
+    j += 1
+    if f.ch == "o":
+        k = s.index(",", j)
+        f.obj_type = s[j:k]
+        j = k + 1
+    elif f.ch == "x" and s[j] == "{":
+        depth = 1
+        j += 1
+        while depth > 0:
+            if s[j] == "{":
+                depth += 1
+            elif s[j] == "}":
+                depth -= 1
+            j += 1
+        f.ch = "o"
+        k = s.index(",", j)
+        f.obj_type = s[j:k]
+        j = k + 1
+    elif f.ch == "e":
+        k = s.index(":", j)
+        n_enum = int(s[j:k])
+        j = k + 1
+        f.enums = []
+        for _ in range(n_enum):
+            k = s.index(",", j)
+            f.enums.append(s[j:k])
+            j = k + 1
+    k = s.index(",", j)
+    f.name = s[j:k]
+    return f, k + 1
+
+
+def parse_dictionary(text: str) -> Dict[str, _Type]:
+    types: Dict[str, _Type] = {}
+    i = 0
+    while i < len(text) and text[i] == "{":
+        depth = 1
+        j = i + 1
+        while depth > 0:
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+            j += 1
+        body = text[i + 1:j - 1]
+        fields = []
+        bi = 0
+        while bi < len(body):
+            fld, bi = _parse_field(body, bi)
+            if fld is None:
+                break
+            fields.append(fld)
+        k = text.index(",", j)
+        name = text[j:k]
+        types[name] = _Type(name, fields)
+        i = k + 1
+        if i < len(text) and text[i] == ".":
+            break
+    return types
+
+
+class _Node:
+    __slots__ = ("name", "type", "data_pos", "data_size", "children",
+                 "_hfa")
+
+    def __init__(self, hfa, name, type_name, data_pos, data_size):
+        self._hfa = hfa
+        self.name = name
+        self.type = type_name
+        self.data_pos = data_pos
+        self.data_size = data_size
+        self.children: List["_Node"] = []
+
+    def find(self, name: str, type_name: Optional[str] = None):
+        for c in self.children:
+            if c.name == name and (type_name is None
+                                   or c.type == type_name):
+                return c
+        for c in self.children:
+            r = c.find(name, type_name)
+            if r is not None:
+                return r
+        return None
+
+    def find_type(self, type_name: str):
+        out = []
+        for c in self.children:
+            if c.type == type_name:
+                out.append(c)
+            out.extend(c.find_type(type_name))
+        return out
+
+    def get(self, path: str, default=None):
+        """Extract a dotted/indexed field value from the node data
+        (GetInstValue analog): 'blockinfo[2].offset'."""
+        data = self._hfa.buf[self.data_pos:self.data_pos + self.data_size]
+        t = self._hfa.types.get(self.type)
+        if t is None:
+            return default
+        try:
+            return self._hfa.extract(t, data, path.split("."))
+        except (KeyError, IndexError, ValueError, struct.error):
+            return default
+
+
+class HFAFile:
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self.buf = fh.read()
+        self.path = path
+        if self.buf[:15] != b"EHFA_HEADER_TAG":
+            raise ValueError(f"{path}: not an HFA file")
+        (hdr_pos,) = struct.unpack_from("<I", self.buf, 16)
+        version, free_list, root_ptr, ehl, dict_ptr = struct.unpack_from(
+            "<iIIhI", self.buf, hdr_pos)
+        # dictionary text runs to the top-level '.' terminator
+        end = self.buf.index(b".", dict_ptr)
+        while self.buf[end - 1:end] == b",":
+            break
+        self.types = parse_dictionary(
+            self.buf[dict_ptr:end + 1].decode("latin-1"))
+        self.root = self._read_entry(root_ptr)
+
+    # -- entry tree -------------------------------------------------
+
+    def _read_entry(self, pos: int) -> _Node:
+        nxt, prev, parent, child, data, size = struct.unpack_from(
+            "<6i", self.buf, pos)
+        name = self.buf[pos + 24:pos + 88].split(b"\x00")[0].decode(
+            "latin-1")
+        type_name = self.buf[pos + 88:pos + 120].split(b"\x00")[0].decode(
+            "latin-1")
+        node = _Node(self, name, type_name, data, size)
+        if child:
+            c = self._read_entry(child)
+            node.children.append(c)
+            while True:
+                (cn,) = struct.unpack_from("<i", self.buf, 0)
+                break
+            # walk the sibling chain of the first child
+            sib_pos = child
+            while True:
+                (nxt_pos,) = struct.unpack_from("<i", self.buf, sib_pos)
+                if not nxt_pos:
+                    break
+                sib = self._read_entry(nxt_pos)
+                node.children.append(sib)
+                sib_pos = nxt_pos
+        return node
+
+    # -- instance data walking ---------------------------------------
+
+    def _field_bytes(self, f: _Field, data: bytes, off: int) -> int:
+        """GetInstBytes analog for one field instance."""
+        n = f.count
+        total = 0
+        if f.pointer:
+            (n,) = struct.unpack_from("<i", data, off)
+            total += 8
+        if f.ch == "b" and n != 0:
+            rows, cols = struct.unpack_from("<ii", data, off + total)
+            (code,) = struct.unpack_from("<h", data, off + total + 8)
+            total += 12
+            bits = _EPT_BITS[_EPT_BY_CODE[code]]
+            total += ((bits + 7) // 8) * rows * cols
+        elif f.obj_type is None:
+            total += n * _ITEM_SIZE.get(f.ch, 0)
+        else:
+            sub = self.types[f.obj_type]
+            for _ in range(n):
+                total += self._type_bytes(sub, data, off + total)
+        return total
+
+    def _type_bytes(self, t: _Type, data: bytes, off: int) -> int:
+        total = 0
+        for f in t.fields:
+            total += self._field_bytes(f, data, off + total)
+        return total
+
+    def extract(self, t: _Type, data: bytes, parts: List[str]):
+        head = parts[0]
+        idx = 0
+        if "[" in head:
+            head, rest = head.split("[")
+            idx = int(rest.rstrip("]"))
+        off = 0
+        for f in t.fields:
+            if f.name == head:
+                n = f.count
+                if f.pointer:
+                    (n,) = struct.unpack_from("<i", data, off)
+                    off += 8
+                if f.ch == "o":
+                    sub = self.types[f.obj_type]
+                    for _ in range(idx):
+                        off += self._type_bytes(sub, data, off)
+                    if len(parts) > 1:
+                        return self.extract(sub, data[off:], parts[1:])
+                    return None
+                if f.ch in ("c", "C") and f.pointer:
+                    raw = data[off:off + n]
+                    return raw.split(b"\x00")[0].decode("latin-1")
+                size = _ITEM_SIZE[f.ch]
+                off += idx * size
+                if f.ch in ("c", "C"):
+                    if n > 1 and idx == 0:
+                        return data[off:off + n].split(b"\x00")[0].decode(
+                            "latin-1")
+                    return data[off]
+                fmt = {"e": "<H", "s": "<h", "S": "<H", "t": "<I",
+                       "l": "<i", "L": "<I", "f": "<f", "d": "<d",
+                       "1": "<B", "2": "<B", "4": "<B",
+                       "m": "<q"}[f.ch]
+                (v,) = struct.unpack_from(fmt, data, off)
+                if f.ch == "e" and f.enums and 0 <= v < len(f.enums):
+                    return f.enums[v]
+                return v
+            off += self._field_bytes(f, data, off)
+        raise KeyError(head)
+
+
+# ---------------------------------------------------------------------------
+# block decompression (hfaband.cpp:565-860)
+# ---------------------------------------------------------------------------
+
+
+def _read_packed(values: bytes, nbits: int, count: int) -> np.ndarray:
+    """count values of nbits each, LSB-first within bytes for 1/2/4,
+    byte/MSB-word order for 8/16/32 (matches UncompressBlock)."""
+    if nbits == 0:
+        return np.zeros(count, np.int64)
+    arr = np.frombuffer(values, np.uint8,
+                        count=(nbits * count + 7) // 8)
+    if nbits == 8:
+        return arr[:count].astype(np.int64)
+    if nbits == 16:
+        a = arr[:2 * count].astype(np.int64)
+        return a[0::2] * 256 + a[1::2]
+    if nbits == 32:
+        a = arr[:4 * count].astype(np.int64)
+        return ((a[0::4] << 24) | (a[1::4] << 16)
+                | (a[2::4] << 8) | a[3::4])
+    bits = np.unpackbits(arr, bitorder="little")
+    bits = bits[:count * nbits].reshape(count, nbits)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _uncompress_block(cdata: bytes, n_pixels: int,
+                      ept: str) -> np.ndarray:
+    data_min = struct.unpack_from("<I", cdata, 0)[0]
+    n_runs = struct.unpack_from("<i", cdata, 4)[0]
+    data_off = struct.unpack_from("<i", cdata, 8)[0]
+    nbits = cdata[12]
+
+    if n_runs == -1:
+        vals = _read_packed(cdata[13:], nbits, n_pixels)
+        out = vals + np.int64(np.int32(np.uint32(data_min)))
+    else:
+        # variable-width repeat counters (0xc0-tagged)
+        counts = np.empty(n_runs, np.int64)
+        pos = 13
+        for i in range(n_runs):
+            b0 = cdata[pos]
+            tag = b0 & 0xC0
+            if tag == 0x00:
+                counts[i] = b0 & 0x3F
+                pos += 1
+            elif tag == 0x40:
+                counts[i] = ((b0 & 0x3F) << 8) | cdata[pos + 1]
+                pos += 2
+            elif tag == 0x80:
+                counts[i] = (((b0 & 0x3F) << 16)
+                             | (cdata[pos + 1] << 8) | cdata[pos + 2])
+                pos += 3
+            else:
+                counts[i] = (((b0 & 0x3F) << 24) | (cdata[pos + 1] << 16)
+                             | (cdata[pos + 2] << 8) | cdata[pos + 3])
+                pos += 4
+        vals = _read_packed(cdata[data_off:], nbits, n_runs)
+        vals = vals + np.int64(np.int32(np.uint32(data_min)))
+        out = np.repeat(vals, counts)[:n_pixels]
+        if out.size < n_pixels:
+            out = np.pad(out, (0, n_pixels - out.size))
+
+    if ept == "f32":
+        # bug #1000 parity: min+delta arithmetic happened on the raw
+        # bit patterns; reinterpret the int32 result as float bits
+        return out.astype(np.int64).astype(np.uint32).view(np.float32) \
+            .astype(np.float32)
+    dt = _EPT_DTYPE.get(ept)
+    if dt is not None:
+        return out.astype(dt)
+    # sub-byte types: return expanded values
+    return out.astype(np.uint8)
+
+
+def _expand_subbyte(raw: np.ndarray, ept: str, n_pixels: int) -> np.ndarray:
+    bits = _EPT_BITS[ept]
+    b = np.unpackbits(raw, bitorder="little")
+    b = b[:n_pixels * bits].reshape(n_pixels, bits)
+    return (b.astype(np.uint8)
+            @ (1 << np.arange(bits)).astype(np.uint8)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly
+# ---------------------------------------------------------------------------
+
+
+def decode_hfa(path: str) -> Tuple[np.ndarray, Dict]:
+    """-> ((h,w) or (h,w,bands), meta{transform, stats, nodata})."""
+    hfa = HFAFile(path)
+    layers = [c for c in hfa.root.children if c.type == "Eimg_Layer"]
+    if not layers:
+        layers = hfa.root.find_type("Eimg_Layer")
+    if not layers:
+        raise ValueError(f"{path}: no Eimg_Layer nodes")
+
+    planes = []
+    stats = []
+    for lyr in layers:
+        planes.append(_read_layer(hfa, lyr))
+        st = lyr.find("Statistics", "Esta_Statistics")
+        if st is not None:
+            stats.append({k: st.get(k) for k in
+                          ("minimum", "maximum", "mean", "median",
+                           "mode", "stddev")})
+
+    meta: Dict = {}
+    mi = hfa.root.find("Map_Info", "Eprj_MapInfo") or \
+        layers[0].find("Map_Info", "Eprj_MapInfo")
+    if mi is not None:
+        ulx = mi.get("upperLeftCenter.x")
+        uly = mi.get("upperLeftCenter.y")
+        pw = mi.get("pixelSize.width")
+        ph = mi.get("pixelSize.height")
+        if None not in (ulx, uly, pw, ph):
+            meta["transform"] = (ulx - pw / 2, pw, 0.0,
+                                 uly + ph / 2, 0.0, -ph)
+            meta["units"] = mi.get("units")
+    if stats:
+        meta["stats"] = stats
+    arr = planes[0] if len(planes) == 1 else np.stack(planes, axis=-1)
+    return arr, meta
+
+
+def _read_layer(hfa: HFAFile, lyr: _Node) -> np.ndarray:
+    width = lyr.get("width")
+    height = lyr.get("height")
+    bw = lyr.get("blockWidth")
+    bh = lyr.get("blockHeight")
+    ept = lyr.get("pixelType")
+    if isinstance(ept, int):
+        ept = _EPT_BY_CODE[ept]
+    dms = lyr.find("RasterDMS", "Edms_State")
+    if dms is None:
+        raise NotImplementedError(
+            f"{hfa.path}: no RasterDMS (spill .ige layers unsupported)")
+    n_blocks = dms.get("numvirtualblocks")
+    blocks_per_row = (width + bw - 1) // bw
+    n_pix = bw * bh
+    dt = _EPT_DTYPE.get(ept)
+
+    out_dt = dt if dt is not None else np.dtype("u1")
+    if ept == "f32":
+        out_dt = np.dtype("f4")
+    out = np.zeros((height, width), out_dt)
+    for i in range(n_blocks):
+        off = dms.get(f"blockinfo[{i}].offset")
+        size = dms.get(f"blockinfo[{i}].size")
+        logvalid = dms.get(f"blockinfo[{i}].logvalid")
+        ctype = dms.get(f"blockinfo[{i}].compressionType")
+        by = (i // blocks_per_row) * bh
+        bx = (i % blocks_per_row) * bw
+        if logvalid in (0, "false") or off is None:
+            continue
+        if ctype not in (0, None, "no compression", "ESRI GRID "
+                         "compression"):
+            raise NotImplementedError(
+                f"{hfa.path}: compressionType {ctype!r}")
+        compressed = ctype not in (0, None, "no compression")
+        raw = hfa.buf[off:off + size]
+        if compressed:
+            plane = _uncompress_block(raw, n_pix, ept)
+        elif dt is not None:
+            plane = np.frombuffer(raw, dt, count=n_pix)
+        else:
+            plane = _expand_subbyte(np.frombuffer(raw, np.uint8), ept,
+                                    n_pix)
+        tile = plane.reshape(bh, bw)
+        ny = min(bh, height - by)
+        nx = min(bw, width - bx)
+        out[by:by + ny, bx:bx + nx] = tile[:ny, :nx]
+    return out
+
+
+def identify_hfa(buf: bytes) -> bool:
+    return buf[:15] == b"EHFA_HEADER_TAG"

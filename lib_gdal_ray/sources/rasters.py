@@ -118,6 +118,10 @@ def open_raster_path(path: str):
         from .dted import decode_dted
         arr, meta = decode_dted(buf)
         return "DTED", arr, meta
+    if buf[:15] == b"EHFA_HEADER_TAG":
+        from .hfa import decode_hfa
+        arr, meta = decode_hfa(path)
+        return "HFA", arr, meta
     return open_raster(buf)
 
 
@@ -135,7 +139,8 @@ def read_raster_pixels(paths: Union[str, List[str]],
     only its own raster (scale unit = one file)."""
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
-    exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr"]
+    exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
+             "img", "rrd"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
