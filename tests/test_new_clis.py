@@ -102,3 +102,24 @@ def test_gdal_pansharpen(tmp_path):
     _f, sharp, _m = open_raster(open(dpath, "rb").read())
     exp = ms * (pan / ms.mean(axis=2))[:, :, None]
     assert np.abs(sharp - exp).max() < 1e-3
+
+
+def test_rgb2pct(tmp_path):
+    import numpy as np
+
+    from lib_gdal_ray.codecs.png import decode_png
+    from lib_gdal_ray.codecs.tiff import encode_geotiff
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+    src = str(tmp_path / "rgb.tif")
+    open(src, "wb").write(encode_geotiff(
+        arr, transform=(0, 0.1, 0, 0, 0, -0.1), epsg=4326))
+    cli = os.path.join(REPO, "scripts", "rgb2pct.py")
+    dst = str(tmp_path / "pct.png")
+    rep = _run([cli, src, dst, "-n", "8", "--num-cpus", "2"])
+    assert rep["n_colors"] == 8
+    out = decode_png(open(dst, "rb").read())
+    # quantized output uses at most 8 distinct colors
+    colors = {tuple(px) for px in out.reshape(-1, 3)}
+    assert len(colors) <= 8
