@@ -443,8 +443,11 @@ def _read_layer(hfa: HFAFile, lyr: _Node) -> np.ndarray:
         ept = _EPT_BY_CODE[ept]
     dms = lyr.find("RasterDMS", "Edms_State")
     if dms is None:
-        raise NotImplementedError(
-            f"{hfa.path}: no RasterDMS (spill .ige layers unsupported)")
+        ext = lyr.find("ExternalRasterDMS", "ImgExternalRaster")
+        if ext is not None:
+            return _read_spill_layer(hfa, lyr, ext, width, height, bw,
+                                     bh, ept)
+        raise ValueError(f"{hfa.path}: layer has no block store")
     n_blocks = dms.get("numvirtualblocks")
     blocks_per_row = (width + bw - 1) // bw
     n_pix = bw * bh
@@ -477,6 +480,66 @@ def _read_layer(hfa: HFAFile, lyr: _Node) -> np.ndarray:
             plane = _expand_subbyte(np.frombuffer(raw, np.uint8), ept,
                                     n_pix)
         tile = plane.reshape(bh, bw)
+        ny = min(bh, height - by)
+        nx = min(bw, width - bx)
+        out[by:by + ny, bx:bx + nx] = tile[:ny, :nx]
+    return out
+
+
+def _read_spill_layer(hfa: HFAFile, lyr: _Node, ext: _Node, width, height,
+                      bw, bh, ept) -> np.ndarray:
+    """External .ige spill store (hfaband.cpp:451-548
+    LoadExternalBlockInfo): uncompressed fixed-size blocks at
+    layerStackDataOffset, interleaved by layerStackCount, validity
+    from the 20-byte-prefixed bitmap at layerStackValidFlagsOffset."""
+    fname = ext.get("fileName.string")
+    if not isinstance(fname, str) or not fname:
+        # Emif_String layouts vary; fall back to the sibling .ige
+        fname = os.path.splitext(os.path.basename(hfa.path))[0] + ".ige"
+    ige = os.path.join(os.path.dirname(os.path.abspath(hfa.path)),
+                       os.path.basename(fname.replace("\\", "/")))
+    with open(ige, "rb") as fh:
+        spill = fh.read()
+    if not spill.startswith(b"ERDAS_IMG_EXTERNAL_RASTER"):
+        raise ValueError(f"{ige}: bad spill header")
+
+    def big(field):  # 2:L fields = (lo, hi) u32 pair
+        lo = ext.get(f"{field}[0]") or 0
+        hi = ext.get(f"{field}[1]") or 0
+        return lo + (hi << 32)
+
+    stack_count = ext.get("layerStackCount") or 1
+    stack_index = ext.get("layerStackIndex") or 0
+    valid_off = big("layerStackValidFlagsOffset")
+    data_off = big("layerStackDataOffset")
+    bits = _EPT_BITS[ept]
+    block_size = (bw * bh * bits + 7) // 8
+    blocks_per_row = (width + bw - 1) // bw
+    blocks_per_col = (height + bh - 1) // bh
+    bytes_per_row = (blocks_per_row + 7) // 8
+    bitmap = np.frombuffer(
+        spill, np.uint8, count=bytes_per_row * blocks_per_col + 20,
+        offset=valid_off)
+    dt = _EPT_DTYPE.get(ept)
+    out_dt = dt if dt is not None else np.dtype("u1")
+    out = np.zeros((height, width), out_dt)
+    n_pix = bw * bh
+    for i in range(blocks_per_row * blocks_per_col):
+        col = i % blocks_per_row
+        row = i // blocks_per_row
+        bit = row * bytes_per_row * 8 + col + 20 * 8
+        if not (bitmap[bit >> 3] >> (bit & 7)) & 1:
+            continue
+        off = data_off + block_size * i * stack_count \
+            + stack_index * block_size
+        raw = spill[off:off + block_size]
+        if dt is not None:
+            plane = np.frombuffer(raw, dt, count=n_pix)
+        else:
+            plane = _expand_subbyte(np.frombuffer(raw, np.uint8), ept,
+                                    n_pix)
+        tile = plane.reshape(bh, bw)
+        by, bx = row * bh, col * bw
         ny = min(bh, height - by)
         nx = min(bw, width - bx)
         out[by:by + ny, bx:bx + nx] = tile[:ny, :nx]

@@ -61,9 +61,11 @@ def test_other_fixtures_decode(fname, shape):
     assert int(arr.max()) >= 0  # decoded something sane
 
 
-def test_spill_unsupported():
-    with pytest.raises(NotImplementedError):
-        decode_hfa(f"{D}/spill.img")
+def test_spill_ige():
+    """hfa.py:test_hfa_rde_overviews — external .ige spill store,
+    band checksum 1631."""
+    arr, _ = decode_hfa(f"{D}/spill.img")
+    assert gdal_checksum(arr if arr.ndim == 2 else arr[:, :, 0]) == 1631
 
 
 def test_identify_and_dispatch():
