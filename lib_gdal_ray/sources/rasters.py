@@ -122,6 +122,14 @@ def open_raster_path(path: str):
         from .hfa import decode_hfa
         arr, meta = decode_hfa(path)
         return "HFA", arr, meta
+    if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
+        from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
+                             identify_surfer)
+        name = identify_surfer(buf)
+        dec = {"GSAG": decode_gsag, "GSBG": decode_gsbg,
+               "GS7BG": decode_gs7bg}[name]
+        arr, meta = dec(buf)
+        return name, arr, meta
     return open_raster(buf)
 
 
