@@ -122,6 +122,11 @@ def open_raster_path(path: str):
         from .hfa import decode_hfa
         arr, meta = decode_hfa(path)
         return "HFA", arr, meta
+    if low.endswith(".gtx"):
+        from .gtx import decode_gtx, identify_gtx
+        if identify_gtx(buf, path):
+            arr, meta = decode_gtx(buf)
+            return "GTX", arr, meta
     if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
                              identify_surfer)
