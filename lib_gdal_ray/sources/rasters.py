@@ -127,6 +127,10 @@ def open_raster_path(path: str):
         if identify_gtx(buf, path):
             arr, meta = decode_gtx(buf)
             return "GTX", arr, meta
+    if buf[:6] == b"Object" and b"IsisCube" in buf[:256]:
+        from .isis3 import decode_isis3
+        arr, meta = decode_isis3(buf, path=path)
+        return "ISIS3", arr, meta
     if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
                              identify_surfer)
@@ -153,7 +157,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
