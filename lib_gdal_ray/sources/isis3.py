@@ -61,6 +61,14 @@ def parse_pvl(text: str) -> Dict:
             k, v = line.split("=", 1)
             k = k.strip()
             v = v.strip()
+            if k.startswith("^"):
+                # data pointers keep their raw form (<BYTES> markers)
+                stack[-1][k] = v
+                pending_key = k
+                continue
+            um = re.search(r"<([^>]*)>", v)
+            if um:
+                stack[-1].setdefault("_units", {})[k] = um.group(1)
             v = re.sub(r"<[^>]*>", "", v).strip().strip('"').strip("'")
             stack[-1][k] = v
             pending_key = k

@@ -127,6 +127,10 @@ def open_raster_path(path: str):
         if identify_gtx(buf, path):
             arr, meta = decode_gtx(buf)
             return "GTX", arr, meta
+    if b"PDS_VERSION_ID" in buf[:512] and b"PDS3" in buf[:512]:
+        from .pds import decode_pds
+        arr, meta = decode_pds(buf, path=path)
+        return "PDS", arr, meta
     if buf[:6] == b"Object" and b"IsisCube" in buf[:256]:
         from .isis3 import decode_isis3
         arr, meta = decode_isis3(buf, path=path)
