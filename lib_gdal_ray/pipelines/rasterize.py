@@ -52,6 +52,16 @@ def gdal_checksum(arr: np.ndarray) -> int:
     through GDALCopyWords' float→Int32: add 0.5, floor, clamp to
     ±2147483647 (NaN/inf → INT_MIN).
     """
+    if np.iscomplexobj(arr):
+        # complex bands checksum the interleaved (re, im) stream with
+        # the prime index advancing per VALUE (gdalchecksum.cpp:278,
+        # nValsPerIter == 2) — for a full window that is exactly the
+        # scalar formula over the (h, 2w) interleaved view
+        h, w = arr.shape
+        inter = np.empty((h, 2 * w), np.float64)
+        inter[:, 0::2] = arr.real
+        inter[:, 1::2] = arr.imag
+        arr = inter
     h, w = arr.shape
     iv = _to_int32_gdal(arr)
     idx = np.arange(h * w, dtype=np.int64).reshape(h, w)

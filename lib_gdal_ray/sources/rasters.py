@@ -127,6 +127,10 @@ def open_raster_path(path: str):
         if identify_gtx(buf, path):
             arr, meta = decode_gtx(buf)
             return "GTX", arr, meta
+    if buf[:8].startswith(b"LBLSIZE"):
+        from .vicar import decode_vicar
+        arr, meta = decode_vicar(buf)
+        return "VICAR", arr, meta
     if b"PDS_VERSION_ID" in buf[:512] and b"PDS3" in buf[:512]:
         from .pds import decode_pds
         arr, meta = decode_pds(buf, path=path)
@@ -161,7 +165,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
