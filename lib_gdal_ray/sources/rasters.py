@@ -127,6 +127,10 @@ def open_raster_path(path: str):
         if identify_gtx(buf, path):
             arr, meta = decode_gtx(buf)
             return "GTX", arr, meta
+    if buf[:7] == b"CCSD3ZF" and b"QUBE" in buf[:2048]:
+        from .isis2 import decode_isis2
+        arr, meta = decode_isis2(buf)
+        return "ISIS2", arr, meta
     if buf[:8].startswith(b"LBLSIZE"):
         from .vicar import decode_vicar
         arr, meta = decode_vicar(buf)
