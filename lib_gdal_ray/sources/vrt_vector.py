@@ -66,6 +66,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "ods" if p.endswith(".ods") else
         "topojson" if p.endswith(".topojson") else
         "gtfs" if (p.endswith(".zip") and _is_gtfs_zip(path)) else
+        "dgn" if p.endswith(".dgn") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -140,6 +141,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "topojson":
         from .topojson import read_topojson
         return read_topojson(path)
+    if fmt == "dgn":
+        from .dgn import read_dgn
+        return read_dgn(path)
     if fmt == "gtfs":
         # default layer for the one-Dataset API: stops (points); the
         # other layers hang off sources.gtfs.read_gtfs(path, layer)
