@@ -162,6 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "osm_roundtrip", "osm_ways", "mif_roundtrip", "dxf_roundtrip", "filegdb_roundtrip",
                      # round-4 session 4
                      "spatialite_roundtrip", "xlsx_roundtrip"]
+    import gc
+
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
@@ -169,6 +171,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if hasattr(out, "count"):
             out.count()  # execute; small results only
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop the result refs before the next query so the object
+        # store doesn't accumulate across the (long) query list —
+        # later queries otherwise inherit a degraded session
+        del out
+        gc.collect()
 
     # the reference's flagship ogr2ogr benchmark shape (50k x 21 fields)
     timings["gpkg_translate_50k_21f"] = round(gpkg_translate_bench(), 3)

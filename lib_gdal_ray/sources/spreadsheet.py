@@ -704,3 +704,110 @@ def write_xlsx(ds: ray.data.Dataset, path: str,
         zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
     os.replace(tmp, path)
     return total
+
+
+# ---------------------------------------------------------------------------
+# ODS write (reference ogr/ogrsf_frmts/ods write support: zip with a
+# STORED mimetype first member, manifest, single content.xml)
+# ---------------------------------------------------------------------------
+
+_ODS_MANIFEST = """<?xml version="1.0" encoding="UTF-8"?>
+<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">
+<manifest:file-entry manifest:media-type="application/vnd.oasis.opendocument.spreadsheet" manifest:full-path="/"/>
+<manifest:file-entry manifest:media-type="text/xml" manifest:full-path="content.xml"/>
+</manifest:manifest>"""
+
+_ODS_CONTENT_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<office:document-content '
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'office:version="1.2"><office:body><office:spreadsheet>')
+
+_ODS_CONTENT_TAIL = ("</office:spreadsheet></office:body>"
+                     "</office:document-content>")
+
+
+def _ods_row_xml(batch: pa.Table) -> str:
+    import datetime as dtm
+
+    parts = []
+    cols = batch.column_names
+    data = [batch[c].to_pylist() for c in cols]
+    for ri in range(batch.num_rows):
+        cells = []
+        for v in (d[ri] for d in data):
+            if v is None:
+                cells.append("<table:table-cell/>")
+            elif isinstance(v, bool):
+                bv = "true" if v else "false"
+                cells.append(
+                    f'<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{bv}"><text:p>{bv}</text:p>'
+                    "</table:table-cell>")
+            elif isinstance(v, (int, float, np.integer, np.floating)):
+                cells.append(
+                    f'<table:table-cell office:value-type="float" '
+                    f'office:value="{v}"><text:p>{v}</text:p>'
+                    "</table:table-cell>")
+            elif isinstance(v, dtm.datetime):
+                iso = v.strftime("%Y-%m-%dT%H:%M:%S")
+                cells.append(
+                    f'<table:table-cell office:value-type="date" '
+                    f'office:date-value="{iso}"><text:p>{iso}</text:p>'
+                    "</table:table-cell>")
+            elif isinstance(v, dtm.date):
+                cells.append(
+                    f'<table:table-cell office:value-type="date" '
+                    f'office:date-value="{v.isoformat()}">'
+                    f"<text:p>{v.isoformat()}</text:p></table:table-cell>")
+            elif isinstance(v, dtm.time):
+                pt = f"PT{v.hour:02d}H{v.minute:02d}M{v.second:02d}S"
+                cells.append(
+                    f'<table:table-cell office:value-type="time" '
+                    f'office:time-value="{pt}"><text:p>{v}</text:p>'
+                    "</table:table-cell>")
+            else:
+                cells.append(
+                    f'<table:table-cell office:value-type="string">'
+                    f"<text:p>{_esc(str(v))}</text:p></table:table-cell>")
+        parts.append("<table:table-row>" + "".join(cells)
+                     + "</table:table-row>")
+    return "".join(parts)
+
+
+def write_ods(ds: ray.data.Dataset, path: str, sheet: str = "Sheet1",
+              headers: bool = True) -> int:
+    """Dataset -> one .ods file (row XML rendered fragment-parallel,
+    driver stitches the zip; mimetype member stored uncompressed per
+    the OpenDocument package spec)."""
+    names = list(ds.schema().names)
+
+    def render(batch: pa.Table) -> pa.Table:
+        return pa.table({"xml": pa.array([_ods_row_xml(batch)]),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    rendered = ds.map_batches(render, batch_format="pyarrow").take_all()
+    total = int(sum(r["n"] for r in rendered))
+
+    hdr = ""
+    if headers:
+        hdr = ("<table:table-row>" + "".join(
+            f'<table:table-cell office:value-type="string">'
+            f"<text:p>{_esc(n)}</text:p></table:table-cell>"
+            for n in names) + "</table:table-row>")
+    content = (_ODS_CONTENT_HEAD
+               + f'<table:table table:name="{_esc(sheet)}">' + hdr
+               + "".join(r["xml"] for r in rendered)
+               + "</table:table>" + _ODS_CONTENT_TAIL)
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo("mimetype")
+        zf.writestr(info,
+                    "application/vnd.oasis.opendocument.spreadsheet",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/manifest.xml", _ODS_MANIFEST)
+        zf.writestr("content.xml", content)
+    os.replace(tmp, path)
+    return total

@@ -171,3 +171,39 @@ def test_read_vector_dispatch(ray_session):
 
     assert len(read_vector(f"{XLSX}/test.xlsx").to_pandas()) == 26
     assert len(read_vector(f"{ODS}/test.ods").to_pandas()) == 26
+
+
+def test_write_ods_roundtrip(ray_session, tmp_path):
+    import ray
+
+    n = 23
+    tab = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": pa.array([f"x{i}" if i % 5 else None for i in range(n)]),
+        "val": pa.array(np.linspace(-3.0, 3.0, n)),
+        "d": pa.array([dtm.date(2022, 3, 1 + i % 28) for i in range(n)],
+                      pa.date32()),
+        "t": pa.array([dtm.time(8, i % 60, 30) for i in range(n)],
+                      pa.time32("s")),
+    })
+    path = str(tmp_path / "rt.ods")
+    total = ss.write_ods(ray.data.from_arrow(tab).repartition(2), path,
+                         sheet="data")
+    assert total == n
+    # mimetype member is FIRST and STORED (OpenDocument package rule)
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        first = zf.infolist()[0]
+        assert first.filename == "mimetype"
+        assert first.compress_type == zipfile.ZIP_STORED
+    back = ss.read_ods(path).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert back["id"].tolist() == list(range(n))
+    assert back["val"].tolist() == pytest.approx(
+        np.linspace(-3.0, 3.0, n).tolist())
+    assert back["d"].tolist() == [dtm.date(2022, 3, 1 + i % 28)
+                                  for i in range(n)]
+    assert back["t"].tolist() == [dtm.time(8, i % 60, 30)
+                                  for i in range(n)]
+    assert back["name"].isna().sum() == (n + 4) // 5
