@@ -127,6 +127,11 @@ def open_raster_path(path: str):
         if identify_gtx(buf, path):
             arr, meta = decode_gtx(buf)
             return "GTX", arr, meta
+    if buf.lstrip()[:5] == b"<?xml" and b"Product_Observational" \
+            in buf[:2048]:
+        from .pds4 import decode_pds4
+        arr, meta = decode_pds4(buf, path=path)
+        return "PDS4", arr, meta
     if buf[:7] == b"CCSD3ZF" and b"QUBE" in buf[:2048]:
         from .isis2 import decode_isis2
         arr, meta = decode_isis2(buf)
@@ -169,7 +174,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
