@@ -74,6 +74,10 @@ def _infer_format(path: str, explicit):
         return "ods"
     if p.endswith(".sql"):
         return "pgdump"
+    if p.endswith(".topojson"):
+        return "topojson"
+    if p.endswith(".dgn"):
+        return "dgn"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -116,7 +120,7 @@ def _read(path: str, fmt: str, geometry_col: str):
 
         return read_vrt_vector(path, geometry_col=geometry_col)
     if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite",
-               "xlsx", "ods"):
+               "xlsx", "ods", "topojson", "dgn", "gtfs"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
