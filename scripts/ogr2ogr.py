@@ -78,6 +78,8 @@ def _infer_format(path: str, explicit):
         return "topojson"
     if p.endswith(".dgn"):
         return "dgn"
+    if p.endswith(".gmt"):
+        return "gmt"
     if p.endswith(".gpx"):
         return "gpx"
     if os.path.isdir(path):
@@ -120,7 +122,7 @@ def _read(path: str, fmt: str, geometry_col: str):
 
         return read_vrt_vector(path, geometry_col=geometry_col)
     if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite",
-               "xlsx", "ods", "topojson", "dgn", "gtfs"):
+               "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
@@ -207,6 +209,10 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
         write_spatialite(ds, path, layer=layer, geometry_col=geometry_col,
                          srid=srs_id)
         return -1
+    if fmt == "gmt":
+        from lib_gdal_ray.sources.gmt import write_gmt
+
+        return write_gmt(ds, path, geometry_col=geometry_col)
     if fmt == "mif":
         from lib_gdal_ray.sources.mitab import write_mif
 
@@ -222,7 +228,7 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
              "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf",
-             "spatialite", "xlsx", "pgdump"}
+             "spatialite", "xlsx", "pgdump", "gmt"}
 
 
 def _epsg(s: str) -> int:
