@@ -148,6 +148,16 @@ def open_raster_path(path: str):
         from .isis3 import decode_isis3
         arr, meta = decode_isis3(buf, path=path)
         return "ISIS3", arr, meta
+    if low.endswith((".byn", ".err")):
+        from .byn import decode_byn, identify_byn
+        if identify_byn(buf, path):
+            arr, meta = decode_byn(buf)
+            return "BYN", arr, meta
+    if low.endswith(".gxf"):
+        from .gxf import decode_gxf, identify_gxf
+        if identify_gxf(buf):
+            arr, meta = decode_gxf(buf)
+            return "GXF", arr, meta
     if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
                              identify_surfer)
@@ -174,7 +184,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
