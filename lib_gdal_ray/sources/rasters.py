@@ -148,6 +148,10 @@ def open_raster_path(path: str):
         from .isis3 import decode_isis3
         arr, meta = decode_isis3(buf, path=path)
         return "ISIS3", arr, meta
+    if low.endswith(".mpr") and b"[Ilwis]" in buf[:4096]:
+        from .ilwis import decode_ilwis
+        arr, meta = decode_ilwis(path)
+        return "ILWIS", arr, meta
     if low.endswith((".byn", ".err")):
         from .byn import decode_byn, identify_byn
         if identify_byn(buf, path):
@@ -184,7 +188,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
