@@ -148,6 +148,11 @@ def open_raster_path(path: str):
         from .isis3 import decode_isis3
         arr, meta = decode_isis3(buf, path=path)
         return "ISIS3", arr, meta
+    if low.endswith((".kap", ".nos")):
+        from .bsb import decode_bsb, identify_bsb
+        if identify_bsb(buf):
+            arr, meta = decode_bsb(buf)
+            return "BSB", arr, meta
     if low.endswith(".mpr") and b"[Ilwis]" in buf[:4096]:
         from .ilwis import decode_ilwis
         arr, meta = decode_ilwis(path)
@@ -188,7 +193,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr", "kap"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
