@@ -148,6 +148,10 @@ def open_raster_path(path: str):
         from .isis3 import decode_isis3
         arr, meta = decode_isis3(buf, path=path)
         return "ISIS3", arr, meta
+    if buf[:4] in (b"NITF", b"NSIF"):
+        from .nitf import decode_nitf
+        arr, meta = decode_nitf(buf)
+        return "NITF", arr, meta
     if low.endswith((".kap", ".nos")):
         from .bsb import decode_bsb, identify_bsb
         if identify_bsb(buf):
@@ -193,7 +197,7 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr", "kap"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr", "kap", "ntf", "nsf"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
