@@ -36,12 +36,17 @@ _EXT_TO_DRIVER = {".tif": "GTiff", ".tiff": "GTiff", ".png": "PNG",
                   ".asc": "AAIGrid", ".xyz": "XYZ"}
 
 
-def translate_one(buf: bytes, opts: dict) -> bytes:
+def translate_one(buf: bytes, opts: dict, path: str = "") -> bytes:
     import numpy as np
 
-    from lib_gdal_ray.sources.rasters import open_raster, write_raster
+    from lib_gdal_ray.sources.rasters import (identify, open_raster,
+                                              open_raster_path,
+                                              write_raster)
 
-    _drv, arr, meta = open_raster(buf)
+    if identify(buf) is not None or not path:
+        _drv, arr, meta = open_raster(buf)
+    else:
+        _drv, arr, meta = open_raster_path(path)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     gt = list(meta.get("transform") or (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
@@ -129,7 +134,7 @@ def main():
     def one(path: str, dst: str) -> dict:
         with open(path, "rb") as f:
             buf = f.read()
-        out = translate_one(buf, opts)
+        out = translate_one(buf, opts, path=path)
         tmp = dst + ".tmp"
         with open(tmp, "wb") as f:
             f.write(out)
