@@ -49,7 +49,27 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "XYZ": ((".xyz",),
             decode_xyz,
             lambda a, **kw: encode_xyz(a, **kw)),
+    "RMF": ((".rsw", ".mtw"),
+            lambda b: _decode_rmf_hw(b),
+            lambda a, **kw: _encode_rmf_hw(a, **kw)),
 }
+
+
+def _decode_rmf_hw(buf: bytes):
+    from .rmf import decode_rmf
+
+    arr, meta = decode_rmf(buf)
+    if arr.ndim == 3:  # registry convention is channel-last
+        arr = np.moveaxis(arr, 0, -1)
+    return arr, meta
+
+
+def _encode_rmf_hw(arr: np.ndarray, **kw) -> bytes:
+    from .rmf import encode_rmf
+
+    if arr.ndim == 3:
+        arr = np.moveaxis(arr, -1, 0)
+    return encode_rmf(arr, **kw)
 
 _SNIFF_TO_DRIVER = {"png": "PNG", "bmp": "BMP", "jpeg": "JPEG"}
 
@@ -63,6 +83,8 @@ def identify(buf: bytes) -> Optional[str]:
     name = _SNIFF_TO_DRIVER.get(sniff(buf))
     if name:
         return name
+    if buf[:4] in (b"RSW\x00", b"\x00WSR", b"MTW\x00"):
+        return "RMF"
     if identify_aaigrid(buf):
         return "AAIGrid"
     if identify_xyz(buf):
