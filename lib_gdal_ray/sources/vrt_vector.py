@@ -67,6 +67,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "topojson" if p.endswith(".topojson") else
         "gtfs" if (p.endswith(".zip") and _is_gtfs_zip(path)) else
         "dgn" if p.endswith(".dgn") else
+        "sxf" if p.endswith(".sxf") else
         "gmt" if p.endswith(".gmt") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
@@ -148,6 +149,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "gmt":
         from .gmt import read_gmt
         return read_gmt(path)
+    if fmt == "sxf":
+        from .sxf import read_sxf
+        return read_sxf(path, geometry_col=geometry_col)
     if fmt == "gtfs":
         # default layer for the one-Dataset API: stops (points); the
         # other layers hang off sources.gtfs.read_gtfs(path, layer)
