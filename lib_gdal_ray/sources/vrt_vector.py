@@ -68,6 +68,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "gtfs" if (p.endswith(".zip") and _is_gtfs_zip(path)) else
         "dgn" if p.endswith(".dgn") else
         "sxf" if p.endswith(".sxf") else
+        "s57" if p.endswith(".000") else
         "gmt" if p.endswith(".gmt") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
@@ -152,6 +153,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "sxf":
         from .sxf import read_sxf
         return read_sxf(path, geometry_col=geometry_col)
+    if fmt == "s57":
+        from .s57 import read_s57
+        return read_s57(path)
     if fmt == "gtfs":
         # default layer for the one-Dataset API: stops (points); the
         # other layers hang off sources.gtfs.read_gtfs(path, layer)

@@ -80,6 +80,8 @@ def _infer_format(path: str, explicit):
         return "dgn"
     if p.endswith(".sxf"):
         return "sxf"
+    if p.endswith(".000"):
+        return "s57"
     if p.endswith(".gmt"):
         return "gmt"
     if p.endswith(".gpx"):
@@ -124,7 +126,8 @@ def _read(path: str, fmt: str, geometry_col: str):
 
         return read_vrt_vector(path, geometry_col=geometry_col)
     if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite",
-               "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt", "sxf"):
+               "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt", "sxf",
+               "s57"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
