@@ -193,6 +193,39 @@ def open_raster_path(path: str):
         if identify_gxf(buf):
             arr, meta = decode_gxf(buf)
             return "GXF", arr, meta
+    if buf[:7] == b"binterr":
+        from .simplerasters import decode_bt
+        arr, meta = decode_bt(buf)
+        return "BT", arr, meta
+    if buf[:4] == b"KRO\x01":
+        from .simplerasters import decode_kro
+        arr, meta = decode_kro(buf)
+        return "KRO", arr, meta
+    if buf[:6] in (b"HEAD74", b"HEADER") and buf[16:24] != b"S LAT   ":
+        from .simplerasters import decode_lan
+        arr, meta = decode_lan(buf)
+        return "LAN", arr, meta
+    if buf[:2] in (b"P5", b"P6") and buf[2:3] in b" \t\n\r":
+        from .simplerasters import decode_pnm
+        arr, meta = decode_pnm(buf)
+        return "PNM", arr, meta
+    if buf[:8] == b"NUM_OREC":
+        from .simplerasters import decode_ntv2
+        arr, meta = decode_ntv2(buf)
+        return "NTV2", arr, meta
+    if low.endswith(".rst"):
+        from .simplerasters import decode_rst
+        arr, meta = decode_rst(path)
+        return "RST", arr, meta
+    if low.endswith((".sdat", ".sgrd", ".sg-grd-z")):
+        from .simplerasters import decode_saga
+        arr, meta = decode_saga(path)
+        return "SAGA", arr, meta
+    if low.endswith(".dem") or low.endswith("deme"):
+        from .usgsdem import decode_usgsdem, identify_usgsdem
+        if identify_usgsdem(buf):
+            arr, meta = decode_usgsdem(buf)
+            return "USGSDEM", arr, meta
     if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
                              identify_surfer)
@@ -219,7 +252,9 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts = [e.lstrip(".") for (es, _d, _e) in DRIVERS.values() for e in es]
     # path-context formats (sibling data/header files)
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
-             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf", "byn", "mpr", "kap", "ntf", "nsf"]
+             "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf",
+             "byn", "mpr", "kap", "ntf", "nsf", "bt", "kro", "lan", "gis",
+             "pgm", "ppm", "rst", "sdat", "sgrd", "gsb", "dem"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 

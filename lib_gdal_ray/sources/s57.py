@@ -179,8 +179,6 @@ def _parse_cell_file(buf: bytes, cell: _Cell, is_update: bool) -> None:
             if node is None:
                 continue
             node["rver"] = v.get("RVER", node["rver"])
-            for ctl, items, store in (("SGCC", coords or coords3, None),):
-                pass
             sgcc = dec("SGCC", rec)
             if sgcc:
                 c = sgcc[0]
