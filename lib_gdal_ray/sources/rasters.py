@@ -15,6 +15,7 @@ reference's RasterIO contract provides.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
@@ -114,6 +115,12 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "attrib")):  # MFF2 (HKV)
+            from .rawformats import decode_mff2
+            arr, meta = decode_mff2(path)
+            return "MFF2", arr, meta
+        raise ValueError(f"{path}: directory is not a known dataset")
     with open(path, "rb") as f:
         buf = f.read()
     if low.endswith((".hgt", ".hgts")):
@@ -226,6 +233,42 @@ def open_raster_path(path: str):
         if identify_usgsdem(buf):
             arr, meta = decode_usgsdem(buf)
             return "USGSDEM", arr, meta
+    if buf[:16] == b"TERRAGENTERRAIN ":
+        from .rawformats import decode_terragen
+        arr, meta = decode_terragen(buf)
+        return "TERRAGEN", arr, meta
+    if buf[:4] == b"trrn":
+        from .rawformats import decode_leveller
+        arr, meta = decode_leveller(buf)
+        return "LEVELLER", arr, meta
+    if buf.lstrip()[:21].upper() == b"BEGIN_USGS_DOQ_HEADER":
+        from .rawformats import decode_doq2
+        arr, meta = decode_doq2(buf)
+        return "DOQ2", arr, meta
+    if low.endswith(".hdr") and b"IMAGE_FILE_FORMAT" in buf[:256]:
+        from .rawformats import decode_mff
+        arr, meta = decode_mff(path)
+        return "MFF", arr, meta
+    if os.path.exists(path + ".aux") or (
+            low.endswith(".raw")
+            and os.path.exists(os.path.splitext(path)[0] + ".aux")):
+        from .rawformats import decode_paux
+        arr, meta = decode_paux(path)
+        return "PAux", arr, meta
+    if low.endswith((".fst", ".dat")) or low[-4:-2] in (".0", ".1"):
+        from .fast import decode_fast, identify_fast
+        if identify_fast(buf):
+            arr, meta = decode_fast(path)
+            return "FAST", arr, meta
+    if low.endswith(".gsc"):
+        from .rawformats import decode_gsc, identify_gsc
+        if identify_gsc(buf):
+            arr, meta = decode_gsc(buf)
+            return "GSC", arr, meta
+    if low.endswith(".doq"):
+        from .rawformats import decode_doq1
+        arr, meta = decode_doq1(buf)
+        return "DOQ1", arr, meta
     if buf[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import (decode_gs7bg, decode_gsag, decode_gsbg,
                              identify_surfer)
