@@ -58,6 +58,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "gml" if p.endswith(".gml") else
         "osm" if p.endswith((".osm", ".pbf", ".osm.pbf")) else
         "mif" if p.endswith((".mif", ".mid")) else
+        "tab" if p.endswith(".tab") else
         "dxf" if p.endswith(".dxf") else
         "filegdb" if (p.endswith(".gdbtable") or ".gdb/" in p
                       or ".gdb" + os.sep in p) else
@@ -127,6 +128,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "mif":
         from .mitab import read_mif
         return read_mif(path)
+    if fmt == "tab":
+        from .tab import read_tab
+        return read_tab(path, geometry_col=geometry_col)
     if fmt == "osm":
         # default layer for the one-Dataset API: points (the other
         # four layers hang off sources.osm.osm_layers)

@@ -60,6 +60,8 @@ def _infer_format(path: str, explicit):
         return "kml"
     if p.endswith((".mif", ".mid")):
         return "mif"
+    if p.endswith(".tab"):
+        return "tab"
     if p.endswith(".dxf"):
         return "dxf"
     if p.endswith((".osm", ".pbf")):
@@ -125,7 +127,7 @@ def _read(path: str, fmt: str, geometry_col: str):
         from lib_gdal_ray.sources.vrt_vector import read_vrt_vector
 
         return read_vrt_vector(path, geometry_col=geometry_col)
-    if fmt in ("mif", "dxf", "osm", "filegdb", "spatialite",
+    if fmt in ("tab", "mif", "dxf", "osm", "filegdb", "spatialite",
                "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt", "sxf",
                "s57"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
