@@ -19,21 +19,25 @@ from .bmp import encode_bmp, decode_bmp
 from .wav import encode_wav, decode_wav
 from .jpeg import encode_jpeg, decode_jpeg
 from .container import encode_frames, decode_frames
+from .gif import encode_gif, decode_gif
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
 RWV_MAGIC = b"RWV0"
 JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGIC = b"GIF8"
 
 
 def sniff(payload: bytes) -> str:
     """Magic-byte format sniff:
-    'png' | 'jpeg' | 'bmp' | 'wav' | 'rwv' | 'unknown'."""
+    'png' | 'jpeg' | 'bmp' | 'gif' | 'wav' | 'rwv' | 'unknown'."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:3] == JPEG_MAGIC:
         return "jpeg"
+    if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
+        return "gif"
     if payload[:2] == BMP_MAGIC:
         return "bmp"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -59,8 +63,8 @@ def decode_media(payload: bytes):
         h, w = arr.shape[:2]
         c = 1 if arr.ndim == 2 else arr.shape[2]
         return "image", arr, {"width": w, "height": h, "channels": c}
-    if fmt == "bmp":
-        arr = decode_bmp(payload)
+    if fmt in ("bmp", "gif"):
+        arr = decode_bmp(payload) if fmt == "bmp" else decode_gif(payload)[0]
         h, w = arr.shape[:2]
         c = 1 if arr.ndim == 2 else arr.shape[2]
         return "image", arr, {"width": w, "height": h, "channels": c}

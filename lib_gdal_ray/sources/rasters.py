@@ -44,6 +44,9 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "JPEG": ((".jpg", ".jpeg"),
              lambda b: (decode_jpeg(b), {}),
              lambda a, **kw: encode_jpeg(a, **kw)),
+    "GIF": ((".gif",),
+            lambda b: _decode_gif_entry(b),
+            lambda a, **kw: _encode_gif_entry(a, **kw)),
     "AAIGrid": ((".asc",),
                 decode_aaigrid,
                 lambda a, **kw: encode_aaigrid(a, **kw)),
@@ -72,7 +75,21 @@ def _encode_rmf_hw(arr: np.ndarray, **kw) -> bytes:
         arr = np.moveaxis(arr, -1, 0)
     return encode_rmf(arr, **kw)
 
-_SNIFF_TO_DRIVER = {"png": "PNG", "bmp": "BMP", "jpeg": "JPEG"}
+def _decode_gif_entry(buf: bytes):
+    from ..codecs.gif import decode_gif
+
+    arr, meta = decode_gif(buf)
+    return arr, meta
+
+
+def _encode_gif_entry(arr: np.ndarray, **kw) -> bytes:
+    from ..codecs.gif import encode_gif
+
+    return encode_gif(arr, **kw)
+
+
+_SNIFF_TO_DRIVER = {"png": "PNG", "bmp": "BMP", "jpeg": "JPEG",
+                    "gif": "GIF"}
 
 
 def identify(buf: bytes) -> Optional[str]:
