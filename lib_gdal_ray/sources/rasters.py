@@ -137,9 +137,42 @@ def open_raster_path(path: str):
             from .rawformats import decode_mff2
             arr, meta = decode_mff2(path)
             return "MFF2", arr, meta
+        from .aigrid import decode_aig, identify_aig_path
+        if identify_aig_path(path):
+            arr, meta = decode_aig(path)
+            return "AIG", arr, meta
         raise ValueError(f"{path}: directory is not a known dataset")
+    if low.endswith(".adf"):
+        from .aigrid import decode_aig, identify_aig_path
+        if identify_aig_path(path):
+            arr, meta = decode_aig(path)
+            return "AIG", arr, meta
     with open(path, "rb") as f:
         buf = f.read()
+    if buf[:9] == b"SIMPLE  =":
+        from .fits import decode_fits
+        arr, meta = decode_fits(buf)
+        return "FITS", arr, meta
+    if buf[:6] == b"HF2\x00\x00\x00" or (
+            buf[:2] == b"\x1f\x8b" and low.endswith((".hf2.gz", ".hfz"))):
+        from .gridformats import decode_hf2
+        arr, meta = decode_hf2(buf)
+        return "HF2", arr, meta
+    if low.endswith(".tga"):
+        from .tga import decode_tga, identify_tga
+        if identify_tga(buf, path):
+            arr, meta = decode_tga(buf)
+            return "TGA", arr, meta
+    if low.endswith((".zmap", ".dat", ".zycor", ".grd")):
+        from .gridformats import decode_zmap, identify_zmap
+        if identify_zmap(buf):
+            arr, meta = decode_zmap(buf)
+            return "ZMap", arr, meta
+    if low.endswith(".mem"):
+        from .gridformats import decode_jdem, identify_jdem
+        if identify_jdem(buf):
+            arr, meta = decode_jdem(buf)
+            return "JDEM", arr, meta
     if low.endswith((".hgt", ".hgts")):
         from .srtmhgt import decode_srtmhgt, identify_srtmhgt
         if identify_srtmhgt(buf, path):
