@@ -153,6 +153,10 @@ def open_raster_path(path: str):
         from .fits import decode_fits
         arr, meta = decode_fits(buf)
         return "FITS", arr, meta
+    if buf[:8] == b"PCIDSK  ":
+        from .pcidsk import decode_pcidsk
+        arr, meta = decode_pcidsk(buf)
+        return "PCIDSK", arr, meta
     if buf[:6] == b"HF2\x00\x00\x00" or (
             buf[:2] == b"\x1f\x8b" and low.endswith((".hf2.gz", ".hfz"))):
         from .gridformats import decode_hf2

@@ -171,3 +171,13 @@ def test_aigrid_via_adf_member():  # aigrid.py test_aigrid_2 open style
 def test_aigrid_sta_24bytes():  # aigrid.py test_aigrid_6
     _, _, meta = open_raster_path(f"{D}/aigrid/aigrid_sta_24bytes/teststa")
     assert meta["min"] == 0.0 and meta["max"] == 2.0
+
+
+# --------------------------------------------------------------- PCIDSK
+
+def test_pcidsk():  # pcidsk.py test_pcidsk_1 + tile_v1/v2
+    for name, want in (("utm.pix", 39576), ("tile_v1.1.pix", 49526),
+                       ("tile_v2.pix", 49526)):
+        fmt, arr, _ = open_raster_path(f"{D}/pcidsk/{name}")
+        assert fmt == "PCIDSK"
+        assert gdal_checksum(arr if arr.ndim == 2 else arr[:, :, 0]) == want
