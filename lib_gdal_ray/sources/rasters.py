@@ -182,6 +182,36 @@ def open_raster_path(path: str):
         if identify_srtmhgt(buf, path):
             arr, meta = decode_srtmhgt(buf, path)
             return "SRTMHGT", arr, meta
+    if low.endswith(".hdr") and buf.lstrip()[:16].startswith(
+            b"IMAGINE_RAW_FILE"):
+        from .rawmisc import decode_eir
+        arr, meta = decode_eir(path)
+        return "EIR", arr, meta
+    if low.endswith(".hdr") and buf[:15] == b"Format version:" \
+            and b"NOHRSC" in buf[:80]:
+        from .rawmisc import decode_snodas
+        arr, meta = decode_snodas(path)
+        return "SNODAS", arr, meta
+    if low.endswith((".bil", ".bsq", ".bip")):
+        _gb_hdr = path[:path.rfind(".")] + ".hdr"
+        if os.path.exists(_gb_hdr) and \
+                b"BANDS:" in open(_gb_hdr, "rb").read(2048):
+            from .rawmisc import decode_genbin
+            arr, meta = decode_genbin(path)
+            return "GenBin", arr, meta
+    if os.path.exists(path + ".xml") and \
+            b"<imageFile" in open(path + ".xml", "rb").read(256):
+        from .rawmisc import decode_isce
+        arr, meta = decode_isce(path)
+        return "ISCE", arr, meta
+    if os.path.exists(path + ".rsc"):
+        from .rawmisc import decode_roipac
+        arr, meta = decode_roipac(path)
+        return "ROI_PAC", arr, meta
+    if buf[:13].upper() == b"NDF_REVISION=" and buf[13:14] in b"02":
+        from .rawmisc import decode_ndf
+        arr, meta = decode_ndf(path)
+        return "NDF", arr, meta
     if low.endswith(".hdr") and buf.lstrip()[:4] == b"ENVI":
         from .envi import decode_envi
         arr, meta = decode_envi(path)
@@ -331,6 +361,30 @@ def open_raster_path(path: str):
                "GS7BG": decode_gs7bg}[name]
         arr, meta = dec(buf)
         return name, arr, meta
+    if low.endswith(".b"):
+        from .rawmisc import decode_noaa_b, identify_noaa_b
+        if identify_noaa_b(buf, path):
+            arr, meta = decode_noaa_b(buf)
+            return "NOAA_B", arr, meta
+    if low.endswith((".los", ".las", ".geo")):
+        from .rawmisc import decode_loslas, identify_loslas
+        if identify_loslas(buf, path):
+            arr, meta = decode_loslas(buf)
+            return "LOSLAS", arr, meta
+    if low.endswith(".bin"):
+        from .rawmisc import (decode_ngsgeoid, decode_nsidcbin,
+                              identify_ngsgeoid, identify_nsidcbin)
+        if identify_ngsgeoid(buf):
+            arr, meta = decode_ngsgeoid(buf)
+            return "NGSGEOID", arr, meta
+        if identify_nsidcbin(buf, path):
+            arr, meta = decode_nsidcbin(buf)
+            return "NSIDCbin", arr, meta
+    from .rawmisc import identify_ctg
+    if identify_ctg(buf):
+        from .rawmisc import decode_ctg
+        arr, meta = decode_ctg(buf)
+        return "CTG", arr, meta
     return open_raster(buf)
 
 

@@ -86,8 +86,20 @@ def read_vector(path: str, fmt: Optional[str] = None,
         from .vector_formats import read_geojson_seq
         return read_geojson_seq(path)
     if fmt == "geojson":
+        # JSON-FG documents also use .json: probe for conformsTo /
+        # place members (like OGR's driver ordering JSONFG > GeoJSON)
+        try:
+            head = open(path, "r", errors="replace").read(10000)
+        except OSError:
+            head = ""
+        if "json-fg" in head or '"place"' in head:
+            from .jsonfg import read_jsonfg
+            return read_jsonfg(path)
         from .vector_formats import read_geojson
         return read_geojson(path)
+    if fmt == "jsonfg":
+        from .jsonfg import read_jsonfg
+        return read_jsonfg(path)
     if fmt == "csvwkt":
         from .vector_formats import read_csv_wkt
         # plain CSV (no wkt column) reads generic — header peek,
