@@ -6289,6 +6289,180 @@ HAVING COUNT(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# GNM graph analysis (gnm/gnmgraph.cpp — Dijkstra / Yen KSP / BFS trace)
+# ---------------------------------------------------------------------------
+
+_GRAPH_VMAX = 200   # cap the supplier-derived DAG (sf-stable oracle cost)
+
+
+def _supplier_dag_edges(sf_dir):
+    """DAG over supplier keys (<= _GRAPH_VMAX): s -> s+st for st in
+    1..3, integer-valued costs (exact float parity)."""
+    import pyarrow.compute as _pc
+
+    sup = tables.read_table_arrow(sf_dir, "supplier", columns=["s_suppkey"])
+    vmax = min(_GRAPH_VMAX,
+               int(_pc.max(sup["s_suppkey"]).as_py()))
+    ds = tables.read_table(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        s = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = s[s <= vmax]
+        st = np.array([1, 2, 3], dtype=np.int64)
+        src = np.repeat(s, 3)
+        stv = np.tile(st, len(s))
+        tgt = src + stv
+        keep = tgt <= vmax
+        src, stv, tgt = src[keep], stv[keep], tgt[keep]
+        cost = ((src * 7 + stv * 13) % 20 + 1).astype(np.float64)
+        return pa.table({
+            "edge_id": src * 4 + stv, "src": src, "tgt": tgt,
+            "bidir": pa.array(np.zeros(len(src), dtype=bool)),
+            "dir_cost": cost, "inv_cost": cost})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def q_graph_shortest_path(sf_dir):
+    """Single-source shortest-path costs over the supplier DAG —
+    distributed Bellman-Ford frontier relaxation (GNMGraph Dijkstra
+    cost parity, gnm/gnmgraph.cpp:457-541)."""
+    from . import graph as graph_mod
+
+    return graph_mod.shortest_path_costs(_supplier_dag_edges(sf_dir),
+                                         start=1)
+
+
+SQL_GRAPH_SSSP = f"""
+WITH RECURSIVE verts AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier
+  WHERE s_suppkey <= {_GRAPH_VMAX}
+),
+edges AS (
+  SELECT s.v AS src, s.v + t.st AS tgt,
+         CAST((s.v * 7 + t.st * 13) % 20 + 1 AS DOUBLE) AS cost
+  FROM verts s, (VALUES (1), (2), (3)) AS t(st)
+  WHERE s.v + t.st <= (SELECT MAX(v) FROM verts)
+),
+walk(v, c) AS (
+  SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS DOUBLE) AS c
+  UNION
+  SELECT e.tgt, w.c + e.cost FROM walk w JOIN edges e ON e.src = w.v
+)
+SELECT v AS vertex, MIN(c) AS cost FROM walk GROUP BY v ORDER BY vertex
+"""
+
+
+def _nation_cyclic_edges(sf_dir):
+    """Cyclic directed graph over the 25 nation keys."""
+    ds = tables.read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        a = n[n % 3 != 0]
+        b = n[n % 4 == 0]
+        src = np.concatenate([a, b])
+        tgt = np.concatenate([(a + 7) % 25, (b * 2 + 1) % 25])
+        eid = np.concatenate([2000 + a, 3000 + b])
+        cost = np.ones(len(src), dtype=np.float64)
+        return pa.table({
+            "edge_id": eid, "src": src, "tgt": tgt,
+            "bidir": pa.array(np.zeros(len(src), dtype=bool)),
+            "dir_cost": cost, "inv_cost": cost})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def q_graph_connected(sf_dir):
+    """ConnectedComponents reachable-vertex set from emitter {3} over a
+    cyclic nation graph — distributed BFS frontier rounds
+    (gnm/gnmgraph.cpp:427-450; keys-not-order per SURVEY §2.9)."""
+    from . import graph as graph_mod
+
+    return graph_mod.reachable_vertices(_nation_cyclic_edges(sf_dir), [3])
+
+
+SQL_GRAPH_CONNECTED = """
+WITH RECURSIVE e1 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST((n_nationkey + 7) % 25 AS BIGINT) AS tgt
+  FROM nation WHERE n_nationkey % 3 <> 0
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT),
+         CAST((n_nationkey * 2 + 1) % 25 AS BIGINT)
+  FROM nation WHERE n_nationkey % 4 = 0
+),
+reach(v) AS (
+  SELECT CAST(3 AS BIGINT) AS v
+  UNION
+  SELECT e.tgt FROM reach r JOIN e1 e ON e.src = r.v
+)
+SELECT v AS vertex FROM reach ORDER BY vertex
+"""
+
+
+def q_graph_k_paths(sf_dir):
+    """Yen K-shortest-path costs (k=8) 0 -> 24 over a nation-key DAG
+    (gnm/gnmgraph.cpp:247-425).  The DAG makes every path loopless, so
+    Yen's k costs equal the k smallest of the full path enumeration —
+    which IS SQL-expressible."""
+    from . import graph as graph_mod
+
+    ds = tables.read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = np.repeat(n, 3)
+        stv = np.tile(np.array([1, 2, 3], dtype=np.int64), len(n))
+        tgt = src + stv
+        keep = tgt <= 24
+        src, stv, tgt = src[keep], stv[keep], tgt[keep]
+        cost = ((src * 5 + stv * 11) % 17 + 1).astype(np.float64)
+        return pa.table({
+            "edge_id": src * 4 + stv, "src": src, "tgt": tgt,
+            "bidir": pa.array(np.zeros(len(src), dtype=bool)),
+            "dir_cost": cost, "inv_cost": cost})
+
+    edges = ds.map_batches(expand, batch_format="pyarrow")
+    paths = graph_mod.k_shortest_paths(edges, start=0, end=24, k=8)
+    # one row per path: (rank_n, path_cost), ranks in ascending cost
+    import pyarrow.compute as _pc
+
+    ranks = _pc.unique(paths["path_rank"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    costs = []
+    pr = paths["path_rank"].to_numpy(zero_copy_only=False)
+    pcst = paths["path_cost"].to_numpy(zero_copy_only=False)
+    for r in np.sort(ranks):
+        costs.append(float(pcst[pr == r][0]))
+    costs = np.sort(np.asarray(costs, dtype=np.float64))
+    return pa.table({"rank_n": np.arange(1, len(costs) + 1,
+                                         dtype=np.int64),
+                     "path_cost": costs})
+
+
+SQL_GRAPH_KSP = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_nationkey + t.st AS BIGINT) AS tgt,
+         CAST((n_nationkey * 5 + t.st * 11) % 17 + 1 AS DOUBLE) AS cost
+  FROM nation, (VALUES (1), (2), (3)) AS t(st)
+  WHERE n_nationkey + t.st <= 24
+),
+paths(v, c) AS (
+  SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS DOUBLE) AS c
+  UNION ALL
+  SELECT e.tgt, p.c + e.cost FROM paths p JOIN edges e ON e.src = p.v
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c) AS BIGINT) AS rank_n,
+       c AS path_cost
+FROM paths WHERE v = 24 ORDER BY path_cost LIMIT 8
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6453,4 +6627,8 @@ QUERIES = {
     "dxf_roundtrip": (q_dxf_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "filegdb_roundtrip": (q_filegdb_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "osm_ways": (q_osm_ways, SQL_OSM_WAYS),
+    # GNM graph analysis (gnm/gnmgraph.cpp)
+    "graph_shortest_path": (q_graph_shortest_path, SQL_GRAPH_SSSP),
+    "graph_connected": (q_graph_connected, SQL_GRAPH_CONNECTED),
+    "graph_k_paths": (q_graph_k_paths, SQL_GRAPH_KSP),
 }
