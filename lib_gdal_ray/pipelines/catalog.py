@@ -6375,12 +6375,12 @@ def _nation_cyclic_edges(sf_dir):
 
 
 def q_graph_connected(sf_dir):
-    """ConnectedComponents reachable-vertex set from emitter {3} over a
+    """ConnectedComponents reachable-vertex set from emitter {4} over a
     cyclic nation graph — distributed BFS frontier rounds
     (gnm/gnmgraph.cpp:427-450; keys-not-order per SURVEY §2.9)."""
     from . import graph as graph_mod
 
-    return graph_mod.reachable_vertices(_nation_cyclic_edges(sf_dir), [3])
+    return graph_mod.reachable_vertices(_nation_cyclic_edges(sf_dir), [4])
 
 
 SQL_GRAPH_CONNECTED = """
@@ -6394,7 +6394,7 @@ WITH RECURSIVE e1 AS (
   FROM nation WHERE n_nationkey % 4 = 0
 ),
 reach(v) AS (
-  SELECT CAST(3 AS BIGINT) AS v
+  SELECT CAST(4 AS BIGINT) AS v
   UNION
   SELECT e.tgt FROM reach r JOIN e1 e ON e.src = r.v
 )
