@@ -1,13 +1,19 @@
 """PNG codec in pure numpy + stdlib zlib (W3C PNG spec / RFC 2083).
 
 Real, spec-conformant subset: 8-bit samples, color types 0 (gray),
-2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters on both
-encode and decode; CRC-32 verified per chunk; progressive Adam7
-interlace on both encode and decode (each of the 7 passes is its own
-filtered sub-image in the shared zlib stream, scattered back by
-stride slicing). This is the engine-facing contract GDAL's
-PNG driver provides (reference `frmts/png/pngdataset.cpp` — band
-decode + RasterIO), re-derived from the public spec with no libpng.
+2 (RGB), 4 (gray+alpha), 6 (RGBA); paletted color type 3 (PLTE +
+optional tRNS) and sub-8-bit depths 1/2/4 for types 0 and 3 (bit
+unpack per scanline, as GDAL's PNG driver exposes them); all five
+scanline filters on both encode and decode; CRC-32 verified per
+chunk; progressive Adam7 interlace on both encode and decode (each
+of the 7 passes is its own filtered sub-image in the shared zlib
+stream, scattered back by stride slicing). This is the engine-facing
+contract GDAL's PNG driver provides (reference
+`frmts/png/pngdataset.cpp` — band decode + RasterIO + GetColorTable),
+re-derived from the public spec with no libpng.  Paletted images
+decode to explicit RGB(A) by default (the engine carries palettes as
+explicit color, not indexed bands); `decode_png_indexed` returns the
+raw index band + the color table for pct2rgb/attachpct-style tools.
 
 Performance notes (100-TB framing): filters 0/2 unfilter fully
 vectorized (row add), filter 1 (Sub) via per-lane `np.add.accumulate`
@@ -165,11 +171,31 @@ def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
-def decode_png(buf: bytes) -> np.ndarray:
-    """Decode PNG bytes -> (H, W) or (H, W, C) uint8. CRC-checked."""
+def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(H, stride_bytes) recon rows -> (H, w) raw sample values for
+    bit depths 1/2/4/8 (left-to-right, MSB first per the spec)."""
+    if depth == 8:
+        return rows[:, :w]
+    if depth == 4:
+        out = np.empty((rows.shape[0], rows.shape[1] * 2), np.uint8)
+        out[:, 0::2] = rows >> 4
+        out[:, 1::2] = rows & 0x0F
+        return out[:, :w]
+    if depth == 2:
+        out = np.empty((rows.shape[0], rows.shape[1] * 4), np.uint8)
+        for i, sh in enumerate((6, 4, 2, 0)):
+            out[:, i::4] = (rows >> sh) & 0x03
+        return out[:, :w]
+    if depth == 1:
+        return np.unpackbits(rows, axis=1)[:, :w]
+    raise ValueError(f"unsupported PNG bit depth {depth}")
+
+
+def _decode_core(buf: bytes):
+    """-> (samples (H, W, C) uint8, ctype, palette|None, trns|None)."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4:pos + 8]
@@ -181,20 +207,34 @@ def decode_png(buf: bytes) -> np.ndarray:
             ihdr = data
         elif tag == b"IDAT":
             idat.append(data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif tag == b"IEND":
             break
         pos += 12 + length
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    if ctype not in _CHANNELS:
+    channels = dict(_CHANNELS)
+    channels[3] = 1
+    if ctype not in channels:
         raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth != 8 and (ctype not in (0, 3) or depth not in (1, 2, 4)):
+        raise ValueError(f"unsupported PNG bit depth {depth} "
+                         f"for color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace {interlace}")
-    c = _CHANNELS[ctype]
+    c = channels[ctype]
+    bpp = max(1, depth * c // 8)
     raw = zlib.decompress(b"".join(idat))
+
+    def row_bytes(width: int) -> int:
+        return (width * depth * c + 7) // 8
+
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
         arr = np.zeros((h, w, c), dtype=np.uint8)
         pos = 0
@@ -203,19 +243,75 @@ def decode_png(buf: bytes) -> np.ndarray:
             pw = (w - x0 + dx - 1) // dx
             if ph <= 0 or pw <= 0:
                 continue
-            stride = pw * c
+            stride = row_bytes(pw)
             nbytes = ph * (stride + 1)
             scan = np.frombuffer(raw, dtype=np.uint8, count=nbytes,
                                  offset=pos).reshape(ph, stride + 1)
             pos += nbytes
-            arr[y0::dy, x0::dx] = _unfilter(scan, ph, stride, c).reshape(ph, pw, c)
+            recon = _unfilter(scan, ph, stride, bpp)
+            if depth == 8:
+                arr[y0::dy, x0::dx] = recon.reshape(ph, pw, c)
+            else:
+                arr[y0::dy, x0::dx] = _unpack_samples(
+                    recon, pw, depth)[:, :, None]
         if pos != len(raw):
             raise ValueError("PNG Adam7 stream size mismatch")
-        return arr[:, :, 0] if c == 1 else arr
-    stride = w * c
+        return arr, ctype, plte, trns
+    stride = row_bytes(w)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    recon = _unfilter(scan, h, stride, c)
-    arr = recon.reshape(h, w, c)
-    return arr[:, :, 0] if c == 1 else arr
+    recon = _unfilter(scan, h, stride, bpp)
+    if depth == 8:
+        arr = recon.reshape(h, w, c)
+    else:
+        arr = _unpack_samples(recon, w, depth)[:, :, None]
+    return arr, ctype, plte, trns
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Decode PNG bytes -> (H, W) or (H, W, C) uint8. CRC-checked.
+    Paletted images expand to RGB (RGBA when tRNS is present)."""
+    arr, ctype, plte, trns = _decode_core(buf)
+    if ctype == 3:
+        idx = arr[:, :, 0]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            lut = np.concatenate([plte, alpha[:, None]], axis=1)
+        else:
+            lut = plte
+        return lut[idx]
+    return arr[:, :, 0] if arr.shape[2] == 1 else arr
+
+
+def decode_png_indexed(buf: bytes):
+    """Paletted PNG -> (index band (H, W) uint8, palette (N, 3) uint8,
+    trns (K,) uint8 | None) — the GetColorTable-preserving decode used
+    by pct2rgb/attachpct-style tools."""
+    arr, ctype, plte, trns = _decode_core(buf)
+    if ctype != 3:
+        raise ValueError("not a paletted PNG (color type != 3)")
+    return arr[:, :, 0], plte, trns
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
+                       trns: "np.ndarray | None" = None,
+                       compress_level: int = 6) -> bytes:
+    """Encode (H, W) uint8 index band + (N<=256, 3) palette -> color
+    type 3 PNG (depth 8), optional tRNS alpha per palette entry."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    h, w = idx.shape
+    payload = _filter_rows(idx.reshape(h, w), 1, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    chunks = [_SIG, _chunk(b"IHDR", ihdr),
+              _chunk(b"PLTE", palette.tobytes())]
+    if trns is not None:
+        chunks.append(_chunk(
+            b"tRNS", np.ascontiguousarray(trns, dtype=np.uint8).tobytes()))
+    chunks.append(_chunk(b"IDAT", zlib.compress(payload, compress_level)))
+    chunks.append(_chunk(b"IEND", b""))
+    return b"".join(chunks)

@@ -166,11 +166,12 @@ _PLANARCONFIG, _SAMPLEFORMAT = 284, 339
 _PREDICTOR = 317
 _TILEWIDTH, _TILELENGTH, _TILEOFFSETS, _TILEBYTECOUNTS = 322, 323, 324, 325
 _MODELPIXELSCALE, _MODELTIEPOINT, _GEOKEYDIRECTORY = 33550, 33922, 34735
+_GDAL_NODATA = 42113  # ASCII nodata value (frmts/gtiff GDAL_NODATA tag)
 
 # TIFF field types
 _T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
 _T_LONG8 = 16  # BigTIFF 64-bit unsigned
-_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
+_TYPE_SIZE = {2: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
 
 # numpy dtype -> (bits, sample_format)  (1=uint, 2=int, 3=float)
 _DTYPES = {
@@ -201,7 +202,8 @@ def encode_geotiff(arr: np.ndarray,
                    tile_size: Optional[int] = None,
                    compress_level: int = 6,
                    predictor: int = 1,
-                   bigtiff=None) -> bytes:
+                   bigtiff=None,
+                   nodata=None) -> bytes:
     """(H, W) or (H, W, B) array -> GeoTIFF bytes.
 
     transform: GDAL-style (x0, px_w, rot, y0, rot, -px_h) affine; only
@@ -306,6 +308,14 @@ def encode_geotiff(arr: np.ndarray,
     gk = _geokeys(epsg)
     if gk is not None:
         add(_GEOKEYDIRECTORY, _T_SHORT, gk)
+    if nodata is not None:
+        # GDAL writes the repr it parses back with atof; integral
+        # floats print without the trailing .0 (frmts/gtiff)
+        nd = float(nodata)
+        txt = str(int(nd)) if nd == int(nd) else repr(nd)
+        raw = txt.encode("ascii") + b"\x00"
+        entries.append((_GDAL_NODATA, 2, len(raw),
+                        np.frombuffer(raw, dtype=np.uint8)))
 
     entries.sort(key=lambda e: e[0])
 
@@ -334,7 +344,7 @@ def encode_geotiff(arr: np.ndarray,
     overflow_off = ifd_off + ifd_size
     overflow = b""
     packed = []
-    np_types = {_T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8",
+    np_types = {2: "u1", _T_SHORT: "<u2", _T_LONG: "<u4", _T_DOUBLE: "<f8",
                 _T_LONG8: "<u8"}
     ptr_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, count, vals in entries:
@@ -699,9 +709,16 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
             kid, loc, cnt, val = (int(v) for v in gk[4 + 4 * k:8 + 4 * k])
             if kid in (2048, 3072) and loc == 0:
                 epsg = val
+    nodata = None
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[_GDAL_NODATA].tobytes()
+                           .split(b"\x00")[0].decode("ascii"))
+        except ValueError:
+            pass
     arr = out[:, :, 0] if bands == 1 else out
     meta = {"width": w, "height": h, "bands": bands, "transform": transform,
-            "epsg": epsg,
+            "epsg": epsg, "nodata": nodata,
             "compression": {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
                             32773: "packbits"}[comp],
             "dtype": str(np.dtype(dt).newbyteorder("=")),

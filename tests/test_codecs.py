@@ -290,3 +290,68 @@ class TestDspFeatures:
             [encode_png(np.zeros((4, 4), np.uint8))], type=pa.binary())})
         with pytest.raises(ValueError, match="image payload"):
             AudioFeatureStage()(t)
+
+
+class TestPalettedPNG:
+    """Color type 3 + sub-8-bit depths (frmts/png GetColorTable path),
+    pinned against the reference's own fixtures."""
+
+    REF = "/root/reference/autotest"
+
+    def test_reference_fixture_checksums(self):
+        from lib_gdal_ray.codecs.png import decode_png, decode_png_indexed
+        from lib_gdal_ray.pipelines.rasterize import gdal_checksum
+
+        buf = open(f"{self.REF}/gdrivers/data/png/test.png", "rb").read()
+        idx, plte, trns = decode_png_indexed(buf)
+        # GDAL pins the index band at 57921 (autotest/gdrivers/png.py:38)
+        assert int(gdal_checksum(idx)) == 57921
+        assert plte.shape == (16, 3) and trns is not None
+        rgba = decode_png(buf)          # expanded RGBA (tRNS present)
+        assert rgba.shape == (400, 400, 4)
+        import numpy as np
+
+        np.testing.assert_array_equal(rgba[:, :, :3],
+                                      plte[idx])
+
+    def test_palette_roundtrip(self):
+        import numpy as np
+
+        from lib_gdal_ray.codecs.png import (decode_png_indexed,
+                                             encode_png_palette)
+
+        rng = np.random.RandomState(0)
+        idx = rng.randint(0, 12, size=(33, 17)).astype(np.uint8)
+        pal = rng.randint(0, 256, size=(12, 3)).astype(np.uint8)
+        trns = rng.randint(0, 256, size=5).astype(np.uint8)
+        i2, p2, t2 = decode_png_indexed(encode_png_palette(idx, pal, trns))
+        np.testing.assert_array_equal(i2, idx)
+        np.testing.assert_array_equal(p2, pal)
+        np.testing.assert_array_equal(t2, trns)
+
+    def test_sub_byte_gray(self):
+        # synthesize 1/2/4-bit grayscale PNGs and decode raw samples
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from lib_gdal_ray.codecs.png import _SIG, _chunk, decode_png
+
+        for depth in (1, 2, 4):
+            w, h = 13, 5
+            vals = (np.arange(w * h).reshape(h, w) % (1 << depth)).astype(
+                np.uint8)
+            # pack rows MSB-first
+            rows = []
+            for y in range(h):
+                bits = np.zeros(w * depth, dtype=np.uint8)
+                for i, v in enumerate(vals[y]):
+                    for b in range(depth):
+                        bits[i * depth + b] = (v >> (depth - 1 - b)) & 1
+                rows.append(b"\x00" + np.packbits(bits).tobytes())
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            png = b"".join([_SIG, _chunk(b"IHDR", ihdr),
+                            _chunk(b"IDAT", zlib.compress(b"".join(rows))),
+                            _chunk(b"IEND", b"")])
+            np.testing.assert_array_equal(decode_png(png), vals)
