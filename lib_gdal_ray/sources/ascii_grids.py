@@ -206,3 +206,216 @@ def identify_xyz(buf: bytes) -> bool:
         return True
     except ValueError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# GRASS ASCII grid (frmts/aaigrid GRASSASCIIDataset analog)
+# ---------------------------------------------------------------------------
+
+def identify_grassascii(buf: bytes) -> bool:
+    head = buf[:256].lstrip().lower()
+    return head.startswith(b"north:") or head.startswith(b"north ")
+
+
+def decode_grassascii(buf: bytes) -> Tuple[np.ndarray, dict]:
+    """GRASS ASCII grid (r.out.ascii): north/south/east/west/rows/cols
+    header lines (plus optional null:/type:), then row-major values
+    top-down.  GT = (west, (east-west)/cols, 0, north, 0,
+    -(north-south)/rows) — autotest grassasciigrid.py pins
+    [-100, 62.5, 0, 250, 0, -41.666...] + checksum 212 on the
+    reference fixture (reference GRASSASCIIDataset::ParseHeader,
+    aaigriddataset.cpp:626)."""
+    text = buf.decode("ascii", errors="replace")
+    kv = {}
+    rows_txt = []
+    for ln in text.splitlines():
+        t = ln.strip()
+        if not t:
+            continue
+        key = t.split(":", 1)[0].lower()
+        if key in ("north", "south", "east", "west", "rows", "cols",
+                   "null", "type") and ":" in t:
+            kv[key] = t.split(":", 1)[1].strip()
+        else:
+            rows_txt.append(t)
+    north, south = float(kv["north"]), float(kv["south"])
+    east, west = float(kv["east"]), float(kv["west"])
+    nrows, ncols = int(kv["rows"]), int(kv["cols"])
+    null = kv.get("null", "*")
+    flat = []
+    for t in rows_txt:
+        flat.extend(t.split())
+    vals = np.array([np.nan if v == null else float(v) for v in flat],
+                    dtype=np.float64)
+    arr = vals[:nrows * ncols].reshape(nrows, ncols)
+    if kv.get("type", "").lower() in ("int", "cell") or (
+            "type" not in kv and not np.isnan(arr).any()
+            and np.all(arr == np.rint(arr))):
+        arr = arr.astype(np.int32)
+    meta = {"width": ncols, "height": nrows, "bands": 1,
+            "transform": (west, (east - west) / ncols, 0.0,
+                          north, 0.0, -(north - south) / nrows),
+            "epsg": None,
+            "nodata": None if null == "*" else None}
+    return arr, meta
+
+
+def encode_grassascii(arr: np.ndarray,
+                      transform: Optional[tuple] = None) -> bytes:
+    a = np.asarray(arr)
+    h, w = a.shape
+    if transform is None:
+        transform = (0.0, 1.0, 0.0, float(h), 0.0, -1.0)
+    x0, pxw, _r0, y0, _r1, neg_pxh = transform
+    out = [f"north: {y0:.6f}\n",
+           f"south: {y0 + neg_pxh * h:.6f}\n",
+           f"east: {x0 + pxw * w:.6f}\n",
+           f"west: {x0:.6f}\n",
+           f"rows: {h}\n", f"cols: {w}\n"]
+    ints = np.issubdtype(a.dtype, np.integer)
+    for row in a:
+        out.append(" ".join(str(int(v)) if ints else f"{float(v):.10g}"
+                            for v in row) + "\n")
+    return "".join(out).encode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# ISG geoid grid (frmts/aaigrid ISGDataset analog)
+# ---------------------------------------------------------------------------
+
+def identify_isg(buf: bytes) -> bool:
+    head = buf[:4096]
+    return (b"begin_of_head" in head and b"lat min" in head
+            and b"delta lat" in head)
+
+
+def _isg_num(s: str) -> float:
+    """Decimal or DMS (40\xb000'00\") coordinate value."""
+    s = s.strip()
+    # latin-1-decoded UTF-8 degree sign reads as "\xc2\xb0"
+    for deg in ("\xc2\xb0", "\xb0"):
+        if deg in s:
+            d, rest = s.split(deg, 1)
+            m, sec = "0", "0"
+            if "'" in rest:
+                m, rest = rest.split("'", 1)
+                sec = rest.replace('"', "").strip() or "0"
+            sign = -1.0 if d.strip().startswith("-") else 1.0
+            return sign * (abs(float(d)) + float(m) / 60.0
+                           + float(sec) / 3600.0)
+    return float(s)
+
+
+def _isg_try_round(delta, rounded, vmin, vmax, nvals, tol):
+    """The reference's TryRoundTo half/whole-cell snap
+    (aaigriddataset.cpp:878-935)."""
+    import math
+
+    def snap(v, half):
+        q = abs(v / rounded)
+        base = math.floor(q) + 0.5 if half else math.floor(q + 0.5)
+        out = base * rounded
+        return -out if v < 0 else out
+
+    for half in (True, False):
+        if rounded == delta:
+            continue
+        q1 = abs(vmin / rounded)
+        q2 = abs(vmax / rounded)
+        t1 = abs(q1 - ((math.floor(q1) + 0.5) if half
+                       else math.floor(q1 + 0.5)))
+        t2 = abs(q2 - ((math.floor(q2) + 0.5) if half
+                       else math.floor(q2 + 0.5)))
+        if t1 < tol and t2 < tol:
+            mn, mx = snap(vmin, half), snap(vmax, half)
+            if abs(mn + rounded * nvals - mx) < tol * rounded:
+                return rounded, mn, mx, True
+    if abs(vmin + delta * nvals - vmax) < tol * delta:
+        return delta, vmin, vmax, True
+    return delta, vmin, vmax, False
+
+
+def decode_isg(buf: bytes) -> Tuple[np.ndarray, dict]:
+    """ISG (International Service for the Geoid) ascii geoid grid,
+    format versions 1.x / 2.0 (half-cell shift).  Reproduces the
+    reference's rounding-error auto-correction: deltas like 0.0167
+    snap to 1/60 when min/max sit on half- or whole-cell multiples,
+    else an approximate fallback recomputes delta from the extent
+    (aaigriddataset.cpp:732-990; autotest isg.py pins checksum 159 +
+    all four georef fixtures)."""
+    import math
+
+    text = buf.decode("latin-1")
+    head_start = text.find("begin_of_head")
+    head_end = text.find("end_of_head")
+    header = text[head_start:head_end]
+    body = text[head_end:].split("\n", 1)[1]
+    kv = {}
+    for ln in header.splitlines():
+        if ":" in ln and "=" not in ln.split(":", 1)[0]:
+            k, v = ln.split(":", 1)
+            kv[k.strip().lower()] = v.strip()
+        if "=" in ln:
+            k, v = ln.split("=", 1)
+            kv[k.strip().lower()] = v.strip()
+    use_dms = kv.get("coord units", "").strip() == "dms"
+
+    def num(key):
+        s = kv[key]
+        return _isg_num(s) if use_dms else float(s)
+
+    lat_min, lat_max = num("lat min"), num("lat max")
+    lon_min, lon_max = num("lon min"), num("lon max")
+    dlat, dlon = num("delta lat"), num("delta lon")
+    nrows, ncols = int(kv["nrows"]), int(kv["ncols"])
+    nodata = float(kv.get("nodata", "-9999"))
+    version = float(kv.get("isg format", "1.0"))
+    if version >= 2.0:
+        lat_min -= dlat / 2
+        lat_max += dlat / 2
+        lon_min -= dlon / 2
+        lon_max += dlon / 2
+
+    def rounded_delta(s_txt, d):
+        if s_txt == "0.0167" or (d < 1 and
+                                 abs(1. / d - math.floor(1. / d + 0.5))
+                                 < 0.06):
+            return 1. / math.floor(1. / d + 0.5)
+        return d
+
+    rd_lon = rounded_delta(kv["delta lon"], dlon)
+    rd_lat = rounded_delta(kv["delta lat"], dlat)
+    dlon2, lon_min2, lon_max2, ok1 = _isg_try_round(
+        dlon, rd_lon, lon_min, lon_max, ncols, 1e-2)
+    dlat2, lat_min2, lat_max2, ok2 = _isg_try_round(
+        dlat, rd_lat, lat_min, lat_max, nrows, 1e-2)
+    ok = ok1 and ok2
+    if not ok and kv["delta lon"] == "0.0167" and \
+            kv["delta lat"] == "0.0167":
+        dlon2, lon_min2, lon_max2, ok1 = _isg_try_round(
+            dlon, 0.016667, lon_min, lon_max, ncols, 1e-1)
+        dlat2, lat_min2, lat_max2, ok2 = _isg_try_round(
+            dlat, 0.016667, lat_min, lat_max, nrows, 1e-1)
+        ok = ok1 and ok2
+    if ok:
+        dlon, lon_min, lon_max = dlon2, lon_min2, lon_max2
+        dlat, lat_min, lat_max = dlat2, lat_min2, lat_max2
+    else:
+        if (abs((lon_max - lon_min) / ncols - dlon) < 0.005 * dlon and
+                abs((lat_max - lat_min) / nrows - dlat) < 0.005 * dlat):
+            dlon = (lon_max - lon_min) / ncols
+            dlat = (lat_max - lat_min) / nrows
+        else:
+            raise ValueError(
+                "ISG: inconsistent extent/resolution/raster dimension")
+
+    vals = np.array(body.split(), dtype=np.float64)[:nrows * ncols]
+    if len(vals) < nrows * ncols:  # header-only / truncated fixture
+        vals = np.concatenate([vals, np.full(nrows * ncols - len(vals),
+                                             nodata)])
+    arr = vals.reshape(nrows, ncols).astype(np.float32)
+    meta = {"width": ncols, "height": nrows, "bands": 1,
+            "transform": (lon_min, dlon, 0.0, lat_max, 0.0, -dlat),
+            "epsg": 4326, "nodata": nodata,
+            "model_name": kv.get("model name")}
+    return arr, meta

@@ -30,6 +30,19 @@ from ..codecs.tiff import decode_geotiff, encode_geotiff
 from .ascii_grids import (decode_aaigrid, decode_xyz, encode_aaigrid,
                           encode_xyz, identify_aaigrid, identify_xyz)
 
+def _lazy(mod: str, fn: str):
+    import importlib
+
+    return getattr(importlib.import_module(f".{mod}", __package__), fn)
+
+
+def _no_encode(name: str):
+    def enc(a, **kw):
+        raise NotImplementedError(f"{name} driver is read-only")
+
+    return enc
+
+
 # name -> (extensions, decode(buf)->(arr, meta), encode(arr, **kw)->buf)
 DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "GTiff": ((".tif", ".tiff"),
@@ -56,6 +69,20 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "RMF": ((".rsw", ".mtw"),
             lambda b: _decode_rmf_hw(b),
             lambda a, **kw: _encode_rmf_hw(a, **kw)),
+    "GRASSASCIIGrid": ((".txt",),
+                       lambda b: _lazy("ascii_grids",
+                                       "decode_grassascii")(b),
+                       lambda a, **kw: _lazy("ascii_grids",
+                                             "encode_grassascii")(a, **kw)),
+    "ISG": ((".isg",),
+            lambda b: _lazy("ascii_grids", "decode_isg")(b),
+            _no_encode("ISG")),
+    "NWT_GRD": ((".grd",),
+                lambda b: _lazy("nwt", "decode_nwt_grd")(b),
+                _no_encode("NWT_GRD")),
+    "NWT_GRC": ((".grc",),
+                lambda b: _lazy("nwt", "decode_nwt_grc")(b),
+                _no_encode("NWT_GRC")),
 }
 
 
@@ -103,8 +130,18 @@ def identify(buf: bytes) -> Optional[str]:
         return name
     if buf[:4] in (b"RSW\x00", b"\x00WSR", b"MTW\x00"):
         return "RMF"
+    if buf[:4] == b"HGPC" and buf[4:5] in b"18":
+        from .nwt import identify_nwt
+
+        return identify_nwt(buf) or None
     if identify_aaigrid(buf):
         return "AAIGrid"
+    from .ascii_grids import identify_grassascii, identify_isg
+
+    if identify_grassascii(buf):
+        return "GRASSASCIIGrid"
+    if identify_isg(buf):
+        return "ISG"
     if identify_xyz(buf):
         return "XYZ"
     return None
@@ -167,6 +204,16 @@ def open_raster_path(path: str):
         if identify_tga(buf, path):
             arr, meta = decode_tga(buf)
             return "TGA", arr, meta
+    if low.endswith(".grd"):
+        from .rraster import decode_rraster, identify_rraster
+        if identify_rraster(path):
+            arr, meta = decode_rraster(path)
+            return "RRASTER", arr, meta
+    if low.endswith(".lcp"):
+        from .lcp import decode_lcp, identify_lcp
+        if identify_lcp(buf):
+            arr, meta = decode_lcp(buf, path=path)
+            return "LCP", arr, meta
     if low.endswith((".zmap", ".dat", ".zycor", ".grd")):
         from .gridformats import decode_zmap, identify_zmap
         if identify_zmap(buf):
