@@ -1,0 +1,230 @@
+"""OpenJUMP JML vector driver (read + write).
+
+A JML document is `<JCSDataFile>` with a `<JCSGMLInputTemplate>`
+declaring the collection/feature/geometry element names and a
+`<ColumnDefinitions>` list (valueElement elementName [+ attributeName
+/attributeValue], valueLocation body|attribute); features follow
+inside the collection element at any depth, carrying GML geometry.
+Columns declared outside the template block are ignored, as are
+feature/geometry elements outside their expected parents.  DATE
+columns render GDAL-style ("2014/10/18 21:36:45+02"); R_G_B drives
+the reference's style string (BRUSH for areas, PEN otherwise) which
+we surface as a `_style` column.
+
+Reference: ogr/ogrsf_frmts/jml/ogrjmllayer.cpp; autotest ogr_jml.py
+(field list, typed values, style strings, geometry WKTs — pinned in
+tests/test_vector_misc.py). Re-derived; no code copied.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+import pyarrow as pa
+
+from ..geom import wkb as wkb_mod
+
+
+def identify_jml(buf: bytes) -> bool:
+    return b"<JCSDataFile" in buf[:1024]
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _fmt_datetime(text: str) -> Optional[str]:
+    text = text.strip()
+    if not text:
+        return None
+    m = re.match(r"(\d{4})[-/](\d{2})[-/](\d{2})"
+                 r"(?:[T ](\d{2}):(\d{2}):(\d{2})(?:\.\d+)?"
+                 r"\s*(Z|[+-]\d{2}:?\d{2})?)?$", text)
+    if not m:
+        return text
+    y, mo, d, hh, mm, ss, tz = m.groups()
+    if hh is None:
+        return f"{y}/{mo}/{d} 00:00:00"
+    out = f"{y}/{mo}/{d} {hh}:{mm}:{ss}"
+    if tz == "Z":
+        out += "+00"
+    elif tz:
+        tzs = tz[:3]
+        tail = tz[3:].replace(":", "")
+        out += tzs + (":" + tail if tail and tail != "00" else "")
+    return out
+
+
+def read_jml(path: str) -> pa.Table:
+    """JML file -> Arrow table (declared columns + _style +
+    geometry WKB)."""
+    from .gml import gml_geom_to_wkb
+
+    with open(path, "rb") as f:
+        tree = ET.parse(f)
+    root = tree.getroot()
+    template = next((e for e in root.iter()
+                     if _local(e.tag) == "JCSGMLInputTemplate"), None)
+    coll_name, feat_name, geom_name = "featureCollection", "feature", \
+        "geometry"
+    columns = []
+    if template is not None:
+        for e in template:
+            t = _local(e.tag)
+            if t == "CollectionElement":
+                coll_name = (e.text or coll_name).strip()
+            elif t == "FeatureElement":
+                feat_name = (e.text or feat_name).strip()
+            elif t == "GeometryElement":
+                geom_name = (e.text or geom_name).strip()
+        # columns live in ColumnDefinitions OR directly under the
+        # template (OpenJUMP reads both; outside the template ignored)
+        for col in template.iter():
+                    if _local(col.tag) != "column":
+                        continue
+                    spec = {"name": None, "type": "STRING",
+                            "elem": None, "attr_name": None,
+                            "attr_value": None, "loc": "body",
+                            "loc_attr": None}
+                    for p in col:
+                        pt = _local(p.tag)
+                        if pt == "name":
+                            spec["name"] = (p.text or "").strip()
+                        elif pt == "type":
+                            spec["type"] = (p.text or "STRING").strip()
+                        elif pt == "valueElement":
+                            spec["elem"] = p.get("elementName")
+                            spec["attr_name"] = p.get("attributeName")
+                            spec["attr_value"] = p.get("attributeValue")
+                        elif pt == "valueLocation":
+                            spec["loc"] = p.get("position", "body")
+                            spec["loc_attr"] = p.get("attributeName")
+                    if spec["name"] and spec["elem"]:
+                        columns.append(spec)
+
+    coll = next((e for e in root.iter() if _local(e.tag) == coll_name),
+                None)
+    feats = [] if coll is None else \
+        [e for e in coll.iter() if _local(e.tag) == feat_name]
+
+    rows, geoms, styles = [], [], []
+    for ft in feats:
+        vals: dict = {}
+        for el in ft.iter():
+            if el is ft:
+                continue
+            tag = _local(el.tag)
+            for spec in columns:
+                if spec["name"] in vals or tag != spec["elem"]:
+                    continue
+                if spec["attr_name"] and \
+                        el.get(spec["attr_name"]) != spec["attr_value"]:
+                    continue
+                if spec["loc"] == "attribute":
+                    v = el.get(spec["loc_attr"] or "")
+                else:
+                    v = el.text if el.text and el.text.strip() else None
+                if v is not None:
+                    vals[spec["name"]] = v.strip() if \
+                        isinstance(v, str) else v
+        g = None
+        gel = next((e for e in ft.iter() if _local(e.tag) == geom_name),
+                   None)
+        if gel is not None:
+            for child in gel:
+                g = gml_geom_to_wkb(child)
+                if g is not None:
+                    break
+        rows.append(vals)
+        geoms.append(g)
+        rgb = vals.get("R_G_B")
+        if rgb and g is not None:
+            kind, _ = wkb_mod.parse_wkb(g)
+            if kind in ("polygon", "multipolygon"):
+                styles.append(f"BRUSH(fc:#{rgb})")
+            else:
+                styles.append(f"PEN(c:#{rgb})")
+        else:
+            styles.append(None)
+
+    cols = {}
+    for spec in columns:
+        n, t = spec["name"], spec["type"].upper()
+        vals = [r.get(n) for r in rows]
+        if t == "INTEGER":
+            cols[n] = pa.array([int(v) if v is not None else None
+                                for v in vals], pa.int64())
+        elif t in ("DOUBLE", "REAL"):
+            cols[n] = pa.array([float(v) if v is not None else None
+                                for v in vals], pa.float64())
+        elif t == "DATE":
+            cols[n] = pa.array([_fmt_datetime(v) if v is not None
+                                else None for v in vals], pa.string())
+        else:
+            cols[n] = pa.array(vals, pa.string())
+    cols["_style"] = pa.array(styles, pa.string())
+    cols["geometry"] = pa.array(geoms, pa.binary())
+    return pa.table(cols)
+
+
+def write_jml(table: pa.Table, path: str,
+              geometry_col: str = "geometry") -> int:
+    """Arrow table -> JML document (template from the schema)."""
+    from .gml import wkb_to_gml
+
+    def esc(s):
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    attrs = [c for c in table.column_names
+             if c not in (geometry_col, "_style")]
+
+    def jml_type(t):
+        if pa.types.is_integer(t):
+            return "INTEGER"
+        if pa.types.is_floating(t):
+            return "DOUBLE"
+        return "STRING"
+
+    out = ["<?xml version='1.0' encoding='UTF-8'?>",
+           '<JCSDataFile xmlns:gml="http://www.opengis.net/gml" '
+           'xmlns:xsi="http://www.w3.org/2000/10/XMLSchema-instance">',
+           "<JCSGMLInputTemplate>",
+           "<CollectionElement>featureCollection</CollectionElement>",
+           "<FeatureElement>feature</FeatureElement>",
+           "<GeometryElement>geometry</GeometryElement>",
+           "<ColumnDefinitions>"]
+    for c in attrs:
+        t = jml_type(table.schema.field(c).type)
+        out += ["     <column>",
+                f"          <name>{esc(c)}</name>",
+                f"          <type>{t}</type>",
+                f'          <valueElement elementName="property" '
+                f'attributeName="name" attributeValue="{esc(c)}"/>',
+                '          <valueLocation position="body"/>',
+                "     </column>"]
+    out += ["</ColumnDefinitions>", "</JCSGMLInputTemplate>",
+            "<featureCollection>"]
+    n = 0
+    for row in table.to_pylist():
+        n += 1
+        out.append("     <feature>")
+        g = row.get(geometry_col)
+        if g:
+            out.append("          <geometry>")
+            out.append("               " + wkb_to_gml(g))
+            out.append("          </geometry>")
+        else:
+            out.append("          <geometry/>")
+        for c in attrs:
+            v = row.get(c)
+            if v is not None:
+                out.append(f'          <property name="{esc(c)}">'
+                           f"{esc(v)}</property>")
+        out.append("     </feature>")
+    out += ["</featureCollection>", "</JCSDataFile>", ""]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out))
+    return n

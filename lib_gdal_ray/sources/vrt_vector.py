@@ -71,6 +71,11 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "sxf" if p.endswith(".sxf") else
         "s57" if p.endswith(".000") else
         "gmt" if p.endswith(".gmt") else
+        "e00" if p.endswith(".e00") else
+        "idf" if p.endswith(".idf") else
+        "jml" if p.endswith(".jml") else
+        "georss" if p.endswith((".rss", ".atom")) else
+        "idrisi" if p.endswith(".vct") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -95,6 +100,10 @@ def read_vector(path: str, fmt: Optional[str] = None,
         if "json-fg" in head or '"place"' in head:
             from .jsonfg import read_jsonfg
             return read_jsonfg(path)
+        if "esriGeometry" in head or ('"attributes"' in head
+                                      and '"features"' in head):
+            from .esrijson import read_esrijson
+            return ray.data.from_arrow(read_esrijson(path))
         from .vector_formats import read_geojson
         return read_geojson(path)
     if fmt == "jsonfg":
@@ -177,6 +186,31 @@ def read_vector(path: str, fmt: Optional[str] = None,
         # other layers hang off sources.gtfs.read_gtfs(path, layer)
         from .gtfs import read_gtfs
         return read_gtfs(path, "stops")
+    if fmt == "e00":
+        # default layer for the one-Dataset API: ARC if present, else
+        # LAB (point coverages); all layers via sources.avce00.read_e00
+        from .avce00 import read_e00
+        layers = read_e00(path)
+        return ray.data.from_arrow(
+            layers.get("ARC") or layers.get("LAB")
+            or next(iter(layers.values())))
+    if fmt == "idf":
+        from .idf import read_idf
+        layers = read_idf(path)
+        return ray.data.from_arrow(
+            layers.get("Node") or next(iter(layers.values())))
+    if fmt == "jml":
+        from .jml import read_jml
+        return ray.data.from_arrow(read_jml(path))
+    if fmt == "georss":
+        from .georss import read_georss
+        return ray.data.from_arrow(read_georss(path))
+    if fmt == "esrijson":
+        from .esrijson import read_esrijson
+        return ray.data.from_arrow(read_esrijson(path))
+    if fmt == "idrisi":
+        from .idrisi_vct import read_idrisi_vct
+        return ray.data.from_arrow(read_idrisi_vct(path))
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)

@@ -88,6 +88,16 @@ def _infer_format(path: str, explicit):
         return "gmt"
     if p.endswith(".gpx"):
         return "gpx"
+    if p.endswith(".e00"):
+        return "e00"
+    if p.endswith(".idf"):
+        return "idf"
+    if p.endswith(".jml"):
+        return "jml"
+    if p.endswith((".rss", ".atom")):
+        return "georss"
+    if p.endswith(".vct"):
+        return "idrisi"
     if os.path.isdir(path):
         names = os.listdir(path) if os.path.exists(path) else []
         if any(n.endswith(".gpkg") for n in names):
@@ -129,7 +139,8 @@ def _read(path: str, fmt: str, geometry_col: str):
         return read_vrt_vector(path, geometry_col=geometry_col)
     if fmt in ("tab", "mif", "dxf", "osm", "filegdb", "spatialite",
                "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt", "sxf",
-               "s57"):
+               "s57", "e00", "idf", "jml", "georss", "esrijson",
+               "idrisi"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
