@@ -4112,6 +4112,86 @@ def q_grib_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_rraster_roundtrip(sf_dir):
+    """RRASTER driver surface (frmts/raw/rrasterdataset.cpp analog,
+    sources/rraster.py): events → z0 count grid → .grd/.gri BIL pair
+    → line-range-split parallel read back → count + sum per 32-px row
+    band. Same oracle as envi_roundtrip."""
+    import os
+
+    from ..pipelines import relational
+    from ..sources import rraster as rr_mod
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 0, merge_alg="count",
+                                shuffle_partitions=4)
+    df = pix.to_pandas()  # ≤65536 sparse rows — driver-small
+    _z, gpx, gpy = rast.unpack_pixel(df["pix_id"].to_numpy())
+    dense = np.zeros((256, 256), dtype=np.float64)
+    dense[gpy, gpx] = df["burn"].to_numpy()
+    path = (f"/tmp/lib_gdal_ray_rraster_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.grd")
+    rr_mod.encode_rraster(dense, path)
+    back = rr_mod.read_rraster_rows(path, rows_per_chunk=32)
+
+    def band_cols(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v != 0
+        return pa.table({"row_band": pa.array(y[keep] // 32),
+                         "value": pa.array(v[keep])})
+
+    keyed = back.map_batches(band_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["row_band"],
+        [("count", "value", "n_pixels"), ("sum", "value", "n_events_f")],
+        shuffle_partitions=2)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_band": pc.cast(batch["row_band"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "n_events": pc.cast(pc.round(batch["n_events_f"]),
+                                pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def q_jml_roundtrip(sf_dir):
+    """OpenJUMP JML driver surface (ogr/ogrsf_frmts/jml analog,
+    sources/jml.py): events → ONE JML document (distributed
+    line-per-feature fragments + streaming concat) → fragment-parallel
+    read back → coordinates recovered. Same oracle as geojson."""
+    import os
+
+    from ..sources import jml as jml_mod
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_jml_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.jml")
+    jml_mod.write_jml_ds(layer, path)
+    return _points_back_to_coords(jml_mod.read_jml_fragments(path))
+
+
+def q_georss_roundtrip(sf_dir):
+    """GeoRSS driver surface (ogr/ogrsf_frmts/georss analog,
+    sources/georss.py): events → ONE RSS 2.0 + GeoRSS-simple feed
+    (distributed line-per-item fragments, lat-lon order on disk) →
+    fragment-parallel read back → coordinates recovered. Same oracle
+    as geojson."""
+    import os
+
+    from ..sources import georss as georss_mod
+
+    layer = _points_layer_with_name(sf_dir)
+    path = (f"/tmp/lib_gdal_ray_georss_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.rss")
+    georss_mod.write_georss_ds(layer, path)
+    return _points_back_to_coords(
+        georss_mod.read_georss_fragments(path))
+
+
 def _sql_envi_roundtrip():
     gx, gy = _tile_sql(8)  # z0 × 256 px = global 256-grid
     return f"""
@@ -6565,6 +6645,9 @@ QUERIES = {
     "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
     "grib_roundtrip": (q_grib_roundtrip, _sql_envi_roundtrip()),
+    "rraster_roundtrip": (q_rraster_roundtrip, _sql_envi_roundtrip()),
+    "jml_roundtrip": (q_jml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
+    "georss_roundtrip": (q_georss_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "contour_lines_ring": (q_contour_lines_ring, sql_contour_lines_ring()),
     "sieve_filter": (q_sieve, sql_sieve()),
     "viewshed": (q_viewshed, sql_viewshed()),

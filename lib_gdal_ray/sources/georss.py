@@ -235,3 +235,62 @@ def write_georss(table: pa.Table, path: str,
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out))
     return len(data)
+
+
+def write_georss_ds(ds, path: str, geometry_col: str = "geometry",
+                    name_col: str = "name") -> int:
+    """Ray Dataset -> ONE RSS 2.0 + GeoRSS-simple document,
+    distributed one-item-per-line rendering (shared _concat_xml)."""
+    import pyarrow as pa2
+
+    from .xml_vectors import _concat_xml
+
+    def to_lines(batch: pa2.Table) -> pa2.Table:
+        names = batch[name_col].to_pylist()
+        out = []
+        for i, g in enumerate(batch[geometry_col].to_pylist()):
+            kind, payload = wkb_mod.parse_wkb(g)
+            x, y = payload[0]
+            out.append(f"<item><title>{names[i]}</title>"
+                       f"<georss:point>{y!r} {x!r}</georss:point>"
+                       "</item>")
+        return pa2.table({"text": pa2.array(out)})
+
+    header = ('<?xml version="1.0"?>\n'
+              '<rss version="2.0" '
+              'xmlns:georss="http://www.georss.org/georss">\n'
+              "<channel>\n<title>export</title>\n")
+    return _concat_xml(ds, to_lines, path, header=header,
+                       footer="</channel>\n</rss>\n")
+
+
+def read_georss_fragments(path: str):
+    """Parallel GeoRSS read for line-per-item documents (the
+    write_georss_ds layout)."""
+    import pyarrow as pa2
+
+    from .xml_vectors import _fragment_lines
+
+    lines = _fragment_lines(path, "<item>")
+
+    def parse(batch: pa2.Table) -> pa2.Table:
+        import xml.etree.ElementTree as ET2
+
+        titles, geoms = [], []
+        for ln in batch["text"].to_pylist():
+            el = ET2.fromstring(
+                '<R xmlns:georss="http://www.georss.org/georss">'
+                + ln + "</R>")[0]
+            title, g = None, None
+            for c in el:
+                t = _local(c.tag)
+                if t == "title":
+                    title = c.text
+                elif t in ("point", "line", "polygon", "box"):
+                    g = _georss_geom(c)
+            titles.append(title)
+            geoms.append(g)
+        return pa2.table({"name": pa2.array(titles, pa2.string()),
+                          "geometry": pa2.array(geoms, pa2.binary())})
+
+    return lines.map_batches(parse, batch_format="pyarrow")

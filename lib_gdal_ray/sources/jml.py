@@ -228,3 +228,76 @@ def write_jml(table: pa.Table, path: str,
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out))
     return n
+
+
+def write_jml_ds(ds, path: str, geometry_col: str = "geometry",
+                 name_col: str = "name") -> int:
+    """Ray Dataset -> ONE JML document, distributed: features render
+    one-per-line in map_batches, the driver streams header +
+    fragments + footer (the shared _concat_xml sink)."""
+    import pyarrow as pa2
+
+    from .gml import wkb_to_gml
+    from .xml_vectors import _concat_xml
+
+    def to_lines(batch: pa2.Table) -> pa2.Table:
+        names = batch[name_col].to_pylist()
+        out = []
+        for i, g in enumerate(batch[geometry_col].to_pylist()):
+            out.append(
+                "<feature><geometry>" + (wkb_to_gml(g) if g else "")
+                + "</geometry>"
+                + f'<property name="{name_col}">{names[i]}</property>'
+                "</feature>")
+        return pa2.table({"text": pa2.array(out)})
+
+    header = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+              '<JCSDataFile xmlns:gml="http://www.opengis.net/gml">\n'
+              "<JCSGMLInputTemplate>\n"
+              "<CollectionElement>featureCollection</CollectionElement>\n"
+              "<FeatureElement>feature</FeatureElement>\n"
+              "<GeometryElement>geometry</GeometryElement>\n"
+              "<ColumnDefinitions>\n     <column>\n"
+              f"          <name>{name_col}</name>\n"
+              "          <type>STRING</type>\n"
+              '          <valueElement elementName="property" '
+              f'attributeName="name" attributeValue="{name_col}"/>\n'
+              '          <valueLocation position="body"/>\n'
+              "     </column>\n</ColumnDefinitions>\n"
+              "</JCSGMLInputTemplate>\n<featureCollection>\n")
+    return _concat_xml(ds, to_lines, path, header=header,
+                       footer="</featureCollection>\n</JCSDataFile>\n")
+
+
+def read_jml_fragments(path: str, name_col: str = "name"):
+    """Parallel JML read for line-per-feature documents (the
+    write_jml_ds layout)."""
+    import pyarrow as pa2
+
+    from .gml import gml_geom_to_wkb
+    from .xml_vectors import _fragment_lines
+
+    lines = _fragment_lines(path, "<feature>")
+
+    def parse(batch: pa2.Table) -> pa2.Table:
+        import xml.etree.ElementTree as ET2
+
+        names, geoms = [], []
+        for ln in batch["text"].to_pylist():
+            el = ET2.fromstring(
+                '<R xmlns:gml="http://www.opengis.net/gml">'
+                + ln + "</R>")[0]
+            g = None
+            gel = next((e for e in el if _local(e.tag) == "geometry"),
+                       None)
+            if gel is not None and len(gel):
+                g = gml_geom_to_wkb(gel[0])
+            nm = next((e.text for e in el
+                       if _local(e.tag) == "property"
+                       and e.get("name") == name_col), None)
+            names.append(nm)
+            geoms.append(g)
+        return pa2.table({name_col: pa2.array(names, pa2.string()),
+                          "geometry": pa2.array(geoms, pa2.binary())})
+
+    return lines.map_batches(parse, batch_format="pyarrow")

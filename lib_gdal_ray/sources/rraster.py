@@ -211,3 +211,60 @@ def encode_rraster(arr: np.ndarray, path: str,
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return len(payload)
+
+
+def read_rraster_rows(grd_path: str, band: int = 0,
+                      rows_per_chunk: int = 512):
+    """RRASTER -> Ray Dataset of pixel rows (band, y, x, value), split
+    on line ranges — the .gri raw store is trivially byte-addressable
+    (the read_envi_rows contract for the BIL/BIP/BSQ strides)."""
+    import pyarrow as pa
+    import ray.data
+
+    with open(grd_path, "r", encoding="utf-8", errors="replace") as f:
+        kv = _parse_grd(f.read())
+    h, w = int(kv["nrows"]), int(kv["ncols"])
+    nb = int(kv.get("nbands", "1"))
+    order = "<" if kv.get("byteorder", "little") == "little" else ">"
+    dt = np.dtype(order + _DTYPES[kv.get("datatype", "").upper()])
+    bandorder = kv.get("bandorder", "BIL").upper() if nb > 1 else "BIL"
+    isz = dt.itemsize
+    gri = os.path.splitext(grd_path)[0] + ".gri"
+    n_chunks = (h + rows_per_chunk - 1) // rows_per_chunk
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ys, xs, vs = [], [], []
+        with open(gri, "rb") as f:
+            for ci in batch["c"].to_pylist():
+                r0 = ci * rows_per_chunk
+                r1 = min(r0 + rows_per_chunk, h)
+                nr = r1 - r0
+                if bandorder == "BSQ":
+                    f.seek((band * h + r0) * w * isz)
+                    plane = np.frombuffer(f.read(nr * w * isz),
+                                          dt).reshape(nr, w)
+                elif bandorder == "BIP":
+                    f.seek(r0 * w * nb * isz)
+                    slab = np.frombuffer(f.read(nr * w * nb * isz),
+                                         dt).reshape(nr, w, nb)
+                    plane = slab[:, :, band]
+                else:  # BIL
+                    f.seek(r0 * nb * w * isz)
+                    slab = np.frombuffer(f.read(nr * nb * w * isz),
+                                         dt).reshape(nr, nb, w)
+                    plane = slab[:, band, :]
+                yy, xx = np.mgrid[r0:r1, 0:w]
+                ys.append(yy.ravel().astype(np.int32))
+                xs.append(xx.ravel().astype(np.int32))
+                vs.append(plane.ravel().astype(np.float64))
+        cat = np.concatenate
+        return pa.table({
+            "band": pa.array(np.full(sum(len(v) for v in vs), band,
+                                     dtype=np.int32)),
+            "y": pa.array(cat(ys)), "x": pa.array(cat(xs)),
+            "value": pa.array(cat(vs))})
+
+    return ray.data.from_items(
+        [{"c": i} for i in range(n_chunks)],
+        override_num_blocks=min(64, n_chunks)
+    ).map_batches(decode, batch_format="pyarrow")
