@@ -270,3 +270,86 @@ def write_csv_wkt(ds: ray.data.Dataset, path: str,
         return batch.drop_columns([geometry_col]).append_column(wkt_col, wkts)
 
     ds.map_batches(to_wkt, batch_format="pyarrow").write_csv(path)
+
+
+_CSV_X_NAMES = ("x", "lon", "long", "longitude", "easting")
+_CSV_Y_NAMES = ("y", "lat", "latitude", "northing")
+
+
+def _read_csvt(csv_path: str):
+    """.csvt sidecar -> list of declared types (OGR CSV driver:
+    Integer/Integer64/Real/String/Date/Time/DateTime[,(width.prec)])."""
+    import os
+    import re as _re
+
+    base = os.path.splitext(csv_path)[0]
+    for cand in (base + ".csvt", base + ".CSVT"):
+        if os.path.exists(cand):
+            with open(cand, "r", encoding="utf-8", errors="replace") as f:
+                line = f.readline()
+            return [_re.sub(r"\s*\(.*", "", t.strip().strip('"'))
+                    for t in line.strip().split(",")]
+    return None
+
+
+def read_csv_points(paths: Union[str, List[str]],
+                    x_col: str = None, y_col: str = None,
+                    **kwargs) -> ray.data.Dataset:
+    """CSV with X/Y (or lon/lat family) columns -> Dataset with WKB
+    point `geometry`, typed by the .csvt sidecar when present
+    (ogr/ogrsf_frmts/csv X_POSSIBLE_NAMES/Y_POSSIBLE_NAMES + .csvt
+    analog)."""
+    import numpy as np
+
+    first = paths if isinstance(paths, str) else paths[0]
+    with open(first, "r", encoding="utf-8-sig",
+              errors="replace") as fh:
+        header = fh.readline()
+    cols = [c.strip().strip('"') for c in header.rstrip("\n").split(",")]
+    low = [c.lower() for c in cols]
+    if x_col is None:
+        x_col = next((cols[i] for i, c in enumerate(low)
+                      if c in _CSV_X_NAMES), None)
+    if y_col is None:
+        y_col = next((cols[i] for i, c in enumerate(low)
+                      if c in _CSV_Y_NAMES), None)
+    csvt = _read_csvt(first)
+    ds = ray.data.read_csv(paths, **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        if csvt and len(csvt) == len(batch.column_names):
+            typed = {}
+            for i, name in enumerate(batch.column_names):
+                col = batch[name]
+                t = csvt[i]
+                try:
+                    if t in ("Integer", "Integer64"):
+                        # empty CSV cells read as NaN floats; null them
+                        # so the int cast succeeds
+                        f64 = pc2.cast(col, pa.float64())
+                        f64 = pc2.if_else(
+                            pc2.is_nan(f64),
+                            pa.nulls(len(f64), pa.float64()), f64)
+                        col = pc2.cast(f64, pa.int64())
+                    elif t == "Real":
+                        col = pc2.cast(col, pa.float64())
+                    elif t in ("String", "Date", "Time", "DateTime"):
+                        col = pc2.cast(col, pa.string())
+                except pa.ArrowInvalid:
+                    pass
+                typed[name] = col
+            batch = pa.table(typed)
+        if x_col and y_col and x_col in batch.column_names and \
+                y_col in batch.column_names:
+            x = np.asarray(batch[x_col].to_pylist(), dtype=np.float64)
+            y = np.asarray(batch[y_col].to_pylist(), dtype=np.float64)
+            from ..geom import wkb as wkb_mod
+
+            geoms = [bytes(g) for g in wkb_mod.points_to_wkb(x, y)]
+            batch = batch.append_column(
+                "geometry", pa.array(geoms, pa.binary()))
+        return batch
+
+    return ds.map_batches(parse, batch_format="pyarrow")

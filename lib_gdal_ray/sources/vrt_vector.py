@@ -76,6 +76,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "jml" if p.endswith(".jml") else
         "georss" if p.endswith((".rss", ".atom")) else
         "idrisi" if p.endswith(".vct") else
+        "arrow" if p.endswith((".feather", ".arrow", ".arrows")) else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -122,6 +123,13 @@ def read_vector(path: str, fmt: Optional[str] = None,
             cols = []
         if "wkt" in cols:
             return read_csv_wkt(path, wkt_col="wkt")
+        from .vector_formats import _CSV_X_NAMES, _CSV_Y_NAMES
+
+        if any(c in _CSV_X_NAMES for c in cols) and \
+                any(c in _CSV_Y_NAMES for c in cols):
+            from .vector_formats import read_csv_points
+
+            return read_csv_points(path)
         return ray.data.read_csv(path)
     if fmt == "csv":
         return ray.data.read_csv(path)
@@ -211,6 +219,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "idrisi":
         from .idrisi_vct import read_idrisi_vct
         return ray.data.from_arrow(read_idrisi_vct(path))
+    if fmt == "arrow":
+        from .arrow_ipc import read_arrow_ipc
+        return read_arrow_ipc(path)
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)
