@@ -127,9 +127,25 @@ def _read(path: str, fmt: str, geometry_col: str):
 
         return read_geojson(path)
     if fmt == "csvwkt":
-        from lib_gdal_ray.sources.vector_formats import read_csv_wkt
+        from lib_gdal_ray.sources.vector_formats import (_CSV_X_NAMES,
+                                                         _CSV_Y_NAMES,
+                                                         read_csv_points,
+                                                         read_csv_wkt)
 
-        ds = read_csv_wkt(path, wkt_col="wkt")
+        try:
+            with open(path, encoding="utf-8-sig",
+                      errors="replace") as fh:
+                cols = [c.strip().strip('"').lower()
+                        for c in fh.readline().split(",")]
+        except OSError:
+            cols = []
+        if "wkt" in cols:
+            ds = read_csv_wkt(path, wkt_col="wkt")
+        elif any(c in _CSV_X_NAMES for c in cols) and \
+                any(c in _CSV_Y_NAMES for c in cols):
+            ds = read_csv_points(path)
+        else:
+            ds = read_csv_wkt(path, wkt_col="wkt")
         if geometry_col != "geometry":
             ds = ds.rename_columns({"geometry": geometry_col})
         return ds
