@@ -169,6 +169,11 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    from .gti import identify_gti
+    if identify_gti(path):
+        from .gti import open_gti
+        arr, meta = open_gti(path)
+        return "GTI", arr, meta
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "attrib")):  # MFF2 (HKV)
             from .rawformats import decode_mff2
