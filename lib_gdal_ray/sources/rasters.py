@@ -195,6 +195,20 @@ def open_raster_path(path: str):
         from .fits import decode_fits
         arr, meta = decode_fits(buf)
         return "FITS", arr, meta
+    if buf[:27] == b"RUU CROSS SYSTEM MAP FORMAT":
+        from .pcraster import decode_pcraster
+        arr, meta = decode_pcraster(buf)
+        return "PCRaster", arr, meta
+    if low.endswith(("sirc.hdr", "sirc.img")):
+        from .cpg import decode_cpg_sirc, identify_cpg_path
+        if identify_cpg_path(path):
+            arr, meta = decode_cpg_sirc(path)
+            return "CPG", arr, meta
+    if low.endswith(".dat") and len(buf) >= 640:
+        from .iris import decode_iris, identify_iris
+        if identify_iris(buf):
+            arr, meta = decode_iris(buf)
+            return "IRIS", arr, meta
     if buf[:8] == b"PCIDSK  ":
         from .pcidsk import decode_pcidsk
         arr, meta = decode_pcidsk(buf)
