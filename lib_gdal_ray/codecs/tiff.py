@@ -17,8 +17,9 @@ average overview IFD chain, smallest-overview-first data layout);
 `decode_geotiff(ifd=N)` reads any level. JPEG-in-TIFF (new-style
 compression 7, uint8 gray/RGB) encodes and decodes through the
 pure-numpy baseline JPEG codec (`codecs/jpeg.py`), one standalone
-stream per strip/tile. Out of scope (documented): PlanarConfig=2,
-old-style JPEG(6), shared JPEGTables. The engine's distributed
+stream per strip/tile. Decode also accepts PlanarConfig=2
+(band-major strips) and legacy Deflate (32946). Out of scope
+(documented): old-style JPEG(6), shared JPEGTables. The engine's distributed
 pyramid lives in the tile table (`pipelines/tiles.py`); COG overviews
 serve the interchange path.
 
@@ -631,9 +632,9 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
     comp = int(tags.get(_COMPRESSION, [1])[0])
     planar = int(tags.get(_PLANARCONFIG, [1])[0])
     pred = int(tags.get(_PREDICTOR, [1])[0])
-    if planar != 1:
-        raise ValueError("PlanarConfig=2 unsupported")
-    if comp not in (1, 5, 7, 8, 32773):
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfig {planar}")
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if pred not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {pred}")
@@ -644,7 +645,7 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
 
     def decomp(off, cnt):
         raw = buf[off:off + cnt]
-        if comp == 8:
+        if comp in (8, 32946):  # 32946 = legacy Deflate
             return zlib.decompress(raw)
         if comp == 5:
             return _lzw_decode(raw)
@@ -684,6 +685,22 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
             tile = block_array(o, c, th, tw)
             ty, tx = (ti // tiles_across) * th, (ti % tiles_across) * tw
             out[ty:ty + th, tx:tx + tw] = tile[:min(th, h - ty), :min(tw, w - tx)]
+    elif planar == 2:
+        # PlanarConfig=2: strips are band-major — all strips of band
+        # 1 first, each holding one band's rows (TIFF 6.0 §14)
+        rps = int(tags.get(_ROWSPERSTRIP, [h])[0])
+        offs = tags[_STRIPOFFSETS]
+        cnts = tags[_STRIPBYTECOUNTS]
+        spb = (h + rps - 1) // rps  # strips per band
+        saved_bands = bands
+        bands = 1                   # block_array decodes one plane
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            bi, ri = si // spb, si % spb
+            y0 = ri * rps
+            nrows = min(rps, h - y0)
+            out[y0:y0 + nrows, :, bi] = block_array(o, c, nrows,
+                                                    w)[:, :, 0]
+        bands = saved_bands
     else:
         rps = int(tags.get(_ROWSPERSTRIP, [h])[0])
         offs = tags[_STRIPOFFSETS]
@@ -720,7 +737,7 @@ def decode_geotiff(buf: bytes, meta_only: bool = False, ifd: int = 0):
     meta = {"width": w, "height": h, "bands": bands, "transform": transform,
             "epsg": epsg, "nodata": nodata,
             "compression": {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
-                            32773: "packbits"}[comp],
+                            32946: "deflate", 32773: "packbits"}[comp],
             "dtype": str(np.dtype(dt).newbyteorder("=")),
             "overviews": overviews}
     return np.ascontiguousarray(arr), meta

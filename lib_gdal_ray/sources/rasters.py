@@ -191,6 +191,17 @@ def open_raster_path(path: str):
             return "AIG", arr, meta
     with open(path, "rb") as f:
         buf = f.read()
+    if buf.lstrip()[:12].startswith(b"<VRTDataset"):
+        # VRT content under a non-.vrt name (the reference probes by
+        # content; DIMAP fixtures ship IMAGERY.TIF that is a VRT)
+        from .vrt import open_vrt
+        arr, meta = open_vrt(path)
+        return "VRT", arr, meta
+    if low.endswith(".dim") or b"<Dimap_Document" in buf[:1024]:
+        from .dimap import decode_dimap, identify_dimap
+        if identify_dimap(buf):
+            arr, meta = decode_dimap(path)
+            return "DIMAP", arr, meta
     if buf[:9] == b"SIMPLE  =":
         from .fits import decode_fits
         arr, meta = decode_fits(buf)
@@ -479,11 +490,16 @@ def read_raster_pixels(paths: Union[str, List[str]],
         cols = {"path": [], "band": [], "y": [], "x": [], "value": []}
         for path, buf in zip(batch["path"].to_pylist(),
                              batch["bytes"].to_pylist()):
-            if identify(buf) is not None:
-                _name, arr, _meta = open_raster(buf)
-            else:
-                # sibling-file formats re-open by path (local/shared FS)
-                _name, arr, _meta = open_raster_path(path)
+            try:
+                if identify(buf) is not None:
+                    _name, arr, _meta = open_raster(buf)
+                else:
+                    # sibling-file formats re-open by path
+                    _name, arr, _meta = open_raster_path(path)
+            except ValueError:
+                # a directory scan tolerates stray non-raster files
+                # sharing a registered extension (.txt, .dat, ...)
+                continue
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             h, w, bands = arr.shape
