@@ -197,6 +197,11 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if low.endswith(".mrf") or b"<MRF_META" in buf[:64]:
+        from .mrf import decode_mrf, identify_mrf
+        if identify_mrf(buf):
+            arr, meta = decode_mrf(path)
+            return "MRF", arr, meta
     if low.endswith(".dim") or b"<Dimap_Document" in buf[:1024]:
         from .dimap import decode_dimap, identify_dimap
         if identify_dimap(buf):
