@@ -98,6 +98,8 @@ def _infer_format(path: str, explicit):
         return "georss"
     if p.endswith(".vct"):
         return "idrisi"
+    if p.endswith((".feather", ".arrow", ".arrows")):
+        return "arrow"
     if os.path.isdir(path):
         names = os.listdir(path) if os.path.exists(path) else []
         if any(n.endswith(".gpkg") for n in names):
@@ -156,7 +158,7 @@ def _read(path: str, fmt: str, geometry_col: str):
     if fmt in ("tab", "mif", "dxf", "osm", "filegdb", "spatialite",
                "xlsx", "ods", "topojson", "dgn", "gtfs", "gmt", "sxf",
                "s57", "e00", "idf", "jml", "georss", "esrijson",
-               "idrisi"):
+               "idrisi", "arrow"):
         from lib_gdal_ray.sources.vrt_vector import read_vector
 
         return read_vector(path, fmt=fmt, geometry_col=geometry_col)
@@ -256,13 +258,34 @@ def _write(ds, path: str, fmt: str, layer: str, geometry_col: str,
 
         write_dxf(ds, path, geometry_col=geometry_col)
         return -1
+    if fmt == "jml":
+        from lib_gdal_ray.sources.jml import write_jml_ds
+
+        name_col = "name" if ds.schema() is not None and \
+            "name" in ds.schema().names else \
+            next(c for c in ds.schema().names if c != geometry_col)
+        return write_jml_ds(ds, path, geometry_col=geometry_col,
+                            name_col=name_col)
+    if fmt == "georss":
+        from lib_gdal_ray.sources.georss import write_georss_ds
+
+        name_col = "name" if ds.schema() is not None and \
+            "name" in ds.schema().names else \
+            next(c for c in ds.schema().names if c != geometry_col)
+        return write_georss_ds(ds, path, geometry_col=geometry_col,
+                               name_col=name_col)
+    if fmt == "arrow":
+        from lib_gdal_ray.sources.arrow_ipc import write_arrow_ipc
+
+        return write_arrow_ipc(ds, path)
     raise ValueError(f"unsupported output format: {fmt!r} "
                      f"(writable: {sorted(_WRITABLE)})")
 
 
 _WRITABLE = {"parquet", "gpkg", "shapefile", "geojson", "geojsonseq",
              "csvwkt", "fgb", "gml", "kml", "gpx", "mif", "dxf",
-             "spatialite", "xlsx", "pgdump", "gmt"}
+             "spatialite", "xlsx", "pgdump", "gmt", "jml", "georss",
+             "arrow"}
 
 
 def _epsg(s: str) -> int:
