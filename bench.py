@@ -161,7 +161,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "envi_roundtrip", "grib_roundtrip",
                      "osm_roundtrip", "osm_ways", "mif_roundtrip", "dxf_roundtrip", "filegdb_roundtrip",
                      # round-4 session 4
-                     "spatialite_roundtrip", "xlsx_roundtrip"]
+                     "spatialite_roundtrip", "xlsx_roundtrip",
+                     # round-4 session 6
+                     "rraster_roundtrip", "jml_roundtrip",
+                     "georss_roundtrip"]
     import gc
 
     for name in bench_queries:
