@@ -197,6 +197,16 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if low.endswith(".til"):
+        from .til import decode_til, identify_til
+        if identify_til(buf):
+            arr, meta = decode_til(path)
+            return "TIL", arr, meta
+    if low.endswith(".xml") and b"<product" in buf[:512]:
+        from .rs2 import decode_rs2, identify_rs2
+        if identify_rs2(buf):
+            arr, meta = decode_rs2(path)
+            return "RS2", arr, meta
     if low.endswith(".mrf") or b"<MRF_META" in buf[:64]:
         from .mrf import decode_mrf, identify_mrf
         if identify_mrf(buf):
@@ -487,7 +497,8 @@ def read_raster_pixels(paths: Union[str, List[str]],
     exts += ["ers", "bil", "flt", "bsq", "bip", "hgt", "hdr",
              "img", "rrd", "grd", "gtx", "cub", "lbl", "vic", "xml", "gxf",
              "byn", "mpr", "kap", "ntf", "nsf", "bt", "kro", "lan", "gis",
-             "pgm", "ppm", "rst", "sdat", "sgrd", "gsb", "dem"]
+             "pgm", "ppm", "rst", "sdat", "sgrd", "gsb", "dem",
+             "til", "mrf", "lcp", "map", "dat", "dim"]
     kwargs.setdefault("file_extensions", exts)
     raw = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
