@@ -197,6 +197,11 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if low.endswith(".json"):
+        from .stacta import decode_stacta, identify_stacta
+        if identify_stacta(buf):
+            arr, meta = decode_stacta(path)
+            return "STACTA", arr, meta
     if low.endswith(".til"):
         from .til import decode_til, identify_til
         if identify_til(buf):
