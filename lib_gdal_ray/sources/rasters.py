@@ -279,6 +279,11 @@ def open_raster_path(path: str):
         if identify_srtmhgt(buf, path):
             arr, meta = decode_srtmhgt(buf, path)
             return "SRTMHGT", arr, meta
+    if low.endswith(".ace2"):
+        from .srtmhgt import decode_ace2, identify_ace2
+        if identify_ace2(path):
+            arr, meta = decode_ace2(path)
+            return "ACE2", arr, meta
     if low.endswith(".hdr") and buf.lstrip()[:16].startswith(
             b"IMAGINE_RAW_FILE"):
         from .rawmisc import decode_eir

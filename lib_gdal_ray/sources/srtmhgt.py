@@ -79,3 +79,57 @@ def encode_srtmhgt(arr: np.ndarray, **_kw) -> bytes:
     if len(buf) not in _SIZES:
         raise ValueError(f"shape {arr.shape} is not an SRTM grid size")
     return buf
+
+
+# ---------------------------------------------------------------------------
+# ACE2 (Altimeter Corrected Elevations 2) — frmts/raw/ace2dataset.cpp
+# analog: georeferencing and grid size come entirely from the file
+# NAME (e.g. 45N015E_5M.ACE2: south-west corner + resolution suffix
+# _5M/_30S/_9S/_3S → 180/1800/6000/18000 cells of a 15° tile);
+# float32 little-endian elevations (int16 for _CONF_/_QUALITY_/
+# _SOURCE_ layers). autotest ace2.py pins the gt of a synthesized
+# 45N015E_5M tile. Re-derived; no code copied.
+# ---------------------------------------------------------------------------
+
+_ACE2_SIZES = {"_5M": (180, 5.0 / 60), "_30S": (1800, 30.0 / 3600),
+               "_9S": (6000, 9.0 / 3600), "_3S": (18000, 3.0 / 3600)}
+
+
+def identify_ace2(path: str) -> bool:
+    import re
+
+    base = os.path.basename(path)
+    return bool(re.match(r"^\d{2}[NSns]\d{3}[EWew]_.*\.ACE2$", base,
+                         re.IGNORECASE))
+
+
+def decode_ace2(path: str):
+    base = os.path.basename(path)
+    lat = int(base[0:2]) * (1 if base[2].upper() == "N" else -1)
+    lon = int(base[3:6]) * (1 if base[6].upper() == "E" else -1)
+    int16 = any(t in base.upper()
+                for t in ("_CONF_", "_QUALITY_", "_SOURCE_"))
+    dt = np.dtype("<i2" if int16 else "<f4")
+    n = None
+    px = None
+    for suffix, (cells, size) in _ACE2_SIZES.items():
+        if suffix in base.upper():
+            n, px = cells, size
+            break
+    if n is None:
+        sz = os.path.getsize(path)
+        for cells, size in _ACE2_SIZES.values():
+            if sz == cells * cells * dt.itemsize:
+                n, px = cells, size
+                break
+    if n is None:
+        raise ValueError("ACE2: cannot infer grid size")
+    raw = np.fromfile(path, dtype=dt, count=n * n)
+    if len(raw) < n * n:  # sparse/truncated tile → zero fill
+        raw = np.concatenate([raw, np.zeros(n * n - len(raw), dt)])
+    arr = np.ascontiguousarray(
+        raw.reshape(n, n).astype(dt.newbyteorder("=")))
+    gt = (float(lon), px, 0.0, lat + n * px, 0.0, -px)
+    meta = {"width": n, "height": n, "bands": 1, "transform": gt,
+            "epsg": 4326, "nodata": None}
+    return arr, meta

@@ -81,3 +81,31 @@ class TestCPG:
         np.testing.assert_allclose(a[0, 0, 0],
                                    127 * s0 - 127j * s0, rtol=1e-6)
         np.testing.assert_allclose(a[0, 1, 0], 127 * s1, rtol=1e-6)
+
+
+class TestACE2:
+    def test_synthesized_tile(self, tmp_path):
+        # mirrors ace2.py test_ace2_1: zero-filled 45N015E_5M tile
+        p = tmp_path / "45N015E_5M.ACE2"
+        p.write_bytes(b"\x00" * (180 * 180 * 4))
+        drv, arr, meta = open_raster_path(str(p))
+        assert drv == "ACE2"
+        assert arr.shape == (180, 180) and arr.dtype == np.float32
+        assert int(gdal_checksum(arr)) == 0
+        np.testing.assert_allclose(
+            meta["transform"],
+            [15.0, 1 / 12, 0.0, 60.0, 0.0, -1 / 12], rtol=1e-12)
+        assert meta["epsg"] == 4326
+
+    def test_sw_hemisphere_and_int16(self, tmp_path):
+        p = tmp_path / "30S120W_5M.ACE2"
+        p.write_bytes(np.arange(180 * 180,
+                                dtype="<f4").tobytes())
+        _, arr, meta = open_raster_path(str(p))
+        assert meta["transform"][0] == -120.0
+        assert meta["transform"][3] == -15.0
+        assert arr[0, 1] == 1.0
+        q = tmp_path / "30S120W_QUALITY_5M.ACE2"
+        q.write_bytes(np.full(180 * 180, 3, dtype="<i2").tobytes())
+        _, arr, _ = open_raster_path(str(q))
+        assert arr.dtype == np.int16 and arr[0, 0] == 3
