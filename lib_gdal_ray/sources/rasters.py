@@ -197,6 +197,15 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if low.endswith(".tpkx"):
+        from .esric import decode_tpkx
+        arr, meta = decode_tpkx(path)
+        return "ESRIC", arr, meta
+    if low.endswith((".tar", "conf.xml")):
+        from .esric import decode_esric, identify_esric
+        if identify_esric(path):
+            arr, meta = decode_esric(path)
+            return "ESRIC", arr, meta
     if low.endswith(".json"):
         from .stacta import decode_stacta, identify_stacta
         if identify_stacta(buf):
