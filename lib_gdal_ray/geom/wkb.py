@@ -164,6 +164,8 @@ _KEEP_DIMS = [False]
 
 def _parse_geom(buf: bytes, off: int):
     byte_order = buf[off]
+    if byte_order in (0x30, 0x31):  # DB2 v7.2 ASCII '0'/'1' variant
+        byte_order -= 0x30
     fmt = "<" if byte_order == 1 else ">"
     (raw_type,) = struct.unpack_from(fmt + "I", buf, off + 1)
     gtype, ndims, has_srid = _type_dims(raw_type)

@@ -218,10 +218,15 @@ def _parse_geometry(tk: _Tokens) -> bytes:
     raise ValueError(f"unsupported WKT type {tag!r}")
 
 
-def wkt_to_wkb(text: str) -> bytes:
-    """WKT string -> WKB bytes (little-endian ISO)."""
+def wkt_to_wkb(text: str, strict: bool = False) -> bytes:
+    """WKT string -> WKB bytes (little-endian ISO).
+
+    Trailing text after the geometry is ignored by default —
+    OGR's importFromWkt leaves its cursor there rather than failing
+    (the reference's own wkb_wkt corpus carries such strays);
+    strict=True restores the hard error."""
     tk = _Tokens(text)
     out = _parse_geometry(tk)
-    if tk.peek() is not None:
+    if strict and tk.peek() is not None:
         raise ValueError(f"trailing tokens in WKT: {tk.toks[tk.pos:]}")
     return out
