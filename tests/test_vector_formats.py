@@ -67,8 +67,13 @@ class TestWkt:
     def test_errors(self):
         with pytest.raises(ValueError):
             T.wkt_to_wkb("CIRCLE (0 0, 1)")
+        # trailing text is tolerated by default (OGR importFromWkt
+        # cursor semantics — the reference's own corpus carries it);
+        # strict mode restores the hard error
+        assert T.wkt_to_wkb("POINT (1 2) trailing") == \
+            T.wkt_to_wkb("POINT (1 2)")
         with pytest.raises(ValueError):
-            T.wkt_to_wkb("POINT (1 2) trailing")
+            T.wkt_to_wkb("POINT (1 2) trailing", strict=True)
 
 
 class TestGeoJsonGeom:
