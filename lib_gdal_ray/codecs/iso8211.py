@@ -102,12 +102,22 @@ def _expand_formats(fmt: str) -> List[Tuple[str, Optional[int]]]:
 
 
 def _parse_leader(buf: bytes, off: int):
-    reclen = int(buf[off:off + 5])
+    # SRP/ASRP writers fill unknown lengths with '^' — extent is then
+    # computed from the directory (the DDFModule tolerance)
+    raw_len = buf[off:off + 5]
+    reclen = 0 if not raw_len.strip().isdigit() else int(raw_len)
     leader_id = chr(buf[off + 6])
-    base = int(buf[off + 12:off + 17])
-    szlen = int(buf[off + 20:off + 21])
-    szpos = int(buf[off + 21:off + 22])
-    sztag = int(buf[off + 23:off + 24])
+    raw_base = buf[off + 12:off + 17]
+    if raw_base.strip().isdigit():
+        base = int(raw_base)
+        szlen = int(buf[off + 20:off + 21])
+        szpos = int(buf[off + 21:off + 22])
+        sztag = int(buf[off + 23:off + 24])
+    else:
+        # fully '^'-filled leader (SRP/ADRG data records): reuse the
+        # PREVIOUS record's directory geometry — signalled to the
+        # caller with base < 0 (iter_records resolves it)
+        base, szlen, szpos, sztag = -1, 0, 0, 0
     return reclen, leader_id, base, szlen, szpos, sztag
 
 
@@ -243,6 +253,8 @@ def iter_records(buf: bytes):
     reuse = None  # (base, dirents) for leader 'R' reuse
     while off + 24 <= n:
         reclen, lid, base, szlen, szpos, sztag = _parse_leader(buf, off)
+        if base < 0:  # '^'-filled trailing padding (SRP/ADRG) — EOF
+            break
         if lid == "R" and reuse is None:
             ents, _ = _parse_directory(buf, off + 24, szlen, szpos, sztag)
             reuse = (base, ents)

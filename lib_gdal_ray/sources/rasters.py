@@ -211,6 +211,26 @@ def open_raster_path(path: str):
         if identify_stacta(buf):
             arr, meta = decode_stacta(path)
             return "STACTA", arr, meta
+    if low.endswith((".gen", ".thf", ".img")) and buf[:5].isdigit() \
+            or low.endswith((".gen", ".thf")) and b"GIN" in buf[:8192]:
+        # ISO 8211 raster products: USRP/ASRP vs ADRG by the DSI
+        # product tag (for a bare .IMG, probe the sibling .GEN)
+        probe = buf[:8192]
+        if low.endswith(".img"):
+            stem = os.path.splitext(path)[0]
+            for cand in (stem + ".GEN", stem + ".gen"):
+                if os.path.exists(cand):
+                    with open(cand, "rb") as gf:
+                        probe = gf.read(8192)
+                    break
+        if b"USRP" in probe or b"ASRP" in probe:
+            from .adrg import decode_srp
+            arr, meta = decode_srp(path)
+            return "SRP", arr, meta
+        if b"ADRG" in probe or b"ARC" in probe[:2048]:
+            from .adrg import decode_adrg
+            arr, meta = decode_adrg(path)
+            return "ADRG", arr, meta
     if low.endswith(".til"):
         from .til import decode_til, identify_til
         if identify_til(buf):
