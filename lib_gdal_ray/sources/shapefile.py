@@ -383,3 +383,27 @@ def read_shapefile(paths: Union[str, List[str]],
 
     return (ray.data.from_items(splits)
             .map_batches(scan, batch_format="pyarrow", batch_size=1))
+
+
+def read_dbf_table(path: str) -> pa.Table:
+    """Bare .dbf (no .shp) -> attribute-only Arrow table — the OGR
+    shapefile driver's geometry-less dBASE layer (what VRT
+    PointFromColumns datasources feed on)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    n, hdr_size, rec_size, fields = _dbf_read_header(buf)
+    cols = _dbf_parse_records(buf, fields, rec_size, hdr_size, n)
+    out = {}
+    for name, typ, width, dec in fields:
+        vals = cols[name]
+        if typ == "C":
+            out[name] = pa.array(vals, pa.string())
+        elif typ == "L":
+            out[name] = pa.array(vals, pa.bool_())
+        elif typ in ("N", "F") and dec == 0:
+            out[name] = pa.array(vals, pa.int64())
+        else:
+            out[name] = pa.array(
+                [None if v is None else float(v) for v in vals],
+                pa.float64())
+    return pa.table(out)

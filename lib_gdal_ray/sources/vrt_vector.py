@@ -77,6 +77,7 @@ def read_vector(path: str, fmt: Optional[str] = None,
         "georss" if p.endswith((".rss", ".atom")) else
         "idrisi" if p.endswith(".vct") else
         "arrow" if p.endswith((".feather", ".arrow", ".arrows")) else
+        "dbf" if p.endswith(".dbf") else
         "vrt" if p.endswith(".vrt") else
         "parquet")
     if fmt == "gpkg":
@@ -222,6 +223,9 @@ def read_vector(path: str, fmt: Optional[str] = None,
     if fmt == "arrow":
         from .arrow_ipc import read_arrow_ipc
         return read_arrow_ipc(path)
+    if fmt == "dbf":
+        from .shapefile import read_dbf_table
+        return ray.data.from_arrow(read_dbf_table(path))
     if fmt == "vrt":
         return read_vrt_vector(path)
     return ray.data.read_parquet(path)

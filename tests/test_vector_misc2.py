@@ -103,3 +103,19 @@ class TestCSVPoints:
         fp = str(tmp_path / "t.feather")
         feather.write_feather(pa.table({"q": [7, 8]}), fp)
         assert read_vector(fp).count() == 2
+
+
+class TestBareDBF:
+    def test_flat_dbf(self, ray_session):
+        from lib_gdal_ray.sources.shapefile import read_dbf_table
+        from lib_gdal_ray.sources.vrt_vector import read_vector
+
+        # the reference's flat.dbf (fed to VRT PointFromColumns)
+        t = read_dbf_table(
+            "/root/reference/autotest/ogr/data/flat.dbf")
+        rows = t.to_pylist()
+        assert rows[0] == {"fid": 1, "other": "First", "x": 12.5,
+                           "y": 17.0, "z": 1.2,
+                           "wkt": "POINT(12.5 17 1.2)"}
+        assert read_vector(
+            "/root/reference/autotest/ogr/data/idlink.dbf").count() == 7
