@@ -83,6 +83,9 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "NWT_GRC": ((".grc",),
                 lambda b: _lazy("nwt", "decode_nwt_grc")(b),
                 _no_encode("NWT_GRC")),
+    "DDS": ((".dds",),
+            lambda b: _lazy("dds", "decode_dds")(b),
+            _no_encode("DDS")),
 }
 
 
@@ -130,6 +133,8 @@ def identify(buf: bytes) -> Optional[str]:
         return name
     if buf[:4] in (b"RSW\x00", b"\x00WSR", b"MTW\x00"):
         return "RMF"
+    if buf[:4] == b"DDS ":
+        return "DDS"
     if buf[:4] == b"HGPC" and buf[4:5] in b"18":
         from .nwt import identify_nwt
 
