@@ -66,6 +66,41 @@ def _parse_datatype(body: bytes) -> Tuple[np.dtype, int]:
         return np.dtype(f"{order}f{size}"), cls
     if cls == 3:                      # string (fixed-length)
         return np.dtype(f"S{size}"), cls
+    if cls == 6:                      # compound (S-102/S-104 carriers)
+        ver = cls_ver >> 4
+        nmembers = body[1] | (body[2] << 8)
+        pos = 8
+        names, formats, offsets = [], [], []
+        for _ in range(nmembers):
+            if ver in (1, 2):
+                end = body.index(b"\x00", pos)
+                name = body[pos:end].decode("ascii")
+                pos += ((end - pos) // 8 + 1) * 8
+                (m_off,) = struct.unpack_from("<I", body, pos)
+                pos += 4
+                if ver == 1:
+                    pos += 1 + 3 + 4 + 4 + 16  # dims/perm/reserved
+            else:  # v3: unpadded name, minimal-size offset
+                end = body.index(b"\x00", pos)
+                name = body[pos:end].decode("ascii")
+                pos = end + 1
+                nbytes = max(1, (max(size - 1, 1).bit_length() + 7) // 8)
+                m_off = int.from_bytes(body[pos:pos + nbytes], "little")
+                pos += nbytes
+            m_dt, m_cls = _parse_datatype(body[pos:])
+            # advance past the member datatype message: 8-byte fixed
+            # header + class-specific property block
+            props = {0: 4, 1: 12, 3: 0}.get(m_cls)
+            if props is None:
+                raise ValueError(
+                    f"compound member class {m_cls} unsupported")
+            pos += 8 + props
+            names.append(name)
+            formats.append(m_dt)
+            offsets.append(m_off)
+        dt = np.dtype({"names": names, "formats": formats,
+                       "offsets": offsets, "itemsize": size})
+        return dt, cls
     raise ValueError(f"unsupported HDF5 datatype class {cls}")
 
 

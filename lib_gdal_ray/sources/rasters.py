@@ -202,6 +202,11 @@ def open_raster_path(path: str):
         from .vrt import open_vrt
         arr, meta = open_vrt(path)
         return "VRT", arr, meta
+    if low.endswith((".h5", ".hdf5")) and buf[:8] == b"\x89HDF\r\n\x1a\n" \
+            and b"BathymetryCoverage" in buf[:65536]:
+        from .s1xx import decode_s102
+        arr, meta = decode_s102(path)
+        return "S102", arr, meta
     if low.endswith(".tpkx"):
         from .esric import decode_tpkx
         arr, meta = decode_tpkx(path)
