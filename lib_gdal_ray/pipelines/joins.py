@@ -162,7 +162,13 @@ def bloom_semi_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lschema = left.schema()
     left_names = list(lschema.names)
     ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    n_buckets = 64
+    # The "maybe" residue entering the exact verify is all true matches
+    # plus Bloom FPs — in a high-match-rate semi join that is nearly the
+    # whole left side, so the bucket count must grow with the input
+    # (a fixed 64 puts ~N/64 rows in each verify task).
+    from .windows import _auto_buckets
+
+    n_buckets = _auto_buckets(left, right, floor=64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         keys = batch[left_on].to_numpy(zero_copy_only=False)

@@ -710,20 +710,39 @@ def nearblack_collar(pixels: ray.data.Dataset, window,
 
     regions = (labeled.groupby("region_id")
                .aggregate(Min("gpx", alias_name="x0"), Min("gpy", alias_name="y0"),
-                          Max("gpx", alias_name="x1"), Max("gpy", alias_name="y1"))
-               .to_pandas())
-    if len(regions) == 0 or "x0" not in regions.columns:
+                          Max("gpx", alias_name="x1"), Max("gpy", alias_name="y1")))
+
+    # Filter to edge-touching regions DISTRIBUTED (a speckle raster has
+    # ~pixels regions; only the border-touching subset — bounded by the
+    # perimeter, not the area — may come back to the driver for ray.put).
+    def touching_only(batch: pa.Table) -> pa.Table:
+        if ("x0" not in batch.column_names
+                or "region_id" not in batch.column_names
+                or len(batch) == 0):
+            return pa.table({"region_id": pa.array([], pa.uint64())})
+        x0 = batch["x0"].to_numpy(zero_copy_only=False)
+        y0 = batch["y0"].to_numpy(zero_copy_only=False)
+        x1 = batch["x1"].to_numpy(zero_copy_only=False)
+        y1 = batch["y1"].to_numpy(zero_copy_only=False)
+        m = (x0 <= gx0) | (y0 <= gy0) | (x1 >= gx1 - 1) | (y1 >= gy1 - 1)
+        return pa.table({"region_id": batch["region_id"].filter(
+            pa.array(m)).cast(pa.uint64())})
+
+    keep_tbls = (regions.map_batches(touching_only, batch_format="pyarrow")
+                 .to_arrow_refs())
+    import ray as _ray
+
+    keep_ids = [t["region_id"].to_numpy(zero_copy_only=False)
+                for t in _ray.get(keep_tbls)
+                if "region_id" in t.column_names and len(t)]
+    keep_arr = (np.sort(np.concatenate(keep_ids).astype(np.uint64))
+                if keep_ids else np.empty(0, dtype=np.uint64))
+    if keep_arr.size == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(pa.table({"pix_id": pa.array([], pa.uint64()),
                                         "burn": pa.array([], pa.float64())}))
-    touching = regions[(regions["x0"] <= gx0) | (regions["y0"] <= gy0)
-                       | (regions["x1"] >= gx1 - 1) | (regions["y1"] >= gy1 - 1)]
-    keep = set(touching["region_id"].astype(np.uint64).map(int))
-    import ray as _ray
-
-    ref = _ray.put(np.sort(np.asarray(list(keep), dtype=np.uint64)) if keep
-                   else np.empty(0, dtype=np.uint64))
+    ref = _ray.put(keep_arr)
 
     class KeepCollar:
         def __init__(self, wrapped):

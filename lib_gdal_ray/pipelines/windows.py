@@ -142,6 +142,16 @@ def _auto_buckets(*dss: ray.data.Dataset, floor: int = 256,
             total += int(c)
             known = True
     if not known:
+        # No silent caps (SCALE.md): a post-shuffle upstream has no
+        # metadata count, and a fixed floor re-acquires the
+        # rows-grow-with-data problem at 100x scale. Say so.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_auto_buckets: no row-count metadata on any input; "
+            "falling back to %d buckets — per-bucket rows grow with "
+            "the data. Pass n_buckets= sized to rows/%d explicitly.",
+            floor, target_rows)
         return floor
     return int(min(cap, max(floor, -(-total // target_rows))))
 

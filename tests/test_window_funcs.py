@@ -140,6 +140,35 @@ class TestBloomSemiAnti:
         assert set(semi.name.unique()) == keep & set(
             f"u{i % 37}" for i in range(500))
 
+    def test_verify_buckets_size_derived(self, monkeypatch):
+        # The exact-verify stage must size its bucket count from the
+        # inputs (VERDICT r4 item 1): a high-match-rate semi join sends
+        # ~the whole left side through verify, so a fixed 64 puts
+        # ~N/64 rows per task. Assert _auto_buckets is consulted and
+        # that a larger derived count leaves the answer unchanged.
+        from lib_gdal_ray.pipelines import windows as _w
+
+        calls = []
+        real = _w._auto_buckets
+
+        def spy(*a, **kw):
+            kw.setdefault("target_rows", 40)  # force many buckets
+            n = real(*a, **kw)
+            calls.append(n)
+            return n
+
+        monkeypatch.setattr(_w, "_auto_buckets", spy)
+        # 64x skew: 90% of left rows share one key, and that key matches
+        df = _df(4000, 64)
+        df.loc[df.index[: 3600], "k"] = 0
+        left = rd.from_pandas(df).repartition(4)
+        right = rd.from_pandas(
+            pd.DataFrame({"rk": np.arange(0, 64, 2)})).repartition(2)
+        semi = bloom_semi_anti_join(left, right, "k", "rk").to_pandas()
+        assert calls and calls[-1] > 64  # size-derived, not literal 64
+        rset = set(range(0, 64, 2))
+        assert set(semi.id) == set(df[df.k.isin(rset)].id)
+
 
 class TestIntervalJoin:
     def _fixtures(self):
