@@ -4315,6 +4315,72 @@ def _sql_mvt_roundtrip():
     """
 
 
+def q_gpkg_raster_roundtrip(sf_dir):
+    """GPKG raster tile pyramid (ogr/ogrsf_frmts/gpkg raster side,
+    sources/gpkg_tiles.py): events → z4 pixel counts (clamped to Byte,
+    GDAL's cast) → per-tile PNG blobs encoded in parallel → ONE raster
+    .gpkg with the full gpkg_tile_matrix(_set) registry → rowid-split
+    parallel decode back to pixels → per-tile (n_pixels, sum of
+    values). Oracle mirrors the z12 global-pixel floor formulas and
+    least(cnt, 255)."""
+    import os
+    import shutil
+
+    from ..pipelines import relational
+    from ..sources import gpkg_tiles as gtiles
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 4, merge_alg="count",
+                                shuffle_partitions=8)
+    tiles = gtiles.render_tile_blobs(pix)  # uint8: clamps at 255
+    out_dir = (f"/tmp/lib_gdal_ray_gpkgr_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    arc = os.path.join(out_dir, "r.gpkg")
+    gtiles.write_gpkg_raster(tiles, arc)
+    back = gtiles.read_gpkg_raster_pixels(arc)
+
+    def tile_key(batch: pa.Table) -> pa.Table:
+        _, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({
+            "tile_x": pa.array((gpx // 256).astype(np.int64)),
+            "tile_y": pa.array((gpy // 256).astype(np.int64)),
+            "burn": batch["burn"],
+        })
+
+    agg = relational.grouped_agg(
+        back.map_batches(tile_key, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        [("count", "burn", "n_pixels"), ("sum", "burn", "sum_val")],
+        shuffle_partitions=4)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "sum_val": pc.cast(pc.round(batch["sum_val"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def sql_gpkg_raster_roundtrip():
+    gx, gy = _tile_sql(12)  # z4 tiles x 256 px = z12 global pixels
+    return f"""
+    WITH px AS (
+      SELECT {gx} AS gpx, {gy} AS gpy, count(*) AS cnt
+      FROM {_POINTS_SQL} p GROUP BY 1, 2
+    )
+    SELECT gpx // 256 AS tile_x, gpy // 256 AS tile_y,
+           count(*) AS n_pixels,
+           CAST(sum(least(cnt, 255)) AS BIGINT) AS sum_val
+    FROM px GROUP BY 1, 2
+    """
+
+
 def q_gpx_roundtrip(sf_dir):
     """GPX driver surface (ogr/ogrsf_frmts/gpx analog,
     sources/xml_vectors.py): events → point WKB → ONE GPX waypoint
@@ -6641,6 +6707,8 @@ QUERIES = {
     "mvt_roundtrip": (q_mvt_roundtrip, _sql_mvt_roundtrip()),
     "pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mvt_roundtrip()),
     "mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mvt_roundtrip()),
+    "gpkg_raster_roundtrip": (q_gpkg_raster_roundtrip,
+                              sql_gpkg_raster_roundtrip()),
     "kml_roundtrip": (q_kml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),

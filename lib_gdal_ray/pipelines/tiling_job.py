@@ -45,10 +45,14 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
     """Run (or resume) the tiling job. Returns {"ran": [...],
     "skipped": [...], "counters": {...}}.
 
-    output_format: "parquet" (pixel-table parts) or "geotiff" (one real
+    output_format: "parquet" (pixel-table parts), "geotiff" (one real
     GeoTIFF per XYZ tile via codecs/tiff.py, `gdal raster tile` output
-    parity). Both commit per band atomically and resume identically.
-    fail_on_band injects a crash before that band (tests only).
+    parity) or "gpkg" (one valid raster GeoPackage per band —
+    `gdal raster tile --output-format GPKG` parity; fold the part
+    files with sources.gpkg_tiles.merge_gpkg_tiles for a single-file
+    deliverable). All commit per band atomically and resume
+    identically. fail_on_band injects a crash before that band
+    (tests only).
     """
     man = Manifest(out_dir)
     man.clean_orphans()
@@ -99,6 +103,39 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                 band=[int(p[len(tmp) + 1:].split(os.sep)[0].split("=")[1])
                       for p in manifest["path"]]
             ).groupby("band")["n_pixels"].sum().to_dict()
+
+            def band_count(final: str) -> float:
+                return float(band_pixels.get(
+                    int(os.path.basename(final).split("=")[1]), 0.0))
+        elif output_format == "gpkg":
+            from ..sources.gpkg_tiles import (render_tile_blobs,
+                                              write_gpkg_raster)
+
+            # parallel tile encode ONCE for all pending bands; the
+            # per-band sqlite assembly is bounded driver-side work
+            # (one writer lock per file is a format property)
+            tiles = render_tile_blobs(raw_pixels).materialize()
+
+            def with_band(batch: pa.Table) -> pa.Table:
+                ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+                return batch.append_column(
+                    "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+
+            tiles_b = tiles.map_batches(
+                with_band, batch_format="pyarrow").materialize()
+            band_pixels = {}
+            for row in tiles_b.select_columns(
+                    ["band", "n_pixels"]).to_pandas().itertuples():
+                band_pixels[int(row.band)] = \
+                    band_pixels.get(int(row.band), 0) + int(row.n_pixels)
+            for band in pending:
+                bdir = os.path.join(tmp, f"band={band}")
+                os.makedirs(bdir, exist_ok=True)
+                one = tiles_b.filter(
+                    lambda r, b=band: r["band"] == b)
+                if one.count() > 0:
+                    write_gpkg_raster(one.drop_columns(["band"]),
+                                      os.path.join(bdir, "tiles.gpkg"))
 
             def band_count(final: str) -> float:
                 return float(band_pixels.get(

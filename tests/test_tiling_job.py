@@ -55,6 +55,38 @@ def test_lineage_change_recomputes(tmp_path):
     assert sorted(res["ran"]) == [0, 1]
 
 
+def test_gpkg_output_crash_resume(tmp_path):
+    import os
+
+    from lib_gdal_ray.sources.gpkg_tiles import (merge_gpkg_tiles,
+                                                 read_gpkg_raster_pixels)
+
+    out = str(tmp_path / "gp")
+    with pytest.raises(RuntimeError):
+        run_tiling_job(source, out, z=5, lineage="P1", n_bands=4,
+                       fail_on_band=2, output_format="gpkg")
+    res = run_tiling_job(source, out, z=5, lineage="P1",
+                         output_format="gpkg", n_bands=4)
+    assert set(res["ran"]) | set(res["skipped"]) == set(range(4))
+    assert res["skipped"]  # some bands survived the crash
+    # per-band valid GeoPackages -> union of pixels == direct rasterize
+    # (counts: byte-range safe at this density)
+    shards = sorted(
+        os.path.join(out, p, "tiles.gpkg")
+        for p in os.listdir(out)
+        if p.startswith("part=")
+        and os.path.exists(os.path.join(out, p, "tiles.gpkg")))
+    assert shards
+    merged = str(tmp_path / "all.gpkg")
+    merge_gpkg_tiles(shards, merged)
+    back = pixel_frame(read_gpkg_raster_pixels(merged))
+    back["pix_id"] = back["pix_id"].astype(np.uint64)
+    want = pixel_frame(rasterize_pixels(source(), 5))
+    want["pix_id"] = want["pix_id"].astype(np.uint64)
+    pd.testing.assert_frame_equal(back, want)
+    assert res["counters"]["pixels"] == len(want)
+
+
 def test_geotiff_output_crash_resume(tmp_path):
     from lib_gdal_ray.sources.geotiff import read_geotiff_pixels
 
