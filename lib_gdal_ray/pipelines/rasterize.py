@@ -123,8 +123,14 @@ def rasterize_pixels(points: ray.data.Dataset, z: int,
                      merge_alg: str = "add",
                      tile_size: int = 256,
                      shuffle_partitions: Optional[int] = None,
-                     combine: bool = True) -> ray.data.Dataset:
+                     combine: bool = True,
+                     tms=None) -> ray.data.Dataset:
     """Points → finalized sparse pixel rows (pix_id, burn) at zoom z.
+
+    tms: None (WebMercatorQuad — the default, bit-identical to the SQL
+    oracles) or any `geom.tms.get_tms` scheme name/instance — pixel
+    assignment then follows that OGC TileMatrixSet's origin/resolution
+    (gdal raster tile --tiling-scheme parity).
 
     One narrow single-key hash shuffle after in-batch combining.
     shuffle_partitions: coalesce the (small, pre-combined) partials and
@@ -141,14 +147,25 @@ def rasterize_pixels(points: ray.data.Dataset, z: int,
     if z > 29 - int(np.log2(tile_size)):
         raise ValueError(f"zoom {z} exceeds single-key pixel packing range")
     pa_agg = _PA_AGG[merge_alg]
+    scheme = None
+    if tms is not None:
+        from ..geom.tms import get_tms
+
+        scheme = get_tms(tms)
+        if scheme.identifier == "WebMercatorQuad":
+            scheme = None  # default path IS WebMercatorQuad
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[lon_col].to_numpy(zero_copy_only=False)
         y = batch[lat_col].to_numpy(zero_copy_only=False)
-        tx, ty, px, py = cells.tile_pixel(x, y, z, tile_size)
-        pix = pack_pixel(z, tx * tile_size + px, ty * tile_size + py)
+        if scheme is None:
+            tx, ty, px, py = cells.tile_pixel(x, y, z, tile_size)
+            gx, gy = tx * tile_size + px, ty * tile_size + py
+        else:
+            gx, gy = scheme.lonlat_to_pixel(x, y, z)
+        pix = pack_pixel(z, gx, gy)
         if merge_alg == "count" or value_col is None:
-            burn = np.ones(len(tx), dtype=np.float64)
+            burn = np.ones(len(gx), dtype=np.float64)
         else:
             burn = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         t = pa.table({"pix_id": pa.array(pix), "burn": pa.array(burn)})

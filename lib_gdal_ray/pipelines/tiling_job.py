@@ -30,10 +30,11 @@ from ..state.manifest import Manifest
 from .rasterize import rasterize_pixels, with_tile_cols
 
 
-def band_of_tile_y(ty: np.ndarray, z: int, n_bands: int) -> np.ndarray:
-    n = 1 << z
+def band_of_tile_y(ty: np.ndarray, z: int, n_bands: int,
+                   n_rows: int = None) -> np.ndarray:
+    n = n_rows if n_rows is not None else (1 << z)
     rows_per_band = max(1, (n + n_bands - 1) // n_bands)
-    return (ty // rows_per_band).astype(np.int64)
+    return np.minimum(ty // rows_per_band, n_bands - 1).astype(np.int64)
 
 
 def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
@@ -41,7 +42,8 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                    lon_col: str = "lon", lat_col: str = "lat",
                    value_col: Optional[str] = None, merge_alg: str = "add",
                    fail_on_band: Optional[int] = None,
-                   output_format: str = "parquet") -> dict:
+                   output_format: str = "parquet",
+                   tms: Optional[object] = None) -> dict:
     """Run (or resume) the tiling job. Returns {"ran": [...],
     "skipped": [...], "counters": {...}}.
 
@@ -53,7 +55,22 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
     deliverable). All commit per band atomically and resume
     identically. fail_on_band injects a crash before that band
     (tests only).
+
+    tms: None (WebMercatorQuad) or a `geom.tms.get_tms` scheme
+    name/instance — band partitioning, pixel assignment and tile
+    georeferencing then follow that OGC TileMatrixSet
+    (`gdal raster tile --tiling-scheme` parity).
     """
+    scheme = None
+    n_rows = None
+    if tms is not None:
+        from ..geom.tms import get_tms
+
+        scheme = get_tms(tms)
+        if scheme.identifier == "WebMercatorQuad":
+            scheme = None
+        else:
+            n_rows = scheme.matrix_height(z)
     man = Manifest(out_dir)
     man.clean_orphans()
     for name in os.listdir(out_dir):  # tmp dirs from a crashed run
@@ -80,14 +97,18 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
         def band_filter(batch: pa.Table) -> pa.Table:
             lon = batch[lon_col].to_numpy(zero_copy_only=False)
             lat = batch[lat_col].to_numpy(zero_copy_only=False)
-            _tx, ty = cells.lonlat_to_tile(lon, lat, z)
-            keep = np.isin(band_of_tile_y(ty, z, n_bands), pending_arr)
+            if scheme is None:
+                _tx, ty = cells.lonlat_to_tile(lon, lat, z)
+            else:
+                _tx, ty = scheme.lonlat_to_tile(lon, lat, z)
+            keep = np.isin(band_of_tile_y(ty, z, n_bands, n_rows),
+                           pending_arr)
             return batch.filter(pa.array(keep))
 
         banded = src.map_batches(band_filter, batch_format="pyarrow")
         raw_pixels = rasterize_pixels(
             banded, z, lon_col=lon_col, lat_col=lat_col,
-            value_col=value_col, merge_alg=merge_alg)
+            value_col=value_col, merge_alg=merge_alg, tms=scheme)
 
         tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
@@ -97,7 +118,8 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
             manifest = write_geotiff_tiles(
                 raw_pixels, tmp, dtype=np.float64,
                 subdir_fn=lambda _zi, _tx, ty:
-                    f"band={band_of_tile_y(np.asarray([ty]), z, n_bands)[0]}"
+                    f"band={band_of_tile_y(np.asarray([ty]), z, n_bands, n_rows)[0]}",
+                tms=scheme
             ).to_pandas()  # small: one row per tile
             band_pixels = manifest.assign(
                 band=[int(p[len(tmp) + 1:].split(os.sep)[0].split("=")[1])
@@ -119,7 +141,8 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
             def with_band(batch: pa.Table) -> pa.Table:
                 ty = batch["tile_y"].to_numpy(zero_copy_only=False)
                 return batch.append_column(
-                    "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+                    "band", pa.array(band_of_tile_y(ty, z, n_bands,
+                                                    n_rows)))
 
             tiles_b = tiles.map_batches(
                 with_band, batch_format="pyarrow").materialize()
@@ -135,7 +158,8 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                     lambda r, b=band: r["band"] == b)
                 if one.count() > 0:
                     write_gpkg_raster(one.drop_columns(["band"]),
-                                      os.path.join(bdir, "tiles.gpkg"))
+                                      os.path.join(bdir, "tiles.gpkg"),
+                                      tms=scheme)
 
             def band_count(final: str) -> float:
                 return float(band_pixels.get(
@@ -147,7 +171,8 @@ def run_tiling_job(source_fn: Callable[[], ray.data.Dataset], out_dir: str,
                 _z, _tx, ty = cells.unpack_tile(
                     batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
                 return batch.append_column(
-                    "band", pa.array(band_of_tile_y(ty, z, n_bands)))
+                    "band", pa.array(band_of_tile_y(ty, z, n_bands,
+                                                    n_rows)))
 
             pixels.map_batches(add_band, batch_format="pyarrow").write_parquet(
                 tmp, partition_cols=["band"])

@@ -41,12 +41,18 @@ def tile_transform_3857(z: int, tx: int, ty: int, tile_size: int = 256):
     return (x0, px, 0.0, y0, 0.0, -px)
 
 
+def _crs_epsg(crs: str) -> int:
+    return {"EPSG:3857": 3857, "EPSG:3395": 3395,
+            "CRS84": 4326, "EPSG:4326": 4326}.get(crs, 0)
+
+
 def write_geotiff_tiles(pixels: ray.data.Dataset, out_dir: str,
                         tile_size: int = 256,
                         dtype=np.float32,
                         compression: str = "deflate",
                         inner_tiled: bool = False,
-                        subdir_fn=None) -> ray.data.Dataset:
+                        subdir_fn=None,
+                        tms=None) -> ray.data.Dataset:
     """Sparse pixel rows -> {out_dir}/{z}/{tx}/{ty}.tif, one GeoTIFF
     per XYZ tile (EPSG:3857 georeferencing), returning the manifest
     Dataset (z, tx, ty, path, n_pixels, checksum). The groupby is the
@@ -72,8 +78,14 @@ def write_geotiff_tiles(pixels: ray.data.Dataset, out_dir: str,
         ty = int(gy[0]) // tile_size
         dense = np.zeros((tile_size, tile_size), dtype=np_dtype)
         dense[gy - ty * tile_size, gx - tx * tile_size] = burn.astype(np_dtype)
-        buf = encode_geotiff(dense, transform=tile_transform_3857(zi, tx, ty, tile_size),
-                             epsg=3857, compression=compression,
+        if tms is None:
+            transform = tile_transform_3857(zi, tx, ty, tile_size)
+            epsg = 3857
+        else:  # OGC TileMatrixSet georeferencing (geom/tms.py)
+            transform = tms.tile_transform(zi, tx, ty)
+            epsg = _crs_epsg(tms.crs)
+        buf = encode_geotiff(dense, transform=transform,
+                             epsg=epsg, compression=compression,
                              tile_size=(tile_size if inner_tiled and
                                         tile_size % 16 == 0 else None))
         sub = subdir_fn(zi, tx, ty) if subdir_fn else ""

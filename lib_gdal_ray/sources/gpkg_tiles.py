@@ -127,14 +127,20 @@ def render_tile_blobs(pixels: ray.data.Dataset, fmt: str = "png",
 # ---------------------------------------------------------------------------
 
 
-def _tile_matrix_rows(zooms: List[int], tile_size: int):
-    """WebMercatorQuad gpkg_tile_matrix rows: zoom z = 2^z x 2^z
-    matrix, pixel size = world / (2^z * tile_size)."""
+def _tile_matrix_rows(zooms: List[int], tile_size: int, tms=None):
+    """gpkg_tile_matrix rows. Default WebMercatorQuad: zoom z =
+    2^z x 2^z matrix, pixel size = world / (2^z * tile_size);
+    otherwise taken from the OGC TileMatrixSet (geom/tms.py)."""
     rows = []
     for z in sorted(zooms):
-        n = 1 << z
-        px = 2.0 * WEBMERC_HALF / (n * tile_size)
-        rows.append((z, n, n, tile_size, tile_size, px, px))
+        if tms is None:
+            n = 1 << z
+            px = 2.0 * WEBMERC_HALF / (n * tile_size)
+            rows.append((z, n, n, tile_size, tile_size, px, px))
+        else:
+            r = tms.res(z)
+            rows.append((z, tms.matrix_width(z), tms.matrix_height(z),
+                         tms.tile_size, tms.tile_size, r, r))
     return rows
 
 
@@ -142,7 +148,8 @@ def write_gpkg_raster(tiles: ray.data.Dataset, out_path: str,
                       table: str = "tiles", fmt: str = "png",
                       tile_size: int = 256,
                       bounds: Optional[Tuple[float, float, float, float]]
-                      = None) -> int:
+                      = None,
+                      tms=None) -> int:
     """Tile Dataset (z, tile_x, tile_y, data) -> ONE raster .gpkg with
     the full registry (contents/tile_matrix_set/tile_matrix) on the
     WebMercatorQuad grid. Blobs were encoded in parallel upstream
@@ -169,17 +176,32 @@ def write_gpkg_raster(tiles: ray.data.Dataset, out_path: str,
         raise ValueError("no tiles to write")
     rows.sort(key=lambda r: (r[0], r[1], r[2]))
 
+    if tms is not None and tms.identifier == "WebMercatorQuad":
+        tms = None  # the default constants ARE WebMercatorQuad
+    srs_id = 3857
+    tms_extent = (-WEBMERC_HALF, -WEBMERC_HALF,
+                  WEBMERC_HALF, WEBMERC_HALF)
+    if tms is not None:
+        srs_id = {"EPSG:3857": 3857, "EPSG:3395": 3395,
+                  "CRS84": 4326, "EPSG:4326": 4326}.get(tms.crs, 0)
+        tms_extent = tms.extent()
+        tile_size = tms.tile_size
+
     if bounds is None:
         # content window = union of present tiles at the max zoom
         zmax = max(zooms)
-        n = 1 << zmax
-        w = 2.0 * WEBMERC_HALF / n
         txs = [r[1] for r in rows if r[0] == zmax]
         tys = [r[2] for r in rows if r[0] == zmax]
-        bounds = (-WEBMERC_HALF + min(txs) * w,
-                  WEBMERC_HALF - (max(tys) + 1) * w,
-                  -WEBMERC_HALF + (max(txs) + 1) * w,
-                  WEBMERC_HALF - min(tys) * w)
+        if tms is None:
+            w = 2.0 * WEBMERC_HALF / (1 << zmax)
+            bounds = (-WEBMERC_HALF + min(txs) * w,
+                      WEBMERC_HALF - (max(tys) + 1) * w,
+                      -WEBMERC_HALF + (max(txs) + 1) * w,
+                      WEBMERC_HALF - min(tys) * w)
+        else:
+            lo = tms.tile_bounds(zmax, min(txs), max(tys))
+            hi = tms.tile_bounds(zmax, max(txs), min(tys))
+            bounds = (lo[0], lo[1], hi[2], hi[3])
 
     tmp = out_path + ".tmp"
     if os.path.exists(tmp):
@@ -207,14 +229,13 @@ def write_gpkg_raster(tiles: ray.data.Dataset, out_path: str,
             "INSERT INTO gpkg_contents (table_name, data_type, identifier,"
             " min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
             (table, "tiles", table, bounds[0], bounds[1], bounds[2],
-             bounds[3], 3857))
+             bounds[3], srs_id))
         con.execute("""CREATE TABLE gpkg_tile_matrix_set (
             table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,
             min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
             max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)""")
         con.execute("INSERT INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
-                    (table, 3857, -WEBMERC_HALF, -WEBMERC_HALF,
-                     WEBMERC_HALF, WEBMERC_HALF))
+                    (table, srs_id, *tms_extent))
         con.execute("""CREATE TABLE gpkg_tile_matrix (
             table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
             matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,
@@ -224,7 +245,7 @@ def write_gpkg_raster(tiles: ray.data.Dataset, out_path: str,
         con.executemany(
             "INSERT INTO gpkg_tile_matrix VALUES "
             f"('{table}',?,?,?,?,?,?,?)",
-            _tile_matrix_rows(sorted(zooms), tile_size))
+            _tile_matrix_rows(sorted(zooms), tile_size, tms))
         con.execute(f"""CREATE TABLE "{table}" (
             id INTEGER PRIMARY KEY AUTOINCREMENT,
             zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL,

@@ -33,10 +33,16 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--fail-on-band", type=int, default=None,
                     help="inject a crash before this band (resume demo)")
-    ap.add_argument("--format", choices=["parquet", "geotiff"],
+    ap.add_argument("--format", choices=["parquet", "geotiff", "gpkg"],
                     default="parquet",
-                    help="tile output: parquet pixel parts or one real "
-                         "GeoTIFF per XYZ tile")
+                    help="tile output: parquet pixel parts, one real "
+                         "GeoTIFF per XYZ tile, or one raster "
+                         "GeoPackage per band")
+    ap.add_argument("--tiling-scheme", default="WebMercatorQuad",
+                    help="OGC TileMatrixSet: WebMercatorQuad, "
+                         "GoogleCRS84Quad, WorldCRS84Quad, "
+                         "WorldMercatorWGS84Quad, or a TMS JSON file "
+                         "(gdal raster tile --tiling-scheme parity)")
     args = ap.parse_args()
 
     import ray
@@ -52,7 +58,8 @@ def main() -> int:
     from lib_gdal_ray.sources.synth import interleaved_docs
 
     lineage = hashlib.blake2b(
-        f"interleaved_docs:n={args.n_docs}:z={args.zoom}:fmt={args.format}".encode(),
+        f"interleaved_docs:n={args.n_docs}:z={args.zoom}:fmt={args.format}"
+        f":tms={args.tiling_scheme}".encode(),
         digest_size=8).hexdigest()
 
     def source():
@@ -63,7 +70,8 @@ def main() -> int:
     res = run_tiling_job(source, args.out, z=args.zoom, lineage=lineage,
                          n_bands=args.bands, value_col="value",
                          fail_on_band=args.fail_on_band,
-                         output_format=args.format)
+                         output_format=args.format,
+                         tms=args.tiling_scheme)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "ran": res["ran"], "skipped": res["skipped"],
