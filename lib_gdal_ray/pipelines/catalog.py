@@ -1789,23 +1789,26 @@ _ZRT_SHAPE = (17, 13, 9)
 _ZRT_CHUNK = (8, 8, 8)  # edge chunks on every axis
 
 
-def q_zarr_roundtrip(sf_dir):
+def q_zarr_roundtrip(sf_dir, zarr_format: int = 2):
     """Zarr v2 round-trip (`frmts/zarr/zarr_v2_array.cpp` analog):
     write the deterministic 3-D array to a real on-disk store (zlib
     chunks, edge chunks padded per spec), read it back through the
     parallel chunk-file decoder, explode to element rows. Exercises
-    the full writer→spec-file→reader path, values integer-exact."""
+    the full writer→spec-file→reader path, values integer-exact.
+    zarr_format=3 runs the same cycle through the v3 layout
+    (zarr.json + c-prefixed chunk keys, `zarr_v3_array.cpp` analog)."""
     import os
     import shutil
 
     from ..sources import multidim as md
     from ..sources import zarr as zr
 
-    path = "/tmp/lib_gdal_ray_zarr_rt.zarr"
+    path = f"/tmp/lib_gdal_ray_zarr{zarr_format}_rt.zarr"
     shutil.rmtree(path, ignore_errors=True)  # always a FRESH write
     arr = md.from_function(_ZRT_SHAPE, _ZRT_CHUNK, _mdim_fv)
     zr.write_zarr(arr, path, _ZRT_SHAPE, _ZRT_CHUNK,
-                  compressor={"id": "zlib", "level": 1})
+                  compressor={"id": "zlib", "level": 1},
+                  zarr_format=zarr_format)
     ds, _meta = zr.read_zarr(path)
 
     n0, n1, n2 = _ZRT_SHAPE
@@ -1838,6 +1841,12 @@ def q_zarr_roundtrip(sf_dir):
                          "k": cat(kk, np.int64), "v": cat(vv, np.int64)})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_zarr_v3_roundtrip(sf_dir):
+    """Zarr v3 round-trip (`frmts/zarr/zarr_v3_array.cpp` analog):
+    same cycle/oracle as zarr_roundtrip over the v3 on-disk layout."""
+    return q_zarr_roundtrip(sf_dir, zarr_format=3)
 
 
 def q_netcdf_roundtrip(sf_dir):
@@ -6701,6 +6710,7 @@ QUERIES = {
     "mdim_stats": (q_mdim_stats, sql_mdim_stats()),
     "mdim_classic_tpi": (q_mdim_classic_tpi, sql_mdim_classic_tpi()),
     "zarr_roundtrip": (q_zarr_roundtrip, sql_zarr_roundtrip()),
+    "zarr_v3_roundtrip": (q_zarr_v3_roundtrip, sql_zarr_roundtrip()),
     "netcdf_roundtrip": (q_netcdf_roundtrip, sql_zarr_roundtrip()),
     "hdf5_roundtrip": (q_hdf5_roundtrip, sql_zarr_roundtrip()),
     "gpx_roundtrip": (q_gpx_roundtrip, SQL_GEOJSON_ROUNDTRIP),

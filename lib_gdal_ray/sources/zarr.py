@@ -124,6 +124,157 @@ def create_array(path: str, shape: Sequence[int],
     return meta
 
 
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr.json; reference frmts/zarr/zarr_v3_array.cpp)
+# ---------------------------------------------------------------------------
+
+_V3_DTYPES = {
+    "float64": "<f8", "float32": "<f4", "float16": "<f2",
+    "int64": "<i8", "int32": "<i4", "int16": "<i2", "int8": "|i1",
+    "uint64": "<u8", "uint32": "<u4", "uint16": "<u2", "uint8": "|u1",
+    "bool": "|b1",
+}
+_V3_NAMES = {np.dtype(v).name: k for k, v in _V3_DTYPES.items()}
+
+
+def _v3_codecs(compressor: Optional[Dict], dt: np.dtype):
+    endian = "little" if dt.byteorder in ("<", "=", "|") else "big"
+    codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if compressor is not None:
+        cid = compressor.get("id")
+        if cid not in ("gzip", "zlib"):
+            raise ValueError(f"unsupported v3 compressor {cid!r}")
+        # v3 has no zlib codec name; both map to gzip on write
+        codecs.append({"name": "gzip", "configuration":
+                       {"level": int(compressor.get("level", 1))}})
+    return codecs
+
+
+def create_array_v3(path: str, shape: Sequence[int],
+                    chunk_shape: Sequence[int], dtype: str = "<f8",
+                    compressor: Optional[Dict] = None,
+                    fill_value=0.0, attrs: Optional[Dict] = None,
+                    dimension_separator: str = "/") -> Dict:
+    """Write a Zarr v3 ``zarr.json`` array descriptor (default chunk
+    key encoding: chunks live under ``c/i/j`` or ``c.i.j``). Returns a
+    v2-SHAPED meta dict (shape/chunks/dtype/compressor/...) with
+    ``zarr_format: 3`` so both readers share one code path."""
+    if len(shape) > MAX_DIMS:
+        raise ValueError(f"up to {MAX_DIMS} dims")
+    dt = np.dtype(dtype)
+    if dt.name not in _V3_NAMES:
+        raise ValueError(f"unsupported v3 dtype {dtype!r}")
+    if dimension_separator not in (".", "/"):
+        raise ValueError("separator must be '.' or '/'")
+    os.makedirs(path, exist_ok=True)
+    doc = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [int(s) for s in shape],
+        "data_type": _V3_NAMES[dt.name],
+        "chunk_grid": {"name": "regular", "configuration":
+                       {"chunk_shape": [int(c) for c in chunk_shape]}},
+        "chunk_key_encoding": {"name": "default", "configuration":
+                               {"separator": dimension_separator}},
+        "fill_value": _json_fill(fill_value),
+        "codecs": _v3_codecs(compressor, dt),
+        "attributes": attrs or {},
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(doc, f)
+    return {
+        "zarr_format": 3, "shape": doc["shape"],
+        "chunks": [int(c) for c in chunk_shape], "dtype": dt.str,
+        "compressor": ({"id": "gzip",
+                        "level": int(compressor.get("level", 1))}
+                       if compressor else None),
+        "fill_value": doc["fill_value"], "order": "C", "filters": None,
+        "dimension_separator": dimension_separator, "_prefix": "c",
+    }
+
+
+def create_group_v3(path: str, attrs: Optional[Dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group",
+                   "attributes": attrs or {}}, f)
+
+
+def read_meta_v3(path: str) -> Dict:
+    """zarr.json -> the shared v2-shaped meta dict. Rejects what the
+    chunk-row model can't serve (sharding, blosc, F order, non-default
+    chunk key encodings other than v2)."""
+    with open(os.path.join(path, "zarr.json")) as f:
+        doc = json.load(f)
+    if doc.get("zarr_format") != 3 or doc.get("node_type") != "array":
+        raise ValueError("not a zarr v3 array")
+    grid = doc.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ValueError("only regular chunk grids supported")
+    cke = doc.get("chunk_key_encoding",
+                  {"name": "default", "configuration": {"separator": "/"}})
+    conf = cke.get("configuration") or {}
+    if cke.get("name") == "default":
+        prefix, sep = "c", conf.get("separator", "/")
+    elif cke.get("name") == "v2":
+        prefix, sep = "", conf.get("separator", ".")
+    else:
+        raise ValueError(f"unsupported chunk_key_encoding {cke!r}")
+    dt_name = doc.get("data_type")
+    if dt_name not in _V3_DTYPES:
+        raise ValueError(f"unsupported v3 data_type {dt_name!r}")
+    dtype = _V3_DTYPES[dt_name]
+    comp = None
+    for codec in doc.get("codecs", []):
+        name = codec.get("name")
+        cfg = codec.get("configuration") or {}
+        if name == "bytes":
+            if cfg.get("endian", "little") == "big":
+                dtype = dtype.replace("<", ">")
+        elif name in ("gzip", "zlib"):
+            comp = {"id": "gzip" if name == "gzip" else "zlib",
+                    "level": int(cfg.get("level", 1))}
+        elif name == "transpose":
+            order = cfg.get("order")
+            if order and list(order) != list(range(len(doc["shape"]))):
+                raise ValueError("only identity transpose supported")
+        else:
+            raise ValueError(f"unsupported v3 codec {name!r}")
+    return {
+        "zarr_format": 3, "shape": [int(s) for s in doc["shape"]],
+        "chunks": [int(c) for c in
+                   grid["configuration"]["chunk_shape"]],
+        "dtype": dtype, "compressor": comp,
+        "fill_value": doc.get("fill_value", 0), "order": "C",
+        "filters": None, "dimension_separator": sep, "_prefix": prefix,
+    }
+
+
+def convert_zarr_v2_to_v3(src: str, dst: str,
+                          compressor: Optional[Dict] = None) -> int:
+    """v2 store -> v3 store through the distributed chunk-row path
+    (each chunk decodes and re-encodes in its own task)."""
+    ds, meta = read_zarr(src)
+    return write_zarr(ds, dst, meta["shape"], meta["chunks"],
+                      dtype=meta["dtype"],
+                      compressor=(compressor if compressor is not None
+                                  else meta.get("compressor")),
+                      fill_value=_parse_fill(meta["fill_value"]),
+                      zarr_format=3)
+
+
+def convert_zarr_v3_to_v2(src: str, dst: str,
+                          compressor: Optional[Dict] = None) -> int:
+    ds, meta = read_zarr(src)
+    comp = compressor if compressor is not None else meta.get("compressor")
+    if comp is not None and comp.get("id") == "gzip":
+        comp = {"id": "zlib", "level": comp.get("level", 1)}
+    return write_zarr(ds, dst, meta["shape"], meta["chunks"],
+                      dtype=meta["dtype"], compressor=comp,
+                      fill_value=_parse_fill(meta["fill_value"]),
+                      zarr_format=2)
+
+
 def create_group(path: str, attrs: Optional[Dict] = None) -> None:
     """Write a .zgroup marker (GDALGroup analog)."""
     os.makedirs(path, exist_ok=True)
@@ -154,21 +305,34 @@ def write_zarr(ds: ray.data.Dataset, path: str, shape: Sequence[int],
                chunk_shape: Sequence[int], dtype: str = "<f8",
                compressor: Optional[Dict] = None, fill_value=0.0,
                attrs: Optional[Dict] = None,
-               dimension_separator: str = ".") -> int:
-    """Chunk-row Dataset -> Zarr v2 array on disk; -> chunks written.
+               dimension_separator: Optional[str] = None,
+               zarr_format: int = 2) -> int:
+    """Chunk-row Dataset -> Zarr v2 OR v3 array on disk; -> chunks
+    written. v3 (zarr_format=3) writes ``zarr.json`` + ``c/``-prefixed
+    default chunk keys (frmts/zarr/zarr_v3_array.cpp parity); v2 the
+    classic ``.zarray`` + bare keys.
 
     Each map_batches task encodes + writes its own chunk files (tmp +
     rename, so re-runs are idempotent); only a (chunk_id, nbytes)
     manifest row per chunk returns through the object store.
     """
-    meta = create_array(path, shape, chunk_shape, dtype, compressor,
-                        fill_value, attrs, dimension_separator)
+    if zarr_format == 3:
+        sep = dimension_separator or "/"
+        meta = create_array_v3(path, shape, chunk_shape, dtype,
+                               compressor, fill_value, attrs, sep)
+        compressor = meta["compressor"]  # v3 normalizes zlib -> gzip
+    elif zarr_format == 2:
+        sep = dimension_separator or "."
+        meta = create_array(path, shape, chunk_shape, dtype, compressor,
+                            fill_value, attrs, sep)
+    else:
+        raise ValueError("zarr_format must be 2 or 3")
+    prefix = meta.get("_prefix", "")
     shape = tuple(int(s) for s in shape)
     chunks = tuple(int(c) for c in chunk_shape)
     k = len(shape)
     dt = np.dtype(dtype)
     fill = _parse_fill(meta["fill_value"])
-    sep = dimension_separator
 
     from .multidim import unpack_chunks
 
@@ -188,7 +352,8 @@ def write_zarr(ds: ray.data.Dataset, path: str, shape: Sequence[int],
                 full = np.ascontiguousarray(arr).astype(dt, copy=False)
             raw = full.astype(dt, copy=False).tobytes(order="C")
             payload = _compress(raw, compressor)
-            name = sep.join(str(int(ci[d])) for d in range(k))
+            parts = [str(int(ci[d])) for d in range(k)]
+            name = sep.join(([prefix] if prefix else []) + parts)
             dst = os.path.join(path, name)
             if sep == "/":
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -206,6 +371,9 @@ def write_zarr(ds: ray.data.Dataset, path: str, shape: Sequence[int],
 
 
 def read_meta(path: str) -> Dict:
+    if not os.path.exists(os.path.join(path, ".zarray")) and \
+            os.path.exists(os.path.join(path, "zarr.json")):
+        return read_meta_v3(path)
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
@@ -221,25 +389,34 @@ def read_meta(path: str) -> Dict:
     return meta
 
 
-def _list_chunk_keys(path: str, k: int, sep: str):
+def _list_chunk_keys(path: str, k: int, sep: str, prefix: str = ""):
     """Chunk coordinate tuples present in the store (one listdir walk;
-    metadata only — no chunk bytes touched)."""
+    metadata only — no chunk bytes touched). prefix="c" = the zarr v3
+    default chunk key encoding (keys c/i/j or c.i.j)."""
     keys = []
     if sep == ".":
+        want = k + (1 if prefix else 0)
         for name in os.listdir(path):
-            if name.startswith("."):
+            if name.startswith(".") or name == "zarr.json":
                 continue
             parts = name.split(".")
+            if prefix:
+                if not parts or parts[0] != prefix:
+                    continue
+                parts = parts[1:]
             if len(parts) == k and all(p.isdigit() for p in parts):
                 keys.append(tuple(int(p) for p in parts))
     else:
-        for root, _dirs, files in os.walk(path):
-            rel = os.path.relpath(root, path)
+        root_dir = os.path.join(path, prefix) if prefix else path
+        if not os.path.isdir(root_dir):
+            return []
+        for root, _dirs, files in os.walk(root_dir):
+            rel = os.path.relpath(root, root_dir)
             pre = () if rel == "." else tuple(rel.split(os.sep))
             if any(not p.isdigit() for p in pre):
                 continue
             for name in files:
-                if name.startswith("."):
+                if name.startswith(".") or name == "zarr.json":
                     continue
                 parts = pre + (name,)
                 if len(parts) == k and all(str(p).isdigit()
@@ -264,7 +441,8 @@ def read_zarr(path: str,
     dt = np.dtype(meta["dtype"])
     comp = meta.get("compressor")
     sep = meta.get("dimension_separator", ".")
-    keys = _list_chunk_keys(path, k, sep)
+    prefix = meta.get("_prefix", "")
+    keys = _list_chunk_keys(path, k, sep, prefix)
 
     items = [{"ci": list(c)} for c in keys]
 
@@ -275,7 +453,8 @@ def read_zarr(path: str,
         datas = []
         for r in range(n):
             ci = idx[r]
-            name = sep.join(str(int(ci[d])) for d in range(k))
+            name = sep.join(([prefix] if prefix else [])
+                            + [str(int(ci[d])) for d in range(k)])
             with open(os.path.join(path, name), "rb") as f:
                 raw = _decompress(f.read(), comp)
             arr = np.frombuffer(raw, dtype=dt).reshape(chunks)

@@ -115,3 +115,101 @@ def test_pipeline_over_zarr_store(tmp_path):
     arr2 = md.to_numpy(red, shape[:2], chunks[:2])
     mesh = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
     np.testing.assert_array_equal(arr2, fv(*mesh).sum(axis=2))
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr.json; frmts/zarr/zarr_v3_array.cpp parity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sep,compressor", [
+    ("/", None), ("/", {"id": "gzip", "level": 1}),
+    (".", {"id": "zlib", "level": 1})])
+def test_v3_roundtrip(tmp_path, sep, compressor):
+    shape, chunks = (10, 7, 5), (4, 3, 5)
+    ds, fv = _mk(shape, chunks)
+    path = str(tmp_path / "v3.zarr")
+    n = zr.write_zarr(ds, path, shape, chunks, compressor=compressor,
+                      dimension_separator=sep, zarr_format=3)
+    assert n == 9
+    # spec shape on disk: zarr.json + c-prefixed default chunk keys
+    doc = json.load(open(os.path.join(path, "zarr.json")))
+    assert doc["zarr_format"] == 3 and doc["node_type"] == "array"
+    assert doc["data_type"] == "float64"
+    assert doc["chunk_grid"]["configuration"]["chunk_shape"] == [4, 3, 5]
+    assert doc["chunk_key_encoding"]["configuration"]["separator"] == sep
+    key0 = os.path.join(path, *("c/0/0/0".split("/"))) if sep == "/" \
+        else os.path.join(path, "c.0.0.0")
+    assert os.path.exists(key0)
+    out, meta = zr.read_zarr(path)
+    assert meta["zarr_format"] == 3
+    arr = md.to_numpy(out, shape, chunks)
+    mesh = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    np.testing.assert_array_equal(arr, fv(*mesh))
+
+
+def test_v3_foreign_store(tmp_path):
+    # hand-written v3 store, big chunk grid vocabulary: uint16 data,
+    # gzip codec, v2-style chunk key encoding
+    import gzip as _gz
+
+    path = str(tmp_path / "f3.zarr")
+    os.makedirs(path)
+    data = (np.arange(12, dtype="<u2") % 9).reshape(3, 4)
+    doc = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": [3, 4], "data_type": "uint16",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [3, 4]}},
+        "chunk_key_encoding": {"name": "v2",
+                               "configuration": {"separator": "."}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "gzip", "configuration": {"level": 5}}],
+        "attributes": {},
+    }
+    json.dump(doc, open(os.path.join(path, "zarr.json"), "w"))
+    open(os.path.join(path, "0.0"), "wb").write(
+        _gz.compress(data.tobytes()))
+    out, meta = zr.read_zarr(path)
+    assert meta["dtype"] == "<u2" and meta["_prefix"] == ""
+    arr = md.to_numpy(out, (3, 4), (3, 4))
+    np.testing.assert_array_equal(arr, data.astype(np.float64))
+
+
+def test_v3_v2_convert_cycle(tmp_path):
+    shape, chunks = (9, 6), (4, 4)
+    ds, fv = _mk(shape, chunks)
+    p2 = str(tmp_path / "a2.zarr")
+    zr.write_zarr(ds, p2, shape, chunks,
+                  compressor={"id": "zlib", "level": 1})
+    p3 = str(tmp_path / "a3.zarr")
+    n = zr.convert_zarr_v2_to_v3(p2, p3)
+    assert n == 6
+    assert os.path.exists(os.path.join(p3, "zarr.json"))
+    p2b = str(tmp_path / "back2.zarr")
+    zr.convert_zarr_v3_to_v2(p3, p2b)
+    out, meta = zr.read_zarr(p2b)
+    assert meta["zarr_format"] == 2
+    arr = md.to_numpy(out, shape, chunks)
+    mesh = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    np.testing.assert_array_equal(arr, fv(*mesh))
+
+
+def test_v3_guards(tmp_path):
+    path = str(tmp_path / "g.zarr")
+    os.makedirs(path)
+    doc = {"zarr_format": 3, "node_type": "array", "shape": [4],
+           "data_type": "float64",
+           "chunk_grid": {"name": "regular",
+                          "configuration": {"chunk_shape": [2]}},
+           "fill_value": 0,
+           "codecs": [{"name": "sharding_indexed",
+                       "configuration": {}}]}
+    json.dump(doc, open(os.path.join(path, "zarr.json"), "w"))
+    with pytest.raises(ValueError, match="unsupported v3 codec"):
+        zr.read_meta_v3(path)
+    with pytest.raises(ValueError, match="unsupported v3 dtype"):
+        zr.create_array_v3(str(tmp_path / "x"), [4], [2],
+                           dtype="<c16")
