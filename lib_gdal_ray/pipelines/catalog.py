@@ -4069,6 +4069,53 @@ def q_envi_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_hdf4_roundtrip(sf_dir):
+    """HDF4 driver surface (frmts/hdf4 analog, sources/hdf4.py —
+    reference fixture checksums pinned in tests/test_hdf4.py): the z0
+    world count grid written as a single-SDS .hdf (big-endian NDG
+    layout), read back by line-range-split parallel tasks → same
+    per-row-band stats as envi_roundtrip."""
+    import os
+
+    from ..pipelines import relational
+    from ..sources import hdf4 as h4
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 0, merge_alg="count",
+                                shuffle_partitions=4)
+    df = pix.to_pandas()  # z0 grid: ≤65536 sparse rows — driver-small
+    _z, gpx, gpy = rast.unpack_pixel(df["pix_id"].to_numpy())
+    dense = np.zeros((256, 256), dtype=np.int32)
+    dense[gpy, gpx] = df["burn"].to_numpy().astype(np.int32)
+    path = (f"/tmp/lib_gdal_ray_hdf4_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.hdf")
+    with open(path, "wb") as f:
+        f.write(h4.encode_hdf4(dense))
+    back = h4.read_hdf4_rows(path, rows_per_chunk=32)
+
+    def band_cols(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v != 0
+        return pa.table({"row_band": pa.array(y[keep] // 32),
+                         "value": pa.array(v[keep])})
+
+    keyed = back.map_batches(band_cols, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        keyed, ["row_band"],
+        [("count", "value", "n_pixels"), ("sum", "value", "n_events_f")],
+        shuffle_partitions=2)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_band": pc.cast(batch["row_band"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "n_events": pc.cast(pc.round(batch["n_events_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
 def q_grib_roundtrip(sf_dir):
     """GRIB2 driver surface (frmts/grib analog, sources/grib.py): the
     z0 world count grid packed as a simple-packing GRIB2 message
@@ -6723,6 +6770,7 @@ QUERIES = {
     "gml_roundtrip": (q_gml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
     "grib_roundtrip": (q_grib_roundtrip, _sql_envi_roundtrip()),
+    "hdf4_roundtrip": (q_hdf4_roundtrip, _sql_envi_roundtrip()),
     "rraster_roundtrip": (q_rraster_roundtrip, _sql_envi_roundtrip()),
     "jml_roundtrip": (q_jml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "georss_roundtrip": (q_georss_roundtrip, SQL_GEOJSON_ROUNDTRIP),

@@ -86,6 +86,9 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "DDS": ((".dds",),
             lambda b: _lazy("dds", "decode_dds")(b),
             _no_encode("DDS")),
+    "HDF4": ((".hdf",),
+             lambda b: _lazy("hdf4", "decode_hdf4")(b),
+             lambda a, **kw: _lazy("hdf4", "encode_hdf4")(a)),
 }
 
 
@@ -135,6 +138,8 @@ def identify(buf: bytes) -> Optional[str]:
         return "RMF"
     if buf[:4] == b"DDS ":
         return "DDS"
+    if buf[:4] == b"\x0e\x03\x13\x01":
+        return "HDF4"
     if buf[:4] == b"HGPC" and buf[4:5] in b"18":
         from .nwt import identify_nwt
 
