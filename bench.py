@@ -164,26 +164,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "spatialite_roundtrip", "xlsx_roundtrip",
                      # round-4 session 6
                      "rraster_roundtrip", "jml_roundtrip",
-                     "georss_roundtrip"]
+                     "georss_roundtrip",
+                     # round-5 additions
+                     "gpkg_raster_roundtrip", "zarr_v3_roundtrip",
+                     "hdf4_roundtrip"]
     import gc
 
+    # BENCH_REPEATS=3 -> per-query median-of-3 (host variance at sf0.1
+    # swings single runs up to 3x; medians make round-over-round
+    # regressions detectable per query). Default 1 keeps the driver's
+    # per-round bench cheap; medians additionally land in "median3".
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "1")))
+    medians = {}
     for name in bench_queries:
         fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        out = fn(sf_dir)
-        if hasattr(out, "count"):
-            out.count()  # execute; small results only
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop the result refs before the next query so the object
-        # store doesn't accumulate across the (long) query list —
-        # later queries otherwise inherit a degraded session
-        del out
-        gc.collect()
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(sf_dir)
+            if hasattr(out, "count"):
+                out.count()  # execute; small results only
+            runs.append(round(time.perf_counter() - t0, 3))
+            # drop the result refs before the next query so the object
+            # store doesn't accumulate across the (long) query list —
+            # later queries otherwise inherit a degraded session
+            del out
+            gc.collect()
+        timings[name] = runs[0]
+        if repeats >= 3:
+            medians[name] = sorted(runs)[len(runs) // 2]
+    if medians:
+        timings_median3 = medians
+    else:
+        timings_median3 = None
 
     # the reference's flagship ogr2ogr benchmark shape (50k x 21 fields)
     timings["gpkg_translate_50k_21f"] = round(gpkg_translate_bench(), 3)
 
-    return {
+    out = {
         "metric": "spatial_join_tiling_headline",
         "value": round(headline_sec, 3),
         "unit": "sec",
@@ -194,12 +212,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
     }
+    if timings_median3:
+        out["median3"] = timings_median3
+        out["bench_repeats"] = repeats
+    return out
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    """Same headline job at num_cpus=8, 16 and 32 in fresh processes.
+
+    Two efficiency ratios are reported because the 8-cpu leg is
+    object-store-bandwidth bound on this host, which makes the 8->32
+    ratio superlinear (an easy >=0.8); the 16->32 leg is the honest
+    compute-scaling number (ideal speedup 2.0)."""
     results = {}
-    for cpus in (8, 32):
+    for cpus in (8, 16, 32):
         code = (
             "import json, time, sys; sys.path.insert(0, '.');"
             "import bench; bench._init_ray({c});"
@@ -212,11 +239,17 @@ def run_scaling(sf_dir: str) -> dict:
                              text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    t8, t16, t32 = (results[c]["docs_per_sec"] for c in (8, 16, 32))
     return {
         "metric": "scaling_efficiency",
         "throughput_cpus8": round(t8, 1),
+        "throughput_cpus16": round(t16, 1),
         "throughput_cpus32": round(t32, 1),
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "efficiency_8_to_32": round((t32 / t8) / 4.0, 3),
+        "speedup_16_to_32": round(t32 / t16, 3),
+        "efficiency_16_to_32": round((t32 / t16) / 2.0, 3),
+        # legacy field names (ratio the north rule names: N -> 4N)
         "speedup": round(t32 / t8, 3),
         "efficiency": round((t32 / t8) / 4.0, 3),
         "unit": "docs/sec",
