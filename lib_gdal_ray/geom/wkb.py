@@ -425,6 +425,68 @@ def linearize_circularstring(coords: np.ndarray,
     return np.vstack(parts)
 
 
+def wkb_geom_type(buf: bytes) -> int:
+    """Flattened base type id of the root geometry (OGR
+    wkbFlatten analog) — curve types are 8..12."""
+    byte_order = buf[0]
+    if byte_order in (0x30, 0x31):
+        byte_order -= 0x30
+    fmt = "<" if byte_order == 1 else ">"
+    (raw_type,) = struct.unpack_from(fmt + "I", buf, 1)
+    base, _nd, _srid = _type_dims(raw_type)
+    return base
+
+
+def parse_wkb_curved(buf: bytes, off: int = 0):
+    """Curve-PRESERVING structured parse (no linearization): returns
+    (kind, payload) where curve kinds are "circularstring" (coords),
+    "compoundcurve" (list of (kind, coords) members), "curvepolygon"
+    (list of (kind, payload) rings), "multicurve" / "multisurface"
+    (lists of members). Non-curved kinds parse as in parse_wkb. Used
+    by the WKT writer and format sinks that keep curves intact
+    (reference curve classes `ogr/ogr_geometry.h`)."""
+    kind, payload, _off = _parse_geom_curved(buf, off)
+    return kind, payload
+
+
+def _parse_geom_curved(buf: bytes, off: int):
+    byte_order = buf[off]
+    if byte_order in (0x30, 0x31):
+        byte_order -= 0x30
+    fmt = "<" if byte_order == 1 else ">"
+    (raw_type,) = struct.unpack_from(fmt + "I", buf, off + 1)
+    gtype, ndims, has_srid = _type_dims(raw_type)
+    if gtype not in (8, 9, 10, 11, 12):
+        return _parse_geom(buf, off)
+    o = off + 5 + (4 if has_srid else 0)
+    if gtype == WKB_CIRCULARSTRING:
+        (npts,) = struct.unpack_from(fmt + "I", buf, o)
+        o += 4
+        coords, o = _read_coords(buf, fmt, o, npts, ndims)
+        return ("circularstring", coords, o)
+    (n,) = struct.unpack_from(fmt + "I", buf, o)
+    o += 4
+    members = []
+    for _ in range(n):
+        kind, payload, o = _parse_geom_curved(buf, o)
+        members.append((kind, payload))
+    name = {9: "compoundcurve", 10: "curvepolygon",
+            11: "multicurve", 12: "multisurface"}[gtype]
+    return (name, members, o)
+
+
+def multicurve_to_wkb(members) -> bytes:
+    """members: list of curve WKBs (linestring/circular/compound)."""
+    return struct.pack("<BII", 1, WKB_MULTICURVE,
+                       len(members)) + b"".join(members)
+
+
+def multisurface_to_wkb(members) -> bytes:
+    """members: list of surface WKBs (polygon/curvepolygon)."""
+    return struct.pack("<BII", 1, WKB_MULTISURFACE,
+                       len(members)) + b"".join(members)
+
+
 def circularstring_to_wkb(coords) -> bytes:
     coords = np.ascontiguousarray(coords, dtype=np.float64)
     return struct.pack("<BII", 1, WKB_CIRCULARSTRING, len(coords)) + coords.tobytes()

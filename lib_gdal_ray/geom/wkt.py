@@ -46,12 +46,63 @@ def wkb_to_wkt(buf: bytes) -> str:
     The engine's WKB parse flattens Z/M to 2-D (OGR-flatten semantics,
     `geom/wkb.py _read_coords`); POINT Z is special-cased back through
     `wkb_point_z` so point elevation survives the text round-trip."""
+    if wkb_mod.wkb_geom_type(buf) in (8, 9, 10, 11, 12):
+        kind, payload = wkb_mod.parse_wkb_curved(buf)
+        return _curve_to_wkt(kind, payload)
     kind, payload = wkb_mod.parse_wkb(buf)
     if kind == "point":
         z = wkb_mod.wkb_point_z(buf)
         if z == z:  # not nan -> 3-D point
             a = np.asarray(payload, dtype=np.float64)
             return (f"POINT Z ({_fmt(a[0, 0])} {_fmt(a[0, 1])} {_fmt(z)})")
+    return _geom_to_wkt(kind, payload)
+
+
+def _curve_to_wkt(kind: str, payload, bare: bool = False) -> str:
+    """Curve kinds -> OGR-style WKT. ``bare`` drops the LINESTRING tag
+    inside COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE members and the
+    CURVEPOLYGON tag for plain polygons inside MULTISURFACE — OGR's
+    exportToWkt convention (`autotest/ogr/ogr_geom.py` curve cases)."""
+    if kind == "circularstring":
+        a = np.asarray(payload, dtype=np.float64)
+        if a.size == 0:
+            return "CIRCULARSTRING EMPTY"
+        return f"CIRCULARSTRING{_zsuffix(a)} ({_fmt_coords(a)})"
+    if kind == "linestring":
+        a = np.asarray(payload, dtype=np.float64)
+        return (f"({_fmt_coords(a)})" if bare
+                else f"LINESTRING ({_fmt_coords(a)})")
+    if kind == "compoundcurve":
+        if not payload:
+            return "COMPOUNDCURVE EMPTY"
+        inner = ", ".join(_curve_to_wkt(k, p, bare=True)
+                          for k, p in payload)
+        return f"COMPOUNDCURVE ({inner})"
+    if kind == "curvepolygon":
+        if not payload:
+            return "CURVEPOLYGON EMPTY"
+        inner = ", ".join(_curve_to_wkt(k, p, bare=True)
+                          for k, p in payload)
+        return f"CURVEPOLYGON ({inner})"
+    if kind == "multicurve":
+        if not payload:
+            return "MULTICURVE EMPTY"
+        inner = ", ".join(_curve_to_wkt(k, p, bare=True)
+                          for k, p in payload)
+        return f"MULTICURVE ({inner})"
+    if kind == "multisurface":
+        if not payload:
+            return "MULTISURFACE EMPTY"
+        parts = []
+        for k, p in payload:
+            if k == "polygon":
+                parts.append(f"({_ring_str(p)})")
+            else:
+                parts.append(_curve_to_wkt(k, p))
+        return "MULTISURFACE (" + ", ".join(parts) + ")"
+    if kind == "polygon":
+        return f"({_ring_str(payload)})" if bare \
+            else f"POLYGON ({_ring_str(payload)})"
     return _geom_to_wkt(kind, payload)
 
 
@@ -173,6 +224,16 @@ def _parse_geometry(tk: _Tokens) -> bytes:
             return wkb_mod.geometrycollection_to_wkb([])
         if tag == "LINESTRING":
             return wkb_mod.linestring_to_wkb(np.empty((0, 2)))
+        if tag == "CIRCULARSTRING":
+            return wkb_mod.circularstring_to_wkb(np.empty((0, 2)))
+        if tag == "COMPOUNDCURVE":
+            return wkb_mod.compoundcurve_to_wkb([])
+        if tag == "CURVEPOLYGON":
+            return wkb_mod.curvepolygon_to_wkb([])
+        if tag == "MULTICURVE":
+            return wkb_mod.multicurve_to_wkb([])
+        if tag == "MULTISURFACE":
+            return wkb_mod.multisurface_to_wkb([])
         raise ValueError(f"{tag} EMPTY not representable")
     if tag == "POINT":
         return _coords_to_point_wkb(_parse_coords(tk))
@@ -215,6 +276,35 @@ def _parse_geometry(tk: _Tokens) -> bytes:
             if tk.next() == ")":
                 break
         return wkb_mod.geometrycollection_to_wkb(members)
+    if tag == "CIRCULARSTRING":
+        return wkb_mod.circularstring_to_wkb(_parse_coords(tk)[:, :2])
+    if tag in ("COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE"):
+        tk.expect("(")
+        members = []
+        while True:
+            if tk.peek() == "(":     # bare coord list = LINESTRING
+                members.append(wkb_mod.linestring_to_wkb(
+                    _parse_coords(tk)[:, :2]))
+            else:
+                members.append(_parse_geometry(tk))
+            if tk.next() == ")":
+                break
+        maker = {"COMPOUNDCURVE": wkb_mod.compoundcurve_to_wkb,
+                 "CURVEPOLYGON": wkb_mod.curvepolygon_to_wkb,
+                 "MULTICURVE": wkb_mod.multicurve_to_wkb}[tag]
+        return maker(members)
+    if tag == "MULTISURFACE":
+        tk.expect("(")
+        members = []
+        while True:
+            if tk.peek() == "(":     # bare ring list = POLYGON
+                members.append(wkb_mod.polygon_to_wkb(
+                    [r[:, :2] for r in _parse_ring_list(tk)]))
+            else:
+                members.append(_parse_geometry(tk))
+            if tk.next() == ")":
+                break
+        return wkb_mod.multisurface_to_wkb(members)
     raise ValueError(f"unsupported WKT type {tag!r}")
 
 

@@ -75,6 +75,36 @@ def _ring_coords(ring_el) -> List[Tuple[float, float]]:
     return []
 
 
+def _curve_segments(el) -> Optional[bytes]:
+    """gml:Curve/gml:segments -> curve-preserving WKB: Arc/ArcString
+    segments become CIRCULARSTRING, LineStringSegment LINESTRING; a
+    mix becomes COMPOUNDCURVE (gml2ogrgeometry.cpp GML3 curve path).
+    Returns None when the Curve has no <segments> (GML2-style posList
+    Curves fall through to the linestring reader)."""
+    segments = None
+    for ch in el:
+        if _strip(ch.tag) == "segments":
+            segments = ch
+            break
+    if segments is None:
+        return None
+    members: List[bytes] = []
+    for seg in segments:
+        st = _strip(seg.tag)
+        coords = _ring_coords(seg)
+        if not coords:
+            continue
+        if st in ("Arc", "ArcString", "Circle"):
+            members.append(wkbm.circularstring_to_wkb(coords))
+        else:  # LineStringSegment / GeodesicString
+            members.append(wkbm.linestring_to_wkb(coords))
+    if not members:
+        return None
+    if len(members) == 1:
+        return members[0]
+    return wkbm.compoundcurve_to_wkb(members)
+
+
 def gml_geom_to_wkb(el) -> Optional[bytes]:
     """A gml:* geometry element -> WKB (gml2ogrgeometry.cpp)."""
     t = _strip(el.tag)
@@ -91,9 +121,25 @@ def gml_geom_to_wkb(el) -> Optional[bytes]:
                                       np.array([c[0][1]]))[0]
         return None
     if t in ("LineString", "Curve"):
+        if t == "Curve":
+            segs = _curve_segments(el)
+            if segs is not None:
+                return segs
         c = _ring_coords(el)
         return wkbm.linestring_to_wkb(c) if c else None
     if t in ("Polygon", "Surface"):
+        # curve rings: gml:Ring with curveMember (GML3) -> CurvePolygon
+        ring_members = []
+        for ch in el.iter():
+            if _strip(ch.tag) == "Ring":
+                for cm in ch.iter():
+                    if _strip(cm.tag) in ("Curve", "LineString"):
+                        w = gml_geom_to_wkb(cm)
+                        if w is not None:
+                            ring_members.append(w)
+                break
+        if ring_members:
+            return wkbm.curvepolygon_to_wkb(ring_members)
         outer: List = []
         holes: List = []
         for ch in el.iter():
@@ -206,7 +252,50 @@ def _coords_text(pts) -> str:
     return " ".join(f"{float(p[0])!r},{float(p[1])!r}" for p in pts)
 
 
+def _pos_list(pts) -> str:
+    return " ".join(f"{float(p[0])!r} {float(p[1])!r}" for p in pts)
+
+
+def _curve_wkb_to_gml(kind: str, payload) -> str:
+    """Curve kinds -> GML3 (Curve/segments/ArcString; Polygon/Ring
+    with curveMember for CurvePolygon) — the reference GML writer's
+    curve path (`ogr2gmlgeometry.cpp` GML3 options)."""
+    if kind == "circularstring":
+        return ("<gml:Curve><gml:segments><gml:ArcString>"
+                f"<gml:posList>{_pos_list(payload)}</gml:posList>"
+                "</gml:ArcString></gml:segments></gml:Curve>")
+    if kind == "compoundcurve":
+        segs = []
+        for k, p in payload:
+            if k == "circularstring":
+                segs.append(f"<gml:ArcString><gml:posList>{_pos_list(p)}"
+                            "</gml:posList></gml:ArcString>")
+            else:
+                segs.append(
+                    f"<gml:LineStringSegment><gml:posList>{_pos_list(p)}"
+                    "</gml:posList></gml:LineStringSegment>")
+        return (f"<gml:Curve><gml:segments>{''.join(segs)}"
+                "</gml:segments></gml:Curve>")
+    if kind == "curvepolygon":
+        rings = []
+        for k, p in payload:
+            if k == "linestring":
+                member = (f"<gml:LineString><gml:posList>{_pos_list(p)}"
+                          "</gml:posList></gml:LineString>")
+            else:
+                member = _curve_wkb_to_gml(k, p)
+            rings.append(member)
+        inner = "".join(f"<gml:curveMember>{m}</gml:curveMember>"
+                        for m in rings)
+        return ("<gml:Polygon><gml:exterior><gml:Ring>"
+                f"{inner}</gml:Ring></gml:exterior></gml:Polygon>")
+    raise ValueError(f"GML writer: unsupported curve kind {kind}")
+
+
 def wkb_to_gml(g: bytes) -> str:
+    if wkbm.wkb_geom_type(g) in (8, 9, 10):
+        kind, payload = wkbm.parse_wkb_curved(g)
+        return _curve_wkb_to_gml(kind, payload)
     kind, payload = wkbm.parse_wkb(g)
     if kind == "point":
         return (f"<gml:Point><gml:coordinates>"
