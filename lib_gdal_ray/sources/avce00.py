@@ -244,7 +244,14 @@ def read_e00(path: str) -> Dict[str, pa.Table]:
     with open(path, "r", encoding="latin-1") as f:
         text = f.read()
     if text[:7].startswith("EXP  1") or "compressed" in text[:40].lower():
-        raise ValueError("compressed E00 is not supported")
+        # Reference parity: the AVCE00 driver itself rejects
+        # compressed archives (avc_e00read.cpp:1374-1385,
+        # autotest/ogr/ogr_avc.py:77-83 asserts the open FAILS) —
+        # same contract, same guidance
+        raise ValueError(
+            "This looks like a compressed E00 file and cannot be "
+            "processed directly. You may need to uncompress it first "
+            "using the E00compr library or the e00conv program.")
     L = _Lines(text)
     first = L.next()
     if not first.startswith("EXP"):

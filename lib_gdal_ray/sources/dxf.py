@@ -49,7 +49,9 @@ FIELDS = ["Layer", "PaperSpace", "SubClasses", "Linetype",
 # arc stroking (OGRGeometryFactory::approximateArcAngles semantics)
 
 def approximate_arc(cx, cy, z, rx, ry, rot_deg, a1, a2,
-                    step=4.0) -> np.ndarray:
+                    step=None) -> np.ndarray:
+    if step is None:  # OGR_ARC_STEPSIZE config-option analog
+        step = float(os.environ.get("OGR_ARC_STEPSIZE", "4"))
     full = abs(a2 - a1) == 360.0
     a1, a2 = -a1, -a2
     n = max(2, int(math.ceil(abs(a2 - a1) / step)) + 1)
@@ -753,8 +755,299 @@ def _entity_geom(kind, body, d, blocks, fields) -> Optional[_Geom]:
                 c.append(p4)
         c.append(c[0])
         return _Geom("polygon", [np.array(c)], True)
-    return None     # SPLINE/HATCH/DIMENSION/INSERT-here (see
-                    # parse_features) unsupported in single-geom path
+    if kind == "HATCH":
+        return _hatch_geom(body, d)
+    return None     # DIMENSION/INSERT-here (see parse_features)
+                    # unsupported in single-geom path
+
+
+# ------------------------------------------------------------------
+# HATCH boundary paths (ogrdxf_hatch.cpp CollectBoundaryPath /
+# OGRBuildPolygonFromEdges)
+
+def _hatch_geom(body, d) -> Optional[_Geom]:
+    """HATCH -> POLYGON / MULTIPOLYGON: boundary paths (polyline or
+    line/arc/elliptic-arc/spline edges) collected as edge strings,
+    chained into rings by endpoint matching (OGRBuildPolygonFromEdges
+    bAutoClose semantics), rings nested by containment
+    (organizePolygons)."""
+    elev = _f(d, 30)
+    pairs = list(body)
+    pos = [0]
+
+    def peek():
+        return pairs[pos[0]] if pos[0] < len(pairs) else (None, None)
+
+    def take():
+        c, v = peek()
+        pos[0] += 1
+        return c, v
+
+    # advance to the boundary-path count (code 91)
+    n_paths = 0
+    while pos[0] < len(pairs):
+        c, v = take()
+        if c == 91:
+            n_paths = int(float(v))
+            break
+    edges: List[np.ndarray] = []
+    for _ in range(n_paths):
+        while peek()[0] is not None and peek()[0] != 92:
+            take()
+        if peek()[0] is None:
+            break
+        _c, v = take()
+        flag = int(float(v))
+        if flag & 2:   # polyline path
+            has_bulge, closed, nverts = False, False, -1
+            verts: List[Tuple[float, float, float]] = []
+            while peek()[0] is not None:
+                c, v = peek()
+                if c == 72:
+                    take()
+                    has_bulge = int(float(v)) != 0
+                elif c == 73:
+                    take()
+                    closed = int(float(v)) != 0
+                elif c == 93:
+                    take()
+                    nverts = int(float(v))
+                elif c == 10:
+                    take()
+                    x = float(v)
+                    y = 0.0
+                    b = 0.0
+                    if peek()[0] == 20:
+                        y = float(take()[1])
+                    if has_bulge and peek()[0] == 42:
+                        b = float(take()[1])
+                    verts.append((x, y, b))
+                    if nverts > 0 and len(verts) == nverts:
+                        break
+                else:
+                    break
+            if verts:
+                xs = np.array([p[0] for p in verts])
+                ys = np.array([p[1] for p in verts])
+                bulges = np.array([p[2] for p in verts])
+                pts = _tessellate_poly(xs, ys, bulges,
+                                       np.full(len(xs), elev), closed)
+                edges.append(pts)
+        else:          # edge list
+            n_edges = 0
+            if peek()[0] == 93:
+                n_edges = int(float(take()[1]))
+            for _e in range(n_edges):
+                if peek()[0] != 72:
+                    break
+                etype = int(float(take()[1]))
+                vals = {}
+                seq: List[Tuple[int, float]] = []
+                while peek()[0] is not None and peek()[0] not in (72, 97,
+                                                                  92):
+                    c, v = take()
+                    try:
+                        fv = float(v)
+                    except ValueError:
+                        continue
+                    seq.append((c, fv))
+                    vals.setdefault(c, []).append(fv)
+                pts = _hatch_edge_points(etype, vals, seq, elev)
+                if pts is not None and len(pts) >= 2:
+                    edges.append(pts)
+        if peek()[0] == 97:   # skip source boundary object refs
+            _c, v = take()
+            for _s in range(int(float(v))):
+                if peek()[0] == 330:
+                    take()
+    if not edges:
+        return None
+    rings = _chain_edges(edges)
+    if not rings:
+        return None
+    outers, holes = _organize_rings(rings)
+    # ApplyOCSTransformer: an extruded HATCH maps (x, y, elevation)
+    # through the arbitrary-axis matrix (ogrdxf_hatch.cpp:149)
+    if _extrusion(d) is not None:
+        outers = [_maybe_ocs(r, d) for r in outers]
+        holes = {k: [_maybe_ocs(r, d) for r in v]
+                 for k, v in holes.items()}
+    is3d = elev != 0.0 or _extrusion(d) is not None
+    if len(outers) == 1:
+        return _Geom("polygon", [outers[0]] + holes.get(0, []), is3d)
+    if not holes:
+        return _Geom("multipolygon", [[r] for r in outers], is3d)
+    return _Geom("multipolygon",
+                 [[outers[i]] + holes.get(i, [])
+                  for i in range(len(outers))], is3d)
+
+
+def _hatch_edge_points(etype: int, vals, seq, elev: float):
+    """One boundary edge -> stroked points (ogrdxf_hatch.cpp edge
+    cases; angle conventions composed with approximate_arc's internal
+    sign flip exactly as approximateArcAngles is called there)."""
+    def g(code, idx=0, default=0.0):
+        a = vals.get(code)
+        return a[idx] if a and idx < len(a) else default
+
+    if etype == 1:      # line
+        return np.array([(g(10), g(20), elev), (g(11), g(21), elev)])
+    if etype == 2:      # circular arc
+        a1, a2 = g(50), g(51)
+        ccw = g(73, default=0.0) != 0
+        if a1 > a2:
+            a2 += 360.0
+        if ccw:
+            a1, a2 = -a1, -a2
+        if abs(a2 - a1) > 361.0:
+            return None
+        return approximate_arc(g(10), g(20), elev, g(40), g(40), 0.0,
+                               a1, a2)
+    if etype == 3:      # elliptic arc
+        mx, my, ratio = g(11), g(21), g(40)
+        if ratio == 0.0:
+            return None
+        a1, a2 = g(50), g(51)
+        ccw = g(73, default=0.0) != 0
+        if a1 > a2:
+            a2 += 360.0
+        if ccw:
+            a1, a2 = -a1, -a2
+        major = math.hypot(mx, my)
+        rot = -math.degrees(math.atan2(my, mx))
+
+        def param(a):
+            # circular angle -> elliptical parameter (AutoCAD spec)
+            corr = 0.0
+            if abs(math.fmod(a, 180.0)) == 90.0:
+                corr = 180.0 if a < 0 or (a == 0 and
+                                          math.copysign(1, a) < 0) \
+                    else -180.0
+            return (180.0 * round(a / 180.0) + corr
+                    + math.degrees(math.atan(
+                        (1.0 / ratio) * math.tan(math.radians(a)))))
+
+        a1p, a2p = param(a1), param(a2)
+        if abs(a2p - a1p) > 361.0:
+            return None
+        return approximate_arc(g(10), g(20), elev, major, major * ratio,
+                               rot, a1p, a2p)
+    if etype == 4:      # spline edge
+        degree = int(g(94, default=3.0))
+        xs = [v for c, v in seq if c == 10]
+        ys = [v for c, v in seq if c == 20]
+        knots = np.array([v for c, v in seq if c == 40])
+        weights = np.array([v for c, v in seq if c == 42])
+        if len(xs) < degree + 1:
+            return None
+        ctrl = np.stack([np.array(xs), np.array(ys),
+                         np.full(len(xs), elev)], axis=1)
+        if len(knots) != len(ctrl) + degree + 1:
+            knots = None
+        return nurbs_curve(ctrl, weights if len(weights) == len(ctrl)
+                           else None, degree, knots)
+    return None
+
+
+def _chain_edges(edges: List[np.ndarray],
+                 tol: Optional[float] = None) -> List[np.ndarray]:
+    """Unordered edge strings -> closed rings (OGRBuildPolygonFromEdges
+    with bBestEffort + bAutoClose: extend by endpoint matching within
+    tolerance, auto-close what remains)."""
+    if tol is None:
+        allpts = np.vstack([e[:, :2] for e in edges])
+        span = max(allpts[:, 0].ptp(), allpts[:, 1].ptp())
+        tol = span * 1e-7 if span > 0 else 1e-7
+    pool = [np.asarray(e, dtype=np.float64) for e in edges]
+    rings = []
+    while pool:
+        ring = pool.pop(0)
+        grew = True
+        while grew:
+            if np.allclose(ring[0, :2], ring[-1, :2], atol=tol):
+                break
+            grew = False
+            for i, cand in enumerate(pool):
+                if np.allclose(cand[0, :2], ring[-1, :2], atol=tol):
+                    ring = np.vstack([ring, cand[1:]])
+                elif np.allclose(cand[-1, :2], ring[-1, :2], atol=tol):
+                    ring = np.vstack([ring, cand[::-1][1:]])
+                else:
+                    continue
+                pool.pop(i)
+                grew = True
+                break
+        if not np.allclose(ring[0, :2], ring[-1, :2], atol=tol):
+            ring = np.vstack([ring, ring[:1]])   # bAutoClose
+        else:
+            ring[-1] = ring[0]
+        if len(ring) >= 4:
+            rings.append(ring)
+    return rings
+
+
+def _organize_rings(rings: List[np.ndarray]):
+    """organizePolygons containment heuristic: ring inside an outer
+    ring (odd nesting depth) = hole of its innermost enclosing outer;
+    returns ([outer...], {outer_index: [hole...]})."""
+    def area(r):
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+    def on_boundary(pt, ring, tol):
+        x, y = pt
+        ax, ay = ring[:-1, 0], ring[:-1, 1]
+        bx, by = np.roll(ax, -1), np.roll(ay, -1)
+        dx, dy = bx - ax, by - ay
+        ln2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip(((x - ax) * dx + (y - ay) * dy)
+                        / np.where(ln2 == 0, 1, ln2), 0, 1)
+        px, py = ax + t * dx, ay + t * dy
+        d2 = (x - px) ** 2 + (y - py) ** 2
+        return bool((d2 <= tol * tol).any())
+
+    def inside(pt, ring):
+        x, y = pt
+        rx, ry = ring[:-1, 0], ring[:-1, 1]
+        nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+        cond = (ry > y) != (ny > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = rx + (y - ry) * (nx - rx) / (ny - ry)
+        return int(np.count_nonzero(cond & (x < xin))) % 2 == 1
+
+    def ring_inside(cand, outer, tol):
+        # organizePolygons-style robust test: skip candidate vertices
+        # that sit ON the outer boundary (touching rings are NOT
+        # nested); first off-boundary vertex decides
+        for pt in cand[:-1, :2]:
+            if on_boundary(pt, outer, tol):
+                continue
+            return inside(pt, outer)
+        return False
+
+    allpts = np.vstack([r[:, :2] for r in rings])
+    span = max(allpts[:, 0].ptp(), allpts[:, 1].ptp())
+    tol = span * 1e-7 if span > 0 else 1e-7
+    order = sorted(range(len(rings)), key=lambda i: -area(rings[i]))
+    outers: List[np.ndarray] = []
+    holes: Dict[int, List[np.ndarray]] = {}
+    for i in order:
+        r = rings[i]
+        enclosing = [j for j, o in enumerate(outers)
+                     if ring_inside(r, o, tol)]
+        hole_of = None
+        for j in reversed(enclosing):
+            already_holes = holes.get(j, [])
+            in_hole = any(ring_inside(r, h, tol) for h in already_holes)
+            if not in_hole:
+                hole_of = j
+                break
+        if hole_of is None:
+            outers.append(r)
+        else:
+            holes.setdefault(hole_of, []).append(r)
+    return outers, holes
 
 
 def _polyline_geom(body, d) -> Optional[_Geom]:

@@ -319,3 +319,92 @@ def test_spline_closed():
                        [13.9043277090443, 2.1111553863727], atol=1e-9)
     assert np.allclose(pts[30, :2],
                        [16.2252950548894, 3.68154190979879], atol=1e-9)
+
+
+# ------------------------------------------------------------------
+# HATCH (ogrdxf_hatch.cpp; VERDICT r5 item 9)
+
+def test_hatch_circular_arcs():
+    """ogr_dxf.py:test_ogr_dxf_24 — HATCH with 4 circular-arc edges
+    chains into one closed polygon; coordinates pinned to the
+    reference's expected WKT at OGR_ARC_STEPSIZE=45."""
+    import os
+
+    exp1 = _wkt_coords(
+        "POLYGON ((2 1,1.646446609406726 0.853553390593274,1.5 0.5,"
+        "1.646446609406726 0.146446609406726,2 0,"
+        "2.146446609406726 -0.353553390593274,2.5 -0.5,"
+        "2.853553390593274 -0.353553390593274,3.0 -0.0,"
+        "3.353553390593274 0.146446609406726,3.5 0.5,"
+        "3.353553390593274 0.853553390593273,3 1,"
+        "2.853553390593274 1.353553390593274,2.5 1.5,"
+        "2.146446609406726 1.353553390593274,2 1))")
+    os.environ["OGR_ARC_STEPSIZE"] = "45"
+    try:
+        frs, blocks = dxf.scan_dxf(f"{REF}/hatch.dxf")
+        feats = [g for fr in frs for _f, g in
+                 dxf.parse_features(fr, blocks)]
+    finally:
+        del os.environ["OGR_ARC_STEPSIZE"]
+    assert [g.kind for g in feats] == ["polygon"] * 3
+    ring = np.asarray(feats[0].payload[0])[:, :2]
+    assert ring.shape == exp1.shape
+    assert np.abs(ring - exp1).max() < 1e-12
+    # third hatch: polyline boundary path
+    r3 = np.asarray(feats[2].payload[0])[:, :2]
+    exp3 = _wkt_coords("POLYGON ((-1 -1,-1 0,0 0,-1 -1))")
+    assert np.abs(r3 - exp3).max() < 1e-12
+
+
+def test_hatch_as_multipolygon():
+    """ogr_dxf.py:test_ogr_dxf_hatch_as_multipolygon — five disjoint
+    boundary paths organize into a 5-polygon MULTIPOLYGON (touching
+    rings are NOT nested)."""
+    frs, blocks = dxf.scan_dxf(f"{REF}/hatch_as_multipolygon.dxf")
+    g = [g for fr in frs for _f, g in dxf.parse_features(fr, blocks)][0]
+    assert g.kind == "multipolygon"
+    assert len(g.payload) == 5
+    assert all(len(p) == 1 for p in g.payload)  # no holes
+    exp = _wkt_coords(
+        "POLYGON ((358.626489135389 -3222.17795096722,"
+        "351.920706594896 -3213.54792929232,"
+        "337.147774411618 -3225.08824421182,"
+        "343.594999049021 -3233.57143454121,"
+        "358.626489135389 -3222.17795096722))")
+    errs = []
+    for p in g.payload:
+        r = np.asarray(p[0])[:, :2]
+        if r.shape == exp.shape:
+            errs.append(np.abs(r - exp).max())
+    assert errs and min(errs) < 1e-9
+
+
+def test_hatch_elliptical_arc():
+    """ogr_dxf.py:test_ogr_dxf_35 — elliptical-arc boundary with the
+    circular-angle -> elliptical-parameter conversion; first vertices
+    pinned to the reference's expected WKT (default 4-degree step)."""
+    frs, blocks = dxf.scan_dxf(f"{REF}/elliptical-arc-hatch-min.dxf")
+    feats = [g for fr in frs for _f, g in dxf.parse_features(fr, blocks)]
+    r = np.asarray(feats[0].payload[0])
+    assert np.abs(r[0] - [10.0, 5.0, 0.0]).max() < 1e-12
+    assert np.abs(r[1] - [10.0121275732481, 0.823574944937595, 0]
+                  ).max() < 1e-10
+
+
+def test_hatch_spline_boundary_with_ocs():
+    """ogr_dxf.py:test_ogr_dxf_52 HATCH 1 — spline boundary edge +
+    210 extrusion: NURBS stroke then the arbitrary-axis OCS transform;
+    first three vertices pinned."""
+    frs, blocks = dxf.scan_dxf(f"{REF}/additional-entities.dxf")
+    hatches = [g for fr in frs for f, g in dxf.parse_features(fr, blocks)
+               if g is not None and "AcDbHatch" in str(f.get("SubClasses"))]
+    r = np.asarray(hatches[0].payload[0])
+    exp = np.array([[47.6969600708475, 60.0, 15.0],
+                    [47.6969600708475, 0.0, 15.0],
+                    [46.1103652823066, -0.466958240734954,
+                     14.5010390223444]])
+    assert np.abs(r[:3] - exp).max() < 1e-10
+    # HATCH 2: plain 2D spline boundary
+    r2 = np.asarray(hatches[1].payload[0])
+    assert np.abs(r2[0][:2] - [77.2409948093467, 172.430072843974]
+                  ).max() < 1e-10

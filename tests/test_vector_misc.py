@@ -199,6 +199,16 @@ class TestAVCE00:
         assert layers["ARC"].schema.metadata[b"e00_prj_Projection"] == \
             b"UTM"
 
+    def test_compressed_rejected_with_guidance(self):
+        # ogr_avc.py:77-83 — the reference driver REJECTS compressed
+        # E00 (open fails); same contract, same e00conv guidance
+        import pytest as _pytest
+
+        from lib_gdal_ray.sources.avce00 import read_e00
+
+        with _pytest.raises(ValueError, match="compressed E00.*e00conv"):
+            read_e00(f"{self.D}/compressed.e00")
+
     def test_point_coverage(self):
         from lib_gdal_ray.sources.avce00 import read_e00
 
