@@ -269,6 +269,24 @@ def _read_pairs(path: str) -> List[Tuple[int, str]]:
     return pairs
 
 
+def _register_dimstyle(cur, blocks) -> None:
+    """One TABLES-section DIMSTYLE record -> name: {property: float}
+    stored under blocks[DIMSTYLES_KEY] (codes per
+    ACGetDimStylePropertyName)."""
+    name = None
+    props = {}
+    for c, v in cur[1:]:
+        if c == 2 and name is None:
+            name = v
+        elif c in _DIMSTYLE_CODES:
+            try:
+                props[_DIMSTYLE_CODES[c]] = float(v)
+            except ValueError:
+                pass
+    if name is not None:
+        blocks.setdefault(DIMSTYLES_KEY, {})[name] = props
+
+
 def scan_dxf(path: str):
     """One pass -> (entity fragments, block map {name: (base_xyz,
     fragments)}).  A fragment is the entity's (code, value) pair
@@ -307,6 +325,8 @@ def scan_dxf(path: str):
         if code == 0 and val == "ENDSEC":
             if cur is not None and target is not None:
                 target.append(cur)
+            elif cur is not None and cur[0][1] == "DIMSTYLE":
+                _register_dimstyle(cur, blocks)
             cur = None
             section = "DONE"
             continue
@@ -350,6 +370,18 @@ def scan_dxf(path: str):
                 continue
             if cur is not None:
                 cur.append((code, val))
+            continue
+        if section == "TABLES":
+            # DIMSTYLE records feed the DIMENSION fallback renderer
+            if code == 0 and val == "DIMSTYLE":
+                cur = [(0, val)]
+                continue
+            if cur is not None and cur[0][1] == "DIMSTYLE":
+                if code == 0:   # table entry ended
+                    _register_dimstyle(cur, blocks)
+                    cur = None
+                else:
+                    cur.append((code, val))
             continue
         if section != "ENTITIES":
             continue
@@ -572,8 +604,147 @@ def parse_features(pairs, blocks) -> List[Tuple[dict, Optional[_Geom]]]:
     if pairs[0][1] == "INSERT":
         d = _collect(pairs[1:])
         return _insert_features(pairs, d, blocks)
+    if pairs[0][1] == "DIMENSION":
+        return _dimension_features(pairs, blocks)
     one = parse_entity(pairs, blocks)
     return [one] if one is not None else []
+
+
+# ------------------------------------------------------------------
+# DIMENSION (ogrdxf_dimension.cpp TranslateDIMENSION)
+
+_DIMSTYLE_CODES = {40: "DIMSCALE", 41: "DIMASZ", 42: "DIMEXO",
+                   44: "DIMEXE", 75: "DIMSE1", 76: "DIMSE2",
+                   77: "DIMTAD", 140: "DIMTXT", 147: "DIMGAP",
+                   176: "DIMCLRD", 178: "DIMCLRT", 271: "DIMDEC",
+                   341: "DIMLDRBLK"}
+_DIMSTYLE_DEFAULTS = {"DIMSCALE": 1.0, "DIMASZ": 0.18, "DIMEXO": 0.0625,
+                      "DIMEXE": 0.18, "DIMSE1": 0.0, "DIMSE2": 0.0,
+                      "DIMTAD": 0.0, "DIMTXT": 0.18, "DIMGAP": 0.09,
+                      "DIMCLRD": 0.0, "DIMCLRT": 0.0, "DIMDEC": 4.0,
+                      "DIMLDRBLK": 0.0}
+DIMSTYLES_KEY = "\x00dimstyles"
+
+
+def _default_arrowhead(p1, p2, scale) -> np.ndarray:
+    """Filled 3:1 triangle at p1 pointing along p1->p2
+    (ogrdxf_leader.cpp GenerateDefaultArrowhead)."""
+    par_x = scale * (p2[0] - p1[0])
+    par_y = scale * (p2[1] - p1[1])
+    perp_x, perp_y = par_y, -par_x
+    return np.array([
+        (p1[0] + par_x + perp_x / 6, p1[1] + par_y + perp_y / 6, 0.0),
+        (p1[0], p1[1], 0.0),
+        (p1[0] + par_x - perp_x / 6, p1[1] + par_y - perp_y / 6, 0.0),
+        (p1[0] + par_x + perp_x / 6, p1[1] + par_y + perp_y / 6, 0.0),
+    ])
+
+
+def _dimension_features(pairs, blocks) -> List[Tuple[dict,
+                                                     Optional[_Geom]]]:
+    """DIMENSION: insert the anonymous block (unmerged — each block
+    entity is its own feature, ogr_dxf.py:test_ogr_dxf_46) when code 2
+    names one; otherwise synthesize the fallback rendering (arrow line
+    + extension lines as MULTILINESTRING, two default arrowhead
+    polygons, a text-point label — test_ogr_dxf_8 parity)."""
+    d = _collect(pairs[1:])
+    fields = {k: None for k in FIELDS}
+    for c, v in pairs[1:]:
+        if c == 8:
+            fields["Layer"] = v
+        elif c == 5:
+            fields["EntityHandle"] = v
+        elif c == 100:
+            fields["SubClasses"] = (v if fields["SubClasses"] is None
+                                    else fields["SubClasses"] + ":" + v)
+        elif c == 6:
+            fields["Linetype"] = v
+        elif c == 67:
+            fields["PaperSpace"] = 1
+
+    name = d.get(2, [None])[0]
+    if name is not None and name in blocks and name != DIMSTYLES_KEY:
+        base, frags = blocks[name]
+        out: List[Tuple[dict, Optional[_Geom]]] = []
+        for frag in frags:
+            parsed = parse_entity(frag, blocks)
+            if parsed is None or parsed[1] is None:
+                continue
+            sub_fields, g = parsed
+            f = dict(fields)
+            f["Text"] = sub_fields.get("Text")
+            f["SubClasses"] = sub_fields.get("SubClasses")
+            out.append((f, g))
+        if out:
+            return out
+
+    # fallback rendering — unpack the dimension style
+    style = dict(_DIMSTYLE_DEFAULTS)
+    styles = blocks.get(DIMSTYLES_KEY, {})
+    sname = d.get(3, [None])[0]
+    if sname is not None and sname in styles:
+        style.update(styles[sname])
+    scale = style["DIMSCALE"]
+    asz = style["DIMASZ"] * scale
+    exe = style["DIMEXE"]
+    exo = style["DIMEXO"]
+
+    ax1, ay1 = _f(d, 10), _f(d, 20)
+    tx, ty = _f(d, 11), _f(d, 21)
+    tx2, ty2 = _f(d, 13), _f(d, 23)
+    tx1, ty1 = _f(d, 14), _f(d, 24)
+    v1x, v1y = ax1 - tx1, ay1 - ty1
+    ln = math.hypot(v1x, v1y)
+    if ln > 0:
+        v1x, v1y = v1x / ln, v1y / ln
+    if v1x == 0.0 and v1y == 0.0:
+        ax2, ay2 = tx2, ty2
+    elif v1x == 0.0:
+        ax2, ay2 = tx2, ay1
+    elif v1y == 0.0:
+        ax2, ay2 = ax1, ty2
+    else:
+        m1 = v1y / v1x
+        b1 = ty2 - m1 * tx2
+        m2 = -v1x / v1y
+        b2 = ay1 - m2 * ax1
+        ax2 = (b2 - b1) / (m1 - m2)
+        ay2 = m2 * ax2 + b2
+
+    lines = [np.array([(ax1, ay1, 0.0), (ax2, ay2, 0.0)])]
+    if style["DIMSE1"] == 0:
+        e1 = np.array([(tx1 + v1x * exo, ty1 + v1y * exo, 0.0),
+                       (ax1 + v1x * exe, ay1 + v1y * exe, 0.0)])
+        if np.hypot(*(e1[1, :2] - e1[0, :2])) > 0:
+            lines.append(e1)
+    if style["DIMSE2"] == 0:
+        e2 = np.array([(tx2 + v1x * exo, ty2 + v1y * exo, 0.0),
+                       (ax2 + v1x * exe, ay2 + v1y * exe, 0.0)])
+        if np.hypot(*(e2[1, :2] - e2[0, :2])) > 0:
+            lines.append(e2)
+    out = [(fields, _Geom("multilinestring", lines, False))]
+
+    # default arrowheads at both ends of the arrow line
+    seg = math.hypot(ax2 - ax1, ay2 - ay1)
+    if asz > 0 and seg > 0 and asz <= 0.5 * seg:
+        out.append((dict(fields), _Geom(
+            "polygon", [_default_arrowhead((ax1, ay1), (ax2, ay2),
+                                           asz / seg)], True)))
+        out.append((dict(fields), _Geom(
+            "polygon", [_default_arrowhead((ax2, ay2), (ax1, ay1),
+                                           asz / seg)], True)))
+
+    # text label as a pending point feature
+    text = d.get(1, ["<>"])[0] or "<>"
+    if text != " ":
+        if "<>" in text:
+            prec = max(0, min(20, int(style["DIMDEC"])))
+            text = text.replace("<>", f"{seg:.{prec}f}", 1)
+        tf = dict(fields)
+        tf["Text"] = text_unescape(text, True)
+        out.append((tf, _Geom("point", np.array([[tx, ty, 0.0]]),
+                              False)))
+    return out
 
 
 def _insert_transform(d):

@@ -408,3 +408,63 @@ def test_hatch_spline_boundary_with_ocs():
     r2 = np.asarray(hatches[1].payload[0])
     assert np.abs(r2[0][:2] - [77.2409948093467, 172.430072843974]
                   ).max() < 1e-10
+
+
+# ------------------------------------------------------------------
+# DIMENSION (ogrdxf_dimension.cpp)
+
+def test_dimension_anonymous_block():
+    """ogr_dxf.py:test_ogr_dxf_46 (#7120) — a DIMENSION naming an
+    anonymous *D block inserts that block UNMERGED: extension lines
+    then arrow lines as separate LINESTRING features."""
+    frs, blocks = dxf.scan_dxf(f"{REF}/dimension.dxf")
+    feats = [x for fr in frs for x in dxf.parse_features(fr, blocks)]
+    exp = [
+        [(320000.0, 5820010.0625), (320000.0, 5820010.43087258)],
+        [(320010.0, 5820010.0625), (320010.0, 5820010.43087258)],
+        [(320000.18, 5820010.25087258), (320004.475225102,
+                                         5820010.25087258)],
+        [(320009.82, 5820010.25087258), (320005.524774898,
+                                         5820010.25087258)],
+    ]
+    for (want, (_f, g)) in zip(exp, feats):
+        assert g.kind == "linestring"
+        got = np.asarray(g.payload)[:, :2]
+        assert np.abs(got - np.asarray(want)).max() < 1e-8
+
+
+def test_dimension_fallback_rendering():
+    """ogr_dxf.py:test_ogr_dxf_8 — a DIMENSION with no block renders
+    the fallback: arrow + extension MULTILINESTRING, two default 3:1
+    arrowhead triangles, and a text point whose label is the computed
+    distance at the DIMSTYLE's DIMDEC precision ("54.33")."""
+    frs, blocks = dxf.scan_dxf(f"{REF}/assorted.dxf")
+    feats = [x for fr in frs for x in dxf.parse_features(fr, blocks)]
+    f_mls, g_mls = feats[7]
+    assert g_mls.kind == "multilinestring" and len(g_mls.payload) == 3
+    exp_mls = _wkt_coords(
+        "MULTILINESTRING ((63.8628719444825 149.209935992088,"
+        "24.3419606685507 111.934531038653),"
+        "(72.3255686642474 140.237438265109,"
+        "63.0051995752285 150.119275371538),"
+        "(32.8046573883157 102.962033311673,"
+        "23.4842882992968 112.843870418103))")
+    got = np.vstack([np.asarray(s)[:, :2] for s in g_mls.payload])
+    assert np.abs(got - exp_mls).max() < 1e-9
+    _fa, g_a1 = feats[8]
+    assert g_a1.kind == "polygon"
+    exp_a1 = _wkt_coords(
+        "POLYGON ((61.7583023958313 147.797704380064,"
+        "63.8628719444825 149.209935992088,"
+        "62.3300839753339 147.191478127097,"
+        "61.7583023958313 147.797704380064))")
+    assert np.abs(np.asarray(g_a1.payload[0])[:, :2]
+                  - exp_a1).max() < 1e-9
+    _fa2, g_a2 = feats[9]
+    assert g_a2.kind == "polygon"
+    ft, g_t = feats[10]
+    assert g_t.kind == "point"
+    assert np.abs(np.asarray(g_t.payload)[0, :2]
+                  - [42.815907752635709, 131.936242584545397]
+                  ).max() < 1e-9
+    assert ft["Text"] == "54.33"   # <> replaced at DIMDEC=2 precision
