@@ -89,7 +89,16 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
     "HDF4": ((".hdf",),
              lambda b: _lazy("hdf4", "decode_hdf4")(b),
              lambda a, **kw: _lazy("hdf4", "encode_hdf4")(a)),
+    "JP2OpenJPEG": ((".jp2", ".j2k", ".jpc"),
+                    lambda b: _decode_jp2_entry(b),
+                    _no_encode("JP2OpenJPEG")),
 }
+
+
+def _decode_jp2_entry(buf: bytes):
+    from ..codecs.jp2k import decode_jp2
+
+    return decode_jp2(buf)
 
 
 def _decode_rmf_hw(buf: bytes):
@@ -140,6 +149,8 @@ def identify(buf: bytes) -> Optional[str]:
         return "DDS"
     if buf[:4] == b"\x0e\x03\x13\x01":
         return "HDF4"
+    if buf[:8] == b"\x00\x00\x00\x0cjP  " or buf[:4] == b"\xff\x4f\xff\x51":
+        return "JP2OpenJPEG"
     if buf[:4] == b"HGPC" and buf[4:5] in b"18":
         from .nwt import identify_nwt
 
