@@ -1205,3 +1205,570 @@ def decode_jp2(buf: bytes) -> Tuple[np.ndarray, Dict]:
 def identify_jp2(buf: bytes) -> bool:
     return (buf[:8] == b"\x00\x00\x00\x0cjP  "
             or buf[:4] == b"\xff\x4f\xff\x51")
+
+
+# ---------------------------------------------------------------------------
+# encoder: lossless 5/3, single tile, one layer, LRCP (Annex C/D/F
+# forward direction). Validated by bit-exact round-trips through the
+# decoder above (which is itself pinned against reference streams).
+# ---------------------------------------------------------------------------
+
+
+class MQEncoder:
+    """Annex C encoder (Figures C.6-C.10 software conventions)."""
+
+    def __init__(self):
+        self.I = [0] * N_CTX
+        self.MPS = [0] * N_CTX
+        self.I[0] = 4
+        self.I[CTX_RL] = 3
+        self.I[CTX_UNI] = 46
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.b = None        # pending byte
+        self.out = bytearray()
+
+    def _byteout(self):
+        if self.b == 0xFF:
+            self.out.append(self.b)
+            self.b = (self.c >> 20) & 0xFF
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if self.c < 0x8000000:
+                if self.b is not None:
+                    self.out.append(self.b)
+                self.b = (self.c >> 19) & 0xFF
+                self.c &= 0x7FFFF
+                self.ct = 8
+            else:
+                self.b += 1
+                if self.b == 0xFF:
+                    self.c &= 0x7FFFFFF
+                    self.out.append(self.b)
+                    self.b = (self.c >> 20) & 0xFF
+                    self.c &= 0xFFFFF
+                    self.ct = 7
+                else:
+                    if self.b is not None:
+                        self.out.append(self.b)
+                    self.b = (self.c >> 19) & 0xFF
+                    self.c &= 0x7FFFF
+                    self.ct = 8
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: int, d: int):
+        qe, nmps, nlps, switch = _QE[self.I[cx]]
+        if d == self.MPS[cx]:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.I[cx] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.MPS[cx] = 1 - self.MPS[cx]
+            self.I[cx] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS
+        tempc = self.c + self.a - 1
+        self.c |= 0x7FFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFF
+        self._byteout()
+        if self.b is not None and self.b != 0xFF:
+            self.out.append(self.b)
+        elif self.b == 0xFF:
+            self.out.append(self.b)
+        # drop trailing 0xFF (decoder treats EOF as FF anyway)
+        while self.out and self.out[-1] == 0xFF:
+            self.out.pop()
+        return bytes(self.out)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+        self.lim = 8
+
+    def bit(self, v: int):
+        if self.cnt == 0:   # bit-stuffing: 7-bit byte after a 0xFF
+            self.lim = 7 if self.out and self.out[-1] == 0xFF else 8
+        self.buf = (self.buf << 1) | (v & 1)
+        self.cnt += 1
+        if self.cnt == self.lim:
+            self.out.append(self.buf)
+            self.buf = 0
+            self.cnt = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def flush(self):
+        if self.cnt:
+            self.out.append(self.buf << (self.lim - self.cnt))
+            self.buf = 0
+            self.cnt = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+
+
+class TagTreeEnc:
+    def __init__(self, w, h):
+        t = TagTree(w, h)
+        self.levels = t.levels
+        self.value = t.value
+        self.state = [np.zeros_like(v) for v in t.value]
+        self.emitted = [np.zeros(v.shape, dtype=bool) for v in t.value]
+
+    def set(self, x, y, v):
+        self.value[0][y, x] = v
+        # propagate minima upward
+        for li in range(1, len(self.levels)):
+            lw, lh = self.levels[li]
+            below = self.value[li - 1]
+            for yy in range(lh):
+                for xx in range(lw):
+                    blk = below[2 * yy:2 * yy + 2, 2 * xx:2 * xx + 2]
+                    self.value[li][yy, xx] = blk.min()
+
+    def encode(self, bw: _BitWriter, x, y, threshold):
+        path = []
+        lx, ly = x, y
+        for li in range(len(self.levels)):
+            path.append((li, lx, ly))
+            lx >>= 1
+            ly >>= 1
+        low = 0
+        for li, lx, ly in reversed(path):
+            st = self.state[li]
+            if st[ly, lx] < low:
+                st[ly, lx] = low
+            v = self.value[li][ly, lx]
+            while st[ly, lx] < threshold:
+                if st[ly, lx] < v:
+                    bw.bit(0)
+                    st[ly, lx] += 1
+                else:
+                    if not self.emitted[li][ly, lx]:
+                        bw.bit(1)
+                        self.emitted[li][ly, lx] = True
+                    break
+            low = min(st[ly, lx], v)
+
+
+def encode_cblk(vals: np.ndarray, ori: int):
+    """Signed integer coefficients -> (MQ bytes, numbps, npasses).
+    Exact mirror of decode_cblk's pass structure (the +1-shift 'one'
+    convention with exact integers means encode input = 2*|coeff|)."""
+    h, w = vals.shape
+    mag = np.abs(vals).astype(np.int64) * 2
+    neg = vals < 0
+    mx = int(mag.max())
+    numbps = max(0, mx.bit_length() - 1)  # planes of the SHIFTED mag
+    if numbps == 0:
+        return b"", 0, 0
+    sig = np.zeros((h, w), dtype=bool)
+    vis = np.zeros((h, w), dtype=bool)
+    ref = np.zeros((h, w), dtype=bool)
+    mq = MQEncoder()
+    sig_lut = _SIG_CTX[ori]
+
+    def nbhd(x, y):
+        hh = vv = dd = 0
+        if x > 0:
+            if sig[y, x - 1]:
+                hh += 1
+            if y > 0 and sig[y - 1, x - 1]:
+                dd += 1
+            if y < h - 1 and sig[y + 1, x - 1]:
+                dd += 1
+        if x < w - 1:
+            if sig[y, x + 1]:
+                hh += 1
+            if y > 0 and sig[y - 1, x + 1]:
+                dd += 1
+            if y < h - 1 and sig[y + 1, x + 1]:
+                dd += 1
+        if y > 0 and sig[y - 1, x]:
+            vv += 1
+        if y < h - 1 and sig[y + 1, x]:
+            vv += 1
+        return hh, vv, dd
+
+    def encode_sign(x, y):
+        hc = vc = 0
+        if x > 0 and sig[y, x - 1]:
+            hc += -1 if neg[y, x - 1] else 1
+        if x < w - 1 and sig[y, x + 1]:
+            hc += -1 if neg[y, x + 1] else 1
+        if y > 0 and sig[y - 1, x]:
+            vc += -1 if neg[y - 1, x] else 1
+        if y < h - 1 and sig[y + 1, x]:
+            vc += -1 if neg[y + 1, x] else 1
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx = int(_SIGN_CTX[hc + 1, vc + 1])
+        xor = int(_SIGN_XOR[hc + 1, vc + 1])
+        mq.encode(ctx, int(neg[y, x]) ^ xor)
+
+    def bitof(x, y, plane):
+        return (int(mag[y, x]) >> (plane + 1)) & 1
+
+    def sigpass(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if sig[y, x]:
+                        continue
+                    hh, vv, dd = nbhd(x, y)
+                    if hh == 0 and vv == 0 and dd == 0:
+                        continue
+                    vis[y, x] = True
+                    b = bitof(x, y, bp)
+                    mq.encode(int(sig_lut[hh, vv, min(dd, 4)]), b)
+                    if b:
+                        encode_sign(x, y)
+                        sig[y, x] = True
+
+    def refpass(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if ref[y, x]:
+                        ctx = 16
+                    else:
+                        hh, vv, dd = nbhd(x, y)
+                        ctx = 15 if (hh or vv or dd) else 14
+                        ref[y, x] = True
+                    mq.encode(ctx, bitof(x, y, bp))
+
+    def clnpass(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                ylim = min(y0 + 4, h)
+                if ylim - y0 == 4:
+                    rl = True
+                    for yy in range(y0, ylim):
+                        if sig[yy, x] or vis[yy, x]:
+                            rl = False
+                            break
+                        hh, vv, dd = nbhd(x, yy)
+                        if hh or vv or dd:
+                            rl = False
+                            break
+                    if rl:
+                        first = None
+                        for yy in range(y0, ylim):
+                            if bitof(x, yy, bp):
+                                first = yy - y0
+                                break
+                        if first is None:
+                            mq.encode(CTX_RL, 0)
+                            for yy in range(y0, ylim):
+                                vis[yy, x] = False
+                            continue
+                        mq.encode(CTX_RL, 1)
+                        mq.encode(CTX_UNI, (first >> 1) & 1)
+                        mq.encode(CTX_UNI, first & 1)
+                        y = y0 + first
+                        encode_sign(x, y)
+                        sig[y, x] = True
+                        y += 1
+                while y < ylim:
+                    if not sig[y, x] and not vis[y, x]:
+                        hh, vv, dd = nbhd(x, y)
+                        b = bitof(x, y, bp)
+                        mq.encode(int(sig_lut[hh, vv, min(dd, 4)]), b)
+                        if b:
+                            encode_sign(x, y)
+                            sig[y, x] = True
+                    y += 1
+        vis[:] = False
+
+    npasses = 0
+    bp = numbps - 1
+    clnpass(bp)
+    npasses += 1
+    while bp > 0:
+        bp -= 1
+        sigpass(bp)
+        refpass(bp)
+        clnpass(bp)
+        npasses += 3
+    return mq.flush(), numbps, npasses
+
+
+def _fwd53_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Forward 5/3 lifting (F.3 analysis), interleaved in place."""
+    n = i1 - i0
+    if n == 1:
+        return x if i0 % 2 == 0 else x * 2
+    y = x.copy()
+    pos = np.arange(i0, i1)
+    ev = pos[pos % 2 == 0]
+    od = pos[pos % 2 == 1]
+    le = _ext(od - 1, i0, i1) - i0
+    re = _ext(od + 1, i0, i1) - i0
+    y[..., od - i0] = x[..., od - i0] - (
+        (x[..., le] + x[..., re]) >> 1)
+    lo = _ext(ev - 1, i0, i1) - i0
+    ro = _ext(ev + 1, i0, i1) - i0
+    y[..., ev - i0] = x[..., ev - i0] + (
+        (y[..., lo] + y[..., ro] + 2) >> 2)
+    return y
+
+
+def _fwd_dwt53(a: np.ndarray, x0: int, y0: int, nlevels: int):
+    """Multi-level forward 5/3 over an array anchored at (x0, y0);
+    returns {(r): (ll?, hl, lh, hh)} band dict keyed like the decoder
+    expects (r=0 holds the final LL)."""
+    bands = {}
+    cur = a.astype(np.int64)
+    cx0, cy0 = x0, y0
+    cx1, cy1 = x0 + a.shape[1], y0 + a.shape[0]
+    for lev in range(nlevels, 0, -1):
+        # analysis order mirrors the validated synthesis (which does
+        # rows then columns): forward = columns first, then rows
+        y = _fwd53_1d(np.ascontiguousarray(cur.T), cy0, cy1).T
+        y = _fwd53_1d(np.ascontiguousarray(y), cx0, cx1)
+        pos_u = np.arange(cx0, cx1)
+        pos_v = np.arange(cy0, cy1)
+        ue = pos_u % 2 == 0
+        ve = pos_v % 2 == 0
+        ll = y[np.ix_(ve, ue)]
+        hl = y[np.ix_(ve, ~ue)]
+        lh = y[np.ix_(~ve, ue)]
+        hh = y[np.ix_(~ve, ~ue)]
+        r = lev  # resolution level whose detail bands these are
+        bands[r] = (hl, lh, hh)
+        cur = np.ascontiguousarray(ll)
+        cx0, cy0 = _ceil_div(cx0, 2), _ceil_div(cy0, 2)
+        cx1, cy1 = _ceil_div(cx1, 2), _ceil_div(cy1, 2)
+    bands[0] = (cur,)
+    return bands
+
+
+def _encode_packet_single_layer(res_bands, cbexp=(6, 6),
+                                band_mbs=None):
+    """One LRCP packet (single layer, single precinct) for one
+    resolution: res_bands = [(band_coeffs, ori, bx0, by0), ...].
+    Returns packet bytes; code-blocks partitioned on the 2^cbexp grid
+    anchored at 0 in band coords. band_mbs: externally-imposed Mb per
+    band (the QCD-signalled value — zero-bitplane deltas must be
+    computed against it, not the local maximum)."""
+    bw = _BitWriter()
+    bw.bit(1)                      # non-empty
+    bodies = []
+    metas = []   # (tree_enc caches per band)
+    for coeffs, ori, bx0, by0 in res_bands:
+        bh, bw_ = coeffs.shape
+        bx1, by1 = bx0 + bw_, by0 + bh
+        if bh == 0 or bw_ == 0:
+            continue
+        cw, ch = 1 << cbexp[0], 1 << cbexp[1]
+        cx0, cy0 = bx0 // cw, by0 // ch
+        cx1, cy1 = _ceil_div(bx1, cw), _ceil_div(by1, ch)
+        ncw, nch = cx1 - cx0, cy1 - cy0
+        incl = TagTreeEnc(ncw, nch)
+        imsb = TagTreeEnc(ncw, nch)
+        blocks = []
+        for cy in range(cy0, cy1):
+            for cx in range(cx0, cx1):
+                x0 = max(cx * cw, bx0)
+                y0 = max(cy * ch, by0)
+                x1 = min((cx + 1) * cw, bx1)
+                y1 = min((cy + 1) * ch, by1)
+                sub = coeffs[y0 - by0:y1 - by0, x0 - bx0:x1 - bx0]
+                data, numbps, npasses = encode_cblk(sub, ori)
+                blocks.append((data, numbps, npasses))
+        # band max bitplanes -> zero bitplanes per block. Mb is
+        # signalled via the QCD exponent; when the caller imposes it
+        # (multi-component: QCD is shared) use that, else local max
+        mb = max((b[1] for b in blocks), default=0)
+        if band_mbs is not None:
+            mb = band_mbs[len(metas)]
+        metas.append((blocks, incl, imsb, ncw, nch, mb))
+    for (blocks, incl, imsb, ncw, nch, mb) in metas:
+        for ci, (data, numbps, npasses) in enumerate(blocks):
+            cx, cy = ci % ncw, ci // ncw
+            incl.set(cx, cy, 0)          # included in layer 0
+            imsb.set(cx, cy, mb - numbps)
+        for ci, (data, numbps, npasses) in enumerate(blocks):
+            cx, cy = ci % ncw, ci // ncw
+            incl.encode(bw, cx, cy, 1)
+            zbp = mb - numbps
+            k = 0
+            while True:
+                imsb.encode(bw, cx, cy, k + 1)
+                if imsb.value[0][cy, cx] < k + 1:
+                    break
+                k += 1
+            if npasses == 0:
+                # spec: an included block contributes >= 1 pass; emit
+                # a 1-pass empty segment
+                npasses = 1
+            # number of passes
+            if npasses == 1:
+                bw.bit(0)
+            elif npasses == 2:
+                bw.bits(0b10, 2)
+            elif npasses <= 5:
+                bw.bits(0b11, 2)
+                bw.bits(npasses - 3, 2)
+            elif npasses <= 36:
+                bw.bits(0b1111, 4)
+                bw.bits(npasses - 6, 5)
+            else:
+                bw.bits(0b111111111, 9)
+                bw.bits(npasses - 37, 7)
+            # Lblock signalling so the length fits
+            lblock = 3
+            nbits_needed = max(1, len(data)).bit_length()
+            want = lblock + int(math.floor(math.log2(npasses)))
+            while want < nbits_needed:
+                lblock += 1
+                want += 1
+                bw.bit(1)
+            bw.bit(0)
+            bw.bits(len(data), want)
+            bodies.append(data)
+    bw.flush()
+    return bytes(bw.out) + b"".join(bodies), [m[5] for m in metas]
+
+
+def encode_jp2(arr: np.ndarray, transform=None, epsg: Optional[int]
+               = None, nlevels: int = 5) -> bytes:
+    """Array -> lossless JP2 (5/3 reversible, single tile, one layer,
+    LRCP, no MCT). 2-D or (H, W, C) channel-last input; any integer
+    dtype up to 32 bits. Round-trips bit-exact through decode_jp2."""
+    if arr.ndim == 2:
+        comps = [arr]
+    else:
+        comps = [arr[:, :, k] for k in range(arr.shape[2])]
+    h, w = comps[0].shape
+    nlevels = max(0, min(nlevels, max(0, min(w, h).bit_length() - 3)))
+    depth = []
+    signed = []
+    for c in comps:
+        if c.dtype.kind == "i":
+            signed.append(True)
+            depth.append(int(c.dtype.itemsize) * 8)
+        else:
+            signed.append(False)
+            mx = int(c.max()) if c.size else 0
+            d = max(1, mx.bit_length())
+            depth.append(8 if d <= 8 else (16 if d <= 16 else 32))
+    ncomp = len(comps)
+
+    # --- codestream ---
+    out = bytearray(b"\xff\x4f")                      # SOC
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    for k in range(ncomp):
+        siz += bytes([(depth[k] - 1) | (0x80 if signed[k] else 0),
+                      1, 1])
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
+        0, nlevels, 4, 4, 0, 1])                      # LRCP, 5/3
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+
+    # per-component forward transform first (QCD needs band Mb)
+    allbands = [_fwd_dwt53(np.asarray(comps[k]).astype(np.int64)
+                           - (0 if signed[k]
+                              else (1 << (depth[k] - 1))),
+                           0, 0, nlevels) for k in range(ncomp)]
+    # Mb per subband position must be GLOBAL across components (one
+    # shared QCD): compute it first, then encode packets against it
+    def res_bands_of(k, r):
+        if r == 0:
+            return [(allbands[k][0][0], 0, 0, 0)]
+        hl, lh, hh = allbands[k][r]
+        return [(hl, 1, 0, 0), (lh, 2, 0, 0), (hh, 3, 0, 0)]
+
+    def band_mb(coeffs):
+        mx = int(np.abs(coeffs).max()) * 2 if coeffs.size else 0
+        return max(0, mx.bit_length() - 1)
+
+    mbs_per_res = []
+    for r in range(nlevels + 1):
+        n_bands = 1 if r == 0 else 3
+        mbs_per_res.append([
+            max(band_mb(res_bands_of(k, r)[bi][0])
+                for k in range(ncomp))
+            for bi in range(n_bands)])
+    packets = []
+    for r in range(nlevels + 1):
+        for k in range(ncomp):
+            body, _mbs = _encode_packet_single_layer(
+                res_bands_of(k, r), band_mbs=mbs_per_res[r])
+            packets.append(body)
+    # QCD: style none (reversible), guard 2: eps = Mb + 1 - guard
+    guard = 2
+    qvals = []
+    for r in range(nlevels + 1):
+        for mb in mbs_per_res[r]:
+            qvals.append(max(0, mb + 1 - guard))
+    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in qvals)
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    # NOTE: packets were encoded per (r, comp); LRCP wants layer-res-
+    # comp order which for 1 layer is the same sequence
+    tile_data = b"".join(packets)
+    psot = 12 + 2 + len(tile_data)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + tile_data
+    out += b"\xff\xd9"                                 # EOC
+    cs = bytes(out)
+
+    # --- JP2 boxes ---
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ihdr = struct.pack(">IIHBBBB", h, w, ncomp,
+                       (depth[0] - 1) | (0x80 if signed[0] else 0),
+                       7, 0, 0)
+    colr = b"\x01\x00\x00" + struct.pack(">I", 16 if ncomp == 3 else 17)
+    jp2h = box(b"ihdr", ihdr) + box(b"colr", colr)
+    doc = (box(b"jP  ", b"\r\n\x87\n")
+           + box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 "))
+    doc += box(b"jp2h", jp2h)
+    if transform is not None:
+        from .tiff import encode_geotiff
+
+        tiny = encode_geotiff(np.zeros((1, 1), dtype=np.uint8),
+                              transform=transform, epsg=epsg)
+        doc += box(b"uuid",
+                   b"\xb1\x4b\xf8\xbd\x08\x3d\x4b\x43"
+                   b"\xa5\xae\x8c\xd7\xd5\xa6\xce\x03" + tiny)
+    doc += box(b"jp2c", cs)
+    return bytes(doc)

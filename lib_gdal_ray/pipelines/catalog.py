@@ -4116,6 +4116,55 @@ def q_hdf4_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_jp2_roundtrip(sf_dir):
+    """JPEG 2000 driver surface (frmts/openjpeg analog,
+    codecs/jp2k.py — reference autotest checksums pinned in
+    tests/test_jp2k.py): the z0 world count grid encoded as a
+    lossless 5/3 JP2 codestream (MQ + EBCOT + DWT), decoded back in a
+    Ray task → same per-row-band stats as envi_roundtrip."""
+    import os
+
+    from ..codecs.jp2k import encode_jp2
+    from ..pipelines import relational
+
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 0, merge_alg="count",
+                                shuffle_partitions=4)
+    df = pix.to_pandas()  # z0 grid: ≤65536 sparse rows — driver-small
+    _z, gpx, gpy = rast.unpack_pixel(df["pix_id"].to_numpy())
+    dense = np.zeros((256, 256), dtype=np.uint16)
+    dense[gpy, gpx] = df["burn"].to_numpy().astype(np.uint16)
+    path = (f"/tmp/lib_gdal_ray_jp2_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}.jp2")
+    with open(path, "wb") as f:
+        f.write(encode_jp2(dense, nlevels=3))
+
+    def decode_rows(batch: pa.Table) -> pa.Table:
+        from ..codecs.jp2k import decode_jp2
+
+        arr, _meta = decode_jp2(open(path, "rb").read())
+        yy, xx = np.nonzero(arr)
+        return pa.table({
+            "row_band": pa.array((yy // 32).astype(np.int64)),
+            "value": pa.array(arr[yy, xx].astype(np.float64))})
+
+    back = ray.data.from_items([{"i": 0}]).map_batches(
+        decode_rows, batch_format="pyarrow")
+    agg = relational.grouped_agg(
+        back, ["row_band"],
+        [("count", "value", "n_pixels"), ("sum", "value", "n_events_f")],
+        shuffle_partitions=2)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_band": pc.cast(batch["row_band"], pa.int64()),
+            "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+            "n_events": pc.cast(pc.round(batch["n_events_f"]), pa.int64()),
+        })
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
 def q_grib_roundtrip(sf_dir):
     """GRIB2 driver surface (frmts/grib analog, sources/grib.py): the
     z0 world count grid packed as a simple-packing GRIB2 message
@@ -6771,6 +6820,7 @@ QUERIES = {
     "envi_roundtrip": (q_envi_roundtrip, _sql_envi_roundtrip()),
     "grib_roundtrip": (q_grib_roundtrip, _sql_envi_roundtrip()),
     "hdf4_roundtrip": (q_hdf4_roundtrip, _sql_envi_roundtrip()),
+    "jp2_roundtrip": (q_jp2_roundtrip, _sql_envi_roundtrip()),
     "rraster_roundtrip": (q_rraster_roundtrip, _sql_envi_roundtrip()),
     "jml_roundtrip": (q_jml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "georss_roundtrip": (q_georss_roundtrip, SQL_GEOJSON_ROUNDTRIP),

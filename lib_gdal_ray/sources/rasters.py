@@ -91,7 +91,7 @@ DRIVERS: Dict[str, Tuple[tuple, Callable, Callable]] = {
              lambda a, **kw: _lazy("hdf4", "encode_hdf4")(a)),
     "JP2OpenJPEG": ((".jp2", ".j2k", ".jpc"),
                     lambda b: _decode_jp2_entry(b),
-                    _no_encode("JP2OpenJPEG")),
+                    lambda a, **kw: _encode_jp2_entry(a, **kw)),
 }
 
 
@@ -99,6 +99,12 @@ def _decode_jp2_entry(buf: bytes):
     from ..codecs.jp2k import decode_jp2
 
     return decode_jp2(buf)
+
+
+def _encode_jp2_entry(arr, **kw):
+    from ..codecs.jp2k import encode_jp2
+
+    return encode_jp2(arr, **kw)
 
 
 def _decode_rmf_hw(buf: bytes):
