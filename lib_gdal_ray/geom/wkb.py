@@ -41,6 +41,27 @@ def points_to_wkb(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     )
 
 
+def points_to_wkb_arrow(x: np.ndarray, y: np.ndarray):
+    """Vectorized encode of N points -> Arrow binary array, built
+    directly from one data buffer + arithmetic offsets (no per-row
+    Python bytes objects — the hot path of the doc synthesizer)."""
+    import pyarrow as pa
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    buf = np.zeros((n, _POINT_SIZE), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1] = WKB_POINT
+    buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    offsets = np.arange(n + 1, dtype=np.int32) * _POINT_SIZE
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(buf.tobytes())])
+
+
 def wkb_to_points(wkb: np.ndarray):
     """Vectorized decode of N 21-byte point WKBs -> (x, y) float64 arrays."""
     joined = b"".join(wkb)

@@ -44,7 +44,10 @@ def make_span_lists(doc_idx: np.ndarray):
     np.cumsum(n_spans, out=list_offsets[1:])
     total = int(list_offsets[-1])
     d = np.repeat(doc_idx, n_spans)
-    s = np.concatenate([np.arange(k) for k in n_spans]) if total else np.empty(0, np.int64)
+    # within-doc span index: global arange minus each doc's start
+    s = (np.arange(total, dtype=np.int64)
+         - np.repeat(list_offsets[:-1].astype(np.int64), n_spans)) \
+        if total else np.empty(0, np.int64)
 
     kinds_arr = np.asarray(_KINDS)
     words_arr = np.asarray(_WORDS)
@@ -82,11 +85,15 @@ def make_span_lists(doc_idx: np.ndarray):
 
 
 def _docs_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
     idx = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     lon, lat = derive.event_lonlat(idx + 1)
-    doc_id = pa.array([f"doc-{i:09d}" for i in idx])
+    doc_id = pc.binary_join_element_wise(
+        "doc-", pc.utf8_lpad(pc.cast(pa.array(idx), pa.string()), 9, "0"),
+        "")
     spans = make_span_lists(idx)
-    geom = pa.array(wkb.points_to_wkb(lon, lat), type=pa.binary())
+    geom = wkb.points_to_wkb_arrow(lon, lat)
     return pa.table({
         "doc_id": doc_id,
         "spans": spans,
