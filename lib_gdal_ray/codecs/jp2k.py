@@ -896,9 +896,12 @@ def _parse_siz(seg: bytes) -> _Siz:
     return s
 
 
-def decode_j2k(cs: bytes) -> Tuple[List[np.ndarray], _Siz, int]:
+def decode_j2k(cs: bytes, reduce: int = 0
+               ) -> Tuple[List[np.ndarray], _Siz, int]:
     """Raw codestream -> (per-component arrays over the image grid,
-    SIZ, mct_flag)."""
+    SIZ, mct_flag). ``reduce`` discards the top N resolution levels —
+    the libopenjp2 cp_reduce overview path the reference serves
+    GetOverview() from (arrays come back at ceil(size / 2^reduce))."""
     if cs[:2] != b"\xff\x4f":
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     i = 2
@@ -981,14 +984,17 @@ def decode_j2k(cs: bytes) -> Tuple[List[np.ndarray], _Siz, int]:
     ntx = _ceil_div(siz.xsiz - siz.xto, siz.xt)
     nty = _ceil_div(siz.ysiz - siz.yto, siz.yt)
     comps = []
+    sh = 1 << reduce
     for c in range(siz.ncomp):
-        w = _ceil_div(siz.xsiz, siz.xr[c]) - _ceil_div(siz.xo, siz.xr[c])
-        h = _ceil_div(siz.ysiz, siz.yr[c]) - _ceil_div(siz.yo, siz.yr[c])
+        w = (_ceil_div(_ceil_div(siz.xsiz, siz.xr[c]), sh)
+             - _ceil_div(_ceil_div(siz.xo, siz.xr[c]), sh))
+        h = (_ceil_div(_ceil_div(siz.ysiz, siz.yr[c]), sh)
+             - _ceil_div(_ceil_div(siz.yo, siz.yr[c]), sh))
         comps.append(np.zeros((h, w), dtype=np.int64))
 
     for t in sorted(tile_parts):
         _decode_tile(t, tile_parts[t], siz, cod, qcd, coc, qcc,
-                     tile_cod.get(t, {}), ntx, comps)
+                     tile_cod.get(t, {}), ntx, comps, reduce)
     return comps, siz, cod.mct
 
 
@@ -1016,7 +1022,7 @@ def _parse_coc(seg: bytes, base: _Cod) -> _Cod:
 
 def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
                  qcd: _Qcd, coc: Dict, qcc: Dict, tp: Dict, ntx: int,
-                 comps: List[np.ndarray]) -> None:
+                 comps: List[np.ndarray], reduce: int = 0) -> None:
     p, q = t % ntx, t // ntx
     tx0 = max(siz.xto + p * siz.xt, siz.xo)
     ty0 = max(siz.yto + q * siz.yt, siz.yo)
@@ -1053,8 +1059,11 @@ def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
 
     for c, tc in enumerate(tcs):
         rev = tc.cod.wavelet == 1
+        rmax = max(0, len(tc.resolutions) - 1 - reduce)
         # T1 per code-block -> band coefficient arrays
         for r, res in enumerate(tc.resolutions):
+            if r > rmax:
+                continue
             for bi, b in enumerate(res["bands"]):
                 arr = (np.zeros((b.y1 - b.y0, b.x1 - b.x0),
                                 dtype=np.int64 if rev else np.float32))
@@ -1076,9 +1085,9 @@ def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
                         arr[cblk.y0 - b.y0:cblk.y1 - b.y0,
                             cblk.x0 - b.x0:cblk.x1 - b.x0] = vals
                 b.coeffs = arr
-        # multi-level synthesis
+        # multi-level synthesis (stop early under reduce)
         cur = tc.resolutions[0]["bands"][0].coeffs
-        for r in range(1, len(tc.resolutions)):
+        for r in range(1, rmax + 1):
             res = tc.resolutions[r]
             hl, lh, hh = (res["bands"][k].coeffs for k in range(3))
             cur = _idwt_level(cur, hl, lh, hh, res["x0"], res["x1"],
@@ -1113,8 +1122,11 @@ def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
         else:
             arr = np.clip(arr, -(1 << (siz.depth[c] - 1)),
                           (1 << (siz.depth[c] - 1)) - 1)
-        tcx0 = _ceil_div(tx0, siz.xr[c]) - _ceil_div(siz.xo, siz.xr[c])
-        tcy0 = _ceil_div(ty0, siz.yr[c]) - _ceil_div(siz.yo, siz.yr[c])
+        sh = 1 << reduce
+        tcx0 = (_ceil_div(_ceil_div(tx0, siz.xr[c]), sh)
+                - _ceil_div(_ceil_div(siz.xo, siz.xr[c]), sh))
+        tcy0 = (_ceil_div(_ceil_div(ty0, siz.yr[c]), sh)
+                - _ceil_div(_ceil_div(siz.yo, siz.yr[c]), sh))
         comps[c][tcy0:tcy0 + arr.shape[0],
                  tcx0:tcx0 + arr.shape[1]] = arr
 
@@ -1139,7 +1151,7 @@ def _iter_boxes(b: bytes, off: int, end: int):
         off += ln
 
 
-def decode_jp2(buf: bytes) -> Tuple[np.ndarray, Dict]:
+def decode_jp2(buf: bytes, reduce: int = 0) -> Tuple[np.ndarray, Dict]:
     """JP2 file (or raw .j2k codestream) -> (array, meta). 2-D for one
     component, (H, W, C) channel-last otherwise; dtype per precision.
     meta carries transform/epsg when a GeoJP2 uuid box is present."""
@@ -1170,7 +1182,7 @@ def decode_jp2(buf: bytes) -> Tuple[np.ndarray, Dict]:
                     meta["geotiff_uuid"] = buf[a + 16:e]  # GeoJP2
     if cs is None:
         raise ValueError("no codestream in JP2")
-    comps, siz, _mct = decode_j2k(cs)
+    comps, siz, _mct = decode_j2k(cs, reduce=reduce)
     if "geotiff_uuid" in meta:
         # GeoJP2: a DEGENERATE GeoTIFF (tags only, no pixel data)
         try:

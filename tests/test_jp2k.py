@@ -196,3 +196,22 @@ class TestEncoder:
             out = np.fix(decode_cblk(data, 29, 33, numbps, npasses,
                                      ori) / 2).astype(np.int64)
             assert np.array_equal(out, v)
+
+
+class TestReducedResolution:
+    def test_overview_checksum_pinned(self):
+        # jp2openjpeg.py:3688-3689 — tile_size_16 full 44216 AND
+        # GetOverview(0) (reduce=1 decode) 61711
+        buf = open(f"{D}/tile_size_16.jp2", "rb").read()
+        full, _ = decode_jp2(buf)
+        assert gdal_checksum(full.astype(np.float64)) == 44216
+        ov, _ = decode_jp2(buf, reduce=1)
+        assert ov.shape == (128, 128)
+        assert gdal_checksum(ov.astype(np.float64)) == 61711
+
+    def test_reduce_on_lossless(self):
+        buf = open(f"{D}/byte.jp2", "rb").read()
+        ov, _ = decode_jp2(buf, reduce=2)
+        assert ov.shape == (25, 25)
+        full, _ = decode_jp2(buf)
+        assert full.shape == (100, 100)
