@@ -886,6 +886,10 @@ def _parse_siz(seg: bytes) -> _Siz:
     s = _Siz()
     (_rsiz, s.xsiz, s.ysiz, s.xo, s.yo, s.xt, s.yt, s.xto, s.yto,
      s.ncomp) = struct.unpack(">HIIIIIIIIH", seg[:36])
+    if s.xsiz > 0x7FFFFFFF or s.ysiz > 0x7FFFFFFF:
+        # reference parity: jp2openjpeg.py:1465-1469 asserts such
+        # files fail to open
+        raise ValueError("image dimensions above 31 bit not supported")
     s.depth, s.signed, s.xr, s.yr = [], [], [], []
     for k in range(s.ncomp):
         b = seg[36 + 3 * k]

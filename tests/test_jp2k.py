@@ -215,3 +215,9 @@ class TestReducedResolution:
         assert ov.shape == (25, 25)
         full, _ = decode_jp2(buf)
         assert full.shape == (100, 100)
+
+    def test_dimensions_above_31bit_rejected(self):
+        # jp2openjpeg.py:1465-1469 — the reference refuses to open it
+        with pytest.raises(ValueError, match="31 bit"):
+            decode_jp2(open(f"{D}/dimensions_above_31bit.jp2",
+                            "rb").read())
