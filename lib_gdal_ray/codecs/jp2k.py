@@ -1155,6 +1155,47 @@ def _iter_boxes(b: bytes, off: int, end: int):
         off += ln
 
 
+def _gmljp2_transform(xml: bytes):
+    """GMLJP2 RectifiedGrid -> (geotransform, epsg) or None. Handles
+    the urn-style srsName axis order (lat/lon for geographic EPSG —
+    the jp2kak_17 alternate-offsetVector fixtures) by swapping into
+    lon/lat, then picks the lon-dominant vector as the column step
+    (gdaljp2metadata.cpp behavior for axis-aligned grids). The GML
+    origin is the CENTER of the top-left pixel; the geotransform
+    anchors at its corner."""
+    import re
+
+    txt = xml.decode("utf-8", "replace")
+    m = re.search(r"<gml:origin>.*?<gml:pos>([-\d. eE+]+)</gml:pos>",
+                  txt, re.S)
+    if not m:
+        return None
+    origin = [float(v) for v in m.group(1).split()]
+    vecs = [[float(v) for v in g.split()] for g in re.findall(
+        r"<gml:offsetVector[^>]*>([-\d. eE+]+)</gml:offsetVector>",
+        txt)]
+    if len(origin) < 2 or len(vecs) < 2:
+        return None
+    srs = re.search(r'srsName="([^"]+)"', txt)
+    srs = srs.group(1) if srs else ""
+    epsg = None
+    me = re.search(r"(\d+)\s*$", srs)
+    if me and ("EPSG" in srs.upper()):
+        epsg = int(me.group(1))
+    flip = "urn:" in srs.lower()
+    if flip:
+        origin = [origin[1], origin[0]]
+        vecs = [[v[1], v[0]] for v in vecs]
+    v1, v2 = vecs[0], vecs[1]
+    if abs(v1[0]) >= abs(v1[1]):
+        xv, yv = v1, v2
+    else:
+        xv, yv = v2, v1
+    gt = (origin[0] - xv[0] / 2.0 - yv[0] / 2.0, xv[0], yv[0],
+          origin[1] - xv[1] / 2.0 - yv[1] / 2.0, xv[1], yv[1])
+    return gt, epsg
+
+
 def decode_jp2(buf: bytes, reduce: int = 0) -> Tuple[np.ndarray, Dict]:
     """JP2 file (or raw .j2k codestream) -> (array, meta). 2-D for one
     component, (H, W, C) channel-last otherwise; dtype per precision.
@@ -1180,6 +1221,13 @@ def decode_jp2(buf: bytes, reduce: int = 0) -> Tuple[np.ndarray, Dict]:
                             dtype=np.uint8)
                         if len(pal) == ne * npc:
                             meta["palette"] = pal.reshape(ne, npc)
+            elif typ == b"asoc":
+                # GMLJP2: asoc > (lbl gml.data, asoc > (lbl
+                # gml.root-instance, xml))
+                raw = buf[a:e]
+                ix = raw.find(b"<gml:FeatureCollection")
+                if ix >= 0:
+                    meta["gmljp2_xml"] = raw[ix:]
             elif typ == b"uuid":
                 if buf[a:a + 16] == (b"\xb1\x4b\xf8\xbd\x08\x3d\x4b\x43"
                                      b"\xa5\xae\x8c\xd7\xd5\xa6\xce\x03"):
@@ -1187,6 +1235,12 @@ def decode_jp2(buf: bytes, reduce: int = 0) -> Tuple[np.ndarray, Dict]:
     if cs is None:
         raise ValueError("no codestream in JP2")
     comps, siz, _mct = decode_j2k(cs, reduce=reduce)
+    if "gmljp2_xml" in meta:
+        got = _gmljp2_transform(meta.pop("gmljp2_xml"))
+        if got is not None:
+            meta["transform"] = got[0]
+            if got[1] is not None:
+                meta["epsg"] = got[1]
     if "geotiff_uuid" in meta:
         # GeoJP2: a DEGENERATE GeoTIFF (tags only, no pixel data)
         try:

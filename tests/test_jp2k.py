@@ -221,3 +221,17 @@ class TestReducedResolution:
         with pytest.raises(ValueError, match="31 bit"):
             decode_jp2(open(f"{D}/dimensions_above_31bit.jp2",
                             "rb").read())
+
+    def test_gmljp2_georeferencing(self):
+        # jp2kak.py:304-315 expected geotransform for BOTH axis-order
+        # variants of the GMLJP2 dtedsm fixture (urn srsName ->
+        # lat/lon swap; center-of-pixel origin -> corner anchor)
+        gte = (42.999583333333369, 0.008271349862259, 0,
+               34.000416666666631, 0, -0.008271349862259)
+        for name in ("gmljp2_dtedsm_epsg_4326_axes.jp2",
+                     "gmljp2_dtedsm_epsg_4326_axes_alt_offsetVector"
+                     ".jp2"):
+            _a, meta = decode_jp2(open(f"{D}/{name}", "rb").read())
+            assert meta["epsg"] == 4326
+            for got, want in zip(meta["transform"], gte):
+                assert abs(got - want) < 1e-7
