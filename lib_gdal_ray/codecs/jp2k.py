@@ -1212,6 +1212,24 @@ def decode_jp2(buf: bytes, reduce: int = 0) -> Tuple[np.ndarray, Dict]:
                 cs = buf[a:e]
             elif typ == b"jp2h":
                 for t2, a2, e2 in _iter_boxes(buf, a, e):
+                    if t2 == b"res ":
+                        # capture/display resolution (I.5.3.7): GDAL
+                        # exposes these as TIFFTAG_*RESOLUTION in
+                        # pixels/cm (jp2kak.py:281 pins "200.012")
+                        for t3, a3, e3 in _iter_boxes(buf, a2, e2):
+                            if t3 in (b"resc", b"resd") and                                     e3 - a3 >= 10:
+                                vn, vd, hn, hd = struct.unpack(
+                                    ">HHHH", buf[a3:a3 + 8])
+                                ve = struct.unpack(
+                                    "b", buf[a3 + 8:a3 + 9])[0]
+                                he = struct.unpack(
+                                    "b", buf[a3 + 9:a3 + 10])[0]
+                                if vd and hd:
+                                    ypm = vn / vd * 10.0 ** ve
+                                    xpm = hn / hd * 10.0 ** he
+                                    meta["resolution_ppcm"] = (
+                                        round(xpm / 100.0, 3),
+                                        round(ypm / 100.0, 3))
                     if t2 == b"pclr":
                         ne = int.from_bytes(buf[a2:a2 + 2], "big")
                         npc = buf[a2 + 2]

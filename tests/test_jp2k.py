@@ -235,3 +235,10 @@ class TestReducedResolution:
             assert meta["epsg"] == 4326
             for got, want in zip(meta["transform"], gte):
                 assert abs(got - want) < 1e-7
+
+    def test_capture_resolution_box(self):
+        # jp2kak.py:281 — small_200ppcm carries a 200.012 pixels/cm
+        # capture resolution (resd 6554/32768 * 10^5 px/m)
+        _a, meta = decode_jp2(
+            open(f"{D}/small_200ppcm.jp2", "rb").read())
+        assert meta["resolution_ppcm"] == (200.012, 200.012)
