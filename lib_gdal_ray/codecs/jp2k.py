@@ -282,137 +282,162 @@ _SIGN_CTX = np.array([[13, 12, 11], [10, 9, 10], [11, 12, 13]],
 _SIGN_XOR = np.array([[1, 1, 1], [1, 0, 0], [0, 0, 0]], dtype=np.int8)
 
 
+def _build_flag_luts():
+    """Flags-word context LUTs (the classic libopenjp2 T1 design):
+    neighbor-significance bits (N,S,W,E,NW,NE,SW,SE) index a 256-entry
+    significance-context table per orientation; cardinal sig+sign bits
+    index the sign-context table. Values replicate Tables D.1/D.2
+    exactly (asserted against the direct formulas in tests)."""
+    sig_luts = {}
+    for ori in range(4):
+        t = _SIG_CTX[ori]
+        lut = np.zeros(256, dtype=np.int8)
+        for m in range(256):
+            nn, ss, ww, ee = m & 1, (m >> 1) & 1, (m >> 2) & 1, (m >> 3) & 1
+            d = ((m >> 4) & 1) + ((m >> 5) & 1) + ((m >> 6) & 1) + ((m >> 7) & 1)
+            lut[m] = t[ww + ee, nn + ss, min(d, 4)]
+        sig_luts[ori] = lut.tolist()
+    sign_ctx = [0] * 256
+    sign_xor = [0] * 256
+    for m in range(256):
+        nsig, ssig, wsig, esig = m & 1, (m >> 1) & 1, (m >> 2) & 1, (m >> 3) & 1
+        nneg, sneg, wneg, eneg = (m >> 4) & 1, (m >> 5) & 1, (m >> 6) & 1, (m >> 7) & 1
+        hc = (wsig * (-1 if wneg else 1)) + (esig * (-1 if eneg else 1))
+        vc = (nsig * (-1 if nneg else 1)) + (ssig * (-1 if sneg else 1))
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        sign_ctx[m] = int(_SIGN_CTX[hc + 1, vc + 1])
+        sign_xor[m] = int(_SIGN_XOR[hc + 1, vc + 1])
+    return sig_luts, sign_ctx, sign_xor
+
+
+_FLAG_SIG_LUT, _SIGN_CTX_LUT, _SIGN_XOR_LUT = _build_flag_luts()
+
+# flags bits: 0..7 neighbor significance (N,S,W,E,NW,NE,SW,SE),
+# 8..11 cardinal neighbor negative-sign, 12 self-sig, 13 visited,
+# 14 refined, 15 self-negative
+_F_SELF = 1 << 12
+_F_VIS = 1 << 13
+_F_REF = 1 << 14
+_F_NEG = 1 << 15
+
+
 def decode_cblk(data: bytes, w: int, h: int, numbps: int, npasses: int,
                 ori: int) -> np.ndarray:
     """One code-block: MQ-coded byte stream -> signed integer
     coefficients carrying ONE extra fractional bit (divide by 2 with
     truncation for the final integer value — midpoint reconstruction
-    for truncated streams comes out automatically)."""
-    val = np.zeros((h, w), dtype=np.int64)
-    sig = np.zeros((h, w), dtype=bool)
-    vis = np.zeros((h, w), dtype=bool)
-    ref = np.zeros((h, w), dtype=bool)
-    sgn = np.zeros((h, w), dtype=np.int8)    # 0 positive, 1 negative
+    for truncated streams comes out automatically).
+
+    Flags-lattice implementation: a border-padded per-coefficient
+    flags word carries self/neighbor significance and sign bits so the
+    per-bit context is one LUT index instead of ten array probes."""
+    val_out = np.zeros((h, w), dtype=np.int64)
     if npasses <= 0 or numbps <= 0:
-        return val
+        return val_out
+    stride = w + 2
+    flags = [0] * (stride * (h + 2))
+    val = [0] * (stride * (h + 2))
     mq = MQDecoder(data)
-    sig_lut = _SIG_CTX[ori]
+    mqd = mq.decode
+    sig_lut = _FLAG_SIG_LUT[ori]
+    sgn_ctx = _SIGN_CTX_LUT
+    sgn_xor = _SIGN_XOR_LUT
 
-    def nbhd(x, y):
-        """(h, v, d) significant-neighbor counts."""
-        hh = vv = dd = 0
-        if x > 0:
-            if sig[y, x - 1]:
-                hh += 1
-            if y > 0 and sig[y - 1, x - 1]:
-                dd += 1
-            if y < h - 1 and sig[y + 1, x - 1]:
-                dd += 1
-        if x < w - 1:
-            if sig[y, x + 1]:
-                hh += 1
-            if y > 0 and sig[y - 1, x + 1]:
-                dd += 1
-            if y < h - 1 and sig[y + 1, x + 1]:
-                dd += 1
-        if y > 0 and sig[y - 1, x]:
-            vv += 1
-        if y < h - 1 and sig[y + 1, x]:
-            vv += 1
-        return hh, vv, dd
+    def set_sig(i, neg):
+        flags[i] |= _F_SELF | (_F_NEG if neg else 0)
+        # reverse neighbor bits: this cell is the S-neighbor of the
+        # cell above it, etc.
+        flags[i - stride] |= 2        # S bit of the cell above
+        flags[i + stride] |= 1        # N bit of the cell below
+        flags[i - 1] |= 8             # E bit of the cell left
+        flags[i + 1] |= 4             # W bit of the cell right
+        flags[i - stride - 1] |= 1 << 7   # SE of up-left
+        flags[i - stride + 1] |= 1 << 6   # SW of up-right
+        flags[i + stride - 1] |= 1 << 5   # NE of down-left
+        flags[i + stride + 1] |= 1 << 4   # NW of down-right
+        if neg:
+            flags[i - stride] |= 1 << 9    # S-neg of above
+            flags[i + stride] |= 1 << 8    # N-neg of below
+            flags[i - 1] |= 1 << 11        # E-neg of left
+            flags[i + 1] |= 1 << 10        # W-neg of right
 
-    def decode_sign(x, y):
-        hc = vc = 0
-        if x > 0 and sig[y, x - 1]:
-            hc += 1 if sgn[y, x - 1] == 0 else -1
-        if x < w - 1 and sig[y, x + 1]:
-            hc += 1 if sgn[y, x + 1] == 0 else -1
-        if y > 0 and sig[y - 1, x]:
-            vc += 1 if sgn[y - 1, x] == 0 else -1
-        if y < h - 1 and sig[y + 1, x]:
-            vc += 1 if sgn[y + 1, x] == 0 else -1
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
-        ctx = int(_SIGN_CTX[hc + 1, vc + 1])
-        xor = int(_SIGN_XOR[hc + 1, vc + 1])
-        return mq.decode(ctx) ^ xor
+    def dec_sign(i):
+        m = ((flags[i] & 0x0F) | ((flags[i] >> 4) & 0xF0))
+        return mqd(sgn_ctx[m]) ^ sgn_xor[m]
 
     def sigpass(one, half):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if sig[y, x]:
+        oph = one | half
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                for i in range(y0 * stride + x, ylim * stride + x,
+                               stride):
+                    f = flags[i]
+                    if f & _F_SELF or not (f & 0xFF):
                         continue
-                    hh, vv, dd = nbhd(x, y)
-                    if hh == 0 and vv == 0 and dd == 0:
-                        continue
-                    vis[y, x] = True
-                    if mq.decode(int(sig_lut[hh, vv, min(dd, 4)])):
-                        s = decode_sign(x, y)
-                        sig[y, x] = True
-                        sgn[y, x] = s
-                        val[y, x] = -(one | half) if s else (one | half)
+                    flags[i] = f | _F_VIS
+                    if mqd(sig_lut[f & 0xFF]):
+                        neg = dec_sign(i)
+                        set_sig(i, neg)
+                        val[i] = -oph if neg else oph
 
     def refpass(one, half):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if not sig[y, x] or vis[y, x]:
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                for i in range(y0 * stride + x, ylim * stride + x,
+                               stride):
+                    f = flags[i]
+                    if not (f & _F_SELF) or (f & _F_VIS):
                         continue
-                    if ref[y, x]:
+                    if f & _F_REF:
                         ctx = 16
                     else:
-                        hh, vv, dd = nbhd(x, y)
-                        ctx = 15 if (hh or vv or dd) else 14
-                        ref[y, x] = True
-                    b = mq.decode(ctx)
+                        ctx = 15 if (f & 0xFF) else 14
+                        flags[i] = f | _F_REF
+                    b = mqd(ctx)
                     t = half if b else -half
-                    val[y, x] += t if val[y, x] >= 0 else -t
+                    val[i] += t if val[i] >= 0 else -t
 
     def clnpass(one, half):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                y = y0
-                ylim = min(y0 + 4, h)
-                # run-length mode: full stripe column, all 4
-                # insignificant with no significant neighbors
-                if ylim - y0 == 4:
-                    rl = True
-                    for yy in range(y0, ylim):
-                        if sig[yy, x] or vis[yy, x]:
+        oph = one | half
+        full = h + 1
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                i0 = y0 * stride + x
+                rl = ylim - y0 == 4
+                if rl:
+                    for i in range(i0, ylim * stride + x, stride):
+                        if flags[i] & (_F_SELF | _F_VIS) or                                 flags[i] & 0xFF:
                             rl = False
                             break
-                        hh, vv, dd = nbhd(x, yy)
-                        if hh or vv or dd:
-                            rl = False
-                            break
-                    if rl:
-                        if not mq.decode(CTX_RL):
-                            for yy in range(y0, ylim):
-                                vis[yy, x] = False
-                            continue
-                        r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
-                        y = y0 + r
-                        s = decode_sign(x, y)
-                        sig[y, x] = True
-                        sgn[y, x] = s
-                        val[y, x] = -(one | half) if s else (one | half)
-                        y += 1
-                while y < ylim:
-                    if not sig[y, x] and not vis[y, x]:
-                        hh, vv, dd = nbhd(x, y)
-                        if mq.decode(int(sig_lut[hh, vv, min(dd, 4)])):
-                            s = decode_sign(x, y)
-                            sig[y, x] = True
-                            sgn[y, x] = s
-                            val[y, x] = -(one | half) if s \
-                                else (one | half)
-                    y += 1
-        vis[:] = False
+                i = i0
+                iend = ylim * stride + x
+                if rl:
+                    if not mqd(CTX_RL):
+                        for j in range(i0, iend, stride):
+                            flags[j] &= ~_F_VIS
+                        continue
+                    r = (mqd(CTX_UNI) << 1) | mqd(CTX_UNI)
+                    i = i0 + r * stride
+                    neg = dec_sign(i)
+                    set_sig(i, neg)
+                    val[i] = -oph if neg else oph
+                    i += stride
+                while i < iend:
+                    f = flags[i]
+                    if not (f & (_F_SELF | _F_VIS)):
+                        if mqd(sig_lut[f & 0xFF]):
+                            neg = dec_sign(i)
+                            set_sig(i, neg)
+                            val[i] = -oph if neg else oph
+                    i += stride
+        # clear visited
+        for i in range(len(flags)):
+            flags[i] &= ~_F_VIS
 
-    # pass sequence: cleanup at the top plane, then
-    # (sigprop, refine, cleanup) per lower plane. "one" carries the
-    # +1 shift (final values are 2x, truncated /2 by the caller).
     passno = 0
     bp = numbps - 1
     one = 1 << (bp + 1)
@@ -428,7 +453,9 @@ def decode_cblk(data: bytes, w: int, h: int, numbps: int, npasses: int,
                 break
             fn(one, half)
             passno += 1
-    return val
+    arr = np.asarray(val, dtype=np.int64).reshape(h + 2, stride)
+    val_out[:, :] = arr[1:h + 1, 1:w + 1]
+    return val_out
 
 
 # ---------------------------------------------------------------------------
