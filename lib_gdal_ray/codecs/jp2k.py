@@ -1502,145 +1502,136 @@ class TagTreeEnc:
 
 def encode_cblk(vals: np.ndarray, ori: int):
     """Signed integer coefficients -> (MQ bytes, numbps, npasses).
-    Exact mirror of decode_cblk's pass structure (the +1-shift 'one'
-    convention with exact integers means encode input = 2*|coeff|)."""
+    Exact mirror of decode_cblk's pass structure and flags lattice
+    (the +1-shift 'one' convention: encode input magnitude = 2*|coeff|
+    carried in the shifted planes)."""
     h, w = vals.shape
-    mag = np.abs(vals).astype(np.int64) * 2
-    neg = vals < 0
-    mx = int(mag.max())
+    mag2 = np.abs(vals).astype(np.int64) * 2
+    mx = int(mag2.max()) if mag2.size else 0
     numbps = max(0, mx.bit_length() - 1)  # planes of the SHIFTED mag
     if numbps == 0:
         return b"", 0, 0
-    sig = np.zeros((h, w), dtype=bool)
-    vis = np.zeros((h, w), dtype=bool)
-    ref = np.zeros((h, w), dtype=bool)
+    stride = w + 2
+    flags = [0] * (stride * (h + 2))
+    # padded magnitude/sign lattices aligned with flags indexing
+    mpad = np.zeros((h + 2, stride), dtype=np.int64)
+    mpad[1:h + 1, 1:w + 1] = mag2
+    mag = mpad.ravel().tolist()
+    npad = np.zeros((h + 2, stride), dtype=bool)
+    npad[1:h + 1, 1:w + 1] = vals < 0
+    neg_l = npad.ravel().tolist()
     mq = MQEncoder()
-    sig_lut = _SIG_CTX[ori]
+    mqe = mq.encode
+    sig_lut = _FLAG_SIG_LUT[ori]
+    sgn_ctx = _SIGN_CTX_LUT
+    sgn_xor = _SIGN_XOR_LUT
 
-    def nbhd(x, y):
-        hh = vv = dd = 0
-        if x > 0:
-            if sig[y, x - 1]:
-                hh += 1
-            if y > 0 and sig[y - 1, x - 1]:
-                dd += 1
-            if y < h - 1 and sig[y + 1, x - 1]:
-                dd += 1
-        if x < w - 1:
-            if sig[y, x + 1]:
-                hh += 1
-            if y > 0 and sig[y - 1, x + 1]:
-                dd += 1
-            if y < h - 1 and sig[y + 1, x + 1]:
-                dd += 1
-        if y > 0 and sig[y - 1, x]:
-            vv += 1
-        if y < h - 1 and sig[y + 1, x]:
-            vv += 1
-        return hh, vv, dd
+    def set_sig(i, neg):
+        flags[i] |= _F_SELF | (_F_NEG if neg else 0)
+        flags[i - stride] |= 2
+        flags[i + stride] |= 1
+        flags[i - 1] |= 8
+        flags[i + 1] |= 4
+        flags[i - stride - 1] |= 1 << 7
+        flags[i - stride + 1] |= 1 << 6
+        flags[i + stride - 1] |= 1 << 5
+        flags[i + stride + 1] |= 1 << 4
+        if neg:
+            flags[i - stride] |= 1 << 9
+            flags[i + stride] |= 1 << 8
+            flags[i - 1] |= 1 << 11
+            flags[i + 1] |= 1 << 10
 
-    def encode_sign(x, y):
-        hc = vc = 0
-        if x > 0 and sig[y, x - 1]:
-            hc += -1 if neg[y, x - 1] else 1
-        if x < w - 1 and sig[y, x + 1]:
-            hc += -1 if neg[y, x + 1] else 1
-        if y > 0 and sig[y - 1, x]:
-            vc += -1 if neg[y - 1, x] else 1
-        if y < h - 1 and sig[y + 1, x]:
-            vc += -1 if neg[y + 1, x] else 1
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
-        ctx = int(_SIGN_CTX[hc + 1, vc + 1])
-        xor = int(_SIGN_XOR[hc + 1, vc + 1])
-        mq.encode(ctx, int(neg[y, x]) ^ xor)
+    def enc_sign(i):
+        m = ((flags[i] & 0x0F) | ((flags[i] >> 4) & 0xF0))
+        mqe(sgn_ctx[m], int(neg_l[i]) ^ sgn_xor[m])
 
-    def bitof(x, y, plane):
-        return (int(mag[y, x]) >> (plane + 1)) & 1
-
-    def sigpass(bp):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if sig[y, x]:
+    def sigpass(shift):
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                for i in range(y0 * stride + x, ylim * stride + x,
+                               stride):
+                    f = flags[i]
+                    if f & _F_SELF or not (f & 0xFF):
                         continue
-                    hh, vv, dd = nbhd(x, y)
-                    if hh == 0 and vv == 0 and dd == 0:
-                        continue
-                    vis[y, x] = True
-                    b = bitof(x, y, bp)
-                    mq.encode(int(sig_lut[hh, vv, min(dd, 4)]), b)
+                    flags[i] = f | _F_VIS
+                    b = (mag[i] >> shift) & 1
+                    mqe(sig_lut[f & 0xFF], b)
                     if b:
-                        encode_sign(x, y)
-                        sig[y, x] = True
+                        enc_sign(i)
+                        set_sig(i, neg_l[i])
 
-    def refpass(bp):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if not sig[y, x] or vis[y, x]:
+    def refpass(shift):
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                for i in range(y0 * stride + x, ylim * stride + x,
+                               stride):
+                    f = flags[i]
+                    if not (f & _F_SELF) or (f & _F_VIS):
                         continue
-                    if ref[y, x]:
+                    if f & _F_REF:
                         ctx = 16
                     else:
-                        hh, vv, dd = nbhd(x, y)
-                        ctx = 15 if (hh or vv or dd) else 14
-                        ref[y, x] = True
-                    mq.encode(ctx, bitof(x, y, bp))
+                        ctx = 15 if (f & 0xFF) else 14
+                        flags[i] = f | _F_REF
+                    mqe(ctx, (mag[i] >> shift) & 1)
 
-    def clnpass(bp):
-        for y0 in range(0, h, 4):
-            for x in range(w):
-                y = y0
-                ylim = min(y0 + 4, h)
-                if ylim - y0 == 4:
-                    rl = True
-                    for yy in range(y0, ylim):
-                        if sig[yy, x] or vis[yy, x]:
+    def clnpass(shift):
+        for y0 in range(1, h + 1, 4):
+            ylim = min(y0 + 4, h + 1)
+            for x in range(1, w + 1):
+                i0 = y0 * stride + x
+                iend = ylim * stride + x
+                rl = ylim - y0 == 4
+                if rl:
+                    for i in range(i0, iend, stride):
+                        if flags[i] & (_F_SELF | _F_VIS) or                                 flags[i] & 0xFF:
                             rl = False
                             break
-                        hh, vv, dd = nbhd(x, yy)
-                        if hh or vv or dd:
-                            rl = False
+                i = i0
+                if rl:
+                    first = None
+                    k = 0
+                    for j in range(i0, iend, stride):
+                        if (mag[j] >> shift) & 1:
+                            first = k
                             break
-                    if rl:
-                        first = None
-                        for yy in range(y0, ylim):
-                            if bitof(x, yy, bp):
-                                first = yy - y0
-                                break
-                        if first is None:
-                            mq.encode(CTX_RL, 0)
-                            for yy in range(y0, ylim):
-                                vis[yy, x] = False
-                            continue
-                        mq.encode(CTX_RL, 1)
-                        mq.encode(CTX_UNI, (first >> 1) & 1)
-                        mq.encode(CTX_UNI, first & 1)
-                        y = y0 + first
-                        encode_sign(x, y)
-                        sig[y, x] = True
-                        y += 1
-                while y < ylim:
-                    if not sig[y, x] and not vis[y, x]:
-                        hh, vv, dd = nbhd(x, y)
-                        b = bitof(x, y, bp)
-                        mq.encode(int(sig_lut[hh, vv, min(dd, 4)]), b)
+                        k += 1
+                    if first is None:
+                        mqe(CTX_RL, 0)
+                        for j in range(i0, iend, stride):
+                            flags[j] &= ~_F_VIS
+                        continue
+                    mqe(CTX_RL, 1)
+                    mqe(CTX_UNI, (first >> 1) & 1)
+                    mqe(CTX_UNI, first & 1)
+                    i = i0 + first * stride
+                    enc_sign(i)
+                    set_sig(i, neg_l[i])
+                    i += stride
+                while i < iend:
+                    f = flags[i]
+                    if not (f & (_F_SELF | _F_VIS)):
+                        b = (mag[i] >> shift) & 1
+                        mqe(sig_lut[f & 0xFF], b)
                         if b:
-                            encode_sign(x, y)
-                            sig[y, x] = True
-                    y += 1
-        vis[:] = False
+                            enc_sign(i)
+                            set_sig(i, neg_l[i])
+                    i += stride
+        for i in range(len(flags)):
+            flags[i] &= ~_F_VIS
 
     npasses = 0
     bp = numbps - 1
-    clnpass(bp)
+    clnpass(bp + 1)
     npasses += 1
     while bp > 0:
         bp -= 1
-        sigpass(bp)
-        refpass(bp)
-        clnpass(bp)
+        sigpass(bp + 1)
+        refpass(bp + 1)
+        clnpass(bp + 1)
         npasses += 3
     return mq.flush(), numbps, npasses
 
