@@ -344,12 +344,17 @@ def _concat_xml(ds: ray.data.Dataset, to_lines, path: str,
 
 # ------------------------------------------------------- fragment reads
 
-def _fragment_lines(paths, needle: str, **kwargs):
+def _fragment_lines(paths, needle: str, n_blocks: int = 32, **kwargs):
     """Line-split parallel read of single-document XML whose features
     were written one per line (this module's own writers and GDAL's
     pretty-printed output): read_text streams line blocks, each batch
     keeps only feature lines — the XML document parses in PARALLEL
-    instead of one ET.fromstring task."""
+    instead of one ET.fromstring task.
+
+    A SINGLE input file arrives as one block (read_text does not split
+    within files), which would serialize the downstream per-feature
+    XML parse; the cheap line repartition fans the parse out across
+    the cluster (lines are small — the exchange is ~the file size)."""
     ds = ray.data.read_text(paths, **kwargs)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -357,7 +362,11 @@ def _fragment_lines(paths, needle: str, **kwargs):
         mask = pc2.match_substring(batch["text"], needle)
         return batch.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    out = ds.map_batches(keep, batch_format="pyarrow")
+    n_files = len(paths) if isinstance(paths, (list, tuple)) else 1
+    if n_blocks and n_files < n_blocks:
+        out = out.repartition(n_blocks)
+    return out
 
 
 def read_kml_fragments(paths: Union[str, List[str]],
