@@ -1141,7 +1141,9 @@ def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
             b_ = y0_ + f(1.772) * c1
             tcs[0], tcs[1], tcs[2] = r_, g, b_
 
-    # DC level shift + clamp, place into the image arrays
+    # DC level shift + clamp, place into the image arrays (or hand
+    # the bare tile arrays back for the tile-parallel Ray source)
+    out_tiles = []
     for c in range(siz.ncomp):
         arr = tcs[c]
         if arr.dtype in (np.float32, np.float64):
@@ -1158,8 +1160,105 @@ def _decode_tile(t: int, parts: List[bytes], siz: _Siz, cod: _Cod,
                 - _ceil_div(_ceil_div(siz.xo, siz.xr[c]), sh))
         tcy0 = (_ceil_div(_ceil_div(ty0, siz.yr[c]), sh)
                 - _ceil_div(_ceil_div(siz.yo, siz.yr[c]), sh))
-        comps[c][tcy0:tcy0 + arr.shape[0],
-                 tcx0:tcx0 + arr.shape[1]] = arr
+        if comps is None:
+            out_tiles.append((arr, tcx0, tcy0))
+        else:
+            comps[c][tcy0:tcy0 + arr.shape[0],
+                     tcx0:tcx0 + arr.shape[1]] = arr
+    return out_tiles
+
+
+def parse_j2k_structure(cs: bytes):
+    """Main-header markers + per-tile byte spans WITHOUT decoding any
+    tile data — the driver-side planning step of the tile-parallel
+    Ray reader (each task then re-parses only the tiny main header
+    plus ITS OWN tile-parts)."""
+    if cs[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream")
+    i = 2
+    spans: Dict[int, List[Tuple[int, int]]] = {}
+    main_end = None
+    while i < len(cs) - 1:
+        m = cs[i:i + 2]
+        if m == b"\xff\xd9":
+            break
+        L = int.from_bytes(cs[i + 2:i + 4], "big")
+        if m == b"\xff\x90":
+            if main_end is None:
+                main_end = i
+            isot, psot = struct.unpack(">HI", cs[i + 4:i + 10])
+            end = i + psot if psot > 0 else len(cs)
+            spans.setdefault(isot, []).append((i, end))
+            i = end
+            continue
+        i += 2 + L
+    if main_end is None:
+        main_end = i
+    return cs[:main_end], spans
+
+
+def decode_j2k_tile(main_header: bytes, tile_bytes: bytes, t: int,
+                    reduce: int = 0):
+    """Decode ONE tile from (main header, its tile-part bytes):
+    returns (per-component [(array, x0, y0)], siz). Memory is bounded
+    by the tile, not the image — the per-task unit of the
+    tile-parallel Ray source."""
+    cs = main_header + tile_bytes + b"\xff\xd9"
+    i = 2
+    siz = cod = qcd = None
+    coc: Dict[int, _Cod] = {}
+    qcc: Dict[int, _Qcd] = {}
+    tile_parts: Dict[int, List[bytes]] = {}
+    tile_cod: Dict[int, Dict] = {}
+
+    def comp_idx(seg, ncomp):
+        return (seg[0], 1) if ncomp < 257 else (
+            int.from_bytes(seg[0:2], "big"), 2)
+
+    while i < len(cs) - 1:
+        m = cs[i:i + 2]
+        if m == b"\xff\xd9":
+            break
+        L = int.from_bytes(cs[i + 2:i + 4], "big")
+        seg = cs[i + 4:i + 2 + L]
+        if m == b"\xff\x51":
+            siz = _parse_siz(seg)
+        elif m == b"\xff\x52":
+            cod = _parse_cod(seg)
+        elif m == b"\xff\x53":
+            ci, n = comp_idx(seg, siz.ncomp)
+            coc[ci] = _parse_coc(seg[n:], cod)
+        elif m == b"\xff\x5c":
+            qcd = _parse_qcd(seg)
+        elif m == b"\xff\x5d":
+            ci, n = comp_idx(seg, siz.ncomp)
+            qcc[ci] = _parse_qcd(seg[n:])
+        elif m == b"\xff\x90":
+            isot, psot = struct.unpack(">HI", seg[:6])
+            j = i + 2 + L
+            tp_cod = dict(tile_cod.get(isot, {}))
+            while True:
+                mm = cs[j:j + 2]
+                if mm == b"\xff\x93":
+                    j += 2
+                    break
+                LL = int.from_bytes(cs[j + 2:j + 4], "big")
+                sseg = cs[j + 4:j + 2 + LL]
+                if mm == b"\xff\x52":
+                    tp_cod["cod"] = _parse_cod(sseg)
+                elif mm == b"\xff\x5c":
+                    tp_cod["qcd"] = _parse_qcd(sseg)
+                j += 2 + LL
+            end = i + psot if psot > 0 else len(cs) - 2
+            tile_parts.setdefault(isot, []).append(cs[j:end])
+            tile_cod[isot] = tp_cod
+            i = end
+            continue
+        i += 2 + L
+    ntx = _ceil_div(siz.xsiz - siz.xto, siz.xt)
+    out = _decode_tile(t, tile_parts[t], siz, cod, qcd, coc, qcc,
+                       tile_cod.get(t, {}), ntx, None, reduce)
+    return out, siz
 
 
 # ---------------------------------------------------------------------------

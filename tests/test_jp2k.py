@@ -242,3 +242,29 @@ class TestReducedResolution:
         _a, meta = decode_jp2(
             open(f"{D}/small_200ppcm.jp2", "rb").read())
         assert meta["resolution_ppcm"] == (200.012, 200.012)
+
+
+class TestRaySource:
+    """Tile-parallel Ray reader (sources/jp2.py) — per-task memory is
+    one tile; union of tile decodes equals the whole-file decode."""
+
+    def test_tile_parallel_equals_full(self):
+        from lib_gdal_ray.sources.jp2 import read_jp2_pixels
+
+        full, _ = decode_jp2(open(f"{D}/513x513.jp2", "rb").read())
+        df = read_jp2_pixels(f"{D}/513x513.jp2").to_pandas()
+        assert len(df) == 513 * 513
+        dense = np.zeros_like(full, dtype=np.float64)
+        dense[df.y.values, df.x.values] = df.value.values
+        assert np.array_equal(dense, full.astype(np.float64))
+
+    def test_many_tiny_tiles(self):
+        from lib_gdal_ray.sources.jp2 import read_jp2_pixels
+
+        # 43x43 tile grid (8x8 tiles over 343x343)
+        full, _ = decode_jp2(
+            open(f"{D}/fake_sent2_preview.jp2", "rb").read())
+        df = read_jp2_pixels(f"{D}/fake_sent2_preview.jp2").to_pandas()
+        dense = np.zeros_like(full, dtype=np.float64)
+        dense[df.y.values, df.x.values] = df.value.values
+        assert np.array_equal(dense, full.astype(np.float64))
