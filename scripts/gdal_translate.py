@@ -33,7 +33,8 @@ _DTYPES = {"Byte": "uint8", "UInt16": "uint16", "Int16": "int16",
 
 _EXT_TO_DRIVER = {".tif": "GTiff", ".tiff": "GTiff", ".png": "PNG",
                   ".bmp": "BMP", ".jpg": "JPEG", ".jpeg": "JPEG",
-                  ".asc": "AAIGrid", ".xyz": "XYZ"}
+                  ".asc": "AAIGrid", ".xyz": "XYZ",
+                  ".jp2": "JP2OpenJPEG", ".j2k": "JP2OpenJPEG"}
 
 
 def translate_one(buf: bytes, opts: dict, path: str = "") -> bytes:
@@ -87,7 +88,7 @@ def translate_one(buf: bytes, opts: dict, path: str = "") -> bytes:
     if arr.shape[2] == 1:
         arr = arr[:, :, 0]
     kw = {}
-    if opts["driver"] == "GTiff":
+    if opts["driver"] in ("GTiff", "JP2OpenJPEG"):
         kw["transform"] = tuple(gt)
         kw["epsg"] = opts["a_srs"] or meta.get("epsg")
     elif opts["driver"] in ("AAIGrid", "XYZ"):
@@ -146,6 +147,7 @@ def main():
     else:  # fan out: DST is a directory, one output per input
         os.makedirs(args.dst, exist_ok=True)
         ext = {"GTiff": ".tif", "PNG": ".png", "BMP": ".bmp",
+               "JP2OpenJPEG": ".jp2",
                "JPEG": ".jpg", "AAIGrid": ".asc", "XYZ": ".xyz"}[driver]
         jobs = [one.remote(p, os.path.join(
             args.dst, os.path.splitext(os.path.basename(p))[0] + ext))

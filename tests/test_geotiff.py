@@ -370,6 +370,32 @@ class TestGdalTranslateCli:
         assert p.min() == 0 and p.max() == 255
 
 
+class TestTranslateJp2:
+    def test_tif_to_jp2_lossless(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        from lib_gdal_ray.codecs.jp2k import decode_jp2
+
+        arr = (np.arange(30 * 40) % 251).astype(np.uint8).reshape(30, 40)
+        src = str(tmp_path / "s.tif")
+        with open(src, "wb") as f:
+            f.write(encode_geotiff(arr, transform=(10.0, 2.0, 0.0,
+                                                   600.0, 0.0, -2.0),
+                                   epsg=32633))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(repo, "scripts", "gdal_translate.py")
+        dst = str(tmp_path / "o.jp2")
+        out = subprocess.run(
+            [_sys.executable, cli, src, dst, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-800:]
+        got, meta = decode_jp2(open(dst, "rb").read())
+        np.testing.assert_array_equal(got, arr)
+        assert meta["transform"] == (10.0, 2.0, 0.0, 600.0, 0.0, -2.0)
+        assert meta["epsg"] == 32633
+
+
 class TestRasterUtilityClis:
     def test_sieve_fill_proximity(self, tmp_path):
         import json as _json
