@@ -1873,11 +1873,66 @@ def _encode_packet_single_layer(res_bands, cbexp=(6, 6),
     return bytes(bw.out) + b"".join(bodies), [m[5] for m in metas]
 
 
+def _fwd97_1d(x: np.ndarray, i0: int, i1: int) -> np.ndarray:
+    """Forward 9/7 lifting (float32) — exact mirror of _idwt97_1d's
+    step order and constants, so decode(encode(x)) returns x up to
+    float32 rounding."""
+    n = i1 - i0
+    if n == 1:
+        return x.astype(np.float32).copy()
+    y = x.astype(np.float32).copy()
+    pos = np.arange(i0, i1)
+    ev = pos[pos % 2 == 0] - i0
+    od = pos[pos % 2 == 1] - i0
+    for coef, target_even in ((_A97, False), (_B97, True),
+                              (_G97, False), (_D97, True)):
+        c32 = np.float32(coef)
+        if target_even:
+            l_ = _ext(ev + i0 - 1, i0, i1) - i0
+            r_ = _ext(ev + i0 + 1, i0, i1) - i0
+            y[..., ev] += c32 * (y[..., l_] + y[..., r_])
+        else:
+            l_ = _ext(od + i0 - 1, i0, i1) - i0
+            r_ = _ext(od + i0 + 1, i0, i1) - i0
+            y[..., od] += c32 * (y[..., l_] + y[..., r_])
+    y[..., ev] *= np.float32(1.0) / np.float32(_K97)
+    y[..., od] *= np.float32(1.0) / np.float32(1.625732422)
+    return y
+
+
+def _fwd_dwt97(a: np.ndarray, x0: int, y0: int, nlevels: int):
+    """Multi-level forward 9/7 (float32), mirror of _fwd_dwt53."""
+    bands = {}
+    cur = a.astype(np.float32)
+    cx0, cy0 = x0, y0
+    cx1, cy1 = x0 + a.shape[1], y0 + a.shape[0]
+    for lev in range(nlevels, 0, -1):
+        y = _fwd97_1d(np.ascontiguousarray(cur.T), cy0, cy1).T
+        y = _fwd97_1d(np.ascontiguousarray(y), cx0, cx1)
+        pos_u = np.arange(cx0, cx1)
+        pos_v = np.arange(cy0, cy1)
+        ue = pos_u % 2 == 0
+        ve = pos_v % 2 == 0
+        bands[lev] = (y[np.ix_(ve, ~ue)], y[np.ix_(~ve, ue)],
+                      y[np.ix_(~ve, ~ue)])
+        cur = np.ascontiguousarray(y[np.ix_(ve, ue)])
+        cx0, cy0 = _ceil_div(cx0, 2), _ceil_div(cy0, 2)
+        cx1, cy1 = _ceil_div(cx1, 2), _ceil_div(cy1, 2)
+    bands[0] = (cur,)
+    return bands
+
+
 def encode_jp2(arr: np.ndarray, transform=None, epsg: Optional[int]
-               = None, nlevels: int = 5) -> bytes:
-    """Array -> lossless JP2 (5/3 reversible, single tile, one layer,
-    LRCP, no MCT). 2-D or (H, W, C) channel-last input; any integer
-    dtype up to 32 bits. Round-trips bit-exact through decode_jp2."""
+               = None, nlevels: int = 5, reversible: bool = True,
+               quality: float = 80.0) -> bytes:
+    """Array -> JP2 (single tile, one layer, LRCP, no MCT). 2-D or
+    (H, W, C) channel-last input; any integer dtype up to 32 bits.
+
+    reversible=True (default): lossless 5/3 — round-trips bit-exact
+    through decode_jp2. reversible=False: irreversible 9/7 with
+    scalar-expounded quantization; ``quality`` (1..100) sets the
+    uniform quantizer step Δ = 2^((75 − quality)/8) (quality 100 ≈
+    near-lossless, 75 ≈ unit step)."""
     if arr.ndim == 2:
         comps = [arr]
     else:
@@ -1905,14 +1960,32 @@ def encode_jp2(arr: np.ndarray, transform=None, epsg: Optional[int]
                       1, 1])
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
     cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
-        0, nlevels, 4, 4, 0, 1])                      # LRCP, 5/3
+        0, nlevels, 4, 4, 0, 1 if reversible else 0])  # LRCP
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
 
     # per-component forward transform first (QCD needs band Mb)
-    allbands = [_fwd_dwt53(np.asarray(comps[k]).astype(np.int64)
-                           - (0 if signed[k]
-                              else (1 << (depth[k] - 1))),
-                           0, 0, nlevels) for k in range(ncomp)]
+    if reversible:
+        allbands = [_fwd_dwt53(np.asarray(comps[k]).astype(np.int64)
+                               - (0 if signed[k]
+                                  else (1 << (depth[k] - 1))),
+                               0, 0, nlevels) for k in range(ncomp)]
+        deltas = None
+    else:
+        delta = float(2.0 ** ((75.0 - quality) / 8.0))
+        allbands = []
+        for k in range(ncomp):
+            shifted = (np.asarray(comps[k]).astype(np.float32)
+                       - (0 if signed[k]
+                          else np.float32(1 << (depth[k] - 1))))
+            fb = _fwd_dwt97(shifted, 0, 0, nlevels)
+            # quantize: sign-magnitude deadzone q = trunc(v / delta)
+            qb = {}
+            for r, bands in fb.items():
+                qb[r] = tuple(
+                    np.trunc(b / np.float32(delta)).astype(np.int64)
+                    for b in bands)
+            allbands.append(qb)
+        deltas = delta
     # Mb per subband position must be GLOBAL across components (one
     # shared QCD): compute it first, then encode packets against it
     def res_bands_of(k, r):
@@ -1932,19 +2005,55 @@ def encode_jp2(arr: np.ndarray, transform=None, epsg: Optional[int]
             max(band_mb(res_bands_of(k, r)[bi][0])
                 for k in range(ncomp))
             for bi in range(n_bands)])
+    # the SIGNALLED per-band Mb (zero-bitplane deltas are relative to
+    # it): reversible derives eps from the data so signalled == data;
+    # irreversible derives eps from delta, so signalled = guard+eps-1
+    if reversible:
+        signalled_per_res = mbs_per_res
+        lossy_q = None
+    else:
+        rb = depth[0]
+        eps = rb - math.floor(math.log2(deltas))
+        mant = int(round((deltas / 2.0 ** (rb - eps) - 1.0) * 2048))
+        if mant >= 2048:
+            mant = 0
+            eps -= 1
+        eps = max(0, min(31, eps))
+        guard = 2
+        for r in range(nlevels + 1):
+            for mb in mbs_per_res[r]:
+                while mb > guard + eps - 1 and guard < 7:
+                    guard += 1
+        signalled_per_res = [[guard + eps - 1] * len(mbs_per_res[r])
+                             for r in range(nlevels + 1)]
+        lossy_q = (guard, eps, mant)
     packets = []
     for r in range(nlevels + 1):
         for k in range(ncomp):
             body, _mbs = _encode_packet_single_layer(
-                res_bands_of(k, r), band_mbs=mbs_per_res[r])
+                res_bands_of(k, r), band_mbs=signalled_per_res[r])
             packets.append(body)
-    # QCD: style none (reversible), guard 2: eps = Mb + 1 - guard
-    guard = 2
-    qvals = []
-    for r in range(nlevels + 1):
-        for mb in mbs_per_res[r]:
-            qvals.append(max(0, mb + 1 - guard))
-    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in qvals)
+    if reversible:
+        # QCD style none: guard 2, eps = Mb + 1 - guard
+        guard = 2
+        qvals = []
+        for r in range(nlevels + 1):
+            for mb in mbs_per_res[r]:
+                qvals.append(max(0, mb + 1 - guard))
+        qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF
+                                          for e in qvals)
+    else:
+        # QCD scalar expounded: (eps, mant) from the uniform delta
+        # (decoder: delta = 2^(R-eps)(1+mant/2048), R = depth,
+        # irreversible gain 0); guard precomputed above so every
+        # band's data numbps fits under guard + eps - 1
+        guard, eps, mant = lossy_q
+        qvals16 = []
+        for r in range(nlevels + 1):
+            for _mb in mbs_per_res[r]:
+                qvals16.append((eps << 11) | mant)
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", v) for v in qvals16)
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
     # NOTE: packets were encoded per (r, comp); LRCP wants layer-res-
     # comp order which for 1 layer is the same sequence

@@ -268,3 +268,41 @@ class TestRaySource:
         dense = np.zeros_like(full, dtype=np.float64)
         dense[df.y.values, df.x.values] = df.value.values
         assert np.array_equal(dense, full.astype(np.float64))
+
+
+class TestLossyEncoder:
+    def test_quality_ladder(self):
+        from lib_gdal_ray.codecs.jp2k import encode_jp2
+        from lib_gdal_ray.codecs.tiff import decode_geotiff
+
+        ref, _ = decode_geotiff(
+            open("/root/reference/autotest/gcore/data/byte.tif",
+                 "rb").read())
+        prev_bytes = None
+        prev_rmse = -1.0
+        for q in (100, 80, 50):
+            buf = encode_jp2(ref, nlevels=3, reversible=False,
+                             quality=q)
+            arr, _ = decode_jp2(buf)
+            d = arr.astype(int) - ref.astype(int)
+            rmse = float(np.sqrt((d ** 2).mean()))
+            if q == 100:
+                assert rmse == 0.0   # delta < 1 on 8-bit data
+            assert rmse >= prev_rmse
+            if prev_bytes is not None:
+                assert len(buf) <= prev_bytes  # smaller as q drops
+            prev_bytes = len(buf)
+            prev_rmse = rmse
+        assert rmse > 1.0            # q=50 is genuinely lossy
+
+    def test_lossy_multiband(self):
+        from lib_gdal_ray.codecs.jp2k import encode_jp2
+
+        rng = np.random.default_rng(8)
+        a = (rng.random((33, 47, 3)) * 255).astype(np.uint8)
+        buf = encode_jp2(a, nlevels=2, reversible=False, quality=90)
+        arr, meta = decode_jp2(buf)
+        got = np.stack(meta["components"], axis=-1) \
+            if "components" in meta else arr
+        d = got.astype(int) - a.astype(int)
+        assert np.abs(d).max() <= 4
