@@ -167,7 +167,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "georss_roundtrip",
                      # round-5 additions
                      "gpkg_raster_roundtrip", "zarr_v3_roundtrip",
-                     "hdf4_roundtrip", "jp2_roundtrip"]
+                     "hdf4_roundtrip", "jp2_roundtrip",
+                     "rasterize_geodetic"]
     import gc
 
     # BENCH_REPEATS=3 -> per-query median-of-3 (host variance at sf0.1

@@ -4116,6 +4116,43 @@ def q_hdf4_roundtrip(sf_dir):
     return agg.map_batches(f, batch_format="pyarrow")
 
 
+def q_rasterize_geodetic(sf_dir):
+    """OGC TileMatrixSet rasterization (geom/tms.py,
+    gcore/tilematrixset.cpp parity): events burned onto the
+    WorldCRS84Quad grid at zoom 2 (matrix 16x8, res 180/1024 deg/px)
+    — the non-mercator tiling scheme path of gdal raster tile
+    --tiling-scheme. Linear pixel math mirrors exactly in SQL."""
+    pts = events_points(sf_dir)
+    pix = rast.rasterize_pixels(pts, 2, merge_alg="count",
+                                shuffle_partitions=8,
+                                tms="WorldCRS84Quad")
+
+    def f(batch: pa.Table) -> pa.Table:
+        _z, gpx, gpy = rast.unpack_pixel(
+            batch["pix_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "gpx": pa.array(gpx),
+            "gpy": pa.array(gpy),
+            "n_events": pc.cast(pc.round(batch["burn"]), pa.int64()),
+        })
+
+    return pix.map_batches(f, batch_format="pyarrow")
+
+
+def sql_rasterize_geodetic():
+    # WorldCRS84Quad z2: res = 180/256/4 deg/px; gx = floor((lon+180)/res)
+    # clipped to [0, 4096), gy = floor((90-lat)/res) clipped to [0, 2048)
+    res = "(180.0/1024.0)"
+    return f"""
+    SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / {res}) AS BIGINT),
+                          0), 4095) AS gpx,
+           LEAST(GREATEST(CAST(floor((90.0 - lat) / {res}) AS BIGINT),
+                          0), 2047) AS gpy,
+           count(*) AS n_events
+    FROM {_POINTS_SQL} p GROUP BY 1, 2
+    """
+
+
 def q_jp2_roundtrip(sf_dir):
     """JPEG 2000 driver surface (frmts/openjpeg analog,
     codecs/jp2k.py — reference autotest checksums pinned in
@@ -6821,6 +6858,8 @@ QUERIES = {
     "grib_roundtrip": (q_grib_roundtrip, _sql_envi_roundtrip()),
     "hdf4_roundtrip": (q_hdf4_roundtrip, _sql_envi_roundtrip()),
     "jp2_roundtrip": (q_jp2_roundtrip, _sql_envi_roundtrip()),
+    "rasterize_geodetic": (q_rasterize_geodetic,
+                           sql_rasterize_geodetic()),
     "rraster_roundtrip": (q_rraster_roundtrip, _sql_envi_roundtrip()),
     "jml_roundtrip": (q_jml_roundtrip, SQL_GEOJSON_ROUNDTRIP),
     "georss_roundtrip": (q_georss_roundtrip, SQL_GEOJSON_ROUNDTRIP),
