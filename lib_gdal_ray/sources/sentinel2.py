@@ -126,13 +126,21 @@ def _footprint_wkt(pos_list: str) -> str:
 
 
 def parse_sentinel2_product(xml_path: str) -> Dict:
-    """Main MTD XML -> {"metadata", "bands", "granules",
-    "granule_dirs"} (L1C)."""
+    """Main MTD XML -> {"metadata", "bands", "granules", "level",
+    "res_bands"} (L1C or L2A user products)."""
     root = ET.parse(xml_path).getroot()
-    if _strip_ns(root.tag) != "Level-1C_User_Product":
-        raise ValueError("not a Sentinel-2 L1C user product")
+    tag = _strip_ns(root.tag)
+    if tag == "Level-1C_User_Product":
+        level = "L1C"
+    elif tag == "Level-2A_User_Product":
+        level = "L2A"
+    else:
+        raise ValueError("not a Sentinel-2 L1C/L2A user product")
     gi = _find(root, "General_Info")
-    pi = _find(gi, "Product_Info") if gi is not None else None
+    pi = None
+    if gi is not None:
+        pi = _find(gi, "L2A_Product_Info" if level == "L2A"
+                   else "Product_Info")
     if pi is None:
         raise ValueError("Cannot find Product_Info")
     md: Dict[str, str] = {}
@@ -149,15 +157,27 @@ def parse_sentinel2_product(xml_path: str) -> Dict:
         for ch in dt:
             if ch.text:
                 md["DATATAKE_1_" + _strip_ns(ch.tag)] = ch.text
-    pic = _find(gi, "Product_Image_Characteristics")
+    pic = _find(gi, "L2A_Product_Image_Characteristics"
+                if level == "L2A" else "Product_Image_Characteristics")
     if pic is not None:
+        if level == "L2A":
+            # quantification values carry their unit attribute
+            for qtag in ("L1C_TOA_QUANTIFICATION_VALUE",
+                         "L2A_BOA_QUANTIFICATION_VALUE",
+                         "L2A_AOT_QUANTIFICATION_VALUE",
+                         "L2A_WVP_QUANTIFICATION_VALUE"):
+                els = _findall(pic, qtag)   # nested under the
+                # L1C_L2A_Quantification_Values_List container
+                if els and els[0].text:
+                    md[qtag] = els[0].text
+                    md[qtag + "_UNIT"] = els[0].get("unit", "")
         for sv in _findall(pic, "Special_Values"):
             t = _find(sv, "SPECIAL_VALUE_TEXT")
             i = _find(sv, "SPECIAL_VALUE_INDEX")
             if t is not None and i is not None:
                 md["SPECIAL_VALUE_" + t.text] = i.text
         qv = _find(pic, "QUANTIFICATION_VALUE")
-        if qv is not None and qv.text:
+        if qv is not None and qv.text and level == "L1C":
             md["QUANTIFICATION_VALUE"] = qv.text
         rc = _find(pic, "Reflectance_Conversion")
         if rc is not None:
@@ -192,6 +212,12 @@ def parse_sentinel2_product(xml_path: str) -> Dict:
             for ch in el:
                 if _strip_ns(ch.tag).endswith("_FLAG") and ch.text:
                     md[_strip_ns(ch.tag)] = ch.text
+    if level == "L2A":
+        # scene-classification percentages and retrieval accuracies
+        for el in root.iter():
+            t = _strip_ns(el.tag)
+            if (t.endswith("_PERCENTAGE") or t.endswith("_ACCURACY"))                     and el.text and len(el) == 0 and t not in md:
+                md[t] = el.text
     # solar irradiance by bandId
     irr: Dict[str, Tuple[str, str]] = {}
     for el in _findall(root, "SOLAR_IRRADIANCE"):
@@ -208,24 +234,56 @@ def parse_sentinel2_product(xml_path: str) -> Dict:
             if _strip_ns(el.tag) == "BAND_NAME" and el.text in S2_BANDS:
                 bands.append(el.text)
     # granules
-    po = _find(pi, "Product_Organisation")
+    po = _find(pi, "L2A_Product_Organisation" if level == "L2A"
+               else "Product_Organisation")
     granules = []
     seen = set()
+    res_bands: Dict[int, set] = {}
     if po is not None:
         for gl in _findall(po, "Granules") + _findall(po, "Granule"):
             gid = gl.get("granuleIdentifier")
-            if not gid or gid in seen:
+            if not gid:
                 continue
-            seen.add(gid)
-            mtd = _granule_mtd_name(gid)
-            if mtd is None:
-                continue
-            granules.append({"id": gid, "mtd": mtd,
-                             "images": [el.text for el in gl
-                                        if _strip_ns(el.tag) == "IMAGE_ID"
-                                        and el.text]})
+            imgs = [el.text for el in gl
+                    if _strip_ns(el.tag) in ("IMAGE_ID", "IMAGE_ID_2A")
+                    and el.text]
+            if gid in seen:
+                for g in granules:
+                    if g["id"] == gid:
+                        g["images"].extend(imgs)
+            else:
+                seen.add(gid)
+                mtd = _granule_mtd_name(gid)
+                if mtd is None:
+                    continue
+                granules.append({"id": gid, "mtd": mtd, "images": imgs})
+            if level == "L2A":
+                for im in imgs:
+                    tok, res = _l2a_image_token(im)
+                    if tok is not None:
+                        res_bands.setdefault(res, set()).add(tok)
     return {"metadata": md, "bands": bands, "granules": granules,
-            "solar_irradiance": irr, "dirname": os.path.dirname(xml_path)}
+            "solar_irradiance": irr, "level": level,
+            "res_bands": {r: sorted(v) for r, v in res_bands.items()},
+            "dirname": os.path.dirname(xml_path)}
+
+
+def _l2a_image_token(image_id: str):
+    """S2A_USER_MSI_L2A_T32TQR_B01_60m -> ("01", 60);
+    S2A_USER_SCL_L2A_T32TQR_60m -> ("SCL", 60)."""
+    parts = image_id.split("_")
+    if len(parts) < 3 or not parts[-1].endswith("m"):
+        return None, None
+    try:
+        res = int(parts[-1][:-1])
+    except ValueError:
+        return None, None
+    if parts[-2].startswith("B"):
+        return parts[-2][1:], res
+    if len(parts) >= 3 and parts[2] in ("AOT", "WVP", "SCL", "CLD",
+                                        "SNW"):
+        return parts[2], res
+    return None, None
 
 
 def parse_granule_geocoding(mtd_path: str) -> Dict:
@@ -259,10 +317,19 @@ def parse_granule_geocoding(mtd_path: str) -> Dict:
     return {"epsg": epsg, "resolutions": sizes}
 
 
+def _token_to_name(tok: str) -> str:
+    """'01' -> B1, '8A' -> B8A, 'AOT' -> AOT (the reference's
+    band-list rendering rule)."""
+    t = tok[1:] if tok.startswith("0") else tok
+    return ("B" + t) if t[:1].isdigit() else t
+
+
 def open_sentinel2(xml_path: str) -> Dict:
     """Main MTD XML -> {"metadata": {...}, "subdatasets":
-    [(name, desc), ...]} with reference-identical strings."""
+    [(name, desc), ...]} with reference-identical strings (L1C and
+    L2A user products)."""
     prod = parse_sentinel2_product(xml_path)
+    level = prod["level"]
     # EPSG codes present: peek each granule's geocoding
     epsgs = set()
     for g in prod["granules"]:
@@ -271,20 +338,25 @@ def open_sentinel2(xml_path: str) -> Dict:
             epsgs.add(parse_granule_geocoding(p)["epsg"])
     if not epsgs:
         raise ValueError("no granule geocoding found")
-    res_bands: Dict[int, List[str]] = {}
-    for b in prod["bands"]:
-        res_bands.setdefault(S2_BANDS[b][0], []).append(b)
+    if level == "L1C":
+        res_tokens = {}
+        for b in prod["bands"]:
+            res_tokens.setdefault(S2_BANDS[b][0], []).append(
+                _padded(b))
+        res_tokens = {r: sorted(v) for r, v in res_tokens.items()}
+    else:
+        res_tokens = prod["res_bands"]
     subs = []
     for epsg in sorted(epsgs):
-        for res in sorted(res_bands):
-            padded = sorted(_padded(b) for b in res_bands[res])
-            blist = ", ".join(_unpad(p) for p in padded)
+        for res in sorted(res_tokens):
+            blist = ", ".join(_token_to_name(t)
+                              for t in res_tokens[res])
             subs.append((
-                f"SENTINEL2_L1C:{xml_path}:{res}m:EPSG_{epsg}",
+                f"SENTINEL2_{level}:{xml_path}:{res}m:EPSG_{epsg}",
                 f"Bands {blist} with {res}m resolution, "
                 f"{_utm_desc(epsg)}"))
         subs.append((
-            f"SENTINEL2_L1C:{xml_path}:PREVIEW:EPSG_{epsg}",
+            f"SENTINEL2_{level}:{xml_path}:PREVIEW:EPSG_{epsg}",
             f"RGB preview, {_utm_desc(epsg)}"))
     return {"metadata": prod["metadata"], "subdatasets": subs}
 
@@ -293,11 +365,15 @@ def open_sentinel2_subdataset(name: str) -> Dict:
     """SENTINEL2_L1C:<xml>:<res>m|PREVIEW:EPSG_<code> -> mosaic
     description: size, geotransform, epsg, ordered band metadata and
     per-(band, granule) JP2 sources with pixel offsets."""
-    m = re.match(r"^SENTINEL2_L1C:(.+):(\d+m|PREVIEW):EPSG_(\d+)$", name)
+    m = re.match(r"^SENTINEL2_(L1C|L2A):(.+):(\d+m|PREVIEW):EPSG_(\d+)$",
+                 name)
     if not m:
-        raise ValueError(f"invalid SENTINEL2_L1C subdataset {name!r}")
-    xml_path, resspec, epsg_s = m.group(1), m.group(2), int(m.group(3))
+        raise ValueError(f"invalid SENTINEL2 subdataset {name!r}")
+    level, xml_path, resspec, epsg_s = (m.group(1), m.group(2),
+                                        m.group(3), int(m.group(4)))
     prod = parse_sentinel2_product(xml_path)
+    if prod["level"] != level:
+        raise ValueError(f"product level mismatch for {name!r}")
     preview = resspec == "PREVIEW"
     res = 320 if preview else int(resspec[:-1])
     gran = []
@@ -315,15 +391,21 @@ def open_sentinel2_subdataset(name: str) -> Dict:
     # 02/03/04 triple as 04/03/02 (RGB); PREVIEW is fixed RGB
     if preview:
         order = ["B4", "B3", "B2"]
-        gres = 10   # geocoding taken from the 10m entry, scaled
+        gres = 10 if level == "L1C" else 60
     else:
-        in_res = [b for b in prod["bands"] if S2_BANDS[b][0] == res]
-        if not in_res:
-            raise ValueError(f"no bands at {res}m")
-        padded = sorted(_padded(b) for b in in_res)
+        if level == "L1C":
+            in_res = [b for b in prod["bands"]
+                      if S2_BANDS[b][0] == res]
+            if not in_res:
+                raise ValueError(f"no bands at {res}m")
+            padded = sorted(_padded(b) for b in in_res)
+        else:
+            padded = list(prod["res_bands"].get(res) or [])
+            if not padded:
+                raise ValueError(f"no bands at {res}m")
         if padded[:3] == ["02", "03", "04"]:
             padded[0], padded[2] = "04", "02"
-        order = [_unpad(p) for p in padded]
+        order = [_token_to_name(p) for p in padded]
         gres = res
     # mosaic extent
     ulxs, ulys, lrxs, lrys = [], [], [], []
@@ -341,16 +423,24 @@ def open_sentinel2_subdataset(name: str) -> Dict:
     ysize = int(round((y1 - min(lrys)) / step))
     bands = []
     for i, b in enumerate(order):
-        resm, wl, bw, ci = S2_BANDS[b]
-        irr = prod["solar_irradiance"].get(b, ("", ""))
-        bands.append({
-            "band": i + 1, "name": b, "wavelength": wl,
-            "bandwidth": bw, "color": "red" if (preview and b == "B4")
-            else ci, "solar_irradiance": irr[0],
-            "solar_irradiance_unit": irr[1],
-            "nbits": 8 if preview else 12,
-            "dtype": "uint8" if preview else "uint16",
-        })
+        if b in S2_BANDS:
+            resm, wl, bw, ci = S2_BANDS[b]
+            irr = prod["solar_irradiance"].get(b, ("", ""))
+            bands.append({
+                "band": i + 1, "name": b, "wavelength": wl,
+                "bandwidth": bw,
+                "color": "red" if (preview and b == "B4") else ci,
+                "solar_irradiance": irr[0],
+                "solar_irradiance_unit": irr[1],
+                "nbits": 8 if preview else 12,
+                "dtype": "uint8" if preview else "uint16",
+            })
+        else:   # L2A special band (AOT/WVP/SCL/CLD/SNW)
+            bands.append({"band": i + 1, "name": b, "wavelength": None,
+                          "bandwidth": None, "color": "undefined",
+                          "solar_irradiance": "",
+                          "solar_irradiance_unit": "",
+                          "nbits": 16, "dtype": "uint16"})
     sources = []
     for g, geo in gran:
         d = geo["resolutions"][gres]
@@ -360,6 +450,7 @@ def open_sentinel2_subdataset(name: str) -> Dict:
         if preview:
             pvi = g["id"][:9] + "PVI" + g["id"][12:-7]
             path = os.path.join(gdir, "QI_DATA", pvi + ".jp2")
+            step0 = step
             w = int(round(d["ncols"] * gres / step))
             h = int(round(d["nrows"] * gres / step))
             for i in range(3):
@@ -368,13 +459,35 @@ def open_sentinel2_subdataset(name: str) -> Dict:
                                 "yoff": yoff, "xsize": w, "ysize": h})
         else:
             for i, b in enumerate(order):
-                suffix = "_B" + _padded(b).lstrip("0").rjust(2, "0") \
-                    if b != "B8A" else "_B8A"
-                img = next((im for im in g["images"]
-                            if im.endswith(suffix)), None)
-                if img is None:
-                    continue
-                path = os.path.join(gdir, "IMG_DATA", img + ".jp2")
+                if level == "L1C":
+                    suffix = "_B" + _padded(b).lstrip("0").rjust(2, "0") \
+                        if b != "B8A" else "_B8A"
+                    img = next((im for im in g["images"]
+                                if im.endswith(suffix)), None)
+                    if img is None:
+                        continue
+                    path = os.path.join(gdir, "IMG_DATA", img + ".jp2")
+                else:
+                    tok = _padded(b) if b.startswith("B") else b
+                    img = None
+                    for im in g["images"]:
+                        t2, r2 = _l2a_image_token(im)
+                        if t2 == tok and r2 == res:
+                            img = im
+                            break
+                    if img is None:
+                        continue
+                    # AOT/WVP and MSI bands live under IMG_DATA/Rxxm,
+                    # CLD/SNW under QI_DATA, SCL under IMG_DATA (the
+                    # layouts vary by baseline — probe in that order)
+                    cands = [os.path.join(gdir, "IMG_DATA",
+                                          f"R{res}m", img + ".jp2"),
+                             os.path.join(gdir, "QI_DATA",
+                                          img + ".jp2"),
+                             os.path.join(gdir, "IMG_DATA",
+                                          img + ".jp2")]
+                    path = next((c for c in cands if os.path.exists(c)),
+                                cands[0])
                 sources.append({"band": i + 1, "path": path,
                                 "source_band": 1, "xoff": xoff,
                                 "yoff": yoff, "xsize": d["ncols"],

@@ -188,3 +188,110 @@ class TestSyntheticEndToEnd:
         dense[df.y.values, df.x.values] = df.value.values
         np.testing.assert_array_equal(dense[0:40, 0:40], a)
         np.testing.assert_array_equal(dense[40:80, 40:80], b)
+
+
+XML_L2A = ("/root/reference/autotest/gdrivers/data/sentinel2/fake_l2a/"
+           "S2A_USER_PRD_MSIL2A.SAFE/S2A_USER_MTD_SAFL2A.xml")
+
+EXPECTED_L2A_MD = {
+    "AOT_RETRIEVAL_ACCURACY": "0",
+    "BARE_SOILS_PERCENTAGE": "0",
+    "CLOUD_COVERAGE_ASSESSMENT": "0.0",
+    "CLOUD_SHADOW_PERCENTAGE": "0",
+    "DARK_FEATURES_PERCENTAGE": "0",
+    "DATATAKE_1_DATATAKE_SENSING_START": "2015-12-31T23:59:59.999Z",
+    "DATATAKE_1_DATATAKE_TYPE": "INS-NOBS",
+    "DATATAKE_1_ID": "GS2A_20151231T235959_000123_N01.03",
+    "DATATAKE_1_SENSING_ORBIT_DIRECTION": "DESCENDING",
+    "DATATAKE_1_SENSING_ORBIT_NUMBER": "22",
+    "DATATAKE_1_SPACECRAFT_NAME": "Sentinel-2A",
+    "DEGRADED_ANC_DATA_PERCENTAGE": "0",
+    "DEGRADED_MSI_DATA_PERCENTAGE": "0",
+    "FOOTPRINT": "POLYGON((11 46, 11 45, 13 45, 13 46, 11 46))",
+    "FORMAT_CORRECTNESS_FLAG": "PASSED",
+    "GENERAL_QUALITY_FLAG": "PASSED",
+    "GENERATION_TIME": "2015-12-31T23:59:59.999Z",
+    "GEOMETRIC_QUALITY_FLAG": "PASSED",
+    "HIGH_PROBA_CLOUDS_PERCENTAGE": "0",
+    "L1C_TOA_QUANTIFICATION_VALUE": "1000",
+    "L1C_TOA_QUANTIFICATION_VALUE_UNIT": "none",
+    "L2A_AOT_QUANTIFICATION_VALUE": "1000.0",
+    "L2A_AOT_QUANTIFICATION_VALUE_UNIT": "none",
+    "L2A_BOA_QUANTIFICATION_VALUE": "1000",
+    "L2A_BOA_QUANTIFICATION_VALUE_UNIT": "none",
+    "L2A_WVP_QUANTIFICATION_VALUE": "1000.0",
+    "L2A_WVP_QUANTIFICATION_VALUE_UNIT": "cm",
+    "LOW_PROBA_CLOUDS_PERCENTAGE": "0",
+    "MEDIUM_PROBA_CLOUDS_PERCENTAGE": "0",
+    "NODATA_PIXEL_PERCENTAGE": "0",
+    "PREVIEW_GEO_INFO": "BrowseImageFootprint",
+    "PREVIEW_IMAGE_URL": "http://example.com",
+    "PROCESSING_BASELINE": "01.03",
+    "PROCESSING_LEVEL": "Level-2Ap",
+    "PRODUCT_START_TIME": "2015-12-31T23:59:59.999Z",
+    "PRODUCT_STOP_TIME": "2015-12-31T23:59:59.999Z",
+    "PRODUCT_TYPE": "S2MSI2Ap",
+    "RADIATIVE_TRANSFER_ACCURACY": "0",
+    "RADIOMETRIC_QUALITY_FLAG": "PASSED",
+    "REFERENCE_BAND": "B1",
+    "REFLECTANCE_CONVERSION_U": "0.97",
+    "SATURATED_DEFECTIVE_PIXEL_PERCENTAGE": "0",
+    "SENSOR_QUALITY_FLAG": "PASSED",
+    "SNOW_ICE_PERCENTAGE": "0",
+    "SPECIAL_VALUE_NODATA": "1",
+    "SPECIAL_VALUE_SATURATED": "0",
+    "THIN_CIRRUS_PERCENTAGE": "0",
+    "VEGETATION_PERCENTAGE": "0",
+    "WATER_PERCENTAGE": "0",
+    "WATER_VAPOUR_RETRIEVAL_ACCURACY": "0",
+}
+
+
+class TestFakeL2A:
+    def test_product_metadata_exact(self):
+        # sentinel2.py:test_sentinel2_l2a_1 expected_md, verbatim
+        assert open_sentinel2(XML_L2A)["metadata"] == EXPECTED_L2A_MD
+
+    def test_subdatasets(self):
+        subs = open_sentinel2(XML_L2A)["subdatasets"]
+        assert [d for _n, d in subs] == [
+            "Bands B1, B2, B3, B4, B5, B6, B7, B9, B10, B11, B12, "
+            "B8A, AOT, CLD, SCL, SNW, WVP with 60m resolution, "
+            "UTM 32N",
+            "RGB preview, UTM 32N",
+        ]
+        assert subs[0][0] == \
+            f"SENTINEL2_L2A:{XML_L2A}:60m:EPSG_32632"
+
+    def test_60m_subdataset(self):
+        # sentinel2.py:test_sentinel2_l2a_2
+        sd = open_sentinel2_subdataset(
+            f"SENTINEL2_L2A:{XML_L2A}:60m:EPSG_32632")
+        assert (sd["xsize"], sd["ysize"]) == (1830, 1830)
+        assert sd["geotransform"] == (699960.0, 60.0, 0.0,
+                                      5100060.0, 0.0, -60.0)
+        assert len(sd["bands"]) == 17
+        assert sd["bands"][0]["name"] == "B1"
+        assert (sd["bands"][0]["wavelength"],
+                sd["bands"][0]["solar_irradiance"]) == (443, "1900")
+        assert sd["bands"][12]["name"] == "AOT"
+        assert sd["bands"][12]["color"] == "undefined"
+        b1 = [s for s in sd["sources"] if s["band"] == 1][0]
+        assert b1["path"].endswith(
+            "IMG_DATA/R60m/S2A_USER_MSI_L2A_T32TQR_B01_60m.jp2")
+        assert (b1["xoff"], b1["yoff"], b1["xsize"]) == (0, 0, 1830)
+        # special band file locations probe QI_DATA / IMG_DATA
+        cld = [s for s in sd["sources"]
+               if "CLD" in os.path.basename(s["path"])][0]
+        assert "QI_DATA" in cld["path"]
+        scl = [s for s in sd["sources"]
+               if "SCL" in os.path.basename(s["path"])][0]
+        assert scl["path"].endswith(
+            "IMG_DATA/S2A_USER_SCL_L2A_T32TQR_60m.jp2")
+
+    def test_invalid_l2a_names(self):
+        for bad in (f"SENTINEL2_L2A:{XML_L2A}:50m:EPSG_32632",
+                    f"SENTINEL2_L2A:{XML_L2A}:60m:EPSG_32633",
+                    f"SENTINEL2_L1C:{XML_L2A}:60m:EPSG_32632"):
+            with pytest.raises(Exception):
+                open_sentinel2_subdataset(bad)
