@@ -234,12 +234,35 @@ def parse_sentinel2_product(xml_path: str) -> Dict:
             if _strip_ns(el.tag) == "BAND_NAME" and el.text in S2_BANDS:
                 bands.append(el.text)
     # granules
+    pf = _find(pi, "Query_Options.PRODUCT_FORMAT")
+    compact = pf is not None and (pf.text or "") == "SAFE_COMPACT"
     po = _find(pi, "L2A_Product_Organisation" if level == "L2A"
                else "Product_Organisation")
     granules = []
     seen = set()
     res_bands: Dict[int, set] = {}
-    if po is not None:
+    if compact and po is not None:
+        # SAFE_COMPACT: IMAGE_FILE paths name the granule dirs and
+        # band files directly; granule MTD is always MTD_TL.xml
+        by_dir: Dict[str, List[str]] = {}
+        for el in _findall(po, "IMAGE_FILE"):
+            if not el.text:
+                continue
+            parts = el.text.split("/")
+            if len(parts) >= 3 and parts[0] == "GRANULE":
+                by_dir.setdefault(parts[1], []).append(el.text)
+        for gdir, files in by_dir.items():
+            granules.append({"id": gdir, "mtd": "MTD_TL.xml",
+                             "images": files, "compact": True})
+            for f in files:
+                mm = re.search(r"_B(\w+)$", f)
+                if mm:
+                    bname = "B" + mm.group(1).lstrip("0")
+                    if bname in S2_BANDS:
+                        res_bands.setdefault(
+                            S2_BANDS[bname][0], set()).add(
+                                _padded(bname))
+    elif po is not None:
         for gl in _findall(po, "Granules") + _findall(po, "Granule"):
             gid = gl.get("granuleIdentifier")
             if not gid:
@@ -264,6 +287,7 @@ def parse_sentinel2_product(xml_path: str) -> Dict:
                         res_bands.setdefault(res, set()).add(tok)
     return {"metadata": md, "bands": bands, "granules": granules,
             "solar_irradiance": irr, "level": level,
+            "compact": compact,
             "res_bands": {r: sorted(v) for r, v in res_bands.items()},
             "dirname": os.path.dirname(xml_path)}
 
@@ -338,7 +362,7 @@ def open_sentinel2(xml_path: str) -> Dict:
             epsgs.add(parse_granule_geocoding(p)["epsg"])
     if not epsgs:
         raise ValueError("no granule geocoding found")
-    if level == "L1C":
+    if level == "L1C" and not prod.get("compact"):
         res_tokens = {}
         for b in prod["bands"]:
             res_tokens.setdefault(S2_BANDS[b][0], []).append(
@@ -355,9 +379,14 @@ def open_sentinel2(xml_path: str) -> Dict:
                 f"SENTINEL2_{level}:{xml_path}:{res}m:EPSG_{epsg}",
                 f"Bands {blist} with {res}m resolution, "
                 f"{_utm_desc(epsg)}"))
-        subs.append((
-            f"SENTINEL2_{level}:{xml_path}:PREVIEW:EPSG_{epsg}",
-            f"RGB preview, {_utm_desc(epsg)}"))
+        if prod.get("compact"):
+            subs.append((
+                f"SENTINEL2_{level}:{xml_path}:TCI:EPSG_{epsg}",
+                f"True color image, {_utm_desc(epsg)}"))
+        else:
+            subs.append((
+                f"SENTINEL2_{level}:{xml_path}:PREVIEW:EPSG_{epsg}",
+                f"RGB preview, {_utm_desc(epsg)}"))
     return {"metadata": prod["metadata"], "subdatasets": subs}
 
 
@@ -365,8 +394,9 @@ def open_sentinel2_subdataset(name: str) -> Dict:
     """SENTINEL2_L1C:<xml>:<res>m|PREVIEW:EPSG_<code> -> mosaic
     description: size, geotransform, epsg, ordered band metadata and
     per-(band, granule) JP2 sources with pixel offsets."""
-    m = re.match(r"^SENTINEL2_(L1C|L2A):(.+):(\d+m|PREVIEW):EPSG_(\d+)$",
-                 name)
+    m = re.match(
+        r"^SENTINEL2_(L1C|L2A):(.+):(\d+m|PREVIEW|TCI):EPSG_(\d+)$",
+        name)
     if not m:
         raise ValueError(f"invalid SENTINEL2 subdataset {name!r}")
     level, xml_path, resspec, epsg_s = (m.group(1), m.group(2),
@@ -375,7 +405,11 @@ def open_sentinel2_subdataset(name: str) -> Dict:
     if prod["level"] != level:
         raise ValueError(f"product level mismatch for {name!r}")
     preview = resspec == "PREVIEW"
-    res = 320 if preview else int(resspec[:-1])
+    tci = resspec == "TCI"
+    if tci and not prod.get("compact"):
+        raise ValueError("TCI subdataset requires a SAFE_COMPACT "
+                         "product")
+    res = 320 if preview else (10 if tci else int(resspec[:-1]))
     gran = []
     for g in prod["granules"]:
         p = os.path.join(prod["dirname"], "GRANULE", g["id"], g["mtd"])
@@ -389,11 +423,11 @@ def open_sentinel2_subdataset(name: str) -> Dict:
         raise ValueError(f"no granule with EPSG {epsg_s}")
     # band order (reference rule): zero-padded sort, then front the
     # 02/03/04 triple as 04/03/02 (RGB); PREVIEW is fixed RGB
-    if preview:
+    if preview or tci:
         order = ["B4", "B3", "B2"]
-        gres = 10 if level == "L1C" else 60
+        gres = 10 if (level == "L1C" or tci) else 60
     else:
-        if level == "L1C":
+        if level == "L1C" and not prod.get("compact"):
             in_res = [b for b in prod["bands"]
                       if S2_BANDS[b][0] == res]
             if not in_res:
@@ -418,6 +452,8 @@ def open_sentinel2_subdataset(name: str) -> Dict:
         lrxs.append(d["ulx"] + d["ncols"] * abs(d["xdim"]))
         lrys.append(d["uly"] - d["nrows"] * abs(d["ydim"]))
     step = 320.0 if preview else float(gres)
+    if tci:
+        step = 10.0
     x0, y1 = min(ulxs), max(ulys)
     xsize = int(round((max(lrxs) - x0) / step))
     ysize = int(round((y1 - min(lrys)) / step))
@@ -429,11 +465,12 @@ def open_sentinel2_subdataset(name: str) -> Dict:
             bands.append({
                 "band": i + 1, "name": b, "wavelength": wl,
                 "bandwidth": bw,
-                "color": "red" if (preview and b == "B4") else ci,
+                "color": "red" if ((preview or tci) and b == "B4")
+                else ci,
                 "solar_irradiance": irr[0],
                 "solar_irradiance_unit": irr[1],
-                "nbits": 8 if preview else 12,
-                "dtype": "uint8" if preview else "uint16",
+                "nbits": 8 if (preview or tci) else 12,
+                "dtype": "uint8" if (preview or tci) else "uint16",
             })
         else:   # L2A special band (AOT/WVP/SCL/CLD/SNW)
             bands.append({"band": i + 1, "name": b, "wavelength": None,
@@ -447,10 +484,16 @@ def open_sentinel2_subdataset(name: str) -> Dict:
         xoff = int(round((d["ulx"] - x0) / step))
         yoff = int(round((y1 - d["uly"]) / step))
         gdir = os.path.join(prod["dirname"], "GRANULE", g["id"])
-        if preview:
-            pvi = g["id"][:9] + "PVI" + g["id"][12:-7]
-            path = os.path.join(gdir, "QI_DATA", pvi + ".jp2")
-            step0 = step
+        if preview or tci:
+            if g.get("compact"):
+                rel = next((im for im in g["images"]
+                            if im.endswith("_TCI")), None)
+                if rel is None:
+                    continue
+                path = os.path.join(prod["dirname"], rel + ".jp2")
+            else:
+                pvi = g["id"][:9] + "PVI" + g["id"][12:-7]
+                path = os.path.join(gdir, "QI_DATA", pvi + ".jp2")
             w = int(round(d["ncols"] * gres / step))
             h = int(round(d["nrows"] * gres / step))
             for i in range(3):
@@ -459,7 +502,14 @@ def open_sentinel2_subdataset(name: str) -> Dict:
                                 "yoff": yoff, "xsize": w, "ysize": h})
         else:
             for i, b in enumerate(order):
-                if level == "L1C":
+                if g.get("compact"):
+                    suffix = "_B" + _padded(b) if b != "B8A" else "_B8A"
+                    rel = next((im for im in g["images"]
+                                if im.endswith(suffix)), None)
+                    if rel is None:
+                        continue
+                    path = os.path.join(prod["dirname"], rel + ".jp2")
+                elif level == "L1C":
                     suffix = "_B" + _padded(b).lstrip("0").rjust(2, "0") \
                         if b != "B8A" else "_B8A"
                     img = next((im for im in g["images"]

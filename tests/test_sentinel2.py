@@ -295,3 +295,44 @@ class TestFakeL2A:
                     f"SENTINEL2_L1C:{XML_L2A}:60m:EPSG_32632"):
             with pytest.raises(Exception):
                 open_sentinel2_subdataset(bad)
+
+
+XML_SC = ("/root/reference/autotest/gdrivers/data/sentinel2/"
+          "fake_l1c_safecompact/S2A_MSIL1C_test.SAFE/MTD_MSIL1C.xml")
+
+
+class TestSafeCompact:
+    def test_subdatasets(self):
+        # sentinel2.py:test_sentinel2_l1c_safe_compact_1 — TCI
+        # replaces PREVIEW; product metadata = the plain-L1C dict
+        out = open_sentinel2(XML_SC)
+        assert out["metadata"] == EXPECTED_MD
+        assert [d for _n, d in out["subdatasets"]] == [
+            "Bands B2, B3, B4, B8 with 10m resolution, UTM 32N",
+            "Bands B5, B6, B7, B8A, B11, B12 with 20m resolution, "
+            "UTM 32N",
+            "Bands B1, B9, B10 with 60m resolution, UTM 32N",
+            "True color image, UTM 32N",
+        ]
+        assert out["subdatasets"][3][0] == \
+            f"SENTINEL2_L1C:{XML_SC}:TCI:EPSG_32632"
+
+    def test_10m_and_tci(self):
+        sd = open_sentinel2_subdataset(
+            f"SENTINEL2_L1C:{XML_SC}:10m:EPSG_32632")
+        assert (sd["xsize"], sd["ysize"]) == (10980, 10980)
+        assert [b["name"] for b in sd["bands"]] == \
+            ["B4", "B3", "B2", "B8"]
+        b1 = [s for s in sd["sources"] if s["band"] == 1][0]
+        assert b1["path"].endswith("GRANULE/FOO/IMG_DATA/BAR_B04.jp2")
+        tci = open_sentinel2_subdataset(
+            f"SENTINEL2_L1C:{XML_SC}:TCI:EPSG_32632")
+        assert (tci["xsize"], tci["ysize"]) == (10980, 10980)
+        assert tci["bands"][0]["dtype"] == "uint8"
+        assert tci["sources"][0]["path"].endswith(
+            "GRANULE/FOO/IMG_DATA/BAR_TCI.jp2")
+
+    def test_tci_requires_compact(self):
+        with pytest.raises(Exception):
+            open_sentinel2_subdataset(
+                f"SENTINEL2_L1C:{XML}:TCI:EPSG_32632")
