@@ -39,12 +39,22 @@ import numpy as np
 def _lzw_decode(data: bytes) -> bytes:
     """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, 9→12 bit
     widths with the spec's early-change increment, ClearCode=256,
-    EOI=257."""
+    EOI=257. Streams written WITHOUT early change (old-style writers
+    — e.g. PHOTOMOD PRF tiles) are retried with the late-change
+    table rule, the same compat fallback libtiff applies."""
+    try:
+        return _lzw_decode_variant(data, early=True)
+    except ValueError:
+        return _lzw_decode_variant(data, early=False)
+
+
+def _lzw_decode_variant(data: bytes, early: bool) -> bytes:
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list = [bytes([i]) for i in range(256)] + [b"", b""]
     width, bitpos, total = 9, 0, len(data) * 8
     old: Optional[bytes] = None
+    bump = -2 if early else -1  # early change: one slot sooner
 
     def read_code() -> int:
         nonlocal bitpos
@@ -74,10 +84,7 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 raise ValueError(f"corrupt LZW stream (code {code})")
             table.append(old + entry[:1])
-            # early change, one entry sooner than the encoder: the
-            # decoder's table lags by exactly one (the just-read code's
-            # continuation isn't known yet — the code==len(table) case)
-            if len(table) + 1 == (1 << width) - 1 and width < 12:
+            if len(table) == (1 << width) + bump and width < 12:
                 width += 1
         out += entry
         old = entry
